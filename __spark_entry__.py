@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship query at sf0.001; `queries()` exposes one
+callable per implemented operator from SURVEY.md §2 (plus the LLM-pipeline
+operators); `oracle_sql()` gives the DuckDB-equivalent SQL for each.
+
+Naming convention: `q*` = TPC-H-shaped analytic queries over the star
+schema (scan/filter/agg/join/sort/topk surface), `bf_*` = blueflood
+operator semantics (rollups, discovery, events, shard hash) driven from the
+`events` table re-shaped into raw metric samples, `llm_*` = training-data
+pipeline operators over `documents`/`embeddings`.
 """
 
 from __future__ import annotations
@@ -12,27 +16,864 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from blueflood_spark.catalog import build_catalog, build_tokens, search_metric_names, search_metrics
+from blueflood_spark.functions.glob import anchored, glob_to_regex, next_level_regex
+from blueflood_spark.functions.hashing import safe_div, shard_expr
+from blueflood_spark.operators import granularity as G
+from blueflood_spark.operators import rollup as R
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Session hygiene: the driver supplies its own SparkSession. UTC keeps
+    # NTZ→epoch conversions aligned with the DuckDB oracle (naive = UTC);
+    # nanosAsLong lets Spark read events.parquet's TIMESTAMP(NANOS) column.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _ntz(date_str: str):
+    """Literal for comparing against TIMESTAMP_NTZ parquet columns —
+    timezone-free on both engines."""
+    return F.lit(date_str).cast("timestamp_ntz")
+
+
+def _ms(col_name: str):
+    """Epoch ms of an NTZ timestamp column, treating naive as UTC (matches
+    DuckDB epoch_ms). Requires session tz UTC (set in _t)."""
+    return F.unix_millis(F.col(col_name).cast("timestamp"))
+
+
+# ---------------------------------------------------------------------------
+# events → raw metric samples (blueflood ingest shape, SURVEY §1.1)
+# ---------------------------------------------------------------------------
+
+def _raw_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    # ts arrives as nanos (nanosAsLong); integer DIV avoids double-precision
+    # loss on ~1.7e18 values. DuckDB's epoch_ms(ts) floors micros→ms the same.
+    return ev.select(
+        F.concat(F.lit("t"), (F.col("user_id") % 4).cast("string")).alias("tenant_id"),
+        F.concat(F.lit("events."), F.col("event_type"), F.lit(".value")).alias("metric_name"),
+        F.expr("CAST(ts DIV 1000000 AS BIGINT)").alias("ts"),
+        F.col("value").cast("double").alias("value"),
+        F.col("user_id"),
+    )
+
+
+_RAW_CTE = """
+WITH raw AS (
+  SELECT 't' || CAST(user_id % 4 AS VARCHAR)            AS tenant_id,
+         'events.' || event_type || '.value'            AS metric_name,
+         epoch_ms(ts)                                   AS ts,
+         CAST(value AS DOUBLE)                          AS value,
+         user_id
+  FROM events
+)
+"""
+
+_R5_CTE = _RAW_CTE + """
+, r5 AS (
+  SELECT tenant_id, metric_name,
+         (ts // 300000) * 300000 AS window_start,
+         count(*)                AS num_points,
+         avg(value)              AS avg_val,
+         var_pop(value)          AS var_pop_val,
+         min(value)              AS min_val,
+         max(value)              AS max_val,
+         sum(value)              AS sum_val
+  FROM raw
+  GROUP BY 1, 2, 3
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped analytics (scan/filter/agg/join/sort/top-k surface)
+# ---------------------------------------------------------------------------
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: wide-scan aggregation; Catalyst pushes the shipdate filter
+    to parquet and the whole agg runs in one codegen stage."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= _ntz("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+            ).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_Q01_SQL = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity)                                        AS sum_qty,
+       sum(l_extendedprice)                                   AS sum_base_price,
+       sum(l_extendedprice * (1 - l_discount))                AS sum_disc_price,
+       sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))  AS sum_charge,
+       avg(l_quantity)                                        AS avg_qty,
+       avg(l_extendedprice)                                   AS avg_price,
+       avg(l_discount)                                        AS avg_disc,
+       count(*)                                               AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q03_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority style top-k: join + agg + deterministic top 10."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < _ntz("2024-06-01"))
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select("l_orderkey", _ms("o_orderdate").alias("o_orderdate_ms"), "revenue")
+        .orderBy(F.col("revenue").desc(), F.col("o_orderdate_ms"), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+_Q03_SQL = """
+SELECT l_orderkey,
+       epoch_ms(o_orderdate)                     AS o_orderdate_ms,
+       sum(l_extendedprice * (1 - l_discount))   AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '2024-06-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderdate_ms, l_orderkey
+LIMIT 10
+"""
+
+
+def q05_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way star join; dims broadcast (region/nation/supplier are tiny
+    at any scale; customer broadcasts until it outgrows the threshold)."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+_Q05_SQL = """
+SELECT n_name,
+       sum(l_extendedprice * (1 - l_discount)) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+def q_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + agg + having-style filter."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .filter(F.col("n_items") > 0)
+    )
+
+
+_Q_SUPPLIER_VOLUME_SQL = """
+SELECT s_suppkey, s_name,
+       sum(l_extendedprice * (1 - l_discount)) AS total_revenue,
+       count(*)                                AS n_items
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_suppkey, s_name
+HAVING count(*) > 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# Blueflood operators (SURVEY §2.3, §2.8, §2.11)
+# ---------------------------------------------------------------------------
+
+def bf_basic_rollup_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 BasicFromRaw at 5m."""
+    raw = _raw_metrics(spark, sf_dir)
+    return R.basic_from_raw(raw, G.MIN_5).select(
+        "tenant_id",
+        "metric_name",
+        "window_start",
+        "num_points",
+        F.col("avg").alias("avg_val"),
+        F.col("var_pop").alias("var_pop_val"),
+        F.col("min").alias("min_val"),
+        F.col("max").alias("max_val"),
+        F.col("sum").alias("sum_val"),
+    )
+
+
+_BF_BASIC_5M_SQL = _R5_CTE + """
+SELECT tenant_id, metric_name, window_start, num_points,
+       avg_val, var_pop_val, min_val, max_val, sum_val
+FROM r5
+"""
+
+
+def bf_basic_merge_20m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 BasicFromBasic: 20m from 5m partials (pooled variance)."""
+    raw = _raw_metrics(spark, sf_dir)
+    r5 = R.basic_from_raw(raw, G.MIN_5)
+    return R.basic_merge(r5, G.MIN_20).select(
+        "tenant_id",
+        "metric_name",
+        "window_start",
+        "num_points",
+        F.col("avg").alias("avg_val"),
+        F.col("var_pop").alias("var_pop_val"),
+        F.col("min").alias("min_val"),
+        F.col("max").alias("max_val"),
+        F.col("sum").alias("sum_val"),
+    )
+
+
+_BF_BASIC_MERGE_20M_SQL = _R5_CTE + """
+SELECT tenant_id, metric_name,
+       (window_start // 1200000) * 1200000 AS window_start,
+       sum(num_points) AS num_points,
+       sum(num_points * avg_val) / sum(num_points) AS avg_val,
+       sum(num_points * (var_pop_val + avg_val * avg_val)) / sum(num_points)
+         - power(sum(num_points * avg_val) / sum(num_points), 2) AS var_pop_val,
+       min(min_val) AS min_val,
+       max(max_val) AS max_val,
+       sum(sum_val) AS sum_val
+FROM r5
+GROUP BY 1, 2, 3
+"""
+
+
+def bf_rollup_cascade_60m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 cascade: raw → 5m → 20m → 60m, each level merging the previous."""
+    raw = _raw_metrics(spark, sf_dir)
+    levels = R.cascade(raw, grans=(G.MIN_5, G.MIN_20, G.MIN_60))
+    return levels["60m"].select(
+        "tenant_id",
+        "metric_name",
+        "window_start",
+        "num_points",
+        F.col("avg").alias("avg_val"),
+        F.col("min").alias("min_val"),
+        F.col("max").alias("max_val"),
+        F.col("sum").alias("sum_val"),
+    )
+
+
+_BF_CASCADE_60M_SQL = _R5_CTE + """
+, r20 AS (
+  SELECT tenant_id, metric_name,
+         (window_start // 1200000) * 1200000 AS window_start,
+         sum(num_points) AS num_points,
+         sum(num_points * avg_val) / sum(num_points) AS avg_val,
+         min(min_val) AS min_val, max(max_val) AS max_val, sum(sum_val) AS sum_val
+  FROM r5 GROUP BY 1, 2, 3
+)
+SELECT tenant_id, metric_name,
+       (window_start // 3600000) * 3600000 AS window_start,
+       sum(num_points) AS num_points,
+       sum(num_points * avg_val) / sum(num_points) AS avg_val,
+       min(min_val) AS min_val, max(max_val) AS max_val, sum(sum_val) AS sum_val
+FROM r20 GROUP BY 1, 2, 3
+"""
+
+
+def bf_counter_rollup_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 CounterFromRaw (rate = count / (maxTs − minTs), safeDiv)."""
+    raw = _raw_metrics(spark, sf_dir)
+    return R.counter_from_raw(raw, G.MIN_5).select(
+        "tenant_id", "metric_name", "window_start", "count", "rate", "sample_count"
+    )
+
+
+_BF_COUNTER_5M_SQL = _RAW_CTE + """
+SELECT tenant_id, metric_name,
+       (ts // 300000) * 300000 AS window_start,
+       sum(value) AS count,
+       CASE WHEN max(ts) - min(ts) = 0 THEN 0.0
+            ELSE sum(value) / CAST(max(ts) - min(ts) AS DOUBLE) END AS rate,
+       count(*) AS sample_count
+FROM raw
+GROUP BY 1, 2, 3
+"""
+
+
+def bf_counter_merge_20m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 CounterFromCounter: harmonic rate merge Σcount/Σ(countᵢ/rateᵢ)."""
+    raw = _raw_metrics(spark, sf_dir)
+    c5 = R.counter_from_raw(raw, G.MIN_5)
+    return R.counter_merge(c5, G.MIN_20).select(
+        "tenant_id", "metric_name", "window_start", "count", "rate", "sample_count"
+    )
+
+
+_BF_COUNTER_MERGE_20M_SQL = _RAW_CTE + """
+, c5 AS (
+  SELECT tenant_id, metric_name,
+         (ts // 300000) * 300000 AS window_start,
+         sum(value) AS count,
+         CASE WHEN max(ts) - min(ts) = 0 THEN 0.0
+              ELSE sum(value) / CAST(max(ts) - min(ts) AS DOUBLE) END AS rate,
+         count(*) AS sample_count
+  FROM raw GROUP BY 1, 2, 3
+)
+SELECT tenant_id, metric_name,
+       (window_start // 1200000) * 1200000 AS window_start,
+       sum(count) AS count,
+       CASE WHEN sum(CASE WHEN rate IS NULL OR rate = 0 THEN 0.0 ELSE count / rate END) = 0
+            THEN 0.0
+            ELSE sum(count) / sum(CASE WHEN rate IS NULL OR rate = 0 THEN 0.0 ELSE count / rate END)
+       END AS rate,
+       sum(sample_count) AS sample_count
+FROM c5 GROUP BY 1, 2, 3
+"""
+
+
+def bf_gauge_rollup_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 Gauge: basic stats + latest-by-timestamp."""
+    raw = _raw_metrics(spark, sf_dir)
+    return R.gauge_from_raw(raw, G.MIN_5).select(
+        "tenant_id",
+        "metric_name",
+        "window_start",
+        "num_points",
+        F.col("avg").alias("avg_val"),
+        "latest_ts",
+        "latest_value",
+    )
+
+
+_BF_GAUGE_5M_SQL = _RAW_CTE + """
+SELECT tenant_id, metric_name,
+       (ts // 300000) * 300000 AS window_start,
+       count(*) AS num_points,
+       avg(value) AS avg_val,
+       max(struct_pack(ts := ts, value := value)).ts AS latest_ts,
+       max(struct_pack(ts := ts, value := value)).value AS latest_value
+FROM raw
+GROUP BY 1, 2, 3
+"""
+
+
+def bf_set_rollup_20m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 Set rollup: exact distinct members (user_id) per window."""
+    raw = _raw_metrics(spark, sf_dir)
+    return R.set_from_raw(raw, G.MIN_20, value_col="user_id").select(
+        "tenant_id", "metric_name", "window_start", "distinct_count"
+    )
+
+
+_BF_SET_20M_SQL = _RAW_CTE + """
+SELECT tenant_id, metric_name,
+       (ts // 1200000) * 1200000 AS window_start,
+       count(DISTINCT user_id) AS distinct_count
+FROM raw
+GROUP BY 1, 2, 3
+"""
+
+
+def bf_timer_merge_20m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 TimerFromTimer: 5m timer children (with exact p50/p95 means)
+    merged to 20m — harmonic rate, unweighted percentile-mean merge."""
+    raw = _raw_metrics(spark, sf_dir)
+    v = F.col("value")
+    ts = F.col("ts")
+    t5 = (
+        raw.withColumn("window_start", R.window_start(ts, G.MIN_5))
+        .groupBy("tenant_id", "metric_name", "window_start")
+        .agg(
+            F.count(v).alias("count"),
+            F.sum(v).alias("sum"),
+            safe_div(F.count(v).cast("double"), (F.max(ts) - F.min(ts)).cast("double")).alias("rate"),
+            F.count(v).alias("sample_count"),
+            F.min(v).alias("min"),
+            F.max(v).alias("max"),
+            F.avg(v).alias("avg"),
+            F.var_pop(v).alias("var_pop"),
+            F.expr("percentile(value, 0.5D)").alias("pct_50"),
+            F.expr("percentile(value, 0.95D)").alias("pct_95"),
+        )
+    )
+    return R.timer_merge(t5, G.MIN_20, percentile_labels=("50", "95")).select(
+        "tenant_id",
+        "metric_name",
+        "window_start",
+        "count",
+        F.col("sum").alias("sum_val"),
+        "rate",
+        "sample_count",
+        F.col("min").alias("min_val"),
+        F.col("max").alias("max_val"),
+        F.col("avg").alias("avg_val"),
+        "pct_50",
+        "pct_95",
+    )
+
+
+_BF_TIMER_MERGE_20M_SQL = _RAW_CTE + """
+, t5 AS (
+  SELECT tenant_id, metric_name,
+         (ts // 300000) * 300000 AS window_start,
+         count(*) AS count,
+         sum(value) AS sum,
+         CASE WHEN max(ts) - min(ts) = 0 THEN 0.0
+              ELSE CAST(count(*) AS DOUBLE) / CAST(max(ts) - min(ts) AS DOUBLE) END AS rate,
+         count(*) AS sample_count,
+         min(value) AS min, max(value) AS max, avg(value) AS avg,
+         quantile_cont(value, 0.5)  AS pct_50,
+         quantile_cont(value, 0.95) AS pct_95
+  FROM raw GROUP BY 1, 2, 3
+)
+SELECT tenant_id, metric_name,
+       (window_start // 1200000) * 1200000 AS window_start,
+       sum(count) AS count,
+       sum(sum) AS sum_val,
+       CASE WHEN sum(CASE WHEN rate IS NULL OR rate = 0 THEN 0.0 ELSE count / rate END) = 0
+            THEN 0.0
+            ELSE sum(count) / sum(CASE WHEN rate IS NULL OR rate = 0 THEN 0.0 ELSE count / rate END)
+       END AS rate,
+       sum(sample_count) AS sample_count,
+       min(min) AS min_val,
+       max(max) AS max_val,
+       sum(count * avg) / sum(count) AS avg_val,
+       avg(pct_50) AS pct_50,
+       avg(pct_95) AS pct_95
+FROM t5 GROUP BY 1, 2, 3
+"""
+
+
+def bf_shard_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 shard hash: md5(locator)[30:32] % 128 (Util.java:47-48)."""
+    raw = _raw_metrics(spark, sf_dir)
+    locs = raw.select("tenant_id", "metric_name").distinct()
+    return locs.select(
+        "tenant_id",
+        "metric_name",
+        shard_expr(F.concat_ws(",", F.col("tenant_id"), F.col("metric_name"))).alias("shard"),
+    )
+
+
+_BF_SHARD_SQL = _RAW_CTE + """
+SELECT tenant_id, metric_name,
+       CAST(('0x' || substr(md5(tenant_id || ',' || metric_name), 31, 2)) AS INTEGER) % 128 AS shard
+FROM (SELECT DISTINCT tenant_id, metric_name FROM raw)
+"""
+
+
+def bf_metric_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 token index: hierarchical path explode of metric names."""
+    raw = _raw_metrics(spark, sf_dir).withColumn("unit", F.lit(None).cast("string"))
+    cat = build_catalog(raw)
+    return build_tokens(cat).select("tenant_id", "token", "parent", "path", "depth", "is_leaf")
+
+
+_BF_TOKENS_SQL = _RAW_CTE + """
+, cat AS (SELECT DISTINCT tenant_id, metric_name FROM raw),
+toks AS (
+  SELECT tenant_id, metric_name,
+         unnest(string_split(metric_name, '.')) AS token,
+         unnest(range(len(string_split(metric_name, '.')))) AS pos,
+         len(string_split(metric_name, '.')) AS n_tokens
+  FROM cat
+)
+SELECT DISTINCT tenant_id, token,
+       CASE WHEN pos = 0 THEN ''
+            ELSE array_to_string(string_split(metric_name, '.')[1:pos], '.') END AS parent,
+       array_to_string(string_split(metric_name, '.')[1:pos+1], '.') AS path,
+       CAST(pos + 1 AS INTEGER) AS depth,
+       pos = n_tokens - 1 AS is_leaf
+FROM toks
+"""
+
+
+def bf_glob_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 discovery search: glob `events.*` over the catalog for tenant t0."""
+    raw = _raw_metrics(spark, sf_dir).withColumn("unit", F.lit(None).cast("string"))
+    cat = build_catalog(raw)
+    return search_metrics(cat, "t0", "events.*").select("tenant_id", "metric_name")
+
+
+_BF_GLOB_SQL = (
+    _RAW_CTE
+    + """
+SELECT DISTINCT tenant_id, metric_name
+FROM raw
+WHERE tenant_id = 't0' AND regexp_matches(metric_name, '{regex}')
+"""
+)
+
+
+def bf_metric_names_browse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 next-level browse: query `events.*` → names at depth 2 with
+    leaf/next-level flags (AbstractElasticIO.java:136-185)."""
+    raw = _raw_metrics(spark, sf_dir).withColumn("unit", F.lit(None).cast("string"))
+    cat = build_catalog(raw)
+    return search_metric_names(cat, "t1", "events.*")
+
+
+_BF_BROWSE_SQL = (
+    _RAW_CTE
+    + """
+, matched AS (
+  SELECT DISTINCT metric_name FROM raw
+  WHERE tenant_id = 't1' AND regexp_matches(metric_name, '{regex}')
+),
+truncated AS (
+  SELECT array_to_string(string_split(metric_name, '.')[1:2], '.') AS name,
+         len(string_split(metric_name, '.')) = 2 AS is_complete
+  FROM matched
+)
+SELECT name AS metric_name,
+       max(CASE WHEN is_complete THEN 1 ELSE 0 END) = 1 AS is_leaf,
+       max(CASE WHEN NOT is_complete THEN 1 ELSE 0 END) = 1 AS has_next_level
+FROM truncated GROUP BY name
+"""
+)
+
+
+def bf_events_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 events query: from/until range + tag filter
+    (HttpEventsQueryHandler.java:45-75) on the events table."""
+    ev = _t(spark, sf_dir, "events")
+    from_ms = 1704412800000  # 2024-01-05T00:00:00Z
+    to_ms = 1705017600000  # 2024-01-12T00:00:00Z
+    ts_ms = F.expr("CAST(ts DIV 1000000 AS BIGINT)")
+    return (
+        ev.filter((ts_ms >= from_ms) & (ts_ms < to_ms) & (F.col("event_type") == "error"))
+        .select(
+            "event_id",
+            ts_ms.alias("ts_ms"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+    )
+
+
+_BF_EVENTS_RANGE_SQL = """
+SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type, value
+FROM events
+WHERE epoch_ms(ts) >= 1704412800000 AND epoch_ms(ts) < 1705017600000
+  AND event_type = 'error'
+"""
+
+
+def bf_units_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 units enrichment: rollup output left-joined to the (broadcast)
+    catalog (RollupHandler.java:146-180)."""
+    raw = _raw_metrics(spark, sf_dir).withColumn(
+        "unit", F.when(F.col("metric_name").contains("purchase"), "dollars").otherwise("count")
+    )
+    rollups = R.basic_from_raw(raw, G.MIN_60)
+    cat = build_catalog(raw)
+    return (
+        rollups.join(F.broadcast(cat), ["tenant_id", "metric_name"], "left")
+        .select(
+            "tenant_id",
+            "metric_name",
+            "window_start",
+            "num_points",
+            F.col("avg").alias("avg_val"),
+            "unit",
+        )
+    )
+
+
+_BF_UNITS_SQL = _RAW_CTE + """
+, raw_u AS (
+  SELECT *, CASE WHEN metric_name LIKE '%purchase%' THEN 'dollars' ELSE 'count' END AS unit
+  FROM raw
+),
+r60 AS (
+  SELECT tenant_id, metric_name,
+         (ts // 3600000) * 3600000 AS window_start,
+         count(*) AS num_points, avg(value) AS avg_val
+  FROM raw_u GROUP BY 1, 2, 3
+),
+cat AS (
+  SELECT tenant_id, metric_name, arg_max(unit, ts) AS unit
+  FROM raw_u GROUP BY 1, 2
+)
+SELECT r.tenant_id, r.metric_name, r.window_start, r.num_points, r.avg_val, c.unit
+FROM r60 r LEFT JOIN cat c USING (tenant_id, metric_name)
+"""
+
+
+# ---------------------------------------------------------------------------
+# LLM training-data pipeline operators
+# ---------------------------------------------------------------------------
+
+def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content; keep canonical (min) doc_id.
+    At 100 TB this is one shuffle on a 128-bit digest — group keys are
+    fixed-width, so AQE handles skew from giant duplicate clusters."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("content_hash", F.md5(F.col("text")))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("canonical_doc_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+_LLM_DEDUP_EXACT_SQL = """
+SELECT md5(text) AS content_hash,
+       min(doc_id) AS canonical_doc_id,
+       count(*) AS dup_count
+FROM documents
+GROUP BY 1
+"""
+
+
+def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality scoring: token count, mean token length, stopword
+    ratio, alpha ratio — all JVM-side built-ins, no UDF."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    stop = F.array(*[F.lit(w) for w in ("the", "a", "of", "and", "to", "in")])
+    n_toks = F.size(toks)
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_toks.alias("n_tokens"),
+        F.length("text").alias("n_chars_computed"),
+        (F.length("text").cast("double") / n_toks).alias("chars_per_token"),
+        safe_div(
+            F.size(F.array_intersect(toks, stop)).cast("double"), n_toks.cast("double")
+        ).alias("stopword_distinct_ratio"),
+    )
+
+
+_LLM_TEXT_STATS_SQL = """
+SELECT doc_id, lang,
+       len(string_split(text, ' ')) AS n_tokens,
+       length(text) AS n_chars_computed,
+       CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS chars_per_token,
+       CASE WHEN len(string_split(text, ' ')) = 0 THEN 0.0
+            ELSE CAST(len(list_intersect(string_split(text, ' '),
+                                         ['the', 'a', 'of', 'and', 'to', 'in'])) AS DOUBLE)
+                 / len(string_split(text, ' ')) END AS stopword_distinct_ratio
+FROM documents
+"""
+
+
+def llm_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: digest of normalized text (whitespace
+    collapsed) — deterministic and engine-independent via md5."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.col("text"), r"\s+", " ")
+    return docs.select("doc_id", F.md5(norm).alias("fingerprint"))
+
+
+_LLM_FINGERPRINT_SQL = r"""
+SELECT doc_id, md5(regexp_replace(text, '\s+', ' ', 'g')) AS fingerprint
+FROM documents
+"""
+
+
+def llm_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: query vectors (vec_id < 5) vs the corpus.
+    Dot product via zip_with/aggregate — JVM-side, no Python. The scale
+    path (LSH-bucketed) lives in blueflood_spark.operators.similarity."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dot = "aggregate(zip_with(q_emb, c_emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    c = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"))
+    from pyspark.sql.window import Window
+
+    sims = (
+        q.crossJoin(F.broadcast(c))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn("dot", F.expr(dot))
+        .withColumn("q_norm", F.sqrt(F.expr(dot.replace("c_emb", "q_emb"))))
+        .withColumn("c_norm", F.sqrt(F.expr(dot.replace("q_emb", "c_emb"))))
+        .withColumn("cosine", F.col("dot") / (F.col("q_norm") * F.col("c_norm")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("q_id", "c_id", "cosine", "rank")
+    )
+
+
+_LLM_ANN_SQL = """
+WITH pairs AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS dot,
+         sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS q_norm,
+         sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS c_norm
+  FROM embeddings q CROSS JOIN embeddings c
+  WHERE q.vec_id < 5 AND q.vec_id != c.vec_id
+),
+ranked AS (
+  SELECT q_id, c_id, dot / (q_norm * c_norm) AS cosine,
+         row_number() OVER (PARTITION BY q_id ORDER BY dot / (q_norm * c_norm) DESC, c_id) AS rank
+  FROM pairs
+)
+SELECT q_id, c_id, cosine, CAST(rank AS INTEGER) AS rank FROM ranked WHERE rank <= 10
+"""
+
+
+def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram Jaccard near-dup detection: word 3-gram shingles → inverted
+    index self-join → per-pair intersection / union. The shingle join IS
+    the LSH-style candidate generation: only docs sharing a shingle meet."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+        )
+    )
+    sh = docs.select("doc_id", F.explode(shingles).alias("shingle"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn(
+            "jaccard", F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+        )
+        .filter(F.col("jaccard") >= 0.12)
+        .select("doc_a", "doc_b", "inter", "jaccard")
+    )
+
+
+_LLM_JACCARD_SQL = """
+WITH sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(toks[i:i+2], ' ') AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       UNNEST(range(1, greatest(len(toks) - 2, 1) + 1)) AS t(i)
+),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, inter,
+       CAST(inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - inter) AS jaccard
+FROM pairs
+JOIN sizes sa ON pairs.doc_a = sa.doc_id
+JOIN sizes sb ON pairs.doc_b = sb.doc_id
+WHERE CAST(inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - inter) >= 0.12
+"""
+
+
+# ---------------------------------------------------------------------------
+# contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q01_pricing_summary(spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q01_pricing_summary": q01_pricing_summary,
+        "q03_top_orders": q03_top_orders,
+        "q05_region_revenue": q05_region_revenue,
+        "q_supplier_volume": q_supplier_volume,
+        "bf_basic_rollup_5m": bf_basic_rollup_5m,
+        "bf_basic_merge_20m": bf_basic_merge_20m,
+        "bf_rollup_cascade_60m": bf_rollup_cascade_60m,
+        "bf_counter_rollup_5m": bf_counter_rollup_5m,
+        "bf_counter_merge_20m": bf_counter_merge_20m,
+        "bf_gauge_rollup_5m": bf_gauge_rollup_5m,
+        "bf_set_rollup_20m": bf_set_rollup_20m,
+        "bf_timer_merge_20m": bf_timer_merge_20m,
+        "bf_shard_hash": bf_shard_hash,
+        "bf_metric_tokens": bf_metric_tokens,
+        "bf_glob_search": bf_glob_search,
+        "bf_metric_names_browse": bf_metric_names_browse,
+        "bf_events_range": bf_events_range,
+        "bf_units_enrichment": bf_units_enrichment,
+        "llm_dedup_exact": llm_dedup_exact,
+        "llm_text_stats": llm_text_stats,
+        "llm_doc_fingerprint": llm_doc_fingerprint,
+        "llm_ann_cosine_topk": llm_ann_cosine_topk,
+        "llm_ngram_jaccard": llm_ngram_jaccard,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    glob_regex = anchored(glob_to_regex("events.*"))
+    browse_regex = anchored(next_level_regex("events.*"))
+    return {
+        "q01_pricing_summary": _Q01_SQL,
+        "q03_top_orders": _Q03_SQL,
+        "q05_region_revenue": _Q05_SQL,
+        "q_supplier_volume": _Q_SUPPLIER_VOLUME_SQL,
+        "bf_basic_rollup_5m": _BF_BASIC_5M_SQL,
+        "bf_basic_merge_20m": _BF_BASIC_MERGE_20M_SQL,
+        "bf_rollup_cascade_60m": _BF_CASCADE_60M_SQL,
+        "bf_counter_rollup_5m": _BF_COUNTER_5M_SQL,
+        "bf_counter_merge_20m": _BF_COUNTER_MERGE_20M_SQL,
+        "bf_gauge_rollup_5m": _BF_GAUGE_5M_SQL,
+        "bf_set_rollup_20m": _BF_SET_20M_SQL,
+        "bf_timer_merge_20m": _BF_TIMER_MERGE_20M_SQL,
+        "bf_shard_hash": _BF_SHARD_SQL,
+        "bf_metric_tokens": _BF_TOKENS_SQL,
+        "bf_glob_search": _BF_GLOB_SQL.format(regex=glob_regex),
+        "bf_metric_names_browse": _BF_BROWSE_SQL.format(regex=browse_regex),
+        "bf_events_range": _BF_EVENTS_RANGE_SQL,
+        "bf_units_enrichment": _BF_UNITS_SQL,
+        "llm_dedup_exact": _LLM_DEDUP_EXACT_SQL,
+        "llm_text_stats": _LLM_TEXT_STATS_SQL,
+        "llm_doc_fingerprint": _LLM_FINGERPRINT_SQL,
+        "llm_ann_cosine_topk": _LLM_ANN_SQL,
+        "llm_ngram_jaccard": _LLM_JACCARD_SQL,
+    }

@@ -1,0 +1,309 @@
+"""Rollup aggregations (SURVEY §2.3 A1-A7) — the heart of the engine.
+
+Every rollup is an algebraic, mergeable aggregate per
+(tenant_id, metric_name, resolution, window): exactly Spark's
+partial/final aggregation model, expressed as `groupBy(window).agg(...)`
+with built-in JVM-side functions — no UDFs in the hot path, so the whole
+cascade stays inside WholeStageCodegen and map-side partial aggregation.
+
+Semantics re-expressed from the reference:
+- BasicRollup from raw: count/avg/var_pop/min/max/sum
+  (/root/reference/blueflood-core/.../types/BasicRollup.java:63-106,
+  BaseRollup.java:131-149, Variance.java:67-76 — Welford ≡ Spark's
+  numerically-stable var_pop partials).
+- Basic merge (finer→coarser): counts/sums add, count-weighted mean, pooled
+  population variance (BasicRollup.java:79-99, Variance.java:90-145). We use
+  the one-pass algebraic form E[x²]-E[x]² over child (n, μ, σ²) partials,
+  which equals the reference's two-pass grand-mean formula in exact
+  arithmetic.
+- Counter: count=Σvalue, rate=count/(maxTs-minTs), sampleCount=n
+  (BluefloodCounterRollup.java:86-99); merge adds counts and combines rates
+  harmonically rate=Σcount/Σ(countᵢ/rateᵢ) with safeDiv semantics
+  (BluefloodCounterRollup.java:101-115). Divergence: reference yields
+  Infinity for a single-sample counter (divide by zero); we define
+  safe_div→0 throughout.
+- Timer merge: sum/count/sampleCount add; min/max/avg/var as basic merge;
+  harmonic rate; percentile merge = UNWEIGHTED mean of child means per
+  label (deliberately not count-weighted —
+  BluefloodTimerRollup.java:211-256, rate :227-229, percentiles :241-254).
+- Gauge: basic stats + latest = value at max timestamp
+  (BluefloodGaugeRollup.java:64-96) — `max(struct(ts, value))` so ties
+  break deterministically on value.
+- Set: distinct count of member hashes (BluefloodSetRollup.java:30-43);
+  we expose exact `countDistinct` (gate) and `approx_count_distinct`
+  (the 100 TB path — HLL sketch, constant memory per group).
+
+The full→5m→20m→60m→240m→1440m ladder (RollupRunnable.java:103-115,
+Range.getRangesToRollup) is `cascade()`: each level merges the previous
+level's output, so the expensive raw scan happens exactly once.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from blueflood_spark.functions.hashing import safe_div
+from blueflood_spark.operators import granularity as G
+
+KEYS = ("tenant_id", "metric_name")
+
+
+def window_start(ts_ms: Column, gran: G.Granularity) -> Column:
+    """Snap an epoch-ms column to the granularity window start
+    (Granularity.snapMillis, Granularity.java:130-133)."""
+    ms = gran.milliseconds
+    return (F.floor(ts_ms / ms) * ms).cast("long")
+
+
+def _grouped(df: DataFrame, gran: G.Granularity, ts_col: str, keys: Sequence[str]):
+    return df.withColumn("window_start", window_start(F.col(ts_col), gran)).groupBy(
+        *keys, "window_start"
+    )
+
+
+def basic_from_raw(
+    df: DataFrame,
+    gran: G.Granularity,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    keys: Sequence[str] = KEYS,
+) -> DataFrame:
+    """A1 BasicFromRaw: one windowed aggregation, all built-ins."""
+    v = F.col(value_col)
+    return (
+        _grouped(df, gran, ts_col, keys)
+        .agg(
+            F.count(v).alias("num_points"),
+            F.avg(v).alias("avg"),
+            F.var_pop(v).alias("var_pop"),
+            F.min(v).alias("min"),
+            F.max(v).alias("max"),
+            F.sum(v).alias("sum"),
+        )
+        .withColumn("resolution", F.lit(gran.name))
+    )
+
+
+def basic_merge(
+    partials: DataFrame,
+    gran: G.Granularity,
+    keys: Sequence[str] = KEYS,
+) -> DataFrame:
+    """A2 BasicFromBasic: merge finer rollups into coarser windows.
+
+    Pooled population variance in one pass over (n, avg, var) children:
+      E[x²] = Σ nᵢ(varᵢ + avgᵢ²) / N ;  var = E[x²] − (Σ nᵢavgᵢ / N)²
+    """
+    n = F.col("num_points")
+    total_n = F.sum(n)
+    merged = (
+        _grouped(partials, gran, "window_start", keys)
+        .agg(
+            total_n.alias("num_points"),
+            safe_div(F.sum(n * F.col("avg")), total_n).alias("avg"),
+            (
+                safe_div(F.sum(n * (F.col("var_pop") + F.col("avg") * F.col("avg"))), total_n)
+                - F.pow(safe_div(F.sum(n * F.col("avg")), total_n), F.lit(2))
+            ).alias("var_pop"),
+            F.min("min").alias("min"),
+            F.max("max").alias("max"),
+            F.sum("sum").alias("sum"),
+        )
+        .withColumn("resolution", F.lit(gran.name))
+    )
+    return merged
+
+
+def cascade(
+    raw: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    keys: Sequence[str] = KEYS,
+    grans: Sequence[G.Granularity] = tuple(G.ROLLUP_GRANULARITIES),
+) -> dict[str, DataFrame]:
+    """T5 rollup cascade: 5m from raw, each coarser level from the finer
+    one (child-before-parent, RollupRunnable.java:74-135). Returns one
+    DataFrame per resolution; `union_cascade` stacks them."""
+    out: dict[str, DataFrame] = {}
+    finest = grans[0]
+    level = basic_from_raw(raw, finest, ts_col, value_col, keys)
+    out[finest.name] = level
+    for gran in grans[1:]:
+        level = basic_merge(level, gran, keys)
+        out[gran.name] = level
+    return out
+
+
+def union_cascade(levels: dict[str, DataFrame]) -> DataFrame:
+    dfs = list(levels.values())
+    result = dfs[0]
+    for df in dfs[1:]:
+        result = result.unionByName(df)
+    return result
+
+
+def counter_from_raw(
+    df: DataFrame,
+    gran: G.Granularity,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    keys: Sequence[str] = KEYS,
+) -> DataFrame:
+    """A4 CounterFromRaw (BluefloodCounterRollup.java:86-99); rate uses
+    safe_div (0 for a single sample) instead of the reference's Infinity."""
+    v = F.col(value_col)
+    ts = F.col(ts_col)
+    return (
+        _grouped(df, gran, ts_col, keys)
+        .agg(
+            F.sum(v).alias("count"),
+            safe_div(F.sum(v), (F.max(ts) - F.min(ts)).cast("double")).alias("rate"),
+            F.count(v).alias("sample_count"),
+        )
+        .withColumn("resolution", F.lit(gran.name))
+    )
+
+
+def counter_merge(
+    partials: DataFrame,
+    gran: G.Granularity,
+    keys: Sequence[str] = KEYS,
+) -> DataFrame:
+    """A5 CounterFromCounter: counts add; rate = Σcount / Σ(countᵢ/rateᵢ)
+    (BluefloodCounterRollup.java:101-115)."""
+    cnt = F.col("count")
+    return (
+        _grouped(partials, gran, "window_start", keys)
+        .agg(
+            F.sum(cnt).alias("count"),
+            safe_div(F.sum(cnt), F.sum(safe_div(cnt, F.col("rate")))).alias("rate"),
+            F.sum("sample_count").alias("sample_count"),
+        )
+        .withColumn("resolution", F.lit(gran.name))
+    )
+
+
+def gauge_from_raw(
+    df: DataFrame,
+    gran: G.Granularity,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    keys: Sequence[str] = KEYS,
+) -> DataFrame:
+    """A6 Gauge: basic stats + latest value by timestamp
+    (BluefloodGaugeRollup.java:64-96). max(struct) keeps ts+value aligned
+    and makes timestamp ties deterministic (larger value wins)."""
+    v = F.col(value_col)
+    ts = F.col(ts_col)
+    latest = F.max(F.struct(ts.alias("ts"), v.alias("value")))
+    return (
+        _grouped(df, gran, ts_col, keys)
+        .agg(
+            F.count(v).alias("num_points"),
+            F.avg(v).alias("avg"),
+            F.var_pop(v).alias("var_pop"),
+            F.min(v).alias("min"),
+            F.max(v).alias("max"),
+            F.sum(v).alias("sum"),
+            latest.alias("_latest"),
+        )
+        .select(
+            *keys,
+            "window_start",
+            "num_points",
+            "avg",
+            "var_pop",
+            "min",
+            "max",
+            "sum",
+            F.col("_latest.ts").alias("latest_ts"),
+            F.col("_latest.value").alias("latest_value"),
+        )
+        .withColumn("resolution", F.lit(gran.name))
+    )
+
+
+def set_from_raw(
+    df: DataFrame,
+    gran: G.Granularity,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    keys: Sequence[str] = KEYS,
+    approximate: bool = False,
+) -> DataFrame:
+    """A7 Set rollup: distinct member count (BluefloodSetRollup.java:30-43,
+    68-70 — union of member hash codes). Exact mode shuffles distinct
+    values; approximate mode is the 100 TB path (HLL, fixed memory)."""
+    v = F.col(value_col)
+    agg = (
+        F.approx_count_distinct(v).alias("distinct_count")
+        if approximate
+        else F.countDistinct(v).alias("distinct_count")
+    )
+    return (
+        _grouped(df, gran, ts_col, keys)
+        .agg(agg)
+        .withColumn("resolution", F.lit(gran.name))
+    )
+
+
+def timer_merge(
+    partials: DataFrame,
+    gran: G.Granularity,
+    keys: Sequence[str] = KEYS,
+    percentile_labels: Sequence[str] = (),
+) -> DataFrame:
+    """A3 TimerFromTimer merge (BluefloodTimerRollup.java:211-256).
+
+    Input columns: window_start, count, sum, rate, sample_count, min, max,
+    avg, var_pop, and optionally pct_<label> child percentile means.
+    Percentile merge is the reference's deliberate UNWEIGHTED mean of child
+    means (BluefloodTimerRollup.java:241-254) — F.avg, not count-weighted.
+    """
+    cnt = F.col("count")
+    total = F.sum(cnt)
+    aggs = [
+        total.alias("count"),
+        F.sum("sum").alias("sum"),
+        safe_div(F.sum(cnt), F.sum(safe_div(cnt, F.col("rate")))).alias("rate"),
+        F.sum("sample_count").alias("sample_count"),
+        F.min("min").alias("min"),
+        F.max("max").alias("max"),
+        safe_div(F.sum(cnt * F.col("avg")), total).alias("avg"),
+        (
+            safe_div(F.sum(cnt * (F.col("var_pop") + F.col("avg") * F.col("avg"))), total)
+            - F.pow(safe_div(F.sum(cnt * F.col("avg")), total), F.lit(2))
+        ).alias("var_pop"),
+    ]
+    for label in percentile_labels:
+        aggs.append(F.avg(F.col(f"pct_{label}")).alias(f"pct_{label}"))
+    return (
+        _grouped(partials, gran, "window_start", keys)
+        .agg(*aggs)
+        .withColumn("resolution", F.lit(gran.name))
+    )
+
+
+def merge_percentile_maps(
+    partials: DataFrame,
+    gran: G.Granularity,
+    keys: Sequence[str] = KEYS,
+    pct_col: str = "percentiles",
+) -> DataFrame:
+    """Percentile-map merge for MAP<label, mean> columns: explode → avg per
+    label → re-assemble. Used by the preaggregated timer path where
+    percentile labels are dynamic (BluefloodTimerRollup.java:241-254)."""
+    exploded = partials.withColumn("window_start", window_start(F.col("window_start"), gran)).select(
+        *keys, "window_start", F.explode(F.col(pct_col)).alias("pct_label", "pct_mean")
+    )
+    per_label = exploded.groupBy(*keys, "window_start", "pct_label").agg(
+        F.avg("pct_mean").alias("pct_mean")
+    )
+    return per_label.groupBy(*keys, "window_start").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("pct_label", "pct_mean")))
+        ).alias(pct_col)
+    )
