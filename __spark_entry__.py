@@ -21,8 +21,11 @@ from pyspark.sql import functions as F
 from blueflood_spark.catalog import build_catalog, build_tokens, search_metric_names, search_metrics
 from blueflood_spark.functions.glob import anchored, glob_to_regex, next_level_regex
 from blueflood_spark.functions.hashing import safe_div, shard_expr
+from blueflood_spark.operators import dedup as D
 from blueflood_spark.operators import granularity as G
 from blueflood_spark.operators import rollup as R
+from blueflood_spark.operators import similarity as SIM
+from blueflood_spark.operators import text as TX
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -812,6 +815,76 @@ WHERE CAST(inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - inter) >= 0.12
 """
 
 
+def llm_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates: shingle → 16-perm signature →
+    4-band bucket self-join (operators/dedup.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(docs)
+
+
+def llm_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return D.minhash_signatures(docs)
+
+
+def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return D.simhash(docs)
+
+
+def llm_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dups: byte-bucket pigeonhole candidates + hamming ≤ 8
+    verify (max_hamming widened so the synthetic corpus yields rows)."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.simhash_near_pairs(docs, max_hamming=8)
+
+
+def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return TX.language_id(docs)
+
+
+def llm_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return TX.token_counts(docs)
+
+
+def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return TX.quality_score(docs)
+
+
+def llm_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return TX.rolling_fingerprint(docs)
+
+
+def llm_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via random-hyperplane LSH buckets + exact re-rank — the scale
+    path next to llm_ann_cosine_topk's brute-force baseline."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.lsh_bucketed_topk(emb, F.col("vec_id") < 5, k=10)
+
+
+def llm_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.embedding_near_dups(emb, threshold=0.35)
+
+
+_LLM_EMB_NEAR_DUPS_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+       / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+          * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+       / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+          * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) >= 0.35
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -846,6 +919,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_doc_fingerprint": llm_doc_fingerprint,
         "llm_ann_cosine_topk": llm_ann_cosine_topk,
         "llm_ngram_jaccard": llm_ngram_jaccard,
+        "llm_minhash_signatures": llm_minhash_signatures,
+        "llm_minhash_lsh": llm_minhash_lsh,
+        "llm_simhash": llm_simhash,
+        "llm_simhash_near_pairs": llm_simhash_near_pairs,
+        "llm_lang_id": llm_lang_id,
+        "llm_token_counts": llm_token_counts,
+        "llm_quality_score": llm_quality_score,
+        "llm_rolling_fingerprint": llm_rolling_fingerprint,
+        "llm_ann_lsh_topk": llm_ann_lsh_topk,
+        "llm_embedding_near_dups": llm_embedding_near_dups,
     }
 
 
@@ -876,4 +959,14 @@ def oracle_sql() -> dict[str, str]:
         "llm_doc_fingerprint": _LLM_FINGERPRINT_SQL,
         "llm_ann_cosine_topk": _LLM_ANN_SQL,
         "llm_ngram_jaccard": _LLM_JACCARD_SQL,
+        "llm_minhash_signatures": D.minhash_signatures_sql(),
+        "llm_minhash_lsh": D.minhash_lsh_pairs_sql(),
+        "llm_simhash": D.simhash_sql(),
+        "llm_simhash_near_pairs": D.simhash_near_pairs_sql(max_hamming=8),
+        "llm_lang_id": TX.language_id_sql(),
+        "llm_token_counts": TX.token_counts_sql(),
+        "llm_quality_score": TX.quality_score_sql(),
+        "llm_rolling_fingerprint": TX.rolling_fingerprint_sql(),
+        "llm_ann_lsh_topk": SIM.lsh_bucketed_topk_sql("vec_id < 5", k=10),
+        "llm_embedding_near_dups": _LLM_EMB_NEAR_DUPS_SQL,
     }

@@ -1,0 +1,283 @@
+"""Document deduplication operators for large-scale training-data
+pipelines: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Design for 100 TB:
+- All hashing is md5-based (engine-portable, deterministic) and runs
+  JVM-side via built-in functions — no Python in the hot path.
+- MinHash signatures are fixed-width (NUM_PERM longs per doc), so the
+  LSH band self-join shuffles signatures, never documents.
+- Candidate generation never cross-joins the corpus: candidates come from
+  equi-joins on band buckets (MinHash) / byte buckets (SimHash) /
+  shared shingles (Jaccard), all plain shuffle-hash joins that AQE can
+  skew-split. Verification (exact Jaccard / hamming) runs only on the
+  candidate set.
+
+Every operator has a `*_sql()` twin producing the equivalent DuckDB SQL
+from the SAME parameters, so the oracle can't drift from the Spark plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+NUM_PERM = 16  # minhash permutations
+BANDS = 4  # LSH bands → rows per band = NUM_PERM // BANDS
+SHINGLE_WORDS = 3
+
+
+# ---------------------------------------------------------------------------
+# shingling
+# ---------------------------------------------------------------------------
+
+def shingles_expr(text_col: str = "text", k: int = SHINGLE_WORDS):
+    """Distinct word k-gram shingles, as an array column (JVM-side)."""
+    toks = F.split(F.col(text_col), " ")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        )
+    )
+
+
+def _shingle_sql(k: int = SHINGLE_WORDS) -> str:
+    return f"""
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+{k - 1}], ' ') AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       UNNEST(range(1, greatest(len(toks) - {k - 1}, 1) + 1)) AS t(i)
+"""
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup by content digest: one shuffle on a fixed-width key."""
+    return (
+        docs.withColumn("content_hash", F.md5(F.col(text_col)))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("canonical_doc_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# minhash + LSH
+# ---------------------------------------------------------------------------
+
+def _minhash_col(seed: int):
+    """One minhash value: min over shingles of a seeded 32-bit md5 hash.
+    conv(md5-prefix) is an unsigned 32-bit int — identical in DuckDB."""
+    return F.min(
+        F.conv(F.substring(F.md5(F.concat(F.lit(f"s{seed}_"), F.col("shingle"))), 1, 8), 16, 10).cast(
+            "long"
+        )
+    ).alias(f"mh_{seed}")
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text", num_perm: int = NUM_PERM) -> DataFrame:
+    """Fixed-width minhash signature per doc: explode shingles once,
+    aggregate NUM_PERM mins in a single pass (one shuffle)."""
+    sh = docs.select("doc_id", F.explode(shingles_expr(text_col)).alias("shingle"))
+    return sh.groupBy("doc_id").agg(*[_minhash_col(s) for s in range(num_perm)])
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_perm: int = NUM_PERM,
+    bands: int = BANDS,
+) -> DataFrame:
+    """LSH candidate pairs: docs agreeing on ALL rows of ≥1 band.
+    Signature table is tiny vs corpus → the per-band self-join is cheap;
+    distinct() dedups pairs found by multiple bands."""
+    rows = num_perm // bands
+    sig = minhash_signatures(docs, text_col, num_perm)
+    band_cols = [
+        F.md5(F.concat_ws("_", *[F.col(f"mh_{b * rows + r}") for r in range(rows)])).alias(
+            f"band_{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select("doc_id", *band_cols)
+    pairs = None
+    for b in range(bands):
+        a = banded.select(F.col("doc_id").alias("doc_a"), F.col(f"band_{b}").alias("bk"))
+        c = banded.select(F.col("doc_id").alias("doc_b"), F.col(f"band_{b}").alias("bk"))
+        p = a.join(c, "bk").filter(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs.distinct()
+
+
+def minhash_signatures_sql(num_perm: int = NUM_PERM) -> str:
+    mh_cols = ",\n         ".join(
+        f"min(CAST(('0x' || substr(md5('s{s}_' || shingle), 1, 8)) AS BIGINT)) AS mh_{s}"
+        for s in range(num_perm)
+    )
+    return f"""
+WITH sh AS ({_shingle_sql()})
+SELECT doc_id,
+         {mh_cols}
+FROM sh GROUP BY doc_id
+"""
+
+
+def minhash_lsh_pairs_sql(num_perm: int = NUM_PERM, bands: int = BANDS) -> str:
+    rows = num_perm // bands
+    mh_cols = ",\n         ".join(
+        f"min(CAST(('0x' || substr(md5('s{s}_' || shingle), 1, 8)) AS BIGINT)) AS mh_{s}"
+        for s in range(num_perm)
+    )
+    band_cols = ",\n       ".join(
+        "md5(" + " || '_' || ".join(f"CAST(mh_{b * rows + r} AS VARCHAR)" for r in range(rows)) + f") AS band_{b}"
+        for b in range(bands)
+    )
+    unions = "\nUNION\n".join(
+        f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM banded a "
+        f"JOIN banded b ON a.band_{b} = b.band_{b} AND a.doc_id < b.doc_id"
+        for b in range(bands)
+    )
+    return f"""
+WITH sh AS ({_shingle_sql()}),
+sig AS (
+  SELECT doc_id,
+         {mh_cols}
+  FROM sh GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id,
+       {band_cols}
+  FROM sig
+)
+{unions}
+"""
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash(docs: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS) -> DataFrame:
+    """32-bit SimHash over word tokens: per bit, sum ±1 contributions of
+    each token's 32-bit md5 hash; fingerprint bit = (sum > 0).
+    One explode + one aggregation — no quadratic work."""
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).withColumn(
+        "h", F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s_{b}")
+        for b in range(bits)
+    ]
+    agg = toks.groupBy("doc_id").agg(*bit_sums)
+    fp = None
+    for b in range(bits):
+        bit = F.when(F.col(f"s_{b}") > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
+        fp = bit if fp is None else fp + bit
+    return agg.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_sql(bits: int = SIMHASH_BITS) -> str:
+    sums = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{b}" for b in range(bits)
+    )
+    fp = " + ".join(f"CASE WHEN s_{b} > 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END" for b in range(bits))
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+),
+agg AS (
+  SELECT doc_id,
+         {sums}
+  FROM toks GROUP BY doc_id
+)
+SELECT doc_id, {fp} AS simhash FROM agg
+"""
+
+
+def simhash_near_pairs(
+    docs: DataFrame, text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ k.
+
+    Scale path: pigeonhole — with 32 bits in 4 bytes, hamming ≤ 3 implies
+    at least one equal byte, so candidates come from 4 equi-joins on byte
+    buckets (never a cross join); bit_count(xor) verifies."""
+    fp = simhash(docs, text_col)
+    bytes_cols = [
+        (F.shiftright(F.col("simhash"), 8 * i).bitwiseAND(F.lit(0xFF))).alias(f"byte_{i}")
+        for i in range(4)
+    ]
+    bucketed = fp.select("doc_id", "simhash", *bytes_cols)
+    pairs = None
+    for i in range(4):
+        a = bucketed.select(
+            F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), F.col(f"byte_{i}").alias("bk")
+        )
+        b = bucketed.select(
+            F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), F.col(f"byte_{i}").alias("bk")
+        )
+        p = a.join(b, "bk").filter(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b", "sh_a", "sh_b")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return (
+        pairs.distinct()
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def simhash_near_pairs_sql(max_hamming: int = 3) -> str:
+    base = simhash_sql()
+    unions = "\nUNION\n".join(
+        f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash AS sh_a, b.simhash AS sh_b "
+        f"FROM bucketed a JOIN bucketed b ON ((a.simhash >> {8 * i}) & 255) = ((b.simhash >> {8 * i}) & 255) "
+        f"AND a.doc_id < b.doc_id"
+        for i in range(4)
+    )
+    return f"""
+WITH bucketed AS ({base}),
+cand AS (
+{unions}
+)
+SELECT doc_a, doc_b, bit_count(CAST(xor(sh_a, sh_b) AS BIGINT)) AS hamming
+FROM cand
+WHERE bit_count(CAST(xor(sh_a, sh_b) AS BIGINT)) <= {max_hamming}
+"""
+
+
+# ---------------------------------------------------------------------------
+# n-gram jaccard (exact verification; candidates from shared shingles)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, text_col: str = "text", threshold: float = 0.12
+) -> DataFrame:
+    """Exact Jaccard over word-shingle sets; the inverted-index self-join
+    only materializes pairs that share ≥1 shingle."""
+    sh = docs.select("doc_id", F.explode(shingles_expr(text_col)).alias("shingle"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "inter", "jaccard")
+    )

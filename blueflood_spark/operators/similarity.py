@@ -1,0 +1,215 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers:
+- `cosine_topk`: brute-force exact top-k — the correctness baseline. Dot
+  products run JVM-side (zip_with/aggregate inside codegen); the candidate
+  side is broadcast when it fits, so queries never shuffle the corpus.
+- `lsh_topk`: random-hyperplane LSH — the 100 TB path. Hyperplane
+  components are derived from md5 (engine-portable, no RNG state), each
+  vector maps to a BANDS×band-bits signature, and candidates come from
+  equi-joins on band buckets. Recall < 1 by construction; exactness is
+  restored by re-ranking the candidate set with true cosine.
+
+At cluster scale the corpus side would be bucketed-by-signature parquet so
+repeated query batches co-locate without reshuffling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+DIMS = 64
+PLANES = 16  # total hyperplanes = signature bits
+BANDS = 4  # bits per band = PLANES // BANDS
+
+
+def _dot(a: str, b: str) -> F.Column:
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " 0D, (acc, v) -> acc + v)"
+    )
+
+
+def _norm(a: str) -> F.Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_q: str = "q_id",
+    id_c: str = "c_id",
+    emb_q: str = "q_emb",
+    emb_c: str = "c_emb",
+) -> DataFrame:
+    """Exact brute-force cosine top-k of corpus per query row."""
+    sims = (
+        queries.crossJoin(F.broadcast(corpus))
+        .filter(F.col(id_q) != F.col(id_c))
+        .withColumn("cosine", _dot(emb_q, emb_c) / (_norm(emb_q) * _norm(emb_c)))
+    )
+    w = Window.partitionBy(id_q).orderBy(F.col("cosine").desc(), F.col(id_c))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_q, id_c, "cosine", "rank")
+    )
+
+
+def _plane_component(p: int, d: int) -> float:
+    """Deterministic pseudo-random hyperplane component in [-1, 1), derived
+    from md5 — reproducible in any engine, no RNG state to ship."""
+    import hashlib
+
+    h = int(hashlib.md5(f"plane_{p}_{d}".encode()).hexdigest()[:8], 16)
+    return h / float(2**31) - 1.0
+
+
+def plane_literals(planes: int = PLANES, dims: int = DIMS) -> list[list[float]]:
+    return [[_plane_component(p, d) for d in range(dims)] for p in range(planes)]
+
+
+def signature_expr(emb_col: str, planes: list[list[float]]) -> list[F.Column]:
+    """One bit per hyperplane: sign of <v, plane>. Built as literal-array
+    dot products — constant-folded by Catalyst, no UDF."""
+    bits = []
+    for p, plane in enumerate(planes):
+        arr = F.array(*[F.lit(x) for x in plane])
+        dot = F.expr(
+            f"aggregate(zip_with({emb_col}, array({','.join(repr(x) for x in plane)}),"
+            " (x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, v) -> acc + v)"
+        )
+        bits.append(F.when(dot > 0, 1).otherwise(0).alias(f"bit_{p}"))
+    return bits
+
+
+def lsh_bucketed_topk(
+    emb: DataFrame,
+    query_filter,
+    k: int = 10,
+    planes_n: int = PLANES,
+    bands: int = BANDS,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """ANN: hyperplane-LSH band buckets for candidates, exact cosine
+    re-rank. `query_filter` is a Column predicate selecting query rows."""
+    planes = plane_literals(planes_n)
+    bits_per_band = planes_n // bands
+    sig = emb.select(id_col, emb_col, *signature_expr(emb_col, planes))
+    band_cols = [
+        F.concat_ws(
+            "", *[F.col(f"bit_{b * bits_per_band + r}").cast("string") for r in range(bits_per_band)]
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select(id_col, emb_col, *band_cols)
+    q = banded.filter(query_filter).select(
+        F.col(id_col).alias("q_id"),
+        F.col(emb_col).alias("q_emb"),
+        *[F.col(f"band_{b}").alias(f"qband_{b}") for b in range(bands)],
+    )
+    c = banded.select(
+        F.col(id_col).alias("c_id"),
+        F.col(emb_col).alias("c_emb"),
+        *[F.col(f"band_{b}") for b in range(bands)],
+    )
+    cands = None
+    for b in range(bands):
+        p = q.join(c, F.col(f"qband_{b}") == F.col(f"band_{b}")).filter(
+            F.col("q_id") != F.col("c_id")
+        ).select("q_id", "q_emb", "c_id", "c_emb")
+        cands = p if cands is None else cands.unionByName(p)
+    cands = cands.dropDuplicates(["q_id", "c_id"])
+    scored = cands.withColumn(
+        "cosine", _dot("q_emb", "c_emb") / (_norm("q_emb") * _norm("c_emb"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "cosine", "rank")
+    )
+
+
+def lsh_bucketed_topk_sql(
+    query_pred_sql: str,
+    k: int = 10,
+    planes_n: int = PLANES,
+    bands: int = BANDS,
+) -> str:
+    """DuckDB twin of lsh_bucketed_topk, generated from the same plane
+    constants."""
+    planes = plane_literals(planes_n)
+    bits_per_band = planes_n // bands
+    bit_exprs = ",\n         ".join(
+        "CASE WHEN list_sum(list_transform(list_zip(embedding, ["
+        + ", ".join(repr(x) for x in plane)
+        + f"]), p -> CAST(p[1] AS DOUBLE) * p[2])) > 0 THEN 1 ELSE 0 END AS bit_{p}"
+        for p, plane in enumerate(planes)
+    )
+    band_exprs = ",\n       ".join(
+        " || ".join(f"CAST(bit_{b * bits_per_band + r} AS VARCHAR)" for r in range(bits_per_band))
+        + f" AS band_{b}"
+        for b in range(bands)
+    )
+    unions = "\nUNION\n".join(
+        f"SELECT q.vec_id AS q_id, q.embedding AS q_emb, c.vec_id AS c_id, c.embedding AS c_emb "
+        f"FROM banded q JOIN banded c ON q.band_{b} = c.band_{b} "
+        f"AND q.vec_id != c.vec_id AND ({query_pred_sql.replace('vec_id', 'q.vec_id')})"
+        for b in range(bands)
+    )
+    return f"""
+WITH sig AS (
+  SELECT vec_id, embedding,
+         {bit_exprs}
+  FROM embeddings
+),
+banded AS (
+  SELECT vec_id, embedding,
+       {band_exprs}
+  FROM sig
+),
+cand AS (
+  SELECT DISTINCT q_id, q_emb, c_id, c_emb FROM (
+{unions}
+  )
+),
+scored AS (
+  SELECT q_id, c_id,
+         list_sum(list_transform(list_zip(q_emb, c_emb),
+                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(c_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
+  FROM cand
+),
+ranked AS (
+  SELECT q_id, c_id, cosine,
+         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank
+  FROM scored
+)
+SELECT q_id, c_id, cosine, CAST(rank AS INTEGER) AS rank FROM ranked WHERE rank <= {k}
+"""
+
+
+def embedding_near_dups(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (dedup by semantic identity).
+    Brute pair enumeration here; at scale the LSH bucketing above prunes
+    the pair space first."""
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(emb_col).alias("emb_a"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(emb_col).alias("emb_b"))
+    return (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", _dot("emb_a", "emb_b") / (_norm("emb_a") * _norm("emb_b")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

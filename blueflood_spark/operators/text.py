@@ -1,0 +1,167 @@
+"""Text analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, fingerprinting.
+
+All expressions are built-in pyspark.sql.functions (JVM-side, codegen) —
+the per-document work is embarrassingly parallel, no shuffles at all, so
+these scale linearly with input splits at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from blueflood_spark.functions.hashing import safe_div
+
+# tiny deterministic stopword lists for the n-gram/stopword language heuristic
+LANG_STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "fr": ["le", "la", "les", "de", "et", "est", "un", "une", "pour", "dans"],
+}
+
+# BPE-ish token estimate: runs of word chars, runs of digits, or single
+# punctuation — a deterministic proxy for subword tokenizer counts.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count + char count."""
+    txt = F.col(text_col)
+    ws_tokens = F.size(F.split(txt, r"\s+"))
+    bpe_tokens = F.size(F.regexp_extract_all(txt, F.lit(BPE_ISH_PATTERN), 0))
+    return docs.select(
+        "doc_id",
+        ws_tokens.alias("ws_tokens"),
+        bpe_tokens.alias("bpe_tokens"),
+        F.length(txt).alias("n_chars"),
+    )
+
+
+def token_counts_sql() -> str:
+    return rf"""
+SELECT doc_id,
+       len(regexp_split_to_array(text, '\s+')) AS ws_tokens,
+       len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS bpe_tokens,
+       length(text) AS n_chars
+FROM documents
+"""
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-overlap language heuristic: score = |tokens ∩ stopwords_L|
+    / |tokens| per language, argmax wins ('und' = undetermined when all
+    scores are 0)."""
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    scores = {
+        lang: safe_div(
+            F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))).cast("double"),
+            n.cast("double"),
+        )
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    best = None
+    for lang, score in scores.items():
+        best = score if best is None else F.greatest(best, score)
+    pred = F.lit("und")
+    # reversed so earlier languages win ties (deterministic)
+    for lang in reversed(list(LANG_STOPWORDS)):
+        pred = F.when((scores[lang] > 0) & (scores[lang] == best), lang).otherwise(pred)
+    out = docs.select(
+        "doc_id",
+        *[scores[lang].alias(f"score_{lang}") for lang in LANG_STOPWORDS],
+        pred.alias("pred_lang"),
+    )
+    return out
+
+
+def language_id_sql() -> str:
+    score_exprs = []
+    for lang, words in LANG_STOPWORDS.items():
+        arr = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+        score_exprs.append(
+            f"CASE WHEN len(string_split(text, ' ')) = 0 THEN 0.0 ELSE "
+            f"CAST(len(list_intersect(string_split(text, ' '), {arr})) AS DOUBLE)"
+            f" / len(string_split(text, ' ')) END AS score_{lang}"
+        )
+    langs = list(LANG_STOPWORDS)
+    best = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    pred = "'und'"
+    for lang in reversed(langs):
+        pred = f"CASE WHEN score_{lang} > 0 AND score_{lang} = {best} THEN '{lang}' ELSE {pred} END"
+    cols = ",\n       ".join(score_exprs)
+    return f"""
+WITH scored AS (
+  SELECT doc_id,
+       {cols}
+  FROM documents
+)
+SELECT doc_id, score_en, score_de, score_fr, {pred} AS pred_lang
+FROM scored
+"""
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite quality heuristics: length band, punctuation density,
+    stopword ratio, mean word length, uppercase ratio."""
+    txt = F.col(text_col)
+    toks = F.split(txt, " ")
+    n_toks = F.size(toks)
+    n_chars = F.length(txt)
+    stop = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+    n_punct = F.size(F.regexp_extract_all(txt, F.lit(r"[^A-Za-z0-9\s]"), 0))
+    stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+    return docs.select(
+        "doc_id",
+        n_toks.alias("n_tokens"),
+        safe_div(n_chars.cast("double"), n_toks.cast("double")).alias("mean_word_len"),
+        safe_div(n_punct.cast("double"), n_chars.cast("double")).alias("punct_ratio"),
+        safe_div(stop_hits.cast("double"), n_toks.cast("double")).alias("stopword_ratio"),
+        ((n_toks >= 10) & (n_toks <= 100_000)).alias("length_ok"),
+    )
+
+
+def quality_score_sql() -> str:
+    stop = "[" + ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"]) + "]"
+    return rf"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       CASE WHEN len(string_split(text, ' ')) = 0 THEN 0.0
+            ELSE CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) END AS mean_word_len,
+       CASE WHEN length(text) = 0 THEN 0.0
+            ELSE CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / length(text) END AS punct_ratio,
+       CASE WHEN len(string_split(text, ' ')) = 0 THEN 0.0
+            ELSE CAST(len(list_filter(string_split(text, ' '), t -> list_contains({stop}, t))) AS DOUBLE)
+                 / len(string_split(text, ' ')) END AS stopword_ratio,
+       len(string_split(text, ' ')) >= 10 AND len(string_split(text, ' ')) <= 100000 AS length_ok
+FROM documents
+"""
+
+
+def rolling_fingerprint(docs: DataFrame, text_col: str = "text", window: int = 8) -> DataFrame:
+    """Winnowing-style document fingerprint: min rolling-window hash over
+    word 1-grams (a compact representative for containment checks) plus the
+    full-content digest."""
+    toks = F.split(F.col(text_col), " ")
+    tok_hashes = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(F.col(text_col)).alias("content_md5"),
+        F.array_min(tok_hashes).alias("min_token_hash"),
+        F.array_max(tok_hashes).alias("max_token_hash"),
+    )
+
+
+def rolling_fingerprint_sql() -> str:
+    return """
+SELECT doc_id,
+       md5(text) AS content_md5,
+       list_min(list_transform(string_split(text, ' '),
+                t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT))) AS min_token_hash,
+       list_max(list_transform(string_split(text, ' '),
+                t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT))) AS max_token_hash
+FROM documents
+"""

@@ -1,0 +1,153 @@
+"""LLM-pipeline operators: dedup, similarity, text analysis, multimodal
+plumbing."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from blueflood_spark.operators import dedup as D
+from blueflood_spark.operators import multimodal as MM
+from blueflood_spark.operators import similarity as SIM
+from blueflood_spark.operators import text as TX
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en"),
+        (1, "the quick brown fox jumps over the lazy cat", "en"),  # near-dup of 0
+        (2, "the quick brown fox jumps over the lazy dog", "en"),  # exact dup of 0
+        (3, "der hund ist nicht auf der couch und die katze", "de"),
+        (4, "le chat est dans la maison pour le moment et dort", "fr"),
+        (5, "completely different words about spark query engines here", "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_exact_dedup(spark, docs):
+    out = D.exact_dedup(docs).collect()
+    groups = {r["canonical_doc_id"]: r["dup_count"] for r in out}
+    assert groups[0] == 2  # docs 0 and 2 identical
+    assert len(out) == 5
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = {(r["doc_a"], r["doc_b"]) for r in D.minhash_lsh_pairs(docs).collect()}
+    assert (0, 2) in pairs  # exact dups always collide
+    assert (0, 1) in pairs or (1, 2) in pairs  # near-dups share most shingles
+    assert (0, 5) not in pairs and (3, 4) not in pairs  # unrelated docs don't
+
+
+def test_minhash_signature_width(spark, docs):
+    sig = D.minhash_signatures(docs)
+    assert len(sig.columns) == 1 + D.NUM_PERM
+    rows = {r["doc_id"]: r for r in sig.collect()}
+    # identical docs → identical signatures
+    assert all(rows[0][f"mh_{i}"] == rows[2][f"mh_{i}"] for i in range(D.NUM_PERM))
+
+
+def test_simhash_properties(spark, docs):
+    fp = {r["doc_id"]: r["simhash"] for r in D.simhash(docs).collect()}
+    assert fp[0] == fp[2]  # identical text → identical fingerprint
+    ham_near = bin(fp[0] ^ fp[1]).count("1")
+    ham_far = bin(fp[0] ^ fp[5]).count("1")
+    assert ham_near < ham_far  # near-dup closer than unrelated
+
+
+def test_simhash_near_pairs(spark, docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in
+             D.simhash_near_pairs(docs, max_hamming=3).collect()}
+    assert pairs[(0, 2)] == 0
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+             D.ngram_jaccard_pairs(docs, threshold=0.1).collect()}
+    assert pairs[(0, 2)] == 1.0
+    assert 0.3 < pairs[(0, 1)] < 1.0
+
+
+def test_cosine_topk_exact(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    c = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"))
+    out = SIM.cosine_topk(q, c, k=2).collect()
+    assert [r["c_id"] for r in out] == [1, 2]
+    assert math.isclose(out[0]["cosine"], 0.9 / math.sqrt(0.82), rel_tol=1e-6)
+
+
+def test_lsh_topk_reranks_exact_cosine(spark):
+    # LSH candidates then exact re-rank: scores must equal brute cosine
+    import random
+
+    random.seed(7)
+    rows = [(i, [random.uniform(-1, 1) for _ in range(16)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    lsh = SIM.lsh_bucketed_topk(emb, F.col("vec_id") < 2, k=5, planes_n=8, bands=4)
+    out = lsh.collect()
+    assert len(out) > 0
+    q = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    c = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"))
+    brute = {(r["q_id"], r["c_id"]): r["cosine"] for r in SIM.cosine_topk(q, c, k=40).collect()}
+    for r in out:
+        assert math.isclose(r["cosine"], brute[(r["q_id"], r["c_id"])], rel_tol=1e-9)
+
+
+def test_language_id(spark, docs):
+    out = {r["doc_id"]: r["pred_lang"] for r in TX.language_id(docs).collect()}
+    assert out[0] == "en"
+    assert out[3] == "de"
+    assert out[4] == "fr"
+    assert out[5] == "und"  # no stopwords from any list
+
+
+def test_token_counts(spark, docs):
+    out = {r["doc_id"]: r for r in TX.token_counts(docs).collect()}
+    assert out[0]["ws_tokens"] == 9
+    assert out[0]["bpe_tokens"] >= 9
+
+
+def test_quality_score(spark, docs):
+    out = {r["doc_id"]: r for r in TX.quality_score(docs).collect()}
+    assert out[0]["stopword_ratio"] > 0.2  # 'the' twice + 'over' not counted
+    assert not out[5]["length_ok"]  # only 8 tokens < 10
+
+
+def test_multimodal_features(spark):
+    media = MM.synthetic_media(spark, 12)
+    feats = MM.extract_features(media).collect()
+    assert len(feats) == 12
+    by_id = {r["media_id"]: r for r in feats}
+    assert by_id[0]["n_bytes"] == 80
+    assert len(by_id[0]["feature"]) == 8
+    # deterministic: same payload → same feature
+    feats2 = {r["media_id"]: r["feature"] for r in MM.extract_features(media).collect()}
+    assert feats2[3] == by_id[3]["feature"]
+
+
+def test_multimodal_strict_raises(spark):
+    media = MM.synthetic_media(spark, 3)
+    with pytest.raises(Exception):  # NotImplementedError surfaces as Py4J error
+        MM.extract_features(media, strict=True).collect()
+
+
+def test_resize_and_frame_plans(spark):
+    media = MM.synthetic_media(spark, 12)
+    resize = {r["media_id"]: r for r in MM.resize_plan(media, 64, 64).collect()}
+    img_ids = [i for i in range(12) if i % 3 == 0]
+    big = resize[max(img_ids)]
+    assert big["target_w"] <= 64 and big["target_h"] <= 64
+    frames = MM.frame_sample_plan(media, fps=2.0).collect()
+    assert len(frames) > 0
+    assert all(r["frame_ts_ms"] % 500 == 0 for r in frames)
