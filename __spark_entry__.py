@@ -815,6 +815,51 @@ WHERE CAST(inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - inter) >= 0.12
 """
 
 
+def bf_repair_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 rollup-on-read: simulate a rollup store missing every 4th 5m
+    window, then repair from raw at query time (anti-join + windowed agg;
+    operators/repair.py)."""
+    from blueflood_spark.operators import repair as REP
+
+    raw = _raw_metrics(spark, sf_dir)
+    full = R.basic_from_raw(raw, G.MIN_5)
+    stored = full.filter((F.col("window_start") / 300000 % 4) != 0).withColumn(
+        "resolution", F.lit("5m")
+    )
+    out = REP.repair_on_read(stored, raw, G.MIN_5, 1704067200000, 1706659200000)
+    return out.select(
+        "tenant_id",
+        "metric_name",
+        "window_start",
+        "num_points",
+        F.col("avg").alias("avg_val"),
+        F.col("sum").alias("sum_val"),
+        "source",
+    )
+
+
+_BF_REPAIR_SQL = _R5_CTE + """
+, stored AS (
+  SELECT * FROM r5 WHERE (window_start / 300000) % 4 != 0
+    AND window_start >= 1704067200000 AND window_start < 1706659200000
+),
+fresh AS (
+  SELECT * FROM r5 WHERE window_start >= 1704067200000 AND window_start < 1706659200000
+)
+SELECT tenant_id, metric_name, window_start, num_points, avg_val, sum_val, 'stored' AS source
+FROM stored
+UNION ALL
+SELECT f.tenant_id, f.metric_name, f.window_start, f.num_points, f.avg_val, f.sum_val,
+       'repaired' AS source
+FROM fresh f
+WHERE NOT EXISTS (
+  SELECT 1 FROM stored s
+  WHERE s.tenant_id = f.tenant_id AND s.metric_name = f.metric_name
+    AND s.window_start = f.window_start
+)
+"""
+
+
 def llm_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates: shingle → 16-perm signature →
     4-band bucket self-join (operators/dedup.py)."""
@@ -914,6 +959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bf_metric_names_browse": bf_metric_names_browse,
         "bf_events_range": bf_events_range,
         "bf_units_enrichment": bf_units_enrichment,
+        "bf_repair_on_read": bf_repair_on_read,
         "llm_dedup_exact": llm_dedup_exact,
         "llm_text_stats": llm_text_stats,
         "llm_doc_fingerprint": llm_doc_fingerprint,
@@ -954,6 +1000,7 @@ def oracle_sql() -> dict[str, str]:
         "bf_metric_names_browse": _BF_BROWSE_SQL.format(regex=browse_regex),
         "bf_events_range": _BF_EVENTS_RANGE_SQL,
         "bf_units_enrichment": _BF_UNITS_SQL,
+        "bf_repair_on_read": _BF_REPAIR_SQL,
         "llm_dedup_exact": _LLM_DEDUP_EXACT_SQL,
         "llm_text_stats": _LLM_TEXT_STATS_SQL,
         "llm_doc_fingerprint": _LLM_FINGERPRINT_SQL,

@@ -1,0 +1,87 @@
+"""Physical table layout: parquet partitioned by (resolution, date).
+
+Replaces the reference's 12 per-granularity Cassandra column families
+(/root/reference/blueflood-core/.../io/CassandraModel.java:28-86): the CF
+split becomes a `resolution` partition value, so granularity selection is
+partition pruning; the `date` partition bounds every time-range scan.
+
+Per-row TTL (DMetricsCFPreparedStatements.java:39, defaults
+CassandraModel.java:47-59) becomes (a) a retention predicate applied at
+read time and (b) a partition-drop maintenance job — both operate on
+whole partitions, which is the only TTL mechanism that scales to 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from blueflood_spark.operators import granularity as G
+
+
+def with_date_partition(df: DataFrame, ts_col: str = "window_start") -> DataFrame:
+    return df.withColumn("date", F.to_date(F.timestamp_millis(F.col(ts_col))))
+
+
+def write_rollups(df: DataFrame, path: str, mode: str = "append") -> None:
+    """Rollup writer: idempotent per-window overwrite at scale would use
+    dynamic partition overwrite (replaceWhere); local tests append."""
+    with_date_partition(df).write.partitionBy("resolution", "date").mode(mode).parquet(path)
+
+
+def write_raw(df: DataFrame, path: str, mode: str = "append") -> None:
+    out = df.withColumn("date", F.to_date(F.timestamp_millis(F.col("ts"))))
+    out.write.partitionBy("date").mode(mode).parquet(path)
+
+
+def read_rollups(
+    spark: SparkSession,
+    path: str,
+    resolution: str,
+    tenant_id: str | None = None,
+    metric_names: list[str] | None = None,
+    from_ms: int | None = None,
+    to_ms: int | None = None,
+) -> DataFrame:
+    """Pruned scan: resolution partition + date partition range + parquet
+    row-group min/max on window_start, all pushed down by Catalyst."""
+    df = spark.read.parquet(path).filter(F.col("resolution") == resolution)
+    if from_ms is not None:
+        df = df.filter(
+            (F.col("window_start") >= from_ms)
+            & (F.col("date") >= F.to_date(F.timestamp_millis(F.lit(from_ms))))
+        )
+    if to_ms is not None:
+        df = df.filter(
+            (F.col("window_start") <= to_ms)
+            & (F.col("date") <= F.to_date(F.timestamp_millis(F.lit(to_ms))))
+        )
+    if tenant_id is not None:
+        df = df.filter(F.col("tenant_id") == tenant_id)
+    if metric_names is not None:
+        df = df.filter(F.col("metric_name").isin(metric_names))
+    return df
+
+
+def retention_predicate(resolution: str, now_ms: int):
+    """TTL-as-predicate: rows older than the resolution's retention are
+    invisible even before the maintenance job drops their partitions."""
+    gran = G.BY_NAME[resolution]
+    return F.col("window_start") >= F.lit(now_ms - gran.ttl_millis)
+
+
+def expired_partitions(spark: SparkSession, path: str, now_ms: int) -> list[tuple[str, str]]:
+    """Maintenance: list (resolution, date) partitions entirely past
+    retention — candidates for metadata-only drops."""
+    df = spark.read.parquet(path).select("resolution", "date").distinct()
+    rows = df.collect()
+    out = []
+    for r in rows:
+        gran = G.BY_NAME[r["resolution"]]
+        cutoff_ms = now_ms - gran.ttl_millis
+        date_end_ms = (
+            int(r["date"].strftime("%s")) * 1000 + 86_400_000 if r["date"] is not None else 0
+        )
+        if date_end_ms < cutoff_ms:
+            out.append((r["resolution"], str(r["date"])))
+    return out

@@ -1,0 +1,162 @@
+"""Structured Streaming ingest + watermarked rollup (SURVEY §2.9, §3.2/§3.3).
+
+The reference's hand-built streaming engine — Netty ingest → async fan-out
+(metadata analyzer, discovery writer, batch writer) → dirty-slot marking →
+scheduled rollup with delay tiers
+(/root/reference/blueflood-core/.../service/ScheduleContext.java:193-298,
+ShardStateManager.java:369-409, RollupService.java:246-294,
+inputs/processors/BatchWriter.java:77-148) — collapses into:
+
+- ONE streaming topology: readStream → validation split → foreachBatch
+  {raw append + catalog upsert + delayed side-channel}. Checkpointing
+  replaces shard-state push/pull (S11); ~1500 LoC of scheduling machinery
+  becomes engine-provided state.
+- Watermarked windowed aggregation in APPEND mode: a window is emitted
+  once the watermark (= ROLLUP_DELAY_MILLIS, 5 min) passes — the same
+  "wait for quiet, then finalize" contract as slot eligibility (T3).
+- Late data beyond the watermark (T4): ingest flags rows older than the
+  delay (P2) into a `delayed` table (≈ metrics_delayed_locator, S8); the
+  batch `reroll` job recomputes exactly the affected (series, window)
+  groups from the raw table — mirroring the reference's delayed-locator
+  re-roll at :145-174 of LocatorFetchRunnable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from blueflood_spark.operators import granularity as G
+from blueflood_spark.operators import rollup as R
+from blueflood_spark.sources.ingest import INGEST_PAYLOAD, parse_ingest_json, validate
+
+ROLLUP_DELAY_MS = 300_000  # CoreConfig.java:222
+
+
+def read_ingest_stream(spark: SparkSession, input_path: str) -> DataFrame:
+    """S1/S2 ingest source: file-based JSON stream with the fixed payload
+    schema (tests feed files; production would swap in Kafka — the rest of
+    the topology is source-agnostic)."""
+    stream = spark.readStream.schema(INGEST_PAYLOAD).json(input_path)
+    return parse_ingest_json(spark, stream)
+
+
+def start_ingest(
+    spark: SparkSession,
+    input_path: str,
+    raw_path: str,
+    rejected_path: str,
+    delayed_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+):
+    """Ingest topology via foreachBatch: validate (P1) with the batch-time
+    clock, split valid/rejected, append raw, and side-channel delayed rows
+    (P2/S8). foreachBatch gives us the multi-sink fan-out the reference
+    implements with async processors."""
+    stream = read_ingest_stream(spark, input_path)
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        import time
+
+        now_ms = int(time.time() * 1000)
+        valid, rejected = validate(batch, now_ms)
+        valid = valid.cache()
+        valid.withColumn("date", F.to_date(F.timestamp_millis(F.col("ts")))).write.partitionBy(
+            "date"
+        ).mode("append").parquet(raw_path)
+        delayed = valid.filter(F.col("ts") < F.lit(now_ms - ROLLUP_DELAY_MS))
+        # record the affected 20m slot per delayed locator (S8: DELAYED_METRICS_REROLL_GRANULARITY)
+        delayed.select(
+            "tenant_id",
+            "metric_name",
+            R.window_start(F.col("ts"), G.MIN_20).alias("slot_window_start"),
+        ).distinct().write.mode("append").parquet(delayed_path)
+        if rejected.limit(1).count() > 0:
+            rejected.write.mode("append").parquet(rejected_path)
+        valid.unpersist()
+
+    writer = stream.writeStream.foreachBatch(process).option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def start_streaming_rollup(
+    spark: SparkSession,
+    raw_path: str,
+    rollup_path: str,
+    checkpoint: str,
+    gran: G.Granularity = G.MIN_5,
+    delay_ms: int = ROLLUP_DELAY_MS,
+    available_now: bool = True,
+):
+    """T3/T5: watermarked 5m rollup in APPEND mode — a window's rollup is
+    emitted once event time passes window_end + delay, the streaming
+    equivalent of 'slot eligible when now − lastUpdate > ROLLUP_DELAY'."""
+    raw = spark.readStream.schema(
+        "tenant_id string, metric_name string, ts long, value double, unit string,"
+        " ttl_seconds int, date date"
+    ).parquet(raw_path)
+    ts = F.timestamp_millis(F.col("ts"))
+    agg = (
+        raw.withColumn("event_time", ts)
+        .withWatermark("event_time", f"{delay_ms // 1000} seconds")
+        .groupBy(
+            F.window("event_time", f"{gran.milliseconds // 1000} seconds"),
+            "tenant_id",
+            "metric_name",
+        )
+        .agg(
+            F.count("value").alias("num_points"),
+            F.avg("value").alias("avg"),
+            F.var_pop("value").alias("var_pop"),
+            F.min("value").alias("min"),
+            F.max("value").alias("max"),
+            F.sum("value").alias("sum"),
+        )
+        .select(
+            "tenant_id",
+            "metric_name",
+            F.unix_millis(F.col("window.start")).alias("window_start"),
+            F.lit(gran.name).alias("resolution"),
+            "num_points",
+            "avg",
+            "var_pop",
+            "min",
+            "max",
+            "sum",
+        )
+    )
+    writer = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", rollup_path)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def reroll(
+    spark: SparkSession,
+    raw_path: str,
+    delayed_path: str,
+    gran: G.Granularity = G.MIN_5,
+) -> DataFrame:
+    """T4 batch re-roll: recompute rollups for exactly the (series, window)
+    groups touched by post-watermark stragglers. The delayed table is tiny
+    (distinct slots, not samples) → broadcast semi-join prunes the raw
+    scan before the aggregation."""
+    delayed = spark.read.parquet(delayed_path)
+    raw = spark.read.parquet(raw_path)
+    affected = delayed.select("tenant_id", "metric_name", "slot_window_start").distinct()
+    pruned = raw.join(
+        F.broadcast(affected),
+        (raw.tenant_id == affected.tenant_id)
+        & (raw.metric_name == affected.metric_name)
+        & (R.window_start(raw.ts, G.MIN_20) == affected.slot_window_start),
+        "left_semi",
+    )
+    return R.basic_from_raw(pruned, gran)

@@ -1,0 +1,125 @@
+"""End-to-end streaming: ingest topology → raw table → watermarked 5m
+rollup → late-data re-roll (SURVEY §2.9 T1-T5, mirroring the reference's
+integration tests ingest→rollup→query)."""
+
+import json
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from blueflood_spark.operators import granularity as G
+from blueflood_spark.sources import tables as TBL
+from blueflood_spark.streaming import pipeline as P
+
+MIN = 60_000
+
+
+def write_payload(path, rows):
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def sample(tenant, name, ts, value):
+    return {
+        "tenantId": tenant,
+        "metricName": name,
+        "metricValue": value,
+        "collectionTime": ts,
+        "ttlInSeconds": 3600,
+    }
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    d = {
+        k: str(tmp_path / k)
+        for k in ("input", "raw", "rejected", "delayed", "rollups", "ckpt_ingest", "ckpt_rollup")
+    }
+    import os
+
+    os.makedirs(d["input"])
+    return d
+
+
+def test_ingest_to_rollup_end_to_end(spark, dirs):
+    now = int(time.time() * 1000)
+    # 20m-aligned base 40 min back: the 10 samples are all > ROLLUP_DELAY old
+    # (so P2 flags them delayed) and land in exactly one 20m slot
+    base = (now // (20 * MIN)) * 20 * MIN - 40 * MIN
+    rows = [sample("t1", "svc.cpu", base + i * MIN, float(i)) for i in range(10)]
+    # trailing samples push the watermark (max_event − 5m) past the first window
+    rows.append(sample("t1", "svc.cpu", base + 12 * MIN, 100.0))
+    rows.append(sample("t1", "svc.cpu", base + 14 * MIN, 101.0))
+    rows.append(sample("t1", "", base, 1.0))  # invalid → rejected
+    rows.append(sample("t1", "svc.cpu", now - 2 * 86_400_000, 99.0))  # very late
+    write_payload(f"{dirs['input']}/batch1.json", rows)
+
+    q = P.start_ingest(
+        spark, dirs["input"], dirs["raw"], dirs["rejected"], dirs["delayed"], dirs["ckpt_ingest"]
+    )
+    q.awaitTermination(120)
+
+    raw = spark.read.parquet(dirs["raw"])
+    assert raw.count() == 13  # 12 samples + 1 very-late; invalid row excluded
+    rejected = spark.read.parquet(dirs["rejected"])
+    assert rejected.count() == 1 and rejected.collect()[0]["error"] == "missing metricName"
+    delayed = spark.read.parquet(dirs["delayed"])
+    # two distinct delayed 20m slots: the 10-sample slot + the 2-day-old row's
+    assert delayed.count() == 2
+
+    rq = P.start_streaming_rollup(
+        spark, dirs["raw"], dirs["rollups"], dirs["ckpt_rollup"], G.MIN_5
+    )
+    rq.awaitTermination(120)
+    rolled = spark.read.parquet(dirs["rollups"])
+    rows5 = {r["window_start"]: r for r in rolled.filter(F.col("metric_name") == "svc.cpu").collect()}
+    # watermark = 5 min: the max-event-time window is held back, earlier ones emitted
+    assert len(rows5) >= 2
+    first = rows5[base]
+    assert first["num_points"] == 5 and first["avg"] == 2.0
+
+
+def test_reroll_recomputes_late_windows(spark, dirs):
+    now = int(time.time() * 1000)
+    late_ts = now - 2 * 86_400_000
+    slot = (late_ts // (20 * MIN)) * 20 * MIN
+    rows = [sample("t1", "svc.mem", late_ts + i * 1000, 10.0) for i in range(4)]
+    write_payload(f"{dirs['input']}/late.json", rows)
+    q = P.start_ingest(
+        spark, dirs["input"], dirs["raw"], dirs["rejected"], dirs["delayed"], dirs["ckpt_ingest"]
+    )
+    q.awaitTermination(120)
+
+    out = P.reroll(spark, dirs["raw"], dirs["delayed"], G.MIN_5).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["num_points"] == 4 and r["avg"] == 10.0
+    assert (r["window_start"] // (20 * MIN)) * 20 * MIN == slot
+
+
+def test_tables_roundtrip_and_retention(spark, tmp_path):
+    path = str(tmp_path / "rollups")
+    now = 1_700_000_000_000
+    df = spark.createDataFrame(
+        [
+            ("t1", "m.a", "5m", now - 2 * 86_400_000, 5, 1.0),
+            ("t1", "m.a", "5m", now - 20 * 86_400_000, 5, 2.0),  # past 10d retention of 5m
+            ("t1", "m.a", "60m", now - 20 * 86_400_000, 5, 3.0),
+        ],
+        "tenant_id string, metric_name string, resolution string, window_start long,"
+        " num_points long, avg double",
+    )
+    TBL.write_rollups(df, path, mode="overwrite")
+    got = TBL.read_rollups(
+        spark, path, "5m", tenant_id="t1", metric_names=["m.a"],
+        from_ms=now - 30 * 86_400_000, to_ms=now,
+    )
+    assert got.count() == 2  # resolution pruning works
+    live = got.filter(TBL.retention_predicate("5m", now))
+    assert live.count() == 1  # TTL predicate hides the 20-day-old 5m row
+    # partition-drop candidates: the expired 5m partition, not the 60m one
+    expired = TBL.expired_partitions(spark, path, now)
+    assert any(res == "5m" for res, _ in expired)
+    assert not any(res == "60m" for res, _ in expired)
