@@ -213,6 +213,57 @@ GROUP BY n_name
 """
 
 
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + scalar aggregate — the minimal
+    pushdown benchmark (all three predicates reach the parquet scan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+    )
+
+
+_Q06_SQL = """
+SELECT sum(l_extendedprice * l_discount) AS revenue
+FROM lineitem
+WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window functions (absent in the reference, free in Spark):
+    per-supplier running revenue + rank, deterministic full ordering."""
+    from pyspark.sql.window import Window
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 3)
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    w = Window.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        rev,
+        F.sum(rev).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("running_rev"),
+        F.row_number().over(w).alias("rn"),
+    )
+
+
+_Q_WINDOW_SQL = """
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) AS rev,
+       sum(l_extendedprice * (1 - l_discount)) OVER w AS running_rev,
+       CAST(row_number() OVER w AS INTEGER) AS rn
+FROM lineitem
+WHERE l_suppkey <= 3
+WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join + agg + having-style filter."""
     li = _t(spark, sf_dir, "lineitem")
@@ -611,6 +662,66 @@ WHERE epoch_ms(ts) >= 1704412800000 AND epoch_ms(ts) < 1705017600000
 """
 
 
+def bf_events_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events query with a tag-style filter on the JSON props column
+    (HttpEventsQueryHandler tags param; props here is a JSON object)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.filter((F.col("event_type") == "purchase") & (k >= 90))
+        .select(
+            "event_id",
+            F.expr("CAST(ts DIV 1000000 AS BIGINT)").alias("ts_ms"),
+            "user_id",
+            k.alias("k_tag"),
+            "value",
+        )
+    )
+
+
+_BF_EVENTS_TAGS_SQL = """
+SELECT event_id, epoch_ms(ts) AS ts_ms, user_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_tag, value
+FROM events
+WHERE event_type = 'purchase' AND CAST(json_extract_string(props, '$.k') AS BIGINT) >= 90
+"""
+
+
+def bf_token_doc_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 token/doc-count aggregation: ES terms-agg on metric_name with
+    bucketed doc counts per next-level name (AbstractElasticIO.java:46-76,
+    :243-259, MetricIndexData bucket walk) → groupBy prefix + count over
+    the catalog."""
+    raw = _raw_metrics(spark, sf_dir)
+    parts = F.split(F.col("metric_name"), r"\.")
+    return (
+        raw.select("tenant_id", "metric_name")
+        .groupBy("tenant_id", "metric_name")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .select(
+            "tenant_id",
+            F.concat_ws(".", F.slice(parts, 1, 2)).alias("name_prefix"),
+            "doc_count",
+        )
+        .groupBy("tenant_id", "name_prefix")
+        .agg(F.count(F.lit(1)).alias("n_names"), F.sum("doc_count").alias("total_docs"))
+    )
+
+
+_BF_TOKEN_DOC_COUNTS_SQL = _RAW_CTE + """
+, per_name AS (
+  SELECT tenant_id, metric_name, count(*) AS doc_count
+  FROM raw GROUP BY 1, 2
+)
+SELECT tenant_id,
+       array_to_string(string_split(metric_name, '.')[1:2], '.') AS name_prefix,
+       count(*) AS n_names,
+       sum(doc_count) AS total_docs
+FROM per_name
+GROUP BY 1, 2
+"""
+
+
 def bf_units_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 units enrichment: rollup output left-joined to the (broadcast)
     catalog (RollupHandler.java:146-180)."""
@@ -911,6 +1022,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q01_pricing_summary": q01_pricing_summary,
         "q03_top_orders": q03_top_orders,
         "q05_region_revenue": q05_region_revenue,
+        "q06_forecast_revenue": q06_forecast_revenue,
+        "q_window_running": q_window_running,
         "q_supplier_volume": q_supplier_volume,
         "bf_basic_rollup_5m": bf_basic_rollup_5m,
         "bf_basic_merge_20m": bf_basic_merge_20m,
@@ -925,6 +1038,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bf_glob_search": bf_glob_search,
         "bf_metric_names_browse": bf_metric_names_browse,
         "bf_events_range": bf_events_range,
+        "bf_events_tags": bf_events_tags,
+        "bf_token_doc_counts": bf_token_doc_counts,
         "bf_units_enrichment": bf_units_enrichment,
         "bf_repair_on_read": bf_repair_on_read,
         "llm_dedup_exact": llm_dedup_exact,
@@ -952,6 +1067,8 @@ def oracle_sql() -> dict[str, str]:
         "q01_pricing_summary": _Q01_SQL,
         "q03_top_orders": _Q03_SQL,
         "q05_region_revenue": _Q05_SQL,
+        "q06_forecast_revenue": _Q06_SQL,
+        "q_window_running": _Q_WINDOW_SQL,
         "q_supplier_volume": _Q_SUPPLIER_VOLUME_SQL,
         "bf_basic_rollup_5m": _BF_BASIC_5M_SQL,
         "bf_basic_merge_20m": _BF_BASIC_MERGE_20M_SQL,
@@ -966,6 +1083,8 @@ def oracle_sql() -> dict[str, str]:
         "bf_glob_search": _BF_GLOB_SQL.format(regex=glob_regex),
         "bf_metric_names_browse": _BF_BROWSE_SQL.format(regex=browse_regex),
         "bf_events_range": _BF_EVENTS_RANGE_SQL,
+        "bf_events_tags": _BF_EVENTS_TAGS_SQL,
+        "bf_token_doc_counts": _BF_TOKEN_DOC_COUNTS_SQL,
         "bf_units_enrichment": _BF_UNITS_SQL,
         "bf_repair_on_read": _BF_REPAIR_SQL,
         "llm_dedup_exact": _LLM_DEDUP_EXACT_SQL,

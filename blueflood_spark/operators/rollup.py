@@ -123,11 +123,24 @@ def cascade(
     value_col: str = "value",
     keys: Sequence[str] = KEYS,
     grans: Sequence[G.Granularity] = tuple(G.ROLLUP_GRANULARITIES),
+    pre_partition: bool = True,
 ) -> dict[str, DataFrame]:
     """T5 rollup cascade: 5m from raw, each coarser level from the finer
     one (child-before-parent, RollupRunnable.java:74-135). Returns one
-    DataFrame per resolution; `union_cascade` stacks them."""
+    DataFrame per resolution; `union_cascade` stacks them.
+
+    Shuffle strategy: every level groups by (locator, window) where each
+    coarser window is a pure function of the finer one, so hash-
+    partitioning by locator alone satisfies every level's clustering
+    requirement. pre_partition=True shuffles ONCE up front and Catalyst
+    elides the per-level exchanges — 1 shuffle for the whole ladder
+    instead of len(grans). (Tradeoff: parallelism is bounded by distinct
+    locators — exactly the reference's shard-per-locator model; at
+    metric cardinalities worth rolling up this is never the constraint.)
+    """
     out: dict[str, DataFrame] = {}
+    if pre_partition:
+        raw = raw.repartition(*[F.col(k) for k in keys])
     finest = grans[0]
     level = basic_from_raw(raw, finest, ts_col, value_col, keys)
     out[finest.name] = level
