@@ -264,6 +264,98 @@ WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumbe
 """
 
 
+def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping (beyond the reference's fixed rollup ladder — Spark's
+    Expand-based grouping sets, free via Catalyst)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+    )
+
+
+_Q_CUBE_SQL = """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_rows,
+       sum(l_extendedprice * (1 - l_discount)) AS revenue
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi + anti join: customers who have orders but none with status
+    'F' (EXISTS / NOT EXISTS shapes)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    f_orders = orders.filter(F.col("o_orderstatus") == "F")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .join(f_orders, cust.c_custkey == f_orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+_Q_SEMI_ANTI_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderstatus = 'F')
+"""
+
+
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple distinct aggregates per group (Expand-based plan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+_Q_DISTINCT_AGG_SQL = """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_supps,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: INTERSECT / EXCEPT over customer key sets."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("key")
+    )
+    big_spenders = (
+        orders.filter(F.col("o_totalprice") > 100_000)
+        .select(F.col("o_custkey").alias("key"))
+        .distinct()
+    )
+    both = building.intersect(big_spenders).withColumn("src", F.lit("both"))
+    only_building = building.exceptAll(big_spenders).distinct().withColumn(
+        "src", F.lit("building_only")
+    )
+    return both.unionByName(only_building)
+
+
+_Q_SET_OPS_SQL = """
+WITH building AS (SELECT c_custkey AS key FROM customer WHERE c_mktsegment = 'BUILDING'),
+big AS (SELECT DISTINCT o_custkey AS key FROM orders WHERE o_totalprice > 100000)
+SELECT key, 'both' AS src FROM (SELECT key FROM building INTERSECT SELECT key FROM big)
+UNION ALL
+SELECT key, 'building_only' AS src FROM (SELECT key FROM building EXCEPT SELECT key FROM big)
+"""
+
+
 def q_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join + agg + having-style filter."""
     li = _t(spark, sf_dir, "lineitem")
@@ -1024,6 +1116,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q05_region_revenue": q05_region_revenue,
         "q06_forecast_revenue": q06_forecast_revenue,
         "q_window_running": q_window_running,
+        "q_cube_revenue": q_cube_revenue,
+        "q_semi_anti": q_semi_anti,
+        "q_distinct_agg": q_distinct_agg,
+        "q_set_ops": q_set_ops,
         "q_supplier_volume": q_supplier_volume,
         "bf_basic_rollup_5m": bf_basic_rollup_5m,
         "bf_basic_merge_20m": bf_basic_merge_20m,
@@ -1069,6 +1165,10 @@ def oracle_sql() -> dict[str, str]:
         "q05_region_revenue": _Q05_SQL,
         "q06_forecast_revenue": _Q06_SQL,
         "q_window_running": _Q_WINDOW_SQL,
+        "q_cube_revenue": _Q_CUBE_SQL,
+        "q_semi_anti": _Q_SEMI_ANTI_SQL,
+        "q_distinct_agg": _Q_DISTINCT_AGG_SQL,
+        "q_set_ops": _Q_SET_OPS_SQL,
         "q_supplier_volume": _Q_SUPPLIER_VOLUME_SQL,
         "bf_basic_rollup_5m": _BF_BASIC_5M_SQL,
         "bf_basic_merge_20m": _BF_BASIC_MERGE_20M_SQL,

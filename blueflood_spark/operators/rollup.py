@@ -300,6 +300,160 @@ def timer_merge(
     )
 
 
+def gauge_merge(
+    partials: DataFrame,
+    gran: G.Granularity,
+    keys: Sequence[str] = KEYS,
+) -> DataFrame:
+    """A6 GaugeFromGauge: basic-stat merge + latest carried as the max
+    (ts, value) struct across children (BluefloodGaugeRollup.java:64-96)."""
+    n = F.col("num_points")
+    total_n = F.sum(n)
+    return (
+        _grouped(partials, gran, "window_start", keys)
+        .agg(
+            total_n.alias("num_points"),
+            safe_div(F.sum(n * F.col("avg")), total_n).alias("avg"),
+            (
+                safe_div(F.sum(n * (F.col("var_pop") + F.col("avg") * F.col("avg"))), total_n)
+                - F.pow(safe_div(F.sum(n * F.col("avg")), total_n), F.lit(2))
+            ).alias("var_pop"),
+            F.min("min").alias("min"),
+            F.max("max").alias("max"),
+            F.sum("sum").alias("sum"),
+            F.max(F.struct(F.col("latest_ts").alias("ts"), F.col("latest_value").alias("value"))).alias(
+                "_latest"
+            ),
+        )
+        .select(
+            *keys,
+            "window_start",
+            "num_points",
+            "avg",
+            "var_pop",
+            "min",
+            "max",
+            "sum",
+            F.col("_latest.ts").alias("latest_ts"),
+            F.col("_latest.value").alias("latest_value"),
+        )
+        .withColumn("resolution", F.lit(gran.name))
+    )
+
+
+def set_merge_from_values(
+    preagg: DataFrame,
+    gran: G.Granularity,
+    keys: Sequence[str] = KEYS,
+    values_col: str = "set_values",
+) -> DataFrame:
+    """A7 SetFromSet over preaggregated member arrays: union of members
+    across windows → distinct count (BluefloodSetRollup.java:30-43, 68-70
+    unions member hash codes; we count distinct members directly).
+    Explode + countDistinct keeps partial aggregation map-side."""
+    exploded = preagg.withColumn("window_start", window_start(F.col("window_start"), gran)).select(
+        *keys, "window_start", F.explode_outer(F.col(values_col)).alias("member")
+    )
+    return (
+        exploded.groupBy(*keys, "window_start")
+        .agg(F.countDistinct("member").alias("distinct_count"))
+        .withColumn("resolution", F.lit(gran.name))
+    )
+
+
+def preagg_to_finest(preagg: DataFrame, gran: G.Granularity = G.MIN_5) -> dict[str, DataFrame]:
+    """Normalize PREAGG_METRICS rows (sources/ingest.normalize_aggregated
+    output) into finest-level per-family rollup partials — the
+    metrics_preaggregated_full equivalent (CassandraModel.java:68-80).
+
+    Each arriving preagg sample IS already a rollup; this snaps it to the
+    finest window and shapes columns so the merge functions can cascade it.
+    """
+    ws = window_start(F.col("ts"), gran)
+    counters = (
+        preagg.filter(F.col("rollup_type") == "counter")
+        .select(
+            "tenant_id",
+            "metric_name",
+            ws.alias("window_start"),
+            F.col("counter_value").alias("count"),
+            F.col("counter_rate").alias("rate"),
+            F.coalesce(F.col("sample_count"), F.lit(1)).alias("sample_count"),
+        )
+    )
+    gauges = (
+        preagg.filter(F.col("rollup_type") == "gauge")
+        .select(
+            "tenant_id",
+            "metric_name",
+            ws.alias("window_start"),
+            F.lit(1).cast("long").alias("num_points"),
+            F.col("gauge_value").alias("avg"),
+            F.lit(0.0).alias("var_pop"),
+            F.col("gauge_value").alias("min"),
+            F.col("gauge_value").alias("max"),
+            F.col("gauge_value").alias("sum"),
+            F.col("ts").alias("latest_ts"),
+            F.col("gauge_value").alias("latest_value"),
+        )
+    )
+    timers = (
+        preagg.filter(F.col("rollup_type") == "timer")
+        .select(
+            "tenant_id",
+            "metric_name",
+            ws.alias("window_start"),
+            F.col("timer_count").alias("count"),
+            F.col("timer_sum").alias("sum"),
+            F.col("timer_rate").alias("rate"),
+            F.lit(1).cast("long").alias("sample_count"),
+            F.col("timer_min").alias("min"),
+            F.col("timer_max").alias("max"),
+            F.col("timer_avg").alias("avg"),
+            (F.col("timer_std") * F.col("timer_std")).alias("var_pop"),
+            F.col("timer_percentiles").alias("percentiles"),
+        )
+    )
+    sets = preagg.filter(F.col("rollup_type") == "set").select(
+        "tenant_id", "metric_name", ws.alias("window_start"), F.col("set_values")
+    )
+    return {"counter": counters, "gauge": gauges, "timer": timers, "set": sets}
+
+
+def preagg_cascade(
+    preagg: DataFrame,
+    grans: Sequence[G.Granularity] = tuple(G.ROLLUP_GRANULARITIES),
+) -> dict[str, dict[str, DataFrame]]:
+    """The preaggregated rollup ladder (metrics_preaggregated_5m …
+    _1440m): per family, finest partials merged level by level with the
+    family's merge semantics (RollupRunnable.java:162-178 computer
+    dispatch). Returns {family: {resolution: DataFrame}}."""
+    finest = preagg_to_finest(preagg, grans[0])
+    out: dict[str, dict[str, DataFrame]] = {t: {} for t in finest}
+    counters = finest["counter"]
+    gauges = finest["gauge"]
+    timers = finest["timer"]
+    sets = finest["set"]
+    for gran in grans:
+        counters = counter_merge(counters, gran)
+        out["counter"][gran.name] = counters
+        gauges = gauge_merge(gauges, gran)
+        out["gauge"][gran.name] = gauges
+        timers_merged = timer_merge(timers, gran)
+        pct = merge_percentile_maps(timers, gran)
+        timers = timers_merged.join(pct, [*KEYS, "window_start"], "left")
+        out["timer"][gran.name] = timers
+        sets_rolled = set_merge_from_values(sets, gran)
+        out["set"][gran.name] = sets_rolled
+        # carry member arrays forward so coarser unions stay exact
+        sets = (
+            sets.withColumn("window_start", window_start(F.col("window_start"), gran))
+            .groupBy(*KEYS, "window_start")
+            .agg(F.array_distinct(F.flatten(F.collect_list("set_values"))).alias("set_values"))
+        )
+    return out
+
+
 def merge_percentile_maps(
     partials: DataFrame,
     gran: G.Granularity,
