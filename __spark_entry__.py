@@ -1101,6 +1101,69 @@ WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
 
 
 # ---------------------------------------------------------------------------
+# non-SQL-expressible operators (rows-only driver check; no oracle entry)
+# ---------------------------------------------------------------------------
+
+def llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: synthetic binary media → mapInPandas feature
+    extraction (decode stubbed deterministically; Arrow batch path real)."""
+    from blueflood_spark.operators import multimodal as MM
+
+    media = MM.synthetic_media(spark, 96)
+    return MM.extract_features(media)
+
+
+def bf_granularity_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 points-budget granularity selection over a grid of (span,
+    points) cases — the aggregate-navigation planner as a table."""
+    day = 86_400_000
+    base = 1_700_000_000_000
+    cases = [
+        (span_days, points, algo)
+        for span_days in (1, 7, 30)
+        for points in (1, 24, 288, 5000)
+        for algo in ("GEOMETRIC", "LINEAR", "LESSTHANEQUAL")
+    ]
+    rows = [
+        (
+            d,
+            p,
+            algo,
+            G.from_points_in_interval(base, base + d * day, p, algorithm=algo).name,
+        )
+        for d, p, algo in cases
+    ]
+    return spark.createDataFrame(
+        rows, "span_days int, points int, algorithm string, resolution string"
+    )
+
+
+def bf_preagg_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preaggregated counter family rolled to 20m via preagg_cascade
+    (counters derived from events as statsd-style flushes)."""
+    from blueflood_spark.operators.rollup import preagg_cascade
+    from blueflood_spark.schemas import PREAGG_METRICS
+
+    raw = _raw_metrics(spark, sf_dir)
+    nulls = {f.name: F.lit(None).cast(f.dataType) for f in PREAGG_METRICS.fields}
+    cols = []
+    for f in PREAGG_METRICS.fields:
+        if f.name == "rollup_type":
+            cols.append(F.lit("counter").alias(f.name))
+        elif f.name == "counter_value":
+            cols.append(F.col("value").alias(f.name))
+        elif f.name == "counter_rate":
+            cols.append((F.col("value") / 30.0).alias(f.name))
+        elif f.name in ("tenant_id", "metric_name", "ts"):
+            cols.append(F.col(f.name))
+        else:
+            cols.append(nulls[f.name].alias(f.name))
+    preagg = raw.select(*cols).withColumn("sample_count", F.lit(1).cast("long"))
+    out = preagg_cascade(preagg, grans=(G.MIN_5, G.MIN_20))
+    return out["counter"]["20m"]
+
+
+# ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
 
@@ -1153,6 +1216,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_rolling_fingerprint": llm_rolling_fingerprint,
         "llm_ann_lsh_topk": llm_ann_lsh_topk,
         "llm_embedding_near_dups": llm_embedding_near_dups,
+        # rows-only (no SQL-expressible oracle): stateful/planner/pandas ops
+        "llm_multimodal_features": llm_multimodal_features,
+        "bf_granularity_select": bf_granularity_select,
+        "bf_preagg_ladder": bf_preagg_ladder,
     }
 
 

@@ -128,11 +128,11 @@ def minhash_lsh_pairs(
     )
     banded = sig.select("doc_id", F.explode(band_entries).alias("e")).select(
         "doc_id", F.col("e.band").alias("band"), F.col("e.bk").alias("bk")
-    )
+    ).localCheckpoint(eager=False)  # signature subtree computed once, not per join side
     a = banded.select(F.col("doc_id").alias("doc_a"), "band", "bk")
     b = banded.select(F.col("doc_id").alias("doc_b"), "band", "bk")
     return (
-        a.join(F.broadcast(b), ["band", "bk"])
+        a.join(b, ["band", "bk"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
@@ -259,11 +259,11 @@ def simhash_near_pairs(
     )
     bucketed = fp.select("doc_id", "simhash", F.explode(byte_entries).alias("e")).select(
         "doc_id", "simhash", F.col("e.idx").alias("idx"), F.col("e.bv").alias("bv")
-    )
+    ).localCheckpoint(eager=False)  # fingerprint agg is the costly subtree; compute once
     a = bucketed.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "idx", "bv")
     b = bucketed.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "idx", "bv")
     return (
-        a.join(F.broadcast(b), ["idx", "bv"])
+        a.join(b, ["idx", "bv"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", "sh_a", "sh_b")
         .distinct()
@@ -307,12 +307,12 @@ def ngram_jaccard_pairs(
     since the shingle index is tiny relative to the corpus."""
     sh = docs.select("doc_id", F.explode(shingles_expr(text_col)).alias("shingle")).select(
         "doc_id", F.xxhash64("shingle").alias("sh_key")
-    )
+    ).localCheckpoint(eager=False)  # read 3x: both join sides + sizes
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
     pairs = (
         a.join(
-            F.broadcast(b),
+            b,
             (F.col("a.sh_key") == F.col("b.sh_key")) & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))

@@ -69,6 +69,30 @@ RESOLUTION_ALIASES = {
 }
 
 
+def ranges_for_interval(g: Granularity, from_ms: int, to_ms: int) -> list[tuple[int, int]]:
+    """Window [start, end] pairs covering [from, to] at granularity g —
+    the reference's Range.rangesForInterval iterator (Range.java:84-137);
+    FULL uses the 5m slot width like the reference's slot partitioning."""
+    width = MILLISECONDS_IN_SLOT if g.name == "full" else g.milliseconds
+    start = (from_ms // width) * width
+    out = []
+    while start <= to_ms:
+        out.append((start, start + width - 1))
+        start += width
+    return out
+
+
+def derive_range(g: Granularity, slot: int, reference_ms: int) -> tuple[int, int]:
+    """Recover the time range of a (possibly wrapped) slot relative to a
+    reference time (Granularity.deriveRange, Granularity.java:164-172) —
+    used when a late slot resurfaces and we must find its window."""
+    reference_ms = g.snap_millis(reference_ms)
+    ref_slot = g.slot(reference_ms)
+    slot_diff = (g.num_slots - slot + ref_slot) if slot > ref_slot else (ref_slot - slot)
+    start = reference_ms - slot_diff * g.milliseconds
+    return (start, start + g.milliseconds - 1)
+
+
 def coarser(g: Granularity) -> Granularity:
     if g.index >= LAST.index:
         raise ValueError(f"No granularity coarser than {g.name}")

@@ -135,4 +135,6 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
                 (i + 1) * 1500 if kind != "image" else None,
             )
         )
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    # one fat partition: pandas batches amortize; each touched partition
+    # costs a Python worker round (~0.3s), which dwarfs 100-row compute
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(max(1, n // 2048))

@@ -106,7 +106,10 @@ def lsh_bucketed_topk(
         ).alias(f"band_{b}")
         for b in range(bands)
     ]
-    banded = sig.select(id_col, emb_col, *band_cols)
+    # materialize the signature table once (lazily): both join sides and
+    # the re-rank read it, and the 16 hyperplane dot products per row are
+    # the expensive part — at scale this is "write the signature index"
+    banded = sig.select(id_col, emb_col, *band_cols).localCheckpoint(eager=False)
     q = banded.filter(query_filter).select(
         F.col(id_col).alias("q_id"),
         F.col(emb_col).alias("q_emb"),

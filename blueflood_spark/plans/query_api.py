@@ -211,6 +211,38 @@ def shape_response(
     }
 
 
+def series_frame_full(
+    raw: DataFrame,
+    tenant_id: str,
+    metric_names: list[str],
+    from_ms: int,
+    to_ms: int,
+    stats: list[str],
+) -> DataFrame:
+    """FULL resolution = raw samples shaped like rollup points
+    (BasicRollupsOutputSerializer convertRawSampleToObject: average/min/
+    max/sum echo the sample value, numPoints is 1, variance is 0)."""
+    chosen = effective_stats(stats, "basic")
+    cols = [F.col("metric_name"), F.col("ts").alias("timestamp")]
+    for s in chosen:
+        if s == "numPoints":
+            cols.append(F.lit(1).alias("numPoints"))
+        elif s == "variance":
+            cols.append(F.lit(0.0).alias("variance"))
+        else:
+            cols.append(F.col("value").alias(s))
+    return (
+        raw.filter(
+            (F.col("tenant_id") == tenant_id)
+            & (F.col("metric_name").isin(metric_names))
+            & (F.col("ts") >= from_ms)
+            & (F.col("ts") < to_ms)
+        )
+        .select(*cols)
+        .orderBy("metric_name", "timestamp")
+    )
+
+
 def get_view(
     rollups: DataFrame,
     tenant_id: str,
