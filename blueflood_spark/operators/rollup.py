@@ -300,6 +300,41 @@ def timer_merge(
     )
 
 
+def basic_from_raw_salted(
+    df: DataFrame,
+    gran: G.Granularity,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    keys: Sequence[str] = KEYS,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """A1 with skew salting: two-phase aggregation for hot locators.
+
+    At 100 TB a handful of locators can dominate a shard (the reference
+    has the same problem spread across its 128 shards). Phase 1 groups by
+    (keys, window, salt) — map-side partials spread a hot key over
+    `salt_buckets` reducers; phase 2 merges the per-salt partials with the
+    exact pooled formulas (A2). Results are identical to basic_from_raw
+    because every statistic here is algebraic.
+
+    (AQE's skew-join handling doesn't cover aggregations, so this is the
+    explicit fallback when one group overwhelms a task.)
+    """
+    v = F.col(value_col)
+    salted = df.withColumn("window_start", window_start(F.col(ts_col), gran)).withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(ts_col)), F.lit(salt_buckets))
+    )
+    partials = salted.groupBy(*keys, "window_start", "_salt").agg(
+        F.count(v).alias("num_points"),
+        F.avg(v).alias("avg"),
+        F.var_pop(v).alias("var_pop"),
+        F.min(v).alias("min"),
+        F.max(v).alias("max"),
+        F.sum(v).alias("sum"),
+    )
+    return basic_merge(partials.drop("_salt"), gran, keys)
+
+
 def gauge_merge(
     partials: DataFrame,
     gran: G.Granularity,

@@ -34,6 +34,24 @@ def write_raw(df: DataFrame, path: str, mode: str = "append") -> None:
     out.write.partitionBy("date").mode(mode).parquet(path)
 
 
+def overwrite_windows(df: DataFrame, path: str) -> None:
+    """T7 exactly-once-ish rollup write: dynamic partition overwrite
+    replaces exactly the (resolution, date) partitions present in `df`,
+    leaving the rest of the table untouched — re-running a rollup job (or
+    a re-roll of late windows) is idempotent, mirroring the reference's
+    same-key-overwrite wide-row semantics
+    (DMetricsCFPreparedStatements.java:39)."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        with_date_partition(df).write.partitionBy("resolution", "date").mode(
+            "overwrite"
+        ).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def read_rollups(
     spark: SparkSession,
     path: str,
