@@ -139,6 +139,95 @@ def start_streaming_rollup(
     return writer.start()
 
 
+def start_slot_tracker(
+    spark: SparkSession,
+    raw_path: str,
+    slots_out_path: str,
+    checkpoint: str,
+    gran: G.Granularity = G.MIN_20,
+    delay_ms: int = ROLLUP_DELAY_MS,
+    available_now: bool = True,
+):
+    """T2/T3 dirty-slot tracking as a CUSTOM STATEFUL OPERATOR
+    (applyInPandasWithState): per (tenant, metric, slot) the state holds
+    {n_samples, last_update}; a slot is emitted as "eligible" once no new
+    sample has arrived for `delay_ms` (processing-time timeout) — exactly
+    the reference's slot-eligibility rule 'now − lastUpdate > ROLLUP_DELAY'
+    (ShardStateManager.java:369-409, ScheduleContext.java:234-269), with
+    Spark's state store replacing metrics_state + the shard-state
+    push/pull loop (S11).
+
+    Emitted rows are the work queue a downstream rollup job consumes; in
+    availableNow tests the timeout fires on the next start over the same
+    checkpoint (≈ the reference's 60 s poll cycle)."""
+    import pandas as pd
+
+    raw = spark.readStream.schema(
+        "tenant_id string, metric_name string, ts long, value double, unit string,"
+        " ttl_seconds int, date date"
+    ).parquet(raw_path)
+    slotted = raw.withColumn("slot_window_start", R.window_start(F.col("ts"), gran))
+
+    out_schema = (
+        "tenant_id string, metric_name string, slot_window_start long,"
+        " n_samples long, last_update_ms long"
+    )
+    state_schema = "n_samples long, last_update_ms long"
+
+    def track(key, pdfs, state):
+        import time as _t
+
+        if state.hasTimedOut:
+            n, last = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "tenant_id": [key[0]],
+                    "metric_name": [key[1]],
+                    "slot_window_start": [key[2]],
+                    "n_samples": [n],
+                    "last_update_ms": [last],
+                }
+            )
+        else:
+            n_new = 0
+            for pdf in pdfs:
+                n_new += len(pdf)
+            now_ms = int(_t.time() * 1000)
+            if state.exists:
+                n, _ = state.get
+                state.update((n + n_new, now_ms))
+            else:
+                state.update((n_new, now_ms))
+            state.setTimeoutDuration(delay_ms)
+            yield pd.DataFrame(
+                {
+                    "tenant_id": pd.Series([], dtype="str"),
+                    "metric_name": pd.Series([], dtype="str"),
+                    "slot_window_start": pd.Series([], dtype="int64"),
+                    "n_samples": pd.Series([], dtype="int64"),
+                    "last_update_ms": pd.Series([], dtype="int64"),
+                }
+            )
+
+    eligible = slotted.groupBy("tenant_id", "metric_name", "slot_window_start").applyInPandasWithState(
+        track,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf="ProcessingTimeTimeout",
+    )
+    writer = (
+        eligible.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", slots_out_path)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def reroll(
     spark: SparkSession,
     raw_path: str,

@@ -123,3 +123,42 @@ def test_tables_roundtrip_and_retention(spark, tmp_path):
     expired = TBL.expired_partitions(spark, path, now)
     assert any(res == "5m" for res, _ in expired)
     assert not any(res == "60m" for res, _ in expired)
+
+
+def test_slot_tracker_stateful(spark, dirs, tmp_path):
+    """Custom stateful operator: slots emit only after the quiet period
+    (delay), surviving across restarts via the state store."""
+    import os
+
+    now = int(time.time() * 1000)
+    base = (now // (20 * MIN)) * 20 * MIN - 60 * MIN
+    rows = [sample("t1", "svc.disk", base + i * MIN, 1.0) for i in range(5)]
+    write_payload(f"{dirs['input']}/s1.json", rows)
+    P.start_ingest(
+        spark, dirs["input"], dirs["raw"], dirs["rejected"], dirs["delayed"], dirs["ckpt_ingest"]
+    ).awaitTermination(120)
+
+    slots_out = str(tmp_path / "slots")
+    ckpt = str(tmp_path / "ckpt_slots")
+    # run 1: samples arrive, state created, nothing eligible yet
+    P.start_slot_tracker(spark, dirs["raw"], slots_out, ckpt, delay_ms=2000).awaitTermination(120)
+    import glob
+
+    def emitted():
+        if not glob.glob(f"{slots_out}/*.parquet"):
+            return []
+        return spark.read.parquet(slots_out).collect()
+
+    # (whether run 1 already emitted depends on micro-batch timing vs the
+    # 2s delay — availableNow may run several batches; don't assert here)
+    # wait past the delay, then poke the stream with an unrelated sample so
+    # a new micro-batch runs and fires the timeout (the reference's poll tick)
+    time.sleep(3)
+    write_payload(f"{dirs['input']}/s2.json", [sample("t1", "other.metric", base, 1.0)])
+    P.start_ingest(
+        spark, dirs["input"], dirs["raw"], dirs["rejected"], dirs["delayed"], dirs["ckpt_ingest"]
+    ).awaitTermination(120)
+    P.start_slot_tracker(spark, dirs["raw"], slots_out, ckpt, delay_ms=2000).awaitTermination(120)
+    out = {r["metric_name"]: r for r in emitted()}
+    assert "svc.disk" in out
+    assert out["svc.disk"]["n_samples"] == 5
