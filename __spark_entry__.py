@@ -154,7 +154,7 @@ def q03_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < _ntz("2024-06-01"))
     li = _t(spark, sf_dir, "lineitem")
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
@@ -571,7 +571,7 @@ GROUP BY 1, 2, 3
 def bf_timer_merge_20m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 TimerFromTimer: 5m timer children (with exact p50/p95 means)
     merged to 20m — harmonic rate, unweighted percentile-mean merge."""
-    raw = _raw_metrics(spark, sf_dir)
+    raw = _raw_metrics(spark, sf_dir).repartition("tenant_id", "metric_name")
     v = F.col("value")
     ts = F.col("ts")
     t5 = (
@@ -992,7 +992,10 @@ def bf_repair_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     from blueflood_spark.operators import repair as REP
 
     raw = _raw_metrics(spark, sf_dir)
-    full = R.basic_from_raw(raw, G.MIN_5)
+    # both the simulated store and the repair source derive from the same
+    # 5m rollup — materialize it once instead of evaluating the subtree
+    # in every branch of the union/anti-join
+    full = R.basic_from_raw(raw, G.MIN_5).localCheckpoint(eager=False)
     stored = full.filter((F.col("window_start") / 300000 % 4) != 0).withColumn(
         "resolution", F.lit("5m")
     )
@@ -1079,6 +1082,13 @@ def llm_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     path next to llm_ann_cosine_topk's brute-force baseline."""
     emb = _t(spark, sf_dir, "embeddings")
     return SIM.lsh_bucketed_topk(emb, F.col("vec_id") < 5, k=10)
+
+
+def llm_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN (fixed codebook, nprobe=2) — the partition-pruned
+    alternative to hyperplane LSH (operators/similarity.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.ivf_topk(emb, F.col("vec_id") < 5, k=10)
 
 
 def llm_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1215,6 +1225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_quality_score": llm_quality_score,
         "llm_rolling_fingerprint": llm_rolling_fingerprint,
         "llm_ann_lsh_topk": llm_ann_lsh_topk,
+        "llm_ann_ivf_topk": llm_ann_ivf_topk,
         "llm_embedding_near_dups": llm_embedding_near_dups,
         # rows-only (no SQL-expressible oracle): stateful/planner/pandas ops
         "llm_multimodal_features": llm_multimodal_features,
@@ -1268,5 +1279,6 @@ def oracle_sql() -> dict[str, str]:
         "llm_quality_score": TX.quality_score_sql(),
         "llm_rolling_fingerprint": TX.rolling_fingerprint_sql(),
         "llm_ann_lsh_topk": SIM.lsh_bucketed_topk_sql("vec_id < 5", k=10),
+        "llm_ann_ivf_topk": SIM.ivf_topk_sql("vec_id < 5", k=10),
         "llm_embedding_near_dups": _LLM_EMB_NEAR_DUPS_SQL,
     }

@@ -23,7 +23,9 @@ from blueflood_spark.session import get_spark  # noqa: E402
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark("bench")
+    # 16 shuffle partitions: plenty of parallelism at bench scale, half the
+    # task-scheduling latency of one-per-core; clusters size this to cores
+    spark = get_spark("bench", shuffle_partitions=16)
 
     # warm up the JVM + parquet footer caches with the flagship query, and
     # spawn the Python worker pool so the first pandas-path query doesn't

@@ -86,6 +86,37 @@ def signature_expr(emb_col: str, planes: list[list[float]]) -> list[F.Column]:
     return bits
 
 
+def _signatures_pandas(emb: DataFrame, planes: list[list[float]], id_col: str, emb_col: str) -> DataFrame:
+    """Signature bits via one numpy matmul per Arrow batch (BLAS) instead
+    of planes_n interpreted fold expressions per row. Same float64 math;
+    summation order differs immaterially (a bit flips only if a plane dot
+    lands within ~1e-12 of zero)."""
+    import numpy as np
+    import pandas as pd
+
+    plane_mat = np.array(planes, dtype=np.float64)  # (P, D)
+    n_planes = len(planes)
+    schema = f"{id_col} long, {emb_col} array<float>, " + ", ".join(
+        f"bit_{p} int" for p in range(n_planes)
+    )
+
+    def batches(it):
+        for pdf in it:
+            mat = np.array(list(pdf[emb_col]), dtype=np.float64)
+            if len(mat) == 0:
+                yield pd.DataFrame(columns=[id_col, emb_col] + [f"bit_{p}" for p in range(n_planes)])
+                continue
+            # planes are generated at DIMS width; use the prefix matching the
+            # data's dimensionality (zip semantics of the expression path)
+            bits = (mat @ plane_mat[:, : mat.shape[1]].T > 0).astype("int32")  # (N, P)
+            out = {id_col: pdf[id_col], emb_col: pdf[emb_col]}
+            for p in range(n_planes):
+                out[f"bit_{p}"] = bits[:, p]
+            yield pd.DataFrame(out)
+
+    return emb.select(id_col, emb_col).mapInPandas(batches, schema=schema)
+
+
 def lsh_bucketed_topk(
     emb: DataFrame,
     query_filter,
@@ -99,7 +130,7 @@ def lsh_bucketed_topk(
     re-rank. `query_filter` is a Column predicate selecting query rows."""
     planes = plane_literals(planes_n)
     bits_per_band = planes_n // bands
-    sig = emb.select(id_col, emb_col, *signature_expr(emb_col, planes))
+    sig = _signatures_pandas(emb, planes, id_col, emb_col)
     band_cols = [
         F.concat_ws(
             "", *[F.col(f"bit_{b * bits_per_band + r}").cast("string") for r in range(bits_per_band)]
@@ -194,6 +225,102 @@ ranked AS (
   FROM scored
 )
 SELECT q_id, c_id, cosine, CAST(rank AS INTEGER) AS rank FROM ranked WHERE rank <= {k}
+"""
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_filter,
+    k: int = 10,
+    n_lists: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat ANN: corpus partitioned into inverted lists by nearest
+    centroid; queries probe only their n_probe closest lists, then exact
+    cosine re-ranks the candidates.
+
+    The coarse quantizer is deterministic (centroids = the first n_lists
+    vectors by id — a fixed codebook, the way a trained quantizer would be
+    shipped as a broadcast artifact). At 100 TB the corpus would be
+    WRITTEN bucketed by list_id so a probe reads only its lists'
+    partitions; here the assignment join plays that role.
+    """
+    cents = emb.filter(F.col(id_col) < n_lists).select(
+        F.col(id_col).alias("cent_id"), F.col(emb_col).alias("cent_emb")
+    )
+    # assign every vector to its nearest centroid (cosine)
+    scored = (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "cent_sim", _dot(emb_col, "cent_emb") / (_norm(emb_col) * _norm("cent_emb"))
+        )
+    )
+    w_assign = Window.partitionBy(id_col).orderBy(F.col("cent_sim").desc(), F.col("cent_id"))
+    ranked = scored.withColumn("cent_rank", F.row_number().over(w_assign)).localCheckpoint(
+        eager=False
+    )
+    lists = ranked.filter(F.col("cent_rank") == 1).select(
+        F.col(id_col).alias("c_id"), F.col(emb_col).alias("c_emb"), F.col("cent_id").alias("list_id")
+    )
+    probes = (
+        ranked.filter(query_filter)
+        .filter(F.col("cent_rank") <= n_probe)
+        .select(F.col(id_col).alias("q_id"), F.col(emb_col).alias("q_emb"), F.col("cent_id").alias("list_id"))
+    )
+    cands = (
+        probes.join(lists, "list_id")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .dropDuplicates(["q_id", "c_id"])
+        .withColumn("cosine", _dot("q_emb", "c_emb") / (_norm("q_emb") * _norm("c_emb")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "cosine", "rank")
+    )
+
+
+def ivf_topk_sql(query_pred_sql: str, k: int = 10, n_lists: int = 8, n_probe: int = 2) -> str:
+    """DuckDB twin of ivf_topk (same fixed codebook and probe discipline)."""
+    cos = (
+        "list_sum(list_transform(list_zip({a}, {b}), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+        " / (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        " * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+    )
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cent_id, embedding AS cent_emb FROM embeddings WHERE vec_id < {n_lists}
+),
+ranked AS (
+  SELECT e.vec_id, e.embedding, c.cent_id,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {cos.format(a="e.embedding", b="c.cent_emb")} DESC, c.cent_id) AS cent_rank
+  FROM embeddings e CROSS JOIN cents c
+),
+lists AS (
+  SELECT vec_id AS c_id, embedding AS c_emb, cent_id AS list_id FROM ranked WHERE cent_rank = 1
+),
+probes AS (
+  SELECT vec_id AS q_id, embedding AS q_emb, cent_id AS list_id
+  FROM ranked WHERE ({query_pred_sql}) AND cent_rank <= {n_probe}
+),
+cands AS (
+  SELECT DISTINCT q_id, q_emb, c_id, c_emb
+  FROM probes JOIN lists USING (list_id)
+  WHERE q_id != c_id
+),
+scored AS (
+  SELECT q_id, c_id, {cos.format(a="q_emb", b="c_emb")} AS cosine FROM cands
+),
+out AS (
+  SELECT q_id, c_id, cosine,
+         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank
+  FROM scored
+)
+SELECT q_id, c_id, cosine, CAST(rank AS INTEGER) AS rank FROM out WHERE rank <= {k}
 """
 
 

@@ -16,12 +16,16 @@ from pyspark.sql import SparkSession
 def get_spark(app_name: str = "blueflood_spark", shuffle_partitions: int | None = None) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if shuffle_partitions is None:
-        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+        env_shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE", "")
+        if env_shuffle.isdigit():
+            shuffle_partitions = int(env_shuffle)
+        else:
+            shuffle_partitions = int(cpus) if cpus.isdigit() else 32
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.enabled", os.environ.get("SPARK_GRAFT_AQE", "true"))
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

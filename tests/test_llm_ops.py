@@ -151,3 +151,22 @@ def test_resize_and_frame_plans(spark):
     frames = MM.frame_sample_plan(media, fps=2.0).collect()
     assert len(frames) > 0
     assert all(r["frame_ts_ms"] % 500 == 0 for r in frames)
+
+
+def test_ivf_topk_scores_match_brute(spark):
+    import random
+
+    random.seed(11)
+    rows = [(i, [random.uniform(-1, 1) for _ in range(16)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = SIM.ivf_topk(emb, F.col("vec_id").isin([20, 21]), k=5, n_lists=4, n_probe=2).collect()
+    assert len(out) > 0
+    q = emb.filter(F.col("vec_id").isin([20, 21])).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    c = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"))
+    brute = {(r["q_id"], r["c_id"]): r["cosine"] for r in SIM.cosine_topk(q, c, k=60).collect()}
+    for r in out:
+        # IVF may miss neighbors outside probed lists (recall<1), but every
+        # returned score must be the exact cosine
+        assert math.isclose(r["cosine"], brute[(r["q_id"], r["c_id"])], rel_tol=1e-9)
