@@ -356,6 +356,60 @@ SELECT key, 'building_only' AS src FROM (SELECT key FROM building EXCEPT SELECT 
 """
 
 
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: revenue by returnflag × order-status columns."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    joined = li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey).select(
+        "l_returnflag",
+        "o_orderstatus",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    return (
+        joined.groupBy("l_returnflag")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .sum("rev")
+        .select(
+            "l_returnflag",
+            F.col("F").alias("rev_f"),
+            F.col("O").alias("rev_o"),
+            F.col("P").alias("rev_p"),
+        )
+    )
+
+
+_Q_PIVOT_SQL = """
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderstatus = 'F' THEN l_extendedprice * (1 - l_discount) END) AS rev_f,
+       sum(CASE WHEN o_orderstatus = 'O' THEN l_extendedprice * (1 - l_discount) END) AS rev_o,
+       sum(CASE WHEN o_orderstatus = 'P' THEN l_extendedprice * (1 - l_discount) END) AS rev_p
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_returnflag
+"""
+
+
+def q_above_type_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape (TPC-H Q17 flavor): parts priced above
+    their p_type group average — decorrelated to a broadcast join on the
+    aggregated dimension, the plan Catalyst produces for the subquery."""
+    part = _t(spark, sf_dir, "part")
+    avg_by_type = part.groupBy("p_type").agg(F.avg("p_retailprice").alias("type_avg"))
+    return (
+        part.join(F.broadcast(avg_by_type), "p_type")
+        .filter(F.col("p_retailprice") > F.col("type_avg"))
+        .select("p_partkey", "p_type", "p_retailprice", "type_avg")
+    )
+
+
+_Q_ABOVE_TYPE_AVG_SQL = """
+SELECT p_partkey, p_type, p_retailprice, type_avg
+FROM part p
+JOIN (SELECT p_type, avg(p_retailprice) AS type_avg FROM part GROUP BY p_type) t
+  USING (p_type)
+WHERE p_retailprice > type_avg
+"""
+
+
 def q_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join + agg + having-style filter."""
     li = _t(spark, sf_dir, "lineitem")
@@ -814,6 +868,43 @@ GROUP BY 1, 2
 """
 
 
+def bf_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): each error event enriched with the
+    user's most recent purchase value at or before it. Oracle is DuckDB's
+    native ASOF JOIN — real cross-implementation semantics check."""
+    from blueflood_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    ts_ms = F.expr("CAST(ts DIV 1000000 AS BIGINT)")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", ts_ms.alias("ts"), "event_id"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", ts_ms.alias("ts"), F.col("value").cast("double").alias("value"))
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))  # unique per (key, ts)
+    )
+    out = asof_join(errors, purchases, on=["user_id"], value_cols=["value"])
+    return out.select("user_id", "ts", "event_id", "asof_value", "asof_ts").filter(
+        F.col("asof_value").isNotNull()
+    )
+
+
+_BF_ASOF_SQL = """
+WITH errors AS (
+  SELECT user_id, epoch_ms(ts) AS ts, event_id FROM events WHERE event_type = 'error'
+),
+purchases AS (
+  SELECT user_id, epoch_ms(ts) AS ts, max(CAST(value AS DOUBLE)) AS value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT e.user_id, e.ts, e.event_id, p.value AS asof_value, p.ts AS asof_ts
+FROM errors e ASOF JOIN purchases p
+  ON e.user_id = p.user_id AND e.ts >= p.ts
+"""
+
+
 def bf_units_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 units enrichment: rollup output left-joined to the (broadcast)
     catalog (RollupHandler.java:146-180)."""
@@ -1193,6 +1284,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_semi_anti": q_semi_anti,
         "q_distinct_agg": q_distinct_agg,
         "q_set_ops": q_set_ops,
+        "q_pivot_status": q_pivot_status,
+        "q_above_type_avg": q_above_type_avg,
         "q_supplier_volume": q_supplier_volume,
         "bf_basic_rollup_5m": bf_basic_rollup_5m,
         "bf_basic_merge_20m": bf_basic_merge_20m,
@@ -1209,6 +1302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bf_events_range": bf_events_range,
         "bf_events_tags": bf_events_tags,
         "bf_token_doc_counts": bf_token_doc_counts,
+        "bf_asof_enrich": bf_asof_enrich,
         "bf_units_enrichment": bf_units_enrichment,
         "bf_repair_on_read": bf_repair_on_read,
         "llm_dedup_exact": llm_dedup_exact,
@@ -1247,6 +1341,8 @@ def oracle_sql() -> dict[str, str]:
         "q_semi_anti": _Q_SEMI_ANTI_SQL,
         "q_distinct_agg": _Q_DISTINCT_AGG_SQL,
         "q_set_ops": _Q_SET_OPS_SQL,
+        "q_pivot_status": _Q_PIVOT_SQL,
+        "q_above_type_avg": _Q_ABOVE_TYPE_AVG_SQL,
         "q_supplier_volume": _Q_SUPPLIER_VOLUME_SQL,
         "bf_basic_rollup_5m": _BF_BASIC_5M_SQL,
         "bf_basic_merge_20m": _BF_BASIC_MERGE_20M_SQL,
@@ -1263,6 +1359,7 @@ def oracle_sql() -> dict[str, str]:
         "bf_events_range": _BF_EVENTS_RANGE_SQL,
         "bf_events_tags": _BF_EVENTS_TAGS_SQL,
         "bf_token_doc_counts": _BF_TOKEN_DOC_COUNTS_SQL,
+        "bf_asof_enrich": _BF_ASOF_SQL,
         "bf_units_enrichment": _BF_UNITS_SQL,
         "bf_repair_on_read": _BF_REPAIR_SQL,
         "llm_dedup_exact": _LLM_DEDUP_EXACT_SQL,
