@@ -905,6 +905,81 @@ FROM errors e ASOF JOIN purchases p
 """
 
 
+def bf_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (operators/range_join.py): clicks falling inside the 2h
+    window after any signup by the same user — bucketized equi-join, not a
+    nested loop; oracle is DuckDB's inequality join."""
+    from blueflood_spark.operators.range_join import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    ts_ms = F.expr("CAST(ts DIV 1000000 AS BIGINT)")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", ts_ms.alias("ts"), F.col("event_id").alias("click_id")
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        ts_ms.alias("start"),
+        (ts_ms + 7_200_000).alias("end"),
+        F.col("event_id").alias("signup_id"),
+    )
+    out = range_join(clicks, signups, on=["user_id"], bucket_ms=7_200_000)
+    return out.select("user_id", "ts", "click_id", "signup_id", "start", "end")
+
+
+_BF_RANGE_JOIN_SQL = """
+WITH clicks AS (
+  SELECT user_id, epoch_ms(ts) AS ts, event_id AS click_id
+  FROM events WHERE event_type = 'click'
+),
+signups AS (
+  SELECT user_id, epoch_ms(ts) AS start, epoch_ms(ts) + 7200000 AS "end",
+         event_id AS signup_id
+  FROM events WHERE event_type = 'signup'
+)
+SELECT c.user_id, c.ts, c.click_id, s.signup_id, s.start, s."end"
+FROM clicks c JOIN signups s
+  ON c.user_id = s.user_id AND c.ts >= s.start AND c.ts <= s."end"
+"""
+
+
+def bf_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (Structured-Streaming-grade sessionization, batch
+    mode): per-user event sessions with a 30-minute inactivity gap —
+    F.session_window vs the oracle's gaps-and-islands window SQL."""
+    ev = _t(spark, sf_dir, "events")
+    ts_ms = F.expr("CAST(ts DIV 1000000 AS BIGINT)")
+    e = ev.select("user_id", ts_ms.alias("ts_ms"))
+    return (
+        e.groupBy("user_id", F.session_window(F.timestamp_millis(F.col("ts_ms")), "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts_ms").alias("session_start"),
+            (F.max("ts_ms") - F.min("ts_ms")).alias("span_ms"),
+        )
+        .select("user_id", "session_start", "n_events", "span_ms")
+    )
+
+
+_BF_SESSIONIZE_SQL = """
+WITH e AS (SELECT user_id, epoch_ms(ts) AS ts FROM events),
+flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w >= 1800000 THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+       max(ts) - min(ts) AS span_ms
+FROM sess GROUP BY user_id, sid
+"""
+
+
 def bf_units_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 units enrichment: rollup output left-joined to the (broadcast)
     catalog (RollupHandler.java:146-180)."""
@@ -1303,6 +1378,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bf_events_tags": bf_events_tags,
         "bf_token_doc_counts": bf_token_doc_counts,
         "bf_asof_enrich": bf_asof_enrich,
+        "bf_range_join": bf_range_join,
+        "bf_sessionize": bf_sessionize,
         "bf_units_enrichment": bf_units_enrichment,
         "bf_repair_on_read": bf_repair_on_read,
         "llm_dedup_exact": llm_dedup_exact,
@@ -1360,6 +1437,8 @@ def oracle_sql() -> dict[str, str]:
         "bf_events_tags": _BF_EVENTS_TAGS_SQL,
         "bf_token_doc_counts": _BF_TOKEN_DOC_COUNTS_SQL,
         "bf_asof_enrich": _BF_ASOF_SQL,
+        "bf_range_join": _BF_RANGE_JOIN_SQL,
+        "bf_sessionize": _BF_SESSIONIZE_SQL,
         "bf_units_enrichment": _BF_UNITS_SQL,
         "bf_repair_on_read": _BF_REPAIR_SQL,
         "llm_dedup_exact": _LLM_DEDUP_EXACT_SQL,

@@ -49,12 +49,25 @@ def start_ingest(
     delayed_path: str,
     checkpoint: str,
     available_now: bool = True,
+    dedup: bool = False,
 ):
     """Ingest topology via foreachBatch: validate (P1) with the batch-time
     clock, split valid/rejected, append raw, and side-channel delayed rows
     (P2/S8). foreachBatch gives us the multi-sink fan-out the reference
-    implements with async processors."""
+    implements with async processors.
+
+    dedup=True drops duplicate samples (same locator + collection time)
+    across the stream via dropDuplicatesWithinWatermark — the streaming
+    form of the reference's idempotent same-key overwrite (T7): a client
+    retrying an ingest POST cannot double-count."""
     stream = read_ingest_stream(spark, input_path)
+    if dedup:
+        stream = (
+            stream.withColumn("event_time", F.timestamp_millis(F.col("ts")))
+            .withWatermark("event_time", f"{ROLLUP_DELAY_MS // 1000} seconds")
+            .dropDuplicatesWithinWatermark(["tenant_id", "metric_name", "ts"])
+            .drop("event_time")
+        )
 
     def process(batch: DataFrame, batch_id: int) -> None:
         import time

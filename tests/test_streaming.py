@@ -162,3 +162,17 @@ def test_slot_tracker_stateful(spark, dirs, tmp_path):
     out = {r["metric_name"]: r for r in emitted()}
     assert "svc.disk" in out
     assert out["svc.disk"]["n_samples"] == 5
+
+
+def test_ingest_dedup_within_watermark(spark, dirs):
+    """Duplicate samples (client retry) are dropped when dedup=True."""
+    now = int(time.time() * 1000)
+    rows = [sample("t1", "svc.net", now - 60_000, 5.0)] * 3  # same locator+ts 3x
+    rows.append(sample("t1", "svc.net", now - 30_000, 7.0))
+    write_payload(f"{dirs['input']}/dup.json", rows)
+    P.start_ingest(
+        spark, dirs["input"], dirs["raw"], dirs["rejected"], dirs["delayed"],
+        dirs["ckpt_ingest"], dedup=True,
+    ).awaitTermination(120)
+    raw = spark.read.parquet(dirs["raw"])
+    assert raw.count() == 2  # 3 identical rows collapse to 1, plus the distinct one
