@@ -1223,6 +1223,19 @@ def llm_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_near_pairs(docs, max_hamming=8)
 
 
+def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: MinHash-LSH candidate pairs → connected
+    components → cluster_id per doc (min doc_id of the component). Oracle
+    is a recursive-CTE transitive closure in DuckDB."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs)
+    return D.connected_components(pairs, docs.select("doc_id"))
+
+
+def _llm_dedup_clusters_sql() -> str:
+    return D.minhash_clusters_sql()
+
+
 def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return TX.language_id(docs)
@@ -1389,6 +1402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_ngram_jaccard": llm_ngram_jaccard,
         "llm_minhash_signatures": llm_minhash_signatures,
         "llm_minhash_lsh": llm_minhash_lsh,
+        "llm_dedup_clusters": llm_dedup_clusters,
         "llm_simhash": llm_simhash,
         "llm_simhash_near_pairs": llm_simhash_near_pairs,
         "llm_lang_id": llm_lang_id,
@@ -1448,6 +1462,7 @@ def oracle_sql() -> dict[str, str]:
         "llm_ngram_jaccard": _LLM_JACCARD_SQL,
         "llm_minhash_signatures": D.minhash_signatures_sql(),
         "llm_minhash_lsh": D.minhash_lsh_pairs_sql(),
+        "llm_dedup_clusters": _llm_dedup_clusters_sql(),
         "llm_simhash": D.simhash_sql(),
         "llm_simhash_near_pairs": D.simhash_near_pairs_sql(max_hamming=8),
         "llm_lang_id": TX.language_id_sql(),

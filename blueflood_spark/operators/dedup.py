@@ -293,6 +293,107 @@ WHERE bit_count(CAST(xor(sh_a, sh_b) AS BIGINT)) <= {max_hamming}
 
 
 # ---------------------------------------------------------------------------
+# duplicate clustering (connected components over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame,
+    ids: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Cluster assignment from candidate pairs: every doc gets the MINIMUM
+    doc_id of its connected component as cluster_id (singletons label
+    themselves) — the step that turns near-dup PAIRS into canonical
+    dedup GROUPS.
+
+    Iterative min-label propagation: label(n) ← min(label(n),
+    min(label(neighbors))) until fixpoint. Each iteration is one
+    join+aggregate; convergence takes O(component diameter) rounds and
+    dup clusters are shallow, so the driver loop runs 2-4 rounds in
+    practice (localCheckpoint per round keeps lineage flat). At extreme
+    scale the same loop swaps to the large-star/small-star formulation —
+    per-round plans are unchanged.
+    """
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)
+    labels = ids.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+
+
+def minhash_clusters_sql(num_perm: int = NUM_PERM, bands: int = BANDS) -> str:
+    """DuckDB twin of connected_components over minhash_lsh_pairs:
+    recursive transitive closure, label(n) = min reachable node. All CTEs
+    hoisted to one level (DuckDB disallows WITH nested in a recursive
+    CTE body)."""
+    rows = num_perm // bands
+    band_cols = ",\n       ".join(
+        "md5(" + " || '_' || ".join(f"CAST(mh_{b * rows + r} AS VARCHAR)" for r in range(rows)) + f") AS band_{b}"
+        for b in range(bands)
+    )
+    unions = "\n  UNION\n".join(
+        f"  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM banded a "
+        f"JOIN banded b ON a.band_{b} = b.band_{b} AND a.doc_id < b.doc_id"
+        for b in range(bands)
+    )
+    return f"""
+WITH RECURSIVE sh AS ({_shingle_sql()}),
+sig AS (
+  SELECT doc_id,
+         {_mh_sql_cols(num_perm)}
+  FROM sh GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id,
+       {band_cols}
+  FROM sig
+),
+pairs AS (
+{unions}
+),
+sym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(n, m) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT s.dst, r.m FROM reach r JOIN sym s ON s.src = r.n
+)
+SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n
+"""
+
+
+# ---------------------------------------------------------------------------
 # n-gram jaccard (exact verification; candidates from shared shingles)
 # ---------------------------------------------------------------------------
 

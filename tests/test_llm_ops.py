@@ -170,3 +170,14 @@ def test_ivf_topk_scores_match_brute(spark):
         # IVF may miss neighbors outside probed lists (recall<1), but every
         # returned score must be the exact cosine
         assert math.isclose(r["cosine"], brute[(r["q_id"], r["c_id"])], rel_tol=1e-9)
+
+
+def test_connected_components_clusters(spark):
+    # chain 1-2-3, pair 10-11, singleton 99 → components {1,2,3}, {10,11}, {99}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    ids = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11, 99)], "doc_id long")
+    out = {r["doc_id"]: r["cluster_id"] for r in
+           D.connected_components(pairs, ids).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
