@@ -1251,6 +1251,13 @@ def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.quality_score(docs)
 
 
+def llm_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-bucketed train/val/test split (operators/text.py
+    train_split) — stable across runs/engines/partitionings."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.train_split(docs)
+
+
 def llm_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return TX.rolling_fingerprint(docs)
@@ -1408,6 +1415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_lang_id": llm_lang_id,
         "llm_token_counts": llm_token_counts,
         "llm_quality_score": llm_quality_score,
+        "llm_train_split": llm_train_split,
         "llm_rolling_fingerprint": llm_rolling_fingerprint,
         "llm_ann_lsh_topk": llm_ann_lsh_topk,
         "llm_ann_ivf_topk": llm_ann_ivf_topk,
@@ -1468,6 +1476,7 @@ def oracle_sql() -> dict[str, str]:
         "llm_lang_id": TX.language_id_sql(),
         "llm_token_counts": TX.token_counts_sql(),
         "llm_quality_score": TX.quality_score_sql(),
+        "llm_train_split": TX.train_split_sql(),
         "llm_rolling_fingerprint": TX.rolling_fingerprint_sql(),
         "llm_ann_lsh_topk": SIM.lsh_bucketed_topk_sql("vec_id < 5", k=10),
         "llm_ann_ivf_topk": SIM.ivf_topk_sql("vec_id < 5", k=10),

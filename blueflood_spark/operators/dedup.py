@@ -301,6 +301,53 @@ def connected_components(
     ids: DataFrame,
     id_col: str = "doc_id",
     max_iterations: int = 20,
+    driver_threshold: int = 5_000_000,
+) -> DataFrame:
+    """Cluster assignment from candidate pairs: every doc gets the MINIMUM
+    doc_id of its connected component as cluster_id.
+
+    After LSH pruning the PAIR set is tiny relative to the corpus, so the
+    default path collects pairs and runs union-find on the driver
+    (O(pairs α)), then broadcast-joins the labels back onto the full id
+    set — one pass over the corpus, no iteration. Above
+    `driver_threshold` pairs it falls back to distributed min-label
+    propagation (`_cc_distributed`)."""
+    pairs = pairs.localCheckpoint(eager=False)  # count + collect read it once
+    n_pairs = pairs.count()
+    if n_pairs > driver_threshold:
+        return _cc_distributed(pairs, ids, id_col, max_iterations)
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])  # path halving
+            x = parent[x]
+        return x
+
+    for row in pairs.select("doc_a", "doc_b").collect():
+        ra, rb = find(row[0]), find(row[1])
+        if ra != rb:
+            # union by value: smaller id becomes the root → root IS the min
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    labels = [(x, find(x)) for x in parent]
+    spark = pairs.sparkSession
+    if labels:
+        lab_df = spark.createDataFrame(labels, f"{id_col} long, _cluster long")
+    else:
+        lab_df = spark.createDataFrame([], f"{id_col} long, _cluster long")
+    return ids.join(F.broadcast(lab_df), id_col, "left").select(
+        id_col, F.coalesce("_cluster", F.col(id_col)).alias("cluster_id")
+    )
+
+
+def _cc_distributed(
+    pairs: DataFrame,
+    ids: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 20,
 ) -> DataFrame:
     """Cluster assignment from candidate pairs: every doc gets the MINIMUM
     doc_id of its connected component as cluster_id (singletons label

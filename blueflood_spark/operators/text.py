@@ -139,6 +139,45 @@ FROM documents
 """
 
 
+def train_split(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 90,
+    val_pct: int = 5,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: md5-derived bucket in
+    [0,100) per id — stable across runs, engines, and partitionings
+    (never use rand(): resplits on every retry). Salt the id string to
+    re-deal the split without touching data."""
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.concat(F.lit("split_"), F.col(id_col).cast("string"))), 1, 8), 16, 10).cast(
+            "long"
+        ),
+        F.lit(100),
+    )
+    return docs.select(
+        id_col,
+        bucket.alias("bucket"),
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + val_pct, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+def train_split_sql(id_col: str = "doc_id", train_pct: int = 90, val_pct: int = 5) -> str:
+    bucket = (
+        f"CAST(('0x' || substr(md5('split_' || CAST({id_col} AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+    )
+    return f"""
+SELECT {id_col}, {bucket} AS bucket,
+       CASE WHEN {bucket} < {train_pct} THEN 'train'
+            WHEN {bucket} < {train_pct + val_pct} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
 def rolling_fingerprint(docs: DataFrame, text_col: str = "text", window: int = 8) -> DataFrame:
     """Winnowing-style document fingerprint: min rolling-window hash over
     word 1-grams (a compact representative for containment checks) plus the
