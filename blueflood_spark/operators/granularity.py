@@ -69,6 +69,35 @@ RESOLUTION_ALIASES = {
 }
 
 
+class TtlProvider:
+    """Retention lookup chain mirroring the reference's
+    ConfigTtlProvider → SafetyTtlProvider composition
+    (cache/CombinedTtlProvider.java, cache/ConfigTtlProvider.java,
+    cache/SafetyTtlProvider.java): per-tenant/per-resolution config
+    overrides win; otherwise the safety default = 5× the resolution's
+    base retention (SafetyTtlProvider uses a generous fallback so data is
+    never silently expired by a missing config)."""
+
+    def __init__(
+        self,
+        config: dict[tuple[str, str], int] | None = None,
+        safety_multiplier: int = 5,
+    ) -> None:
+        # config: {(tenant_id, resolution_name): ttl_millis}
+        self.config = dict(config or {})
+        self.safety_multiplier = safety_multiplier
+
+    def ttl_millis(self, tenant_id: str, g: "Granularity") -> int:
+        override = self.config.get((tenant_id, g.name))
+        if override is not None:
+            return override
+        return g.ttl_millis * self.safety_multiplier
+
+    def as_dict(self, tenant_id: str) -> dict[str, int]:
+        """Per-resolution map for from_points_in_interval's ttl_millis arg."""
+        return {g.name: self.ttl_millis(tenant_id, g) for g in GRANULARITIES}
+
+
 def ranges_for_interval(g: Granularity, from_ms: int, to_ms: int) -> list[tuple[int, int]]:
     """Window [start, end] pairs covering [from, to] at granularity g —
     the reference's Range.rangesForInterval iterator (Range.java:84-137);

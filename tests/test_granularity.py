@@ -89,3 +89,19 @@ def test_coarser_finer():
 
     with pytest.raises(ValueError):
         G.coarser(G.MIN_1440)
+
+
+def test_ttl_provider_chain():
+    # ConfigTtlProvider override wins; SafetyTtlProvider 5x fallback otherwise
+    p = G.TtlProvider(config={("t1", "5m"): 86_400_000})
+    assert p.ttl_millis("t1", G.MIN_5) == 86_400_000
+    assert p.ttl_millis("t2", G.MIN_5) == G.MIN_5.ttl_millis * 5
+    d = p.as_dict("t1")
+    assert d["5m"] == 86_400_000 and d["1440m"] == G.MIN_1440.ttl_millis * 5
+    # selection consults the per-tenant map: short 5m TTL skips 5m for old ranges
+    now = BASE + 30 * DAY
+    tight = G.TtlProvider(config={("t1", "full"): DAY, ("t1", "5m"): DAY})
+    g = G.from_points_in_interval(
+        BASE, BASE + DAY, 288, now_ms=now, ttl_millis=tight.as_dict("t1")
+    )
+    assert g.name != "5m" and g.name != "full"
