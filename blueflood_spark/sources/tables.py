@@ -81,6 +81,57 @@ def read_rollups(
     return df
 
 
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> dict[str, int]:
+    """Small-file compaction for streaming sinks: every micro-batch
+    appends files, and a 5-minute trigger writes ~288 files/partition/day
+    — parquet scan cost then scales with file count, not bytes. Rewrite
+    each (resolution, date) partition into ceil(bytes/target) files via
+    dynamic partition overwrite (same idempotent mechanism as
+    overwrite_windows). Returns {partition: files_before} for the
+    partitions it rewrote.
+
+    At 100 TB this runs as a scheduled maintenance job per recent date
+    partition; old partitions are write-once and never need it again."""
+    import collections
+    import math
+    import os
+
+    sizes: dict[tuple[str, str], int] = collections.defaultdict(int)
+    counts: dict[tuple[str, str], int] = collections.defaultdict(int)
+    for root, _dirs, files in os.walk(path):
+        parts = [p for p in root.replace(path, "").split(os.sep) if "=" in p]
+        kv = dict(p.split("=", 1) for p in parts)
+        if "resolution" not in kv or "date" not in kv:
+            continue
+        key = (kv["resolution"], kv["date"])
+        for f in files:
+            if f.endswith(".parquet"):
+                sizes[key] += os.path.getsize(os.path.join(root, f))
+                counts[key] += 1
+    rewritten = {}
+    for (res, date), n_files in counts.items():
+        n_target = max(1, math.ceil(sizes[(res, date)] / target_bytes))
+        if n_files <= n_target:
+            continue
+        part = spark.read.parquet(path).filter(
+            (F.col("resolution") == res) & (F.col("date") == date)
+        )
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            part.coalesce(n_target).write.partitionBy("resolution", "date").mode(
+                "overwrite"
+            ).parquet(path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        rewritten[f"{res}/{date}"] = n_files
+    return rewritten
+
+
 def retention_predicate(resolution: str, now_ms: int):
     """TTL-as-predicate: rows older than the resolution's retention are
     invisible even before the maintenance job drops their partitions."""

@@ -60,3 +60,28 @@ def test_overwrite_windows_idempotent(spark, tmp_path):
     # …and is idempotent
     TBL.overwrite_windows(mk(2.0), path)
     assert spark.read.parquet(path).count() == 2
+
+
+def test_compact_small_files(spark, tmp_path):
+    path = str(tmp_path / "rollups")
+    base = 1_700_000_000_000
+
+    def mk(i):
+        return spark.createDataFrame(
+            [("t1", f"m{i}", "5m", base + i, 1, float(i))],
+            "tenant_id string, metric_name string, resolution string, window_start long,"
+            " num_points long, avg double",
+        )
+
+    # simulate 8 micro-batch appends → 8 tiny files in one partition
+    for i in range(8):
+        TBL.write_rollups(mk(i), path, mode="append")
+    before = spark.read.parquet(path)
+    assert before.count() == 8
+    rewritten = TBL.compact(spark, path, target_bytes=128 * 1024 * 1024)
+    assert any(k.startswith("5m/") for k in rewritten)
+    after = spark.read.parquet(path)
+    assert after.count() == 8  # no data change
+    assert {r["avg"] for r in after.collect()} == {float(i) for i in range(8)}
+    # compaction is idempotent: second run rewrites nothing
+    assert TBL.compact(spark, path, target_bytes=128 * 1024 * 1024) == {}
