@@ -1258,6 +1258,13 @@ def llm_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.train_split(docs)
 
 
+def llm_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (A-Res, md5-derived uniforms) —
+    reproducible training-mix sampling (operators/text.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.weighted_sample(docs, k=50)
+
+
 def llm_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return TX.rolling_fingerprint(docs)
@@ -1416,6 +1423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_token_counts": llm_token_counts,
         "llm_quality_score": llm_quality_score,
         "llm_train_split": llm_train_split,
+        "llm_weighted_sample": llm_weighted_sample,
         "llm_rolling_fingerprint": llm_rolling_fingerprint,
         "llm_ann_lsh_topk": llm_ann_lsh_topk,
         "llm_ann_ivf_topk": llm_ann_ivf_topk,
@@ -1477,6 +1485,7 @@ def oracle_sql() -> dict[str, str]:
         "llm_token_counts": TX.token_counts_sql(),
         "llm_quality_score": TX.quality_score_sql(),
         "llm_train_split": TX.train_split_sql(),
+        "llm_weighted_sample": TX.weighted_sample_sql(k=50),
         "llm_rolling_fingerprint": TX.rolling_fingerprint_sql(),
         "llm_ann_lsh_topk": SIM.lsh_bucketed_topk_sql("vec_id < 5", k=10),
         "llm_ann_ivf_topk": SIM.ivf_topk_sql("vec_id < 5", k=10),

@@ -178,6 +178,52 @@ FROM documents
 """
 
 
+def weighted_sample(
+    docs: DataFrame,
+    k: int = 50,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-Res): key = u^(1/w) with u drawn from an md5-derived
+    uniform — reproducible across runs/engines/partitionings, unlike
+    rand(). Selection = global top-k by key: one partial top-k per
+    partition + tiny final merge, no full sort at scale (Spark's
+    orderBy+limit plan is exactly that: TakeOrderedAndProject)."""
+    from pyspark.sql.window import Window
+
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("samp_"), F.col(id_col).cast("string"))), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(float(2**32))
+    )
+    key = F.pow(u, 1.0 / F.col(weight_col).cast("double"))
+    ranked = docs.select(id_col, F.col(weight_col).alias("weight"), key.alias("samp_key"))
+    w = Window.orderBy(F.col("samp_key").desc(), F.col(id_col))
+    return (
+        ranked.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "weight", "samp_key", "rank")
+    )
+
+
+def weighted_sample_sql(k: int = 50, weight_col: str = "n_chars", id_col: str = "doc_id") -> str:
+    u = (
+        f"CAST(CAST(('0x' || substr(md5('samp_' || CAST({id_col} AS VARCHAR)), 1, 8)) AS BIGINT)"
+        f" AS DOUBLE) / 4294967296.0"
+    )
+    return f"""
+WITH ranked AS (
+  SELECT {id_col}, {weight_col} AS weight,
+         power({u}, 1.0 / CAST({weight_col} AS DOUBLE)) AS samp_key
+  FROM documents
+)
+SELECT {id_col}, weight, samp_key, CAST(rank AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (ORDER BY samp_key DESC, {id_col}) AS rank FROM ranked)
+WHERE rank <= {k}
+"""
+
+
 def rolling_fingerprint(docs: DataFrame, text_col: str = "text", window: int = 8) -> DataFrame:
     """Winnowing-style document fingerprint: min rolling-window hash over
     word 1-grams (a compact representative for containment checks) plus the
