@@ -243,17 +243,42 @@ def series_frame_full(
     )
 
 
+def lookup_rollup_type(catalog: DataFrame, tenant_id: str, metric_name: str) -> str:
+    """J2 metadata-driven dispatch: the per-locator rollup type from the
+    catalog decides which family's stats are legal — the reference's
+    MetadataCache lookup (RollupRunnable.java:100-112,
+    MetricsRWDelegator.java:87-101). Missing/unknown → basic."""
+    rows = (
+        catalog.filter(
+            (F.col("tenant_id") == tenant_id) & (F.col("metric_name") == metric_name)
+        )
+        .select("rollup_type")
+        .limit(1)
+        .collect()
+    )
+    if rows and rows[0]["rollup_type"]:
+        return rows[0]["rollup_type"]
+    return "basic"
+
+
 def get_view(
     rollups: DataFrame,
     tenant_id: str,
     metric_name: str,
     params: RollupsQueryParams,
-    rollup_type: str = "basic",
+    rollup_type: str | None = "basic",
     unit: str | None = None,
     now_ms: int | None = None,
+    catalog: DataFrame | None = None,
 ) -> dict:
     """GET /v2.0/:tenantId/views/:metricName end-to-end
-    (HttpRollupsQueryHandler.java:89-161)."""
+    (HttpRollupsQueryHandler.java:89-161). Pass catalog (and
+    rollup_type=None) to resolve the family from metadata (J2)."""
+    if rollup_type is None:
+        if catalog is None:
+            rollup_type = "basic"
+        else:
+            rollup_type = lookup_rollup_type(catalog, tenant_id, metric_name)
     gran = select_granularity(params, now_ms)
     df = series_frame(
         rollups, tenant_id, [metric_name], gran, params.from_ms, params.to_ms,

@@ -94,3 +94,19 @@ def test_repair_on_read(spark, rollups):
     assert rows[5 * MIN]["source"] == "stored"
     # repaired values equal what a full recompute gives
     assert rows[0]["avg"] == 2.0 and rows[0]["num_points"] == 5
+
+
+def test_metadata_driven_rollup_type(spark, rollups):
+    """J2: catalog decides the stat family — a gauge metric gets gauge
+    defaults (numPoints, latest) without the caller naming the type."""
+    cat = spark.createDataFrame(
+        [("t1", "m.a", None, "gauge")],
+        "tenant_id string, metric_name string, unit string, rollup_type string",
+    )
+    gauge_rollups = rollups.withColumn("latest_value", F.col("avg") * 2)
+    p = Q.parse_params({"from": ["0"], "to": [str(60 * MIN)], "resolution": ["MIN5"]})
+    out = Q.get_view(gauge_rollups, "t1", "m.a", p, rollup_type=None, catalog=cat)
+    assert set(out["values"][0]) == {"timestamp", "numPoints", "latest"}  # gauge defaults
+    # unknown metric falls back to basic defaults
+    out2 = Q.get_view(gauge_rollups, "t1", "m.zzz", p, rollup_type=None, catalog=cat)
+    assert out2["metadata"]["count"] == 0
