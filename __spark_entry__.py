@@ -753,6 +753,26 @@ WHERE tenant_id = 't0' AND regexp_matches(metric_name, '{regex}')
 )
 
 
+def bf_glob_braces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 glob with brace alternation + single-char wildcard:
+    `events.{click,error}.valu?` over tenant t2's catalog."""
+    raw = _raw_metrics(spark, sf_dir).withColumn("unit", F.lit(None).cast("string"))
+    cat = build_catalog(raw)
+    return search_metrics(cat, "t2", "events.{click,error}.valu?").select(
+        "tenant_id", "metric_name"
+    )
+
+
+_BF_GLOB_BRACES_SQL = (
+    _RAW_CTE
+    + """
+SELECT DISTINCT tenant_id, metric_name
+FROM raw
+WHERE tenant_id = 't2' AND regexp_matches(metric_name, '{regex}')
+"""
+)
+
+
 def bf_metric_names_browse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F2 next-level browse: query `events.*` → names at depth 2 with
     leaf/next-level flags (AbstractElasticIO.java:136-185)."""
@@ -1400,6 +1420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bf_shard_hash": bf_shard_hash,
         "bf_metric_tokens": bf_metric_tokens,
         "bf_glob_search": bf_glob_search,
+        "bf_glob_braces": bf_glob_braces,
         "bf_metric_names_browse": bf_metric_names_browse,
         "bf_events_range": bf_events_range,
         "bf_events_tags": bf_events_tags,
@@ -1462,6 +1483,9 @@ def oracle_sql() -> dict[str, str]:
         "bf_shard_hash": _BF_SHARD_SQL,
         "bf_metric_tokens": _BF_TOKENS_SQL,
         "bf_glob_search": _BF_GLOB_SQL.format(regex=glob_regex),
+        "bf_glob_braces": _BF_GLOB_BRACES_SQL.format(
+            regex=anchored(glob_to_regex("events.{click,error}.valu?"))
+        ),
         "bf_metric_names_browse": _BF_BROWSE_SQL.format(regex=browse_regex),
         "bf_events_range": _BF_EVENTS_RANGE_SQL,
         "bf_events_tags": _BF_EVENTS_TAGS_SQL,
