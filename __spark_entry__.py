@@ -482,7 +482,7 @@ def bf_basic_merge_20m(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BF_BASIC_MERGE_20M_SQL = _R5_CTE + """
 SELECT tenant_id, metric_name,
        (window_start // 1200000) * 1200000 AS window_start,
-       sum(num_points) AS num_points,
+       CAST(sum(num_points) AS BIGINT) AS num_points,
        sum(num_points * avg_val) / sum(num_points) AS avg_val,
        sum(num_points * (var_pop_val + avg_val * avg_val)) / sum(num_points)
          - power(sum(num_points * avg_val) / sum(num_points), 2) AS var_pop_val,
@@ -514,14 +514,14 @@ _BF_CASCADE_60M_SQL = _R5_CTE + """
 , r20 AS (
   SELECT tenant_id, metric_name,
          (window_start // 1200000) * 1200000 AS window_start,
-         sum(num_points) AS num_points,
+         CAST(sum(num_points) AS BIGINT) AS num_points,
          sum(num_points * avg_val) / sum(num_points) AS avg_val,
          min(min_val) AS min_val, max(max_val) AS max_val, sum(sum_val) AS sum_val
   FROM r5 GROUP BY 1, 2, 3
 )
 SELECT tenant_id, metric_name,
        (window_start // 3600000) * 3600000 AS window_start,
-       sum(num_points) AS num_points,
+       CAST(sum(num_points) AS BIGINT) AS num_points,
        sum(num_points * avg_val) / sum(num_points) AS avg_val,
        min(min_val) AS min_val, max(max_val) AS max_val, sum(sum_val) AS sum_val
 FROM r20 GROUP BY 1, 2, 3
@@ -574,7 +574,7 @@ SELECT tenant_id, metric_name,
             THEN 0.0
             ELSE sum(count) / sum(CASE WHEN rate IS NULL OR rate = 0 THEN 0.0 ELSE count / rate END)
        END AS rate,
-       sum(sample_count) AS sample_count
+       CAST(sum(sample_count) AS BIGINT) AS sample_count
 FROM c5 GROUP BY 1, 2, 3
 """
 
@@ -676,13 +676,13 @@ _BF_TIMER_MERGE_20M_SQL = _RAW_CTE + """
 )
 SELECT tenant_id, metric_name,
        (window_start // 1200000) * 1200000 AS window_start,
-       sum(count) AS count,
+       CAST(sum(count) AS BIGINT) AS count,
        sum(sum) AS sum_val,
        CASE WHEN sum(CASE WHEN rate IS NULL OR rate = 0 THEN 0.0 ELSE count / rate END) = 0
             THEN 0.0
             ELSE sum(count) / sum(CASE WHEN rate IS NULL OR rate = 0 THEN 0.0 ELSE count / rate END)
        END AS rate,
-       sum(sample_count) AS sample_count,
+       CAST(sum(sample_count) AS BIGINT) AS sample_count,
        min(min) AS min_val,
        max(max) AS max_val,
        sum(count * avg) / sum(count) AS avg_val,
@@ -882,7 +882,7 @@ _BF_TOKEN_DOC_COUNTS_SQL = _RAW_CTE + """
 SELECT tenant_id,
        array_to_string(string_split(metric_name, '.')[1:2], '.') AS name_prefix,
        count(*) AS n_names,
-       sum(doc_count) AS total_docs
+       CAST(sum(doc_count) AS BIGINT) AS total_docs
 FROM per_name
 GROUP BY 1, 2
 """
