@@ -1171,6 +1171,64 @@ def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LLM_JACCARD_SQL = D.ngram_jaccard_pairs_sql(threshold=0.12)
 
 
+def bf_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection over the 5m rollup series: each
+    window's avg scored against the trailing 12-window mean/stddev
+    (monitoring-style operator layered on the rollup table; pure window
+    functions, shuffles once on the series key)."""
+    from pyspark.sql.window import Window
+
+    raw = _raw_metrics(spark, sf_dir)
+    r5 = R.basic_from_raw(raw, G.MIN_5)
+    w = (
+        Window.partitionBy("tenant_id", "metric_name")
+        .orderBy("window_start")
+        .rowsBetween(-12, -1)
+    )
+    mu = F.avg("avg").over(w)
+    sd = F.stddev_samp("avg").over(w)
+    n_prev = F.count("avg").over(w)
+    scored = r5.select(
+        "tenant_id",
+        "metric_name",
+        "window_start",
+        F.col("avg").alias("avg_val"),
+        mu.alias("trail_mean"),
+        sd.alias("trail_std"),
+        n_prev.alias("n_trail"),
+    ).filter(F.col("n_trail") >= 6)
+    z = safe_div(F.col("avg_val") - F.col("trail_mean"), F.col("trail_std"))
+    return scored.select(
+        "tenant_id",
+        "metric_name",
+        "window_start",
+        "avg_val",
+        "trail_mean",
+        z.alias("zscore"),
+        (F.abs(z) > 3).alias("is_anomaly"),
+    )
+
+
+_BF_ANOMALY_SQL = _R5_CTE + """
+, scored AS (
+  SELECT tenant_id, metric_name, window_start, avg_val,
+         avg(avg_val)        OVER w AS trail_mean,
+         stddev_samp(avg_val) OVER w AS trail_std,
+         count(avg_val)      OVER w AS n_trail
+  FROM r5
+  WINDOW w AS (PARTITION BY tenant_id, metric_name ORDER BY window_start
+               ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING)
+)
+SELECT tenant_id, metric_name, window_start, avg_val, trail_mean,
+       CASE WHEN trail_std IS NULL OR trail_std = 0 THEN 0.0
+            ELSE (avg_val - trail_mean) / trail_std END AS zscore,
+       abs(CASE WHEN trail_std IS NULL OR trail_std = 0 THEN 0.0
+                ELSE (avg_val - trail_mean) / trail_std END) > 3 AS is_anomaly
+FROM scored
+WHERE n_trail >= 6
+"""
+
+
 def bf_repair_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8 rollup-on-read: simulate a rollup store missing every 4th 5m
     window, then repair from raw at query time (anti-join + windowed agg;
@@ -1429,6 +1487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bf_range_join": bf_range_join,
         "bf_sessionize": bf_sessionize,
         "bf_units_enrichment": bf_units_enrichment,
+        "bf_anomaly_zscore": bf_anomaly_zscore,
         "bf_repair_on_read": bf_repair_on_read,
         "llm_dedup_exact": llm_dedup_exact,
         "llm_text_stats": llm_text_stats,
@@ -1494,6 +1553,7 @@ def oracle_sql() -> dict[str, str]:
         "bf_range_join": _BF_RANGE_JOIN_SQL,
         "bf_sessionize": _BF_SESSIONIZE_SQL,
         "bf_units_enrichment": _BF_UNITS_SQL,
+        "bf_anomaly_zscore": _BF_ANOMALY_SQL,
         "bf_repair_on_read": _BF_REPAIR_SQL,
         "llm_dedup_exact": _LLM_DEDUP_EXACT_SQL,
         "llm_text_stats": _LLM_TEXT_STATS_SQL,
