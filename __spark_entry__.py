@@ -1171,6 +1171,54 @@ def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LLM_JACCARD_SQL = D.ngram_jaccard_pairs_sql(threshold=0.12)
 
 
+def bf_gapfill_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled series: every 60m window in the range exists per series,
+    with NULL stats where no data landed (the reference emits null-stat
+    points for empty windows, JSONBasicRollupsOutputSerializer.java:
+    133-142). Window spine via sequence+explode, left join rollups."""
+    raw = _raw_metrics(spark, sf_dir)
+    r60 = R.basic_from_raw(raw, G.MIN_60)
+    from_ms, to_ms = 1704067200000, 1704671999999  # first week of 2024
+    series = raw.select("tenant_id", "metric_name").distinct()
+    spine = series.select(
+        "tenant_id",
+        "metric_name",
+        F.explode(
+            F.sequence(F.lit(from_ms), F.lit(to_ms), F.lit(G.MIN_60.milliseconds))
+        ).alias("window_start"),
+    )
+    out = spine.join(r60, ["tenant_id", "metric_name", "window_start"], "left")
+    return out.select(
+        "tenant_id",
+        "metric_name",
+        "window_start",
+        F.coalesce(F.col("num_points"), F.lit(0)).alias("num_points"),
+        F.col("avg").alias("avg_val"),
+        F.col("sum").alias("sum_val"),
+    )
+
+
+_BF_GAPFILL_SQL = _RAW_CTE + """
+, r60 AS (
+  SELECT tenant_id, metric_name,
+         (ts // 3600000) * 3600000 AS window_start,
+         count(*) AS num_points, avg(value) AS avg_val, sum(value) AS sum_val
+  FROM raw GROUP BY 1, 2, 3
+),
+series AS (SELECT DISTINCT tenant_id, metric_name FROM raw),
+spine AS (
+  SELECT s.tenant_id, s.metric_name, g.ws AS window_start
+  FROM series s, (SELECT unnest(generate_series(1704067200000, 1704671999999, 3600000)) AS ws) g
+)
+SELECT sp.tenant_id, sp.metric_name, sp.window_start,
+       CAST(coalesce(r.num_points, 0) AS BIGINT) AS num_points,
+       r.avg_val, r.sum_val
+FROM spine sp
+LEFT JOIN r60 r ON sp.tenant_id = r.tenant_id AND sp.metric_name = r.metric_name
+               AND sp.window_start = r.window_start
+"""
+
+
 def bf_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling z-score anomaly detection over the 5m rollup series: each
     window's avg scored against the trailing 12-window mean/stddev
@@ -1488,6 +1536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bf_sessionize": bf_sessionize,
         "bf_units_enrichment": bf_units_enrichment,
         "bf_anomaly_zscore": bf_anomaly_zscore,
+        "bf_gapfill_series": bf_gapfill_series,
         "bf_repair_on_read": bf_repair_on_read,
         "llm_dedup_exact": llm_dedup_exact,
         "llm_text_stats": llm_text_stats,
@@ -1554,6 +1603,7 @@ def oracle_sql() -> dict[str, str]:
         "bf_sessionize": _BF_SESSIONIZE_SQL,
         "bf_units_enrichment": _BF_UNITS_SQL,
         "bf_anomaly_zscore": _BF_ANOMALY_SQL,
+        "bf_gapfill_series": _BF_GAPFILL_SQL,
         "bf_repair_on_read": _BF_REPAIR_SQL,
         "llm_dedup_exact": _LLM_DEDUP_EXACT_SQL,
         "llm_text_stats": _LLM_TEXT_STATS_SQL,
