@@ -203,16 +203,19 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS) -
     ).withColumn(
         "h", F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
     )
+    # branchless bit sums: ±1 contribution sum s_b = 2*Σ((h>>b)&1) − n,
+    # so only cheap shift/and expressions sit inside the wide aggregate
+    # (a CASE WHEN per bit defeats codegen CSE and runs ~3.5× slower)
     bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"s_{b}")
+        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"c_{b}")
         for b in range(bits)
     ]
-    agg = toks.groupBy("doc_id").agg(*bit_sums)
+    agg = toks.groupBy("doc_id").agg(F.count("*").alias("n"), *bit_sums)
     fp = None
     for b in range(bits):
-        bit = F.when(F.col(f"s_{b}") > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
+        bit = F.when(2 * F.col(f"c_{b}") - F.col("n") > 0, F.lit(2**b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
         fp = bit if fp is None else fp + bit
     return agg.select("doc_id", fp.alias("simhash"))
 

@@ -13,7 +13,11 @@ import os
 from pyspark.sql import SparkSession
 
 
-def get_spark(app_name: str = "blueflood_spark", shuffle_partitions: int | None = None) -> SparkSession:
+def get_spark(
+    app_name: str = "blueflood_spark",
+    shuffle_partitions: int | None = None,
+    **extra_confs: str,
+) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if shuffle_partitions is None:
         env_shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE", "")
@@ -32,6 +36,8 @@ def get_spark(app_name: str = "blueflood_spark", shuffle_partitions: int | None 
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
+    for k, v in extra_confs.items():
+        builder = builder.config(k.replace("__", "."), v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

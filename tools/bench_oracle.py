@@ -27,14 +27,17 @@ def main() -> None:
     con.execute("PRAGMA threads=32")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    # two passes, per-query min — symmetric with bench.py's steady-state
+    # reporting (warm page cache, de-noised)
     timings = {}
-    total = 0.0
-    for name, sql in E.oracle_sql().items():
-        start = time.perf_counter()
-        con.execute(sql).fetchall()
-        elapsed = time.perf_counter() - start
-        timings[name] = round(elapsed, 4)
-        total += elapsed
+    for _pass in range(2):
+        for name, sql in E.oracle_sql().items():
+            start = time.perf_counter()
+            con.execute(sql).fetchall()
+            elapsed = time.perf_counter() - start
+            if name not in timings or elapsed < timings[name]:
+                timings[name] = round(elapsed, 4)
+    total = sum(timings.values())
     print(
         json.dumps(
             {
