@@ -1396,6 +1396,27 @@ def llm_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.rolling_fingerprint(docs)
 
 
+def llm_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter: top-word fraction and duplicate
+    2-gram fraction per document, with an over-threshold removal flag."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.repetition_stats(docs)
+
+
+_LLM_REPETITION_SQL = TX.repetition_stats_sql()
+
+
+def llm_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 salient terms: corpus document frequency
+    broadcast back onto per-doc term counts, ranked by df-normalized
+    frequency (deterministic tie-break on term)."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.tfidf_top_terms(docs, k=3)
+
+
+_LLM_TFIDF_SQL = TX.tfidf_top_terms_sql(k=3)
+
+
 def llm_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via random-hyperplane LSH buckets + exact re-rank — the scale
     path next to llm_ann_cosine_topk's brute-force baseline."""
@@ -1554,6 +1575,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_train_split": llm_train_split,
         "llm_weighted_sample": llm_weighted_sample,
         "llm_rolling_fingerprint": llm_rolling_fingerprint,
+        "llm_repetition_filter": llm_repetition_filter,
+        "llm_tfidf_top_terms": llm_tfidf_top_terms,
         "llm_ann_lsh_topk": llm_ann_lsh_topk,
         "llm_ann_ivf_topk": llm_ann_ivf_topk,
         "llm_embedding_near_dups": llm_embedding_near_dups,
@@ -1621,6 +1644,8 @@ def oracle_sql() -> dict[str, str]:
         "llm_train_split": TX.train_split_sql(),
         "llm_weighted_sample": TX.weighted_sample_sql(k=50),
         "llm_rolling_fingerprint": TX.rolling_fingerprint_sql(),
+        "llm_repetition_filter": _LLM_REPETITION_SQL,
+        "llm_tfidf_top_terms": _LLM_TFIDF_SQL,
         "llm_ann_lsh_topk": SIM.lsh_bucketed_topk_sql("vec_id < 5", k=10),
         "llm_ann_ivf_topk": SIM.ivf_topk_sql("vec_id < 5", k=10),
         "llm_embedding_near_dups": _LLM_EMB_NEAR_DUPS_SQL,

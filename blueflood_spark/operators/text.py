@@ -250,3 +250,150 @@ SELECT doc_id,
                 t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT))) AS max_token_hash
 FROM documents
 """
+
+
+def repetition_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_word_max: float = 0.2,
+    dup_2gram_max: float = 0.6,
+) -> DataFrame:
+    """Gopher-style repetition signals per document: fraction of all words
+    taken by the single most frequent word, and the fraction of word
+    2-grams that are repeats of an earlier 2-gram. Documents exceeding
+    either threshold are flagged for removal (the repetition-filter rules
+    of Rae et al. 2021, word/n-gram variants).
+
+    One explode + two-level aggregation per signal; the per-doc group is
+    the shuffle key, so this scales with corpus splits."""
+    words = docs.select("doc_id", F.explode(F.split(F.col(text_col), " ")).alias("w"))
+    word_stats = (
+        words.groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.max("c").alias("top_word_count"),
+        )
+    )
+    toks = F.split(F.col(text_col), " ")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+            )
+        ).alias("g"),
+    )
+    gram_stats = (
+        grams.groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_2grams"),
+            F.count(F.lit(1)).alias("distinct_2grams"),
+        )
+    )
+    top_frac = F.col("top_word_count").cast("double") / F.col("n_words")
+    dup_frac = (F.col("n_2grams") - F.col("distinct_2grams")).cast("double") / F.col("n_2grams")
+    return (
+        word_stats.join(gram_stats, "doc_id")
+        .select(
+            "doc_id",
+            "n_words",
+            top_frac.alias("top_word_frac"),
+            dup_frac.alias("dup_2gram_frac"),
+            ((top_frac > top_word_max) | (dup_frac > dup_2gram_max)).alias("flagged"),
+        )
+    )
+
+
+def repetition_stats_sql(top_word_max: float = 0.2, dup_2gram_max: float = 0.6) -> str:
+    return f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+word_stats AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words, max(c) AS top_word_count
+  FROM (SELECT doc_id, w, count(*) AS c FROM words GROUP BY 1, 2)
+  GROUP BY doc_id
+),
+grams AS (
+  SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS g
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       UNNEST(range(1, greatest(len(toks) - 1, 1) + 1)) AS t(i)
+),
+gram_stats AS (
+  SELECT doc_id, sum(c) AS n_2grams, count(*) AS distinct_2grams
+  FROM (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2)
+  GROUP BY doc_id
+)
+SELECT w.doc_id, w.n_words,
+       CAST(w.top_word_count AS DOUBLE) / w.n_words AS top_word_frac,
+       CAST(g.n_2grams - g.distinct_2grams AS DOUBLE) / g.n_2grams AS dup_2gram_frac,
+       (CAST(w.top_word_count AS DOUBLE) / w.n_words > {top_word_max}
+        OR CAST(g.n_2grams - g.distinct_2grams AS DOUBLE) / g.n_2grams > {dup_2gram_max})
+       AS flagged
+FROM word_stats w JOIN gram_stats g ON w.doc_id = g.doc_id
+"""
+
+
+def tfidf_top_terms(docs: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+    """Top-k salient terms per document: rank terms by df-normalized term
+    frequency (tf/df — exactly-rounded IEEE division, so the ranking is
+    bit-identical across engines; ln-based tf-idf is emitted as a scored
+    column but deliberately NOT the sort key, since libm ln may differ in
+    the last ulp between engines on mathematically-tied inputs).
+
+    Corpus plan: one explode → per-(doc,term) counts; document frequency
+    from a second small agg over distinct (doc,term), broadcast back; the
+    per-doc top-k is a window over the doc partition key."""
+    from pyspark.sql import Window
+
+    words = docs.select("doc_id", F.explode(F.split(F.col(text_col), " ")).alias("term"))
+    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.countDistinct("doc_id").alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(
+        (F.col("tf").cast("double") / F.col("df")).desc(), F.col("term").asc()
+    )
+    return (
+        tf.join(F.broadcast(df_tbl), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            "rank",
+            (F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))).alias("tfidf"),
+        )
+    )
+
+
+def tfidf_top_terms_sql(k: int = 3) -> str:
+    return f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM words GROUP BY 1, 2
+),
+df AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+ranked AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         CAST(row_number() OVER (
+           PARTITION BY t.doc_id
+           ORDER BY CAST(t.tf AS DOUBLE) / d.df DESC, t.term ASC
+         ) AS INTEGER) AS rank,
+         t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df) AS tfidf
+  FROM tf t JOIN df d ON t.term = d.term, n
+)
+SELECT doc_id, term, tf, df, rank, tfidf FROM ranked WHERE rank <= {k}
+"""

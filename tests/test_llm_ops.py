@@ -181,3 +181,39 @@ def test_connected_components_clusters(spark):
     out = {r["doc_id"]: r["cluster_id"] for r in
            D.connected_components(pairs, ids).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_repetition_stats_flags(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a a a a a a a"),            # one word repeated: both signals max
+            (2, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"), # all distinct: no repetition
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in TX.repetition_stats(docs).collect()}
+    assert out[1]["top_word_frac"] == 1.0 and out[1]["dup_2gram_frac"] == 1.0 - 1 / 9
+    assert out[1]["flagged"] is True
+    assert out[2]["top_word_frac"] == 0.1 and out[2]["dup_2gram_frac"] == 0.0
+    assert out[2]["flagged"] is False
+
+
+def test_tfidf_top_terms_ranking(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "rare rare common"),
+            (2, "common common other"),
+            (3, "common other other"),
+        ],
+        "doc_id long, text string",
+    )
+    out = TX.tfidf_top_terms(docs, k=1).collect()
+    top = {r["doc_id"]: r for r in out}
+    # doc 1: 'rare' tf=2 df=1 → tf/df=2 beats 'common' (tf=1 df=3)
+    assert top[1]["term"] == "rare" and top[1]["tf"] == 2 and top[1]["df"] == 1
+    # tfidf = tf * ln(n_docs/df) = 2*ln(3)
+    assert abs(top[1]["tfidf"] - 2 * math.log(3.0)) < 1e-12
+    # doc 2: 'common' tf=2 df=3 → 2/3 beats 'other' tf=1 df=2 (1/2)
+    assert top[2]["term"] == "common"
+    # doc 3: 'other' tf=2 df=2 → 1.0 beats 'common' 1/3
+    assert top[3]["term"] == "other"
