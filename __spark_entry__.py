@@ -1417,6 +1417,26 @@ def llm_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LLM_TFIDF_SQL = TX.tfidf_top_terms_sql(k=3)
 
 
+def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs whose distinct word
+    8-grams overlap a held-out eval set (every 50th doc) above 10%."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.decontaminate(docs, F.col("doc_id") % 50 == 0)
+
+
+_LLM_DECONTAM_SQL = D.decontaminate_sql("doc_id % 50 = 0")
+
+
+def llm_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction with per-doc counts (emails, IPv4); patterns valid in
+    both Java regex and RE2 so the oracle runs the same expressions."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.pii_redact(docs)
+
+
+_LLM_PII_SQL = TX.pii_redact_sql()
+
+
 def llm_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via random-hyperplane LSH buckets + exact re-rank — the scale
     path next to llm_ann_cosine_topk's brute-force baseline."""
@@ -1577,6 +1597,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_rolling_fingerprint": llm_rolling_fingerprint,
         "llm_repetition_filter": llm_repetition_filter,
         "llm_tfidf_top_terms": llm_tfidf_top_terms,
+        "llm_decontaminate": llm_decontaminate,
+        "llm_pii_redact": llm_pii_redact,
         "llm_ann_lsh_topk": llm_ann_lsh_topk,
         "llm_ann_ivf_topk": llm_ann_ivf_topk,
         "llm_embedding_near_dups": llm_embedding_near_dups,
@@ -1646,6 +1668,8 @@ def oracle_sql() -> dict[str, str]:
         "llm_rolling_fingerprint": TX.rolling_fingerprint_sql(),
         "llm_repetition_filter": _LLM_REPETITION_SQL,
         "llm_tfidf_top_terms": _LLM_TFIDF_SQL,
+        "llm_decontaminate": _LLM_DECONTAM_SQL,
+        "llm_pii_redact": _LLM_PII_SQL,
         "llm_ann_lsh_topk": SIM.lsh_bucketed_topk_sql("vec_id < 5", k=10),
         "llm_ann_ivf_topk": SIM.ivf_topk_sql("vec_id < 5", k=10),
         "llm_embedding_near_dups": _LLM_EMB_NEAR_DUPS_SQL,

@@ -502,3 +502,75 @@ JOIN sizes sa ON pairs.doc_a = sa.doc_id
 JOIN sizes sb ON pairs.doc_b = sb.doc_id
 WHERE CAST(inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - inter) >= {threshold}
 """
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def decontaminate(
+    docs: DataFrame,
+    eval_pred,
+    text_col: str = "text",
+    k: int = 8,
+    flag_threshold: float = 0.1,
+) -> DataFrame:
+    """Training-set decontamination: fraction of each training document's
+    distinct word k-grams that also appear in ANY held-out eval document
+    (eval set selected by `eval_pred` on the docs frame). Docs over the
+    threshold are flagged for removal.
+
+    Scale shape: k-grams join on a 64-bit hash key (shuffle carries 16
+    bytes/gram, never text); the eval-side gram set is tiny and broadcast,
+    so the corpus side never shuffles at all."""
+    grams = docs.select(
+        "doc_id",
+        eval_pred.alias("is_eval"),
+        F.explode(shingles_expr(text_col, k)).alias("shingle"),
+    ).select("doc_id", "is_eval", F.xxhash64("shingle").alias("gk"))
+    eval_grams = grams.filter(F.col("is_eval")).select("gk").distinct()
+    train = grams.filter(~F.col("is_eval"))
+    totals = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    overlap = (
+        train.join(F.broadcast(eval_grams), "gk")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    frac = F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("double") / F.col("n_grams")
+    return (
+        totals.join(overlap, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_contaminated"), F.lit(0)).alias("n_contaminated"),
+            frac.alias("contamination_frac"),
+            (frac >= flag_threshold).alias("flagged"),
+        )
+    )
+
+
+def decontaminate_sql(
+    eval_pred_sql: str, k: int = 8, flag_threshold: float = 0.1
+) -> str:
+    # equality-only hash join: DuckDB uses its own hash() where Spark uses
+    # xxhash64 — results depend only on gram equality (both collision-free
+    # at these cardinalities), per the oracle-portability pattern
+    return f"""
+WITH grams AS (
+  SELECT doc_id, ({eval_pred_sql}) AS is_eval, hash(shingle) AS gk
+  FROM ({_shingle_sql(k)})
+),
+eval_grams AS (SELECT DISTINCT gk FROM grams WHERE is_eval),
+train AS (SELECT * FROM grams WHERE NOT is_eval),
+totals AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM train GROUP BY doc_id),
+overlap AS (
+  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+  FROM train t JOIN eval_grams e ON t.gk = e.gk
+  GROUP BY t.doc_id
+)
+SELECT t.doc_id, t.n_grams,
+       CAST(coalesce(o.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       CAST(coalesce(o.n_contaminated, 0) AS DOUBLE) / t.n_grams AS contamination_frac,
+       (CAST(coalesce(o.n_contaminated, 0) AS DOUBLE) / t.n_grams >= {flag_threshold}) AS flagged
+FROM totals t LEFT JOIN overlap o ON t.doc_id = o.doc_id
+"""

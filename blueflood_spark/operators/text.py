@@ -397,3 +397,38 @@ ranked AS (
 )
 SELECT doc_id, term, tf, df, rank, tfidf FROM ranked WHERE rank <= {k}
 """
+
+
+# PII patterns kept to syntax valid in BOTH Java regex (Spark) and RE2
+# (DuckDB): no backrefs, no lookaround.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction pass: replace emails and IPv4 literals with typed
+    placeholder tokens, reporting per-doc redaction counts. Pure per-row
+    regexp work — embarrassingly parallel, no shuffle."""
+    txt = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(txt, F.lit(PII_EMAIL), 0))
+    n_ips = F.size(F.regexp_extract_all(txt, F.lit(PII_IPV4), 0))
+    clean = F.regexp_replace(
+        F.regexp_replace(txt, PII_EMAIL, "<EMAIL>"), PII_IPV4, "<IP>"
+    )
+    return docs.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        n_emails.alias("n_emails"),
+        n_ips.alias("n_ips"),
+    )
+
+
+def pii_redact_sql() -> str:
+    return rf"""
+SELECT doc_id,
+       regexp_replace(regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g'),
+                      '{PII_IPV4}', '<IP>', 'g') AS clean_text,
+       len(regexp_extract_all(text, '{PII_EMAIL}')) AS n_emails,
+       len(regexp_extract_all(text, '{PII_IPV4}')) AS n_ips
+FROM documents
+"""

@@ -217,3 +217,32 @@ def test_tfidf_top_terms_ranking(spark):
     assert top[2]["term"] == "common"
     # doc 3: 'other' tf=2 df=2 → 1.0 beats 'common' 1/3
     assert top[3]["term"] == "other"
+
+
+def test_decontaminate_overlap(spark):
+    # doc 0 is the eval set; doc 1 repeats its text (fully contaminated),
+    # doc 2 shares nothing
+    docs = spark.createDataFrame(
+        [
+            (0, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+            (1, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+            (2, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           D.decontaminate(docs, F.col("doc_id") == 0, k=8).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["contamination_frac"] == 1.0 and out[1]["flagged"] is True
+    assert out[2]["n_contaminated"] == 0 and out[2]["flagged"] is False
+
+
+def test_pii_redact(spark):
+    docs = spark.createDataFrame(
+        [(1, "mail bob@example.com and host 10.0.0.1 end"), (2, "clean")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in TX.pii_redact(docs).collect()}
+    assert out[1]["clean_text"] == "mail <EMAIL> and host <IP> end"
+    assert out[1]["n_emails"] == 1 and out[1]["n_ips"] == 1
+    assert out[2]["clean_text"] == "clean" and out[2]["n_emails"] == 0
