@@ -1171,6 +1171,52 @@ def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LLM_JACCARD_SQL = D.ngram_jaccard_pairs_sql(threshold=0.12)
 
 
+def bf_multi_series_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 multi-series fetch: N requested locators × time range resolved
+    in one scan via a semi-filter on the requested-name set (the POST
+    /views body; MetricsRWDelegator.java:79-113, semi-join mapping
+    SURVEY §2.4). Names inline as isin ≈ broadcast semi-join."""
+    requested = [
+        ("t0", "events.click.value"),
+        ("t1", "events.purchase.value"),
+        ("t2", "events.view.value"),
+    ]
+    raw = _raw_metrics(spark, sf_dir)
+    from_ms, to_ms = 1704067200000, 1704499199999
+    pred = F.concat_ws("|", "tenant_id", "metric_name").isin(
+        [f"{t}|{m}" for t, m in requested]
+    )
+    r60 = R.basic_from_raw(raw.filter(pred), G.MIN_60)
+    return r60.filter(
+        (F.col("window_start") >= from_ms) & (F.col("window_start") <= to_ms)
+    ).select(
+        "tenant_id",
+        "metric_name",
+        "window_start",
+        "num_points",
+        F.col("avg").alias("avg_val"),
+        F.col("min").alias("min_val"),
+        F.col("max").alias("max_val"),
+    )
+
+
+_BF_MULTI_SERIES_SQL = _RAW_CTE + """
+SELECT * FROM (
+  SELECT tenant_id, metric_name,
+         (ts // 3600000) * 3600000 AS window_start,
+         count(*) AS num_points, avg(value) AS avg_val,
+         min(value) AS min_val, max(value) AS max_val
+  FROM raw
+  WHERE (tenant_id, metric_name) IN (
+    ('t0', 'events.click.value'),
+    ('t1', 'events.purchase.value'),
+    ('t2', 'events.view.value'))
+  GROUP BY 1, 2, 3
+)
+WHERE window_start BETWEEN 1704067200000 AND 1704499199999
+"""
+
+
 def bf_gapfill_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-filled series: every 60m window in the range exists per series,
     with NULL stats where no data landed (the reference emits null-stat
@@ -1576,6 +1622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bf_range_join": bf_range_join,
         "bf_sessionize": bf_sessionize,
         "bf_units_enrichment": bf_units_enrichment,
+        "bf_multi_series_fetch": bf_multi_series_fetch,
         "bf_anomaly_zscore": bf_anomaly_zscore,
         "bf_gapfill_series": bf_gapfill_series,
         "bf_repair_on_read": bf_repair_on_read,
@@ -1647,6 +1694,7 @@ def oracle_sql() -> dict[str, str]:
         "bf_range_join": _BF_RANGE_JOIN_SQL,
         "bf_sessionize": _BF_SESSIONIZE_SQL,
         "bf_units_enrichment": _BF_UNITS_SQL,
+        "bf_multi_series_fetch": _BF_MULTI_SERIES_SQL,
         "bf_anomaly_zscore": _BF_ANOMALY_SQL,
         "bf_gapfill_series": _BF_GAPFILL_SQL,
         "bf_repair_on_read": _BF_REPAIR_SQL,
