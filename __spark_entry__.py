@@ -99,7 +99,8 @@ _R5_CTE = _RAW_CTE + """
          var_pop(value)          AS var_pop_val,
          min(value)              AS min_val,
          max(value)              AS max_val,
-         sum(value)              AS sum_val
+         sum(value)              AS sum_val,
+         sum(value * value)      AS sum_sq_val
   FROM raw
   GROUP BY 1, 2, 3
 )
@@ -483,9 +484,10 @@ _BF_BASIC_MERGE_20M_SQL = _R5_CTE + """
 SELECT tenant_id, metric_name,
        (window_start // 1200000) * 1200000 AS window_start,
        CAST(sum(num_points) AS BIGINT) AS num_points,
-       sum(num_points * avg_val) / sum(num_points) AS avg_val,
-       sum(num_points * (var_pop_val + avg_val * avg_val)) / sum(num_points)
-         - power(sum(num_points * avg_val) / sum(num_points), 2) AS var_pop_val,
+       sum(sum_val) / CAST(sum(num_points) AS DOUBLE) AS avg_val,
+       greatest(0.0, sum(sum_sq_val) / CAST(sum(num_points) AS DOUBLE)
+         - (sum(sum_val) / CAST(sum(num_points) AS DOUBLE))
+         * (sum(sum_val) / CAST(sum(num_points) AS DOUBLE))) AS var_pop_val,
        min(min_val) AS min_val,
        max(max_val) AS max_val,
        sum(sum_val) AS sum_val
@@ -515,14 +517,13 @@ _BF_CASCADE_60M_SQL = _R5_CTE + """
   SELECT tenant_id, metric_name,
          (window_start // 1200000) * 1200000 AS window_start,
          CAST(sum(num_points) AS BIGINT) AS num_points,
-         sum(num_points * avg_val) / sum(num_points) AS avg_val,
          min(min_val) AS min_val, max(max_val) AS max_val, sum(sum_val) AS sum_val
   FROM r5 GROUP BY 1, 2, 3
 )
 SELECT tenant_id, metric_name,
        (window_start // 3600000) * 3600000 AS window_start,
        CAST(sum(num_points) AS BIGINT) AS num_points,
-       sum(num_points * avg_val) / sum(num_points) AS avg_val,
+       sum(sum_val) / CAST(sum(num_points) AS DOUBLE) AS avg_val,
        min(min_val) AS min_val, max(max_val) AS max_val, sum(sum_val) AS sum_val
 FROM r20 GROUP BY 1, 2, 3
 """
@@ -634,6 +635,7 @@ def bf_timer_merge_20m(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(v).alias("count"),
             F.sum(v).alias("sum"),
+            F.sum(v * v).alias("sum_sq"),
             safe_div(F.count(v).cast("double"), (F.max(ts) - F.min(ts)).cast("double")).alias("rate"),
             F.count(v).alias("sample_count"),
             F.min(v).alias("min"),
@@ -685,7 +687,7 @@ SELECT tenant_id, metric_name,
        CAST(sum(sample_count) AS BIGINT) AS sample_count,
        min(min) AS min_val,
        max(max) AS max_val,
-       sum(count * avg) / sum(count) AS avg_val,
+       sum(sum) / CAST(sum(count) AS DOUBLE) AS avg_val,
        avg(pct_50) AS pct_50,
        avg(pct_95) AS pct_95
 FROM t5 GROUP BY 1, 2, 3

@@ -12,10 +12,15 @@ Semantics re-expressed from the reference:
   BaseRollup.java:131-149, Variance.java:67-76 — Welford ≡ Spark's
   numerically-stable var_pop partials).
 - Basic merge (finer→coarser): counts/sums add, count-weighted mean, pooled
-  population variance (BasicRollup.java:79-99, Variance.java:90-145). We use
-  the one-pass algebraic form E[x²]-E[x]² over child (n, μ, σ²) partials,
-  which equals the reference's two-pass grand-mean formula in exact
-  arithmetic.
+  population variance (BasicRollup.java:79-99, Variance.java:90-145). We
+  carry exact raw moments (n, Σx, Σx²) through every level — plain sums
+  that both engines (and any re-ordering of partials) compute bit-
+  identically — and derive avg = Σx/n, var = max(0, Σx²/n − avg²) at each
+  output. This is deterministic across engines and merge orders, unlike
+  recomposing E[x²] from child (avg, var) pairs, whose catastrophic
+  cancellation made merged variance differ in the last ulps between
+  engines (round-1 driver hash failure on bf_basic_merge_20m). The
+  greatest(0, ·) guard mirrors the reference's two-pass form being ≥ 0.
 - Counter: count=Σvalue, rate=count/(maxTs-minTs), sampleCount=n
   (BluefloodCounterRollup.java:86-99); merge adds counts and combines rates
   harmonically rate=Σcount/Σ(countᵢ/rateᵢ) with safeDiv semantics
@@ -71,7 +76,11 @@ def basic_from_raw(
     value_col: str = "value",
     keys: Sequence[str] = KEYS,
 ) -> DataFrame:
-    """A1 BasicFromRaw: one windowed aggregation, all built-ins."""
+    """A1 BasicFromRaw: one windowed aggregation, all built-ins.
+
+    Also emits sum_sq = Σx² so coarser merges (A2) can pool variance from
+    exact moments instead of recomposing E[x²] from (avg, var) children.
+    """
     v = F.col(value_col)
     return (
         _grouped(df, gran, ts_col, keys)
@@ -82,6 +91,7 @@ def basic_from_raw(
             F.min(v).alias("min"),
             F.max(v).alias("max"),
             F.sum(v).alias("sum"),
+            F.sum(v * v).alias("sum_sq"),
         )
         .withColumn("resolution", F.lit(gran.name))
     )
@@ -94,23 +104,26 @@ def basic_merge(
 ) -> DataFrame:
     """A2 BasicFromBasic: merge finer rollups into coarser windows.
 
-    Pooled population variance in one pass over (n, avg, var) children:
-      E[x²] = Σ nᵢ(varᵢ + avgᵢ²) / N ;  var = E[x²] − (Σ nᵢavgᵢ / N)²
+    Moments form (BasicRollup.java:79-99, Variance.java:90-145): children
+    carry exact (n, Σx, Σx²); the merge is three plain sums plus two
+    divisions at output — deterministic across engines and merge orders.
+      avg = Σx / N ;  var = max(0, Σx² / N − avg²)
+    Count-weighted mean Σnᵢavgᵢ/N equals Σx/N exactly when avgᵢ = Σxᵢ/nᵢ.
     """
-    n = F.col("num_points")
-    total_n = F.sum(n)
+    total_n = F.sum("num_points")
+    sx = F.sum("sum")
+    sxx = F.sum("sum_sq")
+    avg = safe_div(sx, total_n)
     merged = (
         _grouped(partials, gran, "window_start", keys)
         .agg(
             total_n.alias("num_points"),
-            safe_div(F.sum(n * F.col("avg")), total_n).alias("avg"),
-            (
-                safe_div(F.sum(n * (F.col("var_pop") + F.col("avg") * F.col("avg"))), total_n)
-                - F.pow(safe_div(F.sum(n * F.col("avg")), total_n), F.lit(2))
-            ).alias("var_pop"),
+            avg.alias("avg"),
+            F.greatest(F.lit(0.0), safe_div(sxx, total_n) - avg * avg).alias("var_pop"),
             F.min("min").alias("min"),
             F.max("max").alias("max"),
-            F.sum("sum").alias("sum"),
+            sx.alias("sum"),
+            sxx.alias("sum_sq"),
         )
         .withColumn("resolution", F.lit(gran.name))
     )
@@ -221,6 +234,7 @@ def gauge_from_raw(
             F.min(v).alias("min"),
             F.max(v).alias("max"),
             F.sum(v).alias("sum"),
+            F.sum(v * v).alias("sum_sq"),
             latest.alias("_latest"),
         )
         .select(
@@ -232,6 +246,7 @@ def gauge_from_raw(
             "min",
             "max",
             "sum",
+            "sum_sq",
             F.col("_latest.ts").alias("latest_ts"),
             F.col("_latest.value").alias("latest_value"),
         )
@@ -271,25 +286,28 @@ def timer_merge(
 ) -> DataFrame:
     """A3 TimerFromTimer merge (BluefloodTimerRollup.java:211-256).
 
-    Input columns: window_start, count, sum, rate, sample_count, min, max,
-    avg, var_pop, and optionally pct_<label> child percentile means.
-    Percentile merge is the reference's deliberate UNWEIGHTED mean of child
-    means (BluefloodTimerRollup.java:241-254) — F.avg, not count-weighted.
+    Input columns: window_start, count, sum, sum_sq, rate, sample_count,
+    min, max, avg, var_pop, and optionally pct_<label> child percentile
+    means. avg/var merge from exact moments (see basic_merge — same
+    determinism argument). Percentile merge is the reference's deliberate
+    UNWEIGHTED mean of child means (BluefloodTimerRollup.java:241-254) —
+    F.avg, not count-weighted.
     """
     cnt = F.col("count")
     total = F.sum(cnt)
+    sx = F.sum("sum")
+    sxx = F.sum("sum_sq")
+    avg = safe_div(sx, total)
     aggs = [
         total.alias("count"),
-        F.sum("sum").alias("sum"),
+        sx.alias("sum"),
+        sxx.alias("sum_sq"),
         safe_div(F.sum(cnt), F.sum(safe_div(cnt, F.col("rate")))).alias("rate"),
         F.sum("sample_count").alias("sample_count"),
         F.min("min").alias("min"),
         F.max("max").alias("max"),
-        safe_div(F.sum(cnt * F.col("avg")), total).alias("avg"),
-        (
-            safe_div(F.sum(cnt * (F.col("var_pop") + F.col("avg") * F.col("avg"))), total)
-            - F.pow(safe_div(F.sum(cnt * F.col("avg")), total), F.lit(2))
-        ).alias("var_pop"),
+        avg.alias("avg"),
+        F.greatest(F.lit(0.0), safe_div(sxx, total) - avg * avg).alias("var_pop"),
     ]
     for label in percentile_labels:
         aggs.append(F.avg(F.col(f"pct_{label}")).alias(f"pct_{label}"))
@@ -331,6 +349,7 @@ def basic_from_raw_salted(
         F.min(v).alias("min"),
         F.max(v).alias("max"),
         F.sum(v).alias("sum"),
+        F.sum(v * v).alias("sum_sq"),
     )
     return basic_merge(partials.drop("_salt"), gran, keys)
 
@@ -340,22 +359,23 @@ def gauge_merge(
     gran: G.Granularity,
     keys: Sequence[str] = KEYS,
 ) -> DataFrame:
-    """A6 GaugeFromGauge: basic-stat merge + latest carried as the max
-    (ts, value) struct across children (BluefloodGaugeRollup.java:64-96)."""
-    n = F.col("num_points")
-    total_n = F.sum(n)
+    """A6 GaugeFromGauge: basic-stat merge (exact moments, see basic_merge)
+    + latest carried as the max (ts, value) struct across children
+    (BluefloodGaugeRollup.java:64-96)."""
+    total_n = F.sum("num_points")
+    sx = F.sum("sum")
+    sxx = F.sum("sum_sq")
+    avg = safe_div(sx, total_n)
     return (
         _grouped(partials, gran, "window_start", keys)
         .agg(
             total_n.alias("num_points"),
-            safe_div(F.sum(n * F.col("avg")), total_n).alias("avg"),
-            (
-                safe_div(F.sum(n * (F.col("var_pop") + F.col("avg") * F.col("avg"))), total_n)
-                - F.pow(safe_div(F.sum(n * F.col("avg")), total_n), F.lit(2))
-            ).alias("var_pop"),
+            avg.alias("avg"),
+            F.greatest(F.lit(0.0), safe_div(sxx, total_n) - avg * avg).alias("var_pop"),
             F.min("min").alias("min"),
             F.max("max").alias("max"),
-            F.sum("sum").alias("sum"),
+            sx.alias("sum"),
+            sxx.alias("sum_sq"),
             F.max(F.struct(F.col("latest_ts").alias("ts"), F.col("latest_value").alias("value"))).alias(
                 "_latest"
             ),
@@ -369,6 +389,7 @@ def gauge_merge(
             "min",
             "max",
             "sum",
+            "sum_sq",
             F.col("_latest.ts").alias("latest_ts"),
             F.col("_latest.value").alias("latest_value"),
         )
@@ -428,6 +449,7 @@ def preagg_to_finest(preagg: DataFrame, gran: G.Granularity = G.MIN_5) -> dict[s
             F.col("gauge_value").alias("min"),
             F.col("gauge_value").alias("max"),
             F.col("gauge_value").alias("sum"),
+            (F.col("gauge_value") * F.col("gauge_value")).alias("sum_sq"),
             F.col("ts").alias("latest_ts"),
             F.col("gauge_value").alias("latest_value"),
         )
@@ -440,6 +462,13 @@ def preagg_to_finest(preagg: DataFrame, gran: G.Granularity = G.MIN_5) -> dict[s
             ws.alias("window_start"),
             F.col("timer_count").alias("count"),
             F.col("timer_sum").alias("sum"),
+            # Recompose Σx² = n·(σ² + μ²) once at ingestion (the preagg
+            # sample arrives as (avg, std), not raw moments); every merge
+            # after this point is an exact sum.
+            (
+                F.col("timer_count")
+                * (F.col("timer_std") * F.col("timer_std") + F.col("timer_avg") * F.col("timer_avg"))
+            ).alias("sum_sq"),
             F.col("timer_rate").alias("rate"),
             F.lit(1).cast("long").alias("sample_count"),
             F.col("timer_min").alias("min"),

@@ -71,6 +71,10 @@ ROLLUPS = T.StructType(
         T.StructField("rollup_type", T.StringType(), False),  # basic|timer|counter|gauge|set
         T.StructField("num_points", T.LongType(), True),
         T.StructField("sum", T.DoubleType(), True),
+        # Σx² raw moment: carried so coarser merges pool variance exactly
+        # (see operators/rollup.basic_merge) instead of recomposing from
+        # (avg, var) with catastrophic cancellation.
+        T.StructField("sum_sq", T.DoubleType(), True),
         T.StructField("avg", T.DoubleType(), True),
         T.StructField("min", T.DoubleType(), True),
         T.StructField("max", T.DoubleType(), True),

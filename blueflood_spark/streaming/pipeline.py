@@ -127,6 +127,7 @@ def start_streaming_rollup(
             F.min("value").alias("min"),
             F.max("value").alias("max"),
             F.sum("value").alias("sum"),
+            F.sum(F.col("value") * F.col("value")).alias("sum_sq"),
         )
         .select(
             "tenant_id",
@@ -139,6 +140,7 @@ def start_streaming_rollup(
             "min",
             "max",
             "sum",
+            "sum_sq",
         )
     )
     writer = (

@@ -107,11 +107,11 @@ def test_timer_merge_unweighted_percentiles(spark):
     # UNWEIGHTED mean of child means (BluefloodTimerRollup.java:241-254)
     t5 = spark.createDataFrame(
         [
-            ("t1", "m.t", 0, 10, 100.0, 2.0, 10, 1.0, 20.0, 10.0, 4.0, 5.0),
-            ("t1", "m.t", 300_000, 90, 900.0, 3.0, 90, 2.0, 30.0, 10.0, 9.0, 7.0),
+            ("t1", "m.t", 0, 10, 100.0, 1040.0, 2.0, 10, 1.0, 20.0, 10.0, 4.0, 5.0),
+            ("t1", "m.t", 300_000, 90, 900.0, 9810.0, 3.0, 90, 2.0, 30.0, 10.0, 9.0, 7.0),
         ],
         "tenant_id string, metric_name string, window_start long, count long, sum double,"
-        " rate double, sample_count long, min double, max double, avg double,"
+        " sum_sq double, rate double, sample_count long, min double, max double, avg double,"
         " var_pop double, pct_50 double",
     )
     row = R.timer_merge(t5, G.MIN_20, percentile_labels=("50",)).collect()[0]
@@ -122,6 +122,20 @@ def test_timer_merge_unweighted_percentiles(spark):
     assert math.isclose(row["rate"], 100 / 35.0)
     assert row["min"] == 1.0 and row["max"] == 30.0
     assert math.isclose(row["avg"], 10.0)
+    # pooled var from moments: Σx²/N − avg² = 10850/100 − 100 = 8.5
+    assert math.isclose(row["var_pop"], 8.5)
+
+
+def test_merge_variance_never_negative(spark):
+    # Constant-valued series: true variance is exactly 0 at every level.
+    # The moments form + greatest(0, ·) guard must yield 0.0, never a
+    # cancellation-noise negative (round-1 driver-hash failure class).
+    rows = [("t1", "m.c", i * MIN, 3.7) for i in range(40)]
+    r5 = R.basic_from_raw(raw_df(spark, rows), G.MIN_5)
+    for row in R.basic_merge(r5, G.MIN_20).collect():
+        assert row["var_pop"] >= 0.0
+        assert math.copysign(1.0, row["var_pop"]) > 0  # no -0.0
+        assert row["var_pop"] < 1e-9
 
 
 def test_merge_percentile_maps(spark):
