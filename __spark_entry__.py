@@ -154,8 +154,11 @@ def q03_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < _ntz("2024-06-01"))
     li = _t(spark, sf_dir, "lineitem")
+    # no broadcast hint on orders: it is fact-sized, and a forced hint
+    # would OOM the build side at 100× — AQE picks the join strategy
+    # (customer stays hinted: a filtered true dimension)
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
@@ -361,7 +364,8 @@ def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: revenue by returnflag × order-status columns."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
-    joined = li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey).select(
+    # orders is fact-sized — let AQE choose the join (see q03 note)
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
         "l_returnflag",
         "o_orderstatus",
         (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
@@ -1391,8 +1395,9 @@ def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def llm_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dups: byte-bucket pigeonhole candidates + hamming ≤ 8
-    verify (max_hamming widened so the synthetic corpus yields rows)."""
+    """SimHash near-dups: 9-segment pigeonhole candidates (complete for
+    hamming ≤ 8) + exact hamming verify; the oracle is an exhaustive
+    O(n²) join, so recall is checked, not mirrored."""
     docs = _t(spark, sf_dir, "documents")
     return D.simhash_near_pairs(docs, max_hamming=8)
 

@@ -187,9 +187,12 @@ def weighted_sample(
     """Deterministic weighted sampling without replacement (Efraimidis-
     Spirakis A-Res): key = u^(1/w) with u drawn from an md5-derived
     uniform — reproducible across runs/engines/partitionings, unlike
-    rand(). Selection = global top-k by key: one partial top-k per
-    partition + tiny final merge, no full sort at scale (Spark's
-    orderBy+limit plan is exactly that: TakeOrderedAndProject)."""
+    rand(). Selection = global top-k by key via orderBy(...).limit(k),
+    which Catalyst plans as TakeOrderedAndProject: one partial top-k per
+    partition + a tiny k·partitions final merge on the driver — no
+    single-partition global sort (a Window.orderBy with no partitionBy
+    would funnel the whole corpus into one task; round-1 scale-killer).
+    Rank is derived AFTER the limit, over only k rows."""
     from pyspark.sql.window import Window
 
     u = (
@@ -199,11 +202,12 @@ def weighted_sample(
     )
     key = F.pow(u, 1.0 / F.col(weight_col).cast("double"))
     ranked = docs.select(id_col, F.col(weight_col).alias("weight"), key.alias("samp_key"))
+    topk = ranked.orderBy(F.col("samp_key").desc(), F.col(id_col)).limit(k)
+    # window over ≤ k rows (post-limit) — cost is negligible and the plan
+    # upstream of it is TakeOrderedAndProject, not a global sort
     w = Window.orderBy(F.col("samp_key").desc(), F.col(id_col))
-    return (
-        ranked.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(id_col, "weight", "samp_key", "rank")
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        id_col, "weight", "samp_key", "rank"
     )
 
 

@@ -61,6 +61,33 @@ def test_simhash_near_pairs(spark, docs):
     assert pairs[(0, 2)] == 0
 
 
+@pytest.mark.parametrize("max_hamming,bits", [(3, 32), (8, 32), (8, 60)])
+def test_simhash_near_pairs_complete(spark, max_hamming, bits):
+    """Pigeonhole recall vs exhaustive O(n²) hamming join — every true
+    pair within the budget must be produced (round-1 bug: the fixed
+    4-byte scheme lost pairs for max_hamming > 3)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in
+           D.simhash_near_pairs(docs, max_hamming=max_hamming, bits=bits).collect()}
+    fps = D.simhash(docs, bits=bits).collect()
+    want = {}
+    for i, a in enumerate(fps):
+        for b in fps[i + 1:]:
+            lo, hi = sorted((a["doc_id"], b["doc_id"]))
+            h = bin(a["simhash"] ^ b["simhash"]).count("1")
+            if h <= max_hamming:
+                want[(lo, hi)] = h
+    assert got == want
+
+
+def test_simhash_segments_cover_all_bits():
+    for bits, k in [(32, 3), (32, 8), (60, 8), (60, 19)]:
+        segs = D._simhash_segments(bits, k)
+        assert len(segs) == k + 1
+        flat = sorted(b for s, w in segs for b in range(s, s + w))
+        assert flat == list(range(bits))  # disjoint, complete
+
+
 def test_ngram_jaccard(spark, docs):
     pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
              D.ngram_jaccard_pairs(docs, threshold=0.1).collect()}
@@ -170,6 +197,32 @@ def test_ivf_topk_scores_match_brute(spark):
         # IVF may miss neighbors outside probed lists (recall<1), but every
         # returned score must be the exact cosine
         assert math.isclose(r["cosine"], brute[(r["q_id"], r["c_id"])], rel_tol=1e-9)
+
+
+def test_embedding_near_dups_exact_multiblock(spark):
+    """Tiled cogroup kernel must equal brute-force all-pairs — exercised
+    with n_blocks > 1 so the off-diagonal tile path actually runs (the
+    operator no longer collects the corpus to the driver)."""
+    import itertools
+    import random
+
+    random.seed(7)
+    rows = [(i, [random.uniform(-1, 1) for _ in range(16)]) for i in range(50)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r["id_a"], r["id_b"]): r["cosine"] for r in
+           SIM.embedding_near_dups(emb, threshold=0.5, n_blocks=4).collect()}
+    want = {}
+    for (ia, va), (ib, vb) in itertools.combinations(rows, 2):
+        dot = sum(x * y for x, y in zip(va, vb))
+        na = math.sqrt(sum(x * x for x in va))
+        nb = math.sqrt(sum(x * x for x in vb))
+        cos = dot / (na * nb)
+        if cos >= 0.5:
+            want[(min(ia, ib), max(ia, ib))] = cos
+    assert set(got) == set(want)
+    for p in got:
+        # float32 storage of the embedding column dominates the tolerance
+        assert math.isclose(got[p], want[p], rel_tol=1e-6)
 
 
 def test_connected_components_clusters(spark):
