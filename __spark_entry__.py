@@ -1586,6 +1586,102 @@ def bf_preagg_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out["counter"]["20m"]
 
 
+def bf_timer_pct_map_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preagg-timer percentile MAP merge with DYNAMIC labels
+    (merge_percentile_maps, operators/rollup.py — the dynamic-label merge
+    of BluefloodTimerRollup.java:241-254): statsd-style timer flushes
+    carry a map<label, mean> whose key set varies per flush (p99 only on
+    even user_ids); the ladder merges 5m→20m as the reference's
+    unweighted mean-of-means per label. Output explodes the map to
+    sorted (label, mean) rows — map-order-safe for the hash compare."""
+    from blueflood_spark.operators.rollup import preagg_cascade
+    from blueflood_spark.schemas import PREAGG_METRICS
+
+    raw = _raw_metrics(spark, sf_dir)
+    v = F.col("value")
+    cnt = (F.lit(1) + F.col("user_id") % 3).cast("long")
+    base_map = [
+        F.lit("p50"), v * 0.9,
+        F.lit("p95"), v * 1.5,
+    ]
+    pct_map = F.when(
+        F.col("user_id") % 2 == 0,
+        F.create_map(*base_map, F.lit("p99"), v * 1.9),
+    ).otherwise(F.create_map(*base_map))
+    nulls = {f.name: F.lit(None).cast(f.dataType) for f in PREAGG_METRICS.fields}
+    cols = []
+    for f in PREAGG_METRICS.fields:
+        if f.name == "rollup_type":
+            cols.append(F.lit("timer").alias(f.name))
+        elif f.name == "timer_count":
+            cols.append(cnt.alias(f.name))
+        elif f.name == "timer_sum":
+            cols.append((v * cnt).alias(f.name))
+        elif f.name == "timer_avg":
+            cols.append(v.alias(f.name))
+        elif f.name == "timer_min":
+            cols.append((v * 0.5).alias(f.name))
+        elif f.name == "timer_max":
+            cols.append((v * 2.0).alias(f.name))
+        elif f.name == "timer_std":
+            cols.append((v / 10.0).alias(f.name))
+        elif f.name == "timer_rate":
+            cols.append((cnt.cast("double") / 30.0).alias(f.name))
+        elif f.name == "timer_percentiles":
+            cols.append(pct_map.alias(f.name))
+        elif f.name in ("tenant_id", "metric_name", "ts"):
+            cols.append(F.col(f.name))
+        else:
+            cols.append(nulls[f.name].alias(f.name))
+    preagg = raw.select(*cols).withColumn("sample_count", F.lit(1).cast("long"))
+    t20 = preagg_cascade(preagg, grans=(G.MIN_5, G.MIN_20))["timer"]["20m"]
+    return t20.select(
+        "tenant_id",
+        "metric_name",
+        "window_start",
+        "count",
+        F.col("avg").alias("avg_val"),
+        F.explode(F.col("percentiles")).alias("pct_label", "pct_mean"),
+    )
+
+
+_BF_TIMER_PCT_MAP_SQL = _RAW_CTE + """
+, flush AS (
+  SELECT tenant_id, metric_name, ts, user_id,
+         CAST(1 + user_id % 3 AS BIGINT) AS cnt, value
+  FROM raw
+),
+labeled AS (
+  SELECT tenant_id, metric_name, ts, cnt, value, 'p50' AS pct_label, value * 0.9 AS pmean FROM flush
+  UNION ALL
+  SELECT tenant_id, metric_name, ts, cnt, value, 'p95', value * 1.5 FROM flush
+  UNION ALL
+  SELECT tenant_id, metric_name, ts, cnt, value, 'p99', value * 1.9 FROM flush WHERE user_id % 2 = 0
+),
+p5 AS (
+  SELECT tenant_id, metric_name, (ts // 300000) * 300000 AS window_start,
+         pct_label, avg(pmean) AS pmean
+  FROM labeled GROUP BY 1, 2, 3, 4
+),
+p20 AS (
+  SELECT tenant_id, metric_name, (window_start // 1200000) * 1200000 AS window_start,
+         pct_label, avg(pmean) AS pct_mean
+  FROM p5 GROUP BY 1, 2, 3, 4
+),
+t20 AS (
+  SELECT tenant_id, metric_name, (ts // 1200000) * 1200000 AS window_start,
+         CAST(sum(cnt) AS BIGINT) AS count,
+         sum(value * cnt) / CAST(sum(cnt) AS DOUBLE) AS avg_val
+  FROM flush GROUP BY 1, 2, 3
+)
+SELECT t.tenant_id, t.metric_name, t.window_start, t.count, t.avg_val,
+       p.pct_label, p.pct_mean
+FROM t20 t JOIN p20 p
+  ON t.tenant_id = p.tenant_id AND t.metric_name = p.metric_name
+ AND t.window_start = p.window_start
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -1656,6 +1752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_ann_lsh_topk": llm_ann_lsh_topk,
         "llm_ann_ivf_topk": llm_ann_ivf_topk,
         "llm_embedding_near_dups": llm_embedding_near_dups,
+        "bf_timer_pct_map_merge": bf_timer_pct_map_merge,
         # rows-only (no SQL-expressible oracle): stateful/planner/pandas ops
         "llm_multimodal_features": llm_multimodal_features,
         "bf_granularity_select": bf_granularity_select,
@@ -1728,4 +1825,5 @@ def oracle_sql() -> dict[str, str]:
         "llm_ann_lsh_topk": SIM.lsh_bucketed_topk_sql("vec_id < 5", k=10),
         "llm_ann_ivf_topk": SIM.ivf_topk_sql("vec_id < 5", k=10),
         "llm_embedding_near_dups": _LLM_EMB_NEAR_DUPS_SQL,
+        "bf_timer_pct_map_merge": _BF_TIMER_PCT_MAP_SQL,
     }
