@@ -59,16 +59,27 @@ def build_tokens(catalog: DataFrame) -> DataFrame:
     ).dropDuplicates(["tenant_id", "path", "is_leaf"])
 
 
-def search_metrics(catalog: DataFrame, tenant_id: str, glob: str) -> DataFrame:
+def search_metrics(
+    catalog: DataFrame, tenant_id: str, glob: str, include_enum_values: bool = False
+) -> DataFrame:
     """`GET /v2.0/:tenantId/metrics/search?query=<glob>` (SURVEY §2.11;
-    HttpMetricsIndexHandler.java:40-60): full-name glob match, deduped."""
+    HttpMetricsIndexHandler.java:40-60): full-name glob match, deduped.
+
+    include_enum_values mirrors the handler's deprecated enum-metrics
+    query param (HttpMetricsIndexHandler.java, ElasticIO enum path): the
+    response gains an `enum_values` column. Enum metrics were removed
+    upstream and this engine stores none, so the column is always an
+    empty array — the API shape is served, the dead feature is not."""
     regex = anchored(glob_to_regex(glob))
-    return (
+    out = (
         catalog.filter(F.col("tenant_id") == tenant_id)
         .filter(F.col("metric_name").rlike(regex))
         .select("tenant_id", "metric_name", "unit")
         .dropDuplicates(["tenant_id", "metric_name"])
     )
+    if include_enum_values:
+        out = out.withColumn("enum_values", F.array().cast("array<string>"))
+    return out
 
 
 def search_metric_names(catalog: DataFrame, tenant_id: str, glob: str) -> DataFrame:

@@ -41,6 +41,27 @@ def read_ingest_stream(spark: SparkSession, input_path: str) -> DataFrame:
     return parse_ingest_json(spark, stream)
 
 
+def discovery_upsert(batch: DataFrame, catalog_path: str) -> None:
+    """S9 discovery sink with the P7 locator-cache filter
+    (cache/LocatorCache.java, DiscoveryWriter.java:44-150): only locators
+    NOT already in the stored catalog are appended. The left-anti join
+    plays the reference's in-memory cache role — without it every
+    micro-batch re-upserts its whole locator set, which at 100 TB means
+    rewriting a billion-row catalog once per batch. The catalog side of
+    the anti-join is distinct locators (tiny vs samples) and arrives
+    pruned to two columns."""
+    spark = batch.sparkSession
+    new_locs = (
+        batch.groupBy("tenant_id", "metric_name").agg(F.max_by("unit", "ts").alias("unit"))
+    )
+    try:
+        existing = spark.read.parquet(catalog_path).select("tenant_id", "metric_name")
+        new_locs = new_locs.join(existing, ["tenant_id", "metric_name"], "left_anti")
+    except Exception:  # first batch: no catalog yet
+        pass
+    new_locs.write.mode("append").parquet(catalog_path)
+
+
 def start_ingest(
     spark: SparkSession,
     input_path: str,
@@ -50,11 +71,13 @@ def start_ingest(
     checkpoint: str,
     available_now: bool = True,
     dedup: bool = False,
+    catalog_path: str | None = None,
 ):
     """Ingest topology via foreachBatch: validate (P1) with the batch-time
-    clock, split valid/rejected, append raw, and side-channel delayed rows
-    (P2/S8). foreachBatch gives us the multi-sink fan-out the reference
-    implements with async processors.
+    clock, split valid/rejected, append raw, side-channel delayed rows
+    (P2/S8), and (when catalog_path is given) upsert NEW locators to the
+    discovery catalog behind the P7 cache filter. foreachBatch gives us
+    the multi-sink fan-out the reference implements with async processors.
 
     dedup=True drops duplicate samples (same locator + collection time)
     across the stream via dropDuplicatesWithinWatermark — the streaming
@@ -87,6 +110,8 @@ def start_ingest(
         ).distinct().write.mode("append").parquet(delayed_path)
         if rejected.limit(1).count() > 0:
             rejected.write.mode("append").parquet(rejected_path)
+        if catalog_path is not None:
+            discovery_upsert(valid, catalog_path)
         valid.unpersist()
 
     writer = stream.writeStream.foreachBatch(process).option("checkpointLocation", checkpoint)
@@ -103,10 +128,18 @@ def start_streaming_rollup(
     gran: G.Granularity = G.MIN_5,
     delay_ms: int = ROLLUP_DELAY_MS,
     available_now: bool = True,
+    events_path: str | None = None,
 ):
     """T3/T5: watermarked 5m rollup in APPEND mode — a window's rollup is
     emitted once event time passes window_end + delay, the streaming
-    equivalent of 'slot eligible when now − lastUpdate > ROLLUP_DELAY'."""
+    equivalent of 'slot eligible when now − lastUpdate > ROLLUP_DELAY'.
+
+    events_path (T6, RollupEventEmitter.java / RollupEvent.java): when
+    set, each finalized window also emits a rollup-completion event row
+    {locator, window_start, resolution, emitted_at_ms, batch_id} — the
+    hook external consumers (the reference's Esper/event feeds) subscribe
+    to. Emission rides the same foreachBatch as the rollup write, so an
+    event exists iff its rollup batch committed."""
     raw = spark.readStream.schema(
         "tenant_id string, metric_name string, ts long, value double, unit string,"
         " ttl_seconds int, date date"
@@ -143,12 +176,33 @@ def start_streaming_rollup(
             "sum_sq",
         )
     )
-    writer = (
-        agg.writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", rollup_path)
-        .option("checkpointLocation", checkpoint)
-    )
+    if events_path is None:
+        writer = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", rollup_path)
+            .option("checkpointLocation", checkpoint)
+        )
+    else:
+
+        def write_with_events(batch: DataFrame, batch_id: int) -> None:
+            import time
+
+            batch = batch.cache()
+            batch.write.mode("append").parquet(rollup_path)
+            batch.select(
+                "tenant_id",
+                "metric_name",
+                "window_start",
+                "resolution",
+                F.lit(int(time.time() * 1000)).alias("emitted_at_ms"),
+                F.lit(batch_id).alias("batch_id"),
+            ).write.mode("append").parquet(events_path)
+            batch.unpersist()
+
+        writer = agg.writeStream.outputMode("append").foreachBatch(write_with_events).option(
+            "checkpointLocation", checkpoint
+        )
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()

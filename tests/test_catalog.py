@@ -42,6 +42,17 @@ def test_search_metrics_tenant_isolation(spark):
     assert names_t2 == {"foo.bar.other"}
 
 
+def test_search_metrics_include_enum_values(spark):
+    """Deprecated enum-metrics param: API shape served (empty enum_values
+    column), dead feature not resurrected (HttpMetricsIndexHandler)."""
+    cat = build_catalog(cat_df(spark))
+    out = search_metrics(cat, "t1", "foo.bar.*", include_enum_values=True)
+    assert "enum_values" in out.columns
+    assert all(r["enum_values"] == [] for r in out.collect())
+    # default shape unchanged
+    assert "enum_values" not in search_metrics(cat, "t1", "foo.bar.*").columns
+
+
 def test_search_metric_names_next_level(spark):
     # AbstractElasticIO javadoc example: foo.bar.* → (foo.bar.xxx leaf), (foo.bar.baz non-leaf)
     cat = build_catalog(cat_df(spark))

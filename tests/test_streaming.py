@@ -164,6 +164,68 @@ def test_slot_tracker_stateful(spark, dirs, tmp_path):
     assert out["svc.disk"]["n_samples"] == 5
 
 
+def test_discovery_upsert_no_reupsert(spark, dirs, tmp_path):
+    """P7 locator-cache filter: a second batch with already-known locators
+    must not re-upsert them — the catalog stays one row per locator
+    (cache/LocatorCache.java role as a left-anti join)."""
+    catalog = str(tmp_path / "catalog")
+    now = int(time.time() * 1000)
+    rows = [
+        sample("t1", "svc.cpu", now - 60_000, 1.0),
+        sample("t1", "svc.mem", now - 60_000, 2.0),
+    ]
+    write_payload(f"{dirs['input']}/b1.json", rows)
+    P.start_ingest(
+        spark, dirs["input"], dirs["raw"], dirs["rejected"], dirs["delayed"],
+        dirs["ckpt_ingest"], catalog_path=catalog,
+    ).awaitTermination(120)
+    assert spark.read.parquet(catalog).count() == 2
+
+    # batch 2: one known locator (re-sent) + one new
+    rows2 = [
+        sample("t1", "svc.cpu", now - 30_000, 3.0),
+        sample("t1", "svc.disk", now - 30_000, 4.0),
+    ]
+    write_payload(f"{dirs['input']}/b2.json", rows2)
+    P.start_ingest(
+        spark, dirs["input"], dirs["raw"], dirs["rejected"], dirs["delayed"],
+        dirs["ckpt_ingest"], catalog_path=catalog,
+    ).awaitTermination(120)
+    cat = spark.read.parquet(catalog)
+    assert cat.count() == 3  # svc.cpu NOT re-upserted
+    assert cat.groupBy("tenant_id", "metric_name").count().filter("count > 1").count() == 0
+
+
+def test_rollup_event_emission(spark, dirs, tmp_path):
+    """T6 rollup-completion events (RollupEventEmitter.java): every
+    finalized window's rollup write also emits an event row."""
+    events = str(tmp_path / "rollup_events")
+    now = int(time.time() * 1000)
+    base = (now // (20 * MIN)) * 20 * MIN - 40 * MIN
+    rows = [sample("t1", "svc.io", base + i * MIN, float(i)) for i in range(10)]
+    rows.append(sample("t1", "svc.io", base + 14 * MIN, 100.0))  # advances watermark
+    write_payload(f"{dirs['input']}/e1.json", rows)
+    P.start_ingest(
+        spark, dirs["input"], dirs["raw"], dirs["rejected"], dirs["delayed"], dirs["ckpt_ingest"]
+    ).awaitTermination(120)
+    P.start_streaming_rollup(
+        spark, dirs["raw"], dirs["rollups"], dirs["ckpt_rollup"], G.MIN_5, events_path=events
+    ).awaitTermination(120)
+    rolled = spark.read.parquet(dirs["rollups"]).select(
+        "tenant_id", "metric_name", "window_start", "resolution"
+    )
+    ev = spark.read.parquet(events)
+    assert set(ev.columns) == {
+        "tenant_id", "metric_name", "window_start", "resolution", "emitted_at_ms", "batch_id"
+    }
+    # exactly one event per emitted rollup window
+    missing = rolled.join(
+        ev, ["tenant_id", "metric_name", "window_start", "resolution"], "left_anti"
+    )
+    assert missing.count() == 0
+    assert ev.count() == rolled.count()
+
+
 def test_ingest_dedup_within_watermark(spark, dirs):
     """Duplicate samples (client retry) are dropped when dedup=True."""
     now = int(time.time() * 1000)
