@@ -1397,9 +1397,12 @@ def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dups: 9-segment pigeonhole candidates (complete for
     hamming ≤ 8) + exact hamming verify; the oracle is an exhaustive
-    O(n²) join, so recall is checked, not mirrored."""
+    O(n²) join, so recall is checked, not mirrored. 60-bit fingerprint
+    so each of the 9 segments spans 6-7 bits — 64-128 bucket values per
+    segment keeps the candidate self-join selective (a 32-bit print's
+    3-4-bit segments degenerate toward a per-bucket cross join)."""
     docs = _t(spark, sf_dir, "documents")
-    return D.simhash_near_pairs(docs, max_hamming=8)
+    return D.simhash_near_pairs(docs, max_hamming=8, bits=60)
 
 
 def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1811,7 +1814,7 @@ def oracle_sql() -> dict[str, str]:
         "llm_minhash_lsh": D.minhash_lsh_pairs_sql(),
         "llm_dedup_clusters": _llm_dedup_clusters_sql(),
         "llm_simhash": D.simhash_sql(),
-        "llm_simhash_near_pairs": D.simhash_near_pairs_sql(max_hamming=8),
+        "llm_simhash_near_pairs": D.simhash_near_pairs_sql(max_hamming=8, bits=60),
         "llm_lang_id": TX.language_id_sql(),
         "llm_token_counts": TX.token_counts_sql(),
         "llm_quality_score": TX.quality_score_sql(),

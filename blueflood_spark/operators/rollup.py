@@ -487,11 +487,21 @@ def preagg_to_finest(preagg: DataFrame, gran: G.Granularity = G.MIN_5) -> dict[s
 def preagg_cascade(
     preagg: DataFrame,
     grans: Sequence[G.Granularity] = tuple(G.ROLLUP_GRANULARITIES),
+    pre_partition: bool = True,
 ) -> dict[str, dict[str, DataFrame]]:
     """The preaggregated rollup ladder (metrics_preaggregated_5m …
     _1440m): per family, finest partials merged level by level with the
     family's merge semantics (RollupRunnable.java:162-178 computer
-    dispatch). Returns {family: {resolution: DataFrame}}."""
+    dispatch). Returns {family: {resolution: DataFrame}}.
+
+    Shuffle strategy mirrors `cascade`: hash-partitioning by locator
+    alone satisfies every downstream clustering requirement — each
+    level's (locator, window) groupBy, the percentile-map per-label
+    groupBy (locator ⊂ locator+window+label), and the timer↔pct join —
+    so pre_partition=True shuffles ONCE and Catalyst elides every other
+    exchange in the ladder across all four families."""
+    if pre_partition:
+        preagg = preagg.repartition(*[F.col(k) for k in KEYS])
     finest = preagg_to_finest(preagg, grans[0])
     out: dict[str, dict[str, DataFrame]] = {t: {} for t in finest}
     counters = finest["counter"]
