@@ -1512,6 +1512,76 @@ def llm_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.embedding_near_dups(emb, threshold=0.35)
 
 
+def llm_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup end-to-end: cosine near-dup pairs from the tiled
+    exact kernel (operators/similarity.py embedding_near_dups) clustered
+    by connected components — every vector labeled with the minimum
+    vec_id of its semantic-duplicate component, ready for a keep-one-
+    per-cluster filter."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = SIM.embedding_near_dups(emb, threshold=0.35).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    ids = emb.select(F.col("vec_id").alias("doc_id"))
+    return D.connected_components(pairs, ids).select(
+        F.col("doc_id").alias("vec_id"), "cluster_id"
+    )
+
+
+_LLM_EMB_CLUSTERS_SQL = """
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) >= 0.35
+),
+sym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(n, m) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT s.dst, r.m FROM reach r JOIN sym s ON s.src = r.n
+)
+SELECT n AS vec_id, min(m) AS cluster_id FROM reach GROUP BY n
+"""
+
+
+def llm_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source training-mix report (operators/text.py source_stats):
+    volume, length, language spread, dominant language."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.source_stats(docs)
+
+
+def llm_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-100 3-grams by occurrences (TakeOrderedAndProject plan,
+    no global sort) — boilerplate/contamination review surface."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.ngram_stats(docs)
+
+
+def llm_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style segment-level dedup over non-overlapping 8-word chunks:
+    chunks appearing in ≥2 distinct documents with doc/occurrence
+    counts (operators/text.py chunk_dedup)."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.chunk_dedup(docs)
+
+
+def llm_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided near-dup: shingle containment |A∩B|/min(|A|,|B|) ≥ 0.5
+    over the shared-shingle candidate pairs (operators/dedup.py
+    ngram_containment_pairs) — catches short-doc-inside-long-doc cases
+    symmetric Jaccard under-scores."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.ngram_containment_pairs(docs, threshold=0.5)
+
+
 _LLM_EMB_NEAR_DUPS_SQL = """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        list_sum(list_transform(list_zip(a.embedding, b.embedding),
@@ -1755,6 +1825,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_ann_lsh_topk": llm_ann_lsh_topk,
         "llm_ann_ivf_topk": llm_ann_ivf_topk,
         "llm_embedding_near_dups": llm_embedding_near_dups,
+        "llm_embedding_dup_clusters": llm_embedding_dup_clusters,
+        "llm_source_stats": llm_source_stats,
+        "llm_ngram_stats": llm_ngram_stats,
+        "llm_chunk_dedup": llm_chunk_dedup,
+        "llm_containment": llm_containment,
         "bf_timer_pct_map_merge": bf_timer_pct_map_merge,
         # rows-only (no SQL-expressible oracle): stateful/planner/pandas ops
         "llm_multimodal_features": llm_multimodal_features,
@@ -1828,5 +1903,10 @@ def oracle_sql() -> dict[str, str]:
         "llm_ann_lsh_topk": SIM.lsh_bucketed_topk_sql("vec_id < 5", k=10),
         "llm_ann_ivf_topk": SIM.ivf_topk_sql("vec_id < 5", k=10),
         "llm_embedding_near_dups": _LLM_EMB_NEAR_DUPS_SQL,
+        "llm_embedding_dup_clusters": _LLM_EMB_CLUSTERS_SQL,
+        "llm_source_stats": TX.source_stats_sql(),
+        "llm_ngram_stats": TX.ngram_stats_sql(),
+        "llm_chunk_dedup": TX.chunk_dedup_sql(),
+        "llm_containment": D.ngram_containment_pairs_sql(threshold=0.5),
         "bf_timer_pct_map_merge": _BF_TIMER_PCT_MAP_SQL,
     }

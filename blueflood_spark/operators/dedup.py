@@ -485,15 +485,14 @@ SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n
 # n-gram jaccard (exact verification; candidates from shared shingles)
 # ---------------------------------------------------------------------------
 
-def ngram_jaccard_pairs(
-    docs: DataFrame, text_col: str = "text", threshold: float = 0.12
-) -> DataFrame:
-    """Exact Jaccard over word-shingle sets; the inverted-index self-join
-    only materializes pairs that share ≥1 shingle.
+def _shingle_intersections(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Candidate pairs sharing ≥1 distinct word shingle, with the
+    intersection size and both set sizes attached — the common input to
+    the Jaccard and containment scorers.
 
-    Shingles join on a 60-bit md5-derived key (not the string): smaller
-    shuffle rows and cheaper equality; the right side is broadcast-hinted
-    since the shingle index is tiny relative to the corpus."""
+    Shingles join on a 64-bit hash key (not the string): smaller shuffle
+    rows and cheaper equality; the per-doc size relation is broadcast
+    since the doc-count table is tiny relative to the shingle index."""
     sh = docs.select("doc_id", F.explode(shingles_expr(text_col)).alias("shingle")).select(
         "doc_id", F.xxhash64("shingle").alias("sh_key")
     ).localCheckpoint(eager=False)  # read 3x: both join sides + sizes
@@ -510,9 +509,16 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    return pairs.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, text_col: str = "text", threshold: float = 0.12
+) -> DataFrame:
+    """Exact Jaccard over word-shingle sets; the inverted-index self-join
+    only materializes pairs that share ≥1 shingle."""
     return (
-        pairs.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        _shingle_intersections(docs, text_col)
         .withColumn("jaccard", F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "inter", "jaccard")
@@ -540,6 +546,47 @@ FROM pairs
 JOIN sizes sa ON pairs.doc_a = sa.doc_id
 JOIN sizes sb ON pairs.doc_b = sb.doc_id
 WHERE CAST(inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - inter) >= {threshold}
+"""
+
+
+def ngram_containment_pairs(
+    docs: DataFrame, text_col: str = "text", threshold: float = 0.5
+) -> DataFrame:
+    """One-sided near-dup detection: containment = |A∩B| / min(|A|,|B|)
+    over distinct word-shingle sets. Catches a short document embedded
+    verbatim in a longer one — a case symmetric Jaccard under-scores
+    (the union grows with the longer doc, containment doesn't).
+
+    Same inverted-index shape as ngram_jaccard_pairs: pairs materialize
+    only from shared shingles (equi-join on a 64-bit shingle key), never
+    a cross join, so the cost is bounded by shared-shingle co-occurrence
+    rather than corpus size squared."""
+    return (
+        _shingle_intersections(docs, text_col)
+        .withColumn("containment", F.col("inter") / F.least(F.col("n_a"), F.col("n_b")))
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "inter", "containment")
+    )
+
+
+def ngram_containment_pairs_sql(threshold: float = 0.5) -> str:
+    return f"""
+WITH sh AS (
+  SELECT doc_id, hash(shingle) AS sh_key
+  FROM ({_shingle_sql()})
+),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.sh_key = b.sh_key AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, inter,
+       CAST(inter AS DOUBLE) / least(sa.n_shingles, sb.n_shingles) AS containment
+FROM pairs
+JOIN sizes sa ON pairs.doc_a = sa.doc_id
+JOIN sizes sb ON pairs.doc_b = sb.doc_id
+WHERE CAST(inter AS DOUBLE) / least(sa.n_shingles, sb.n_shingles) >= {threshold}
 """
 
 

@@ -436,3 +436,139 @@ SELECT doc_id,
        len(regexp_extract_all(text, '{PII_IPV4}')) AS n_ips
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# corpus-composition reporting & segment-level dedup
+# ---------------------------------------------------------------------------
+
+def source_stats(docs: DataFrame) -> DataFrame:
+    """Per-source training-mix report: volume, length, language spread,
+    and the dominant language — the dashboard a data-mixing run reads
+    before weighting sources.
+
+    Two aggregations over (source[, lang]) — both shuffle only the
+    grouped partials (map-side combine), and the dominant-language
+    window partitions by source, so no global single-partition stage
+    exists at any corpus size."""
+    from pyspark.sql.window import Window
+
+    per_lang = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("source").orderBy(F.desc("n"), F.asc("lang"))
+    top = (
+        per_lang.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"))
+    )
+    agg = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.avg("n_chars").alias("avg_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+    return agg.join(top, "source")
+
+
+def source_stats_sql() -> str:
+    return """
+WITH per_lang AS (
+  SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2
+),
+top AS (
+  SELECT source, lang AS top_lang
+  FROM (SELECT *, row_number() OVER (PARTITION BY source ORDER BY n DESC, lang) AS rn
+        FROM per_lang)
+  WHERE rn = 1
+)
+SELECT a.source, a.n_docs, a.total_chars, a.avg_chars, a.n_langs, t.top_lang
+FROM (SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars,
+             avg(n_chars) AS avg_chars, count(DISTINCT lang) AS n_langs
+      FROM documents GROUP BY 1) a
+JOIN top t ON a.source = t.source
+"""
+
+
+def ngram_stats(docs: DataFrame, text_col: str = "text", n: int = 3, k: int = 100) -> DataFrame:
+    """Corpus-level top-k word n-grams with occurrence and document
+    frequency — the raw material for boilerplate detection and
+    contamination review.
+
+    explode → one count aggregation → orderBy().limit(k), which Catalyst
+    plans as TakeOrderedAndProject (per-partition partial top-k, then a
+    k·partitions merge) — no global sort of the n-gram table."""
+    toks = F.split(F.col(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return (
+        docs.filter(F.size(toks) >= n)
+        .select("doc_id", F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("occurrences"), F.countDistinct("doc_id").alias("doc_freq"))
+        .orderBy(F.desc("occurrences"), F.asc("ngram"))
+        .limit(k)
+    )
+
+
+def ngram_stats_sql(n: int = 3, k: int = 100) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+),
+grams AS (
+  SELECT doc_id, array_to_string(l[i:i+{n - 1}], ' ') AS ngram
+  FROM toks, UNNEST(range(1, len(l) - {n - 1} + 1)) AS t(i)
+  WHERE len(l) >= {n}
+)
+SELECT ngram, count(*) AS occurrences, count(DISTINCT doc_id) AS doc_freq
+FROM grams GROUP BY 1
+ORDER BY occurrences DESC, ngram
+LIMIT {k}
+"""
+
+
+def chunk_dedup(docs: DataFrame, text_col: str = "text", width: int = 8) -> DataFrame:
+    """Segment-level exact dedup (C4-style, adapted to word chunks since
+    the corpus has no line structure): split each document into
+    non-overlapping `width`-word chunks and report every chunk that
+    appears in ≥ 2 distinct documents, with its document and occurrence
+    counts. A removal pass anti-joins documents' chunks against this
+    relation.
+
+    One explode + one aggregation: the groupBy shuffles only (chunk,
+    partial-count) pairs after map-side combine — the classic shape that
+    survives 100 TB because duplicated-chunk cardinality, not corpus
+    size, bounds the reduce side."""
+    toks = F.split(F.col(text_col), " ")
+    n_chunks = F.floor(F.size(toks) / width).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * width + 1, width)),
+    )
+    return (
+        docs.filter(F.size(toks) >= width)
+        .select("doc_id", F.explode(chunks).alias("chunk"))
+        .groupBy("chunk")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+def chunk_dedup_sql(width: int = 8) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+),
+chunks AS (
+  SELECT doc_id, array_to_string(l[(i - 1) * {width} + 1 : i * {width}], ' ') AS chunk
+  FROM toks, UNNEST(range(1, len(l) // {width} + 1)) AS t(i)
+  WHERE len(l) >= {width}
+)
+SELECT chunk, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences
+FROM chunks GROUP BY 1
+HAVING count(DISTINCT doc_id) >= 2
+"""

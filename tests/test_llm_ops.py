@@ -299,3 +299,90 @@ def test_pii_redact(spark):
     assert out[1]["clean_text"] == "mail <EMAIL> and host <IP> end"
     assert out[1]["n_emails"] == 1 and out[1]["n_ips"] == 1
     assert out[2]["clean_text"] == "clean" and out[2]["n_emails"] == 0
+
+
+def test_source_stats(spark):
+    rows = [
+        (0, "a b", "en", "s1", 3),
+        (1, "c d", "en", "s1", 3),
+        (2, "e f", "de", "s1", 5),
+        (3, "g h", "fr", "s2", 7),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r["source"]: r for r in TX.source_stats(docs).collect()}
+    assert out["s1"]["n_docs"] == 3
+    assert out["s1"]["total_chars"] == 11
+    assert out["s1"]["n_langs"] == 2
+    assert out["s1"]["top_lang"] == "en"  # 2 en vs 1 de
+    assert out["s2"]["top_lang"] == "fr"
+
+
+def test_source_stats_top_lang_tiebreak(spark):
+    rows = [(0, "x", "en", "s", 1), (1, "y", "de", "s", 1)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = TX.source_stats(docs).collect()
+    assert out[0]["top_lang"] == "de"  # equal counts → lexicographic
+
+
+def test_ngram_stats_counts(spark, docs):
+    out = TX.ngram_stats(docs, n=3, k=5).collect()
+    top = out[0]
+    # "the quick brown" occurs in docs 0, 1, 2 (once each)
+    assert top["ngram"] in {"the quick brown", "quick brown fox", "brown fox jumps",
+                            "fox jumps over", "jumps over the", "over the lazy"}
+    assert top["occurrences"] == 3 and top["doc_freq"] == 3
+    # ordering: occurrences desc then ngram asc
+    occs = [r["occurrences"] for r in out]
+    assert occs == sorted(occs, reverse=True)
+
+
+def test_ngram_stats_short_docs_dropped(spark):
+    docs = spark.createDataFrame([(0, "one two"), (1, "a b c")], "doc_id long, text string")
+    out = TX.ngram_stats(docs, n=3, k=10).collect()
+    assert len(out) == 1 and out[0]["ngram"] == "a b c"
+
+
+def test_chunk_dedup(spark):
+    shared = "w1 w2 w3 w4 w5 w6 w7 w8"
+    rows = [
+        (0, shared + " " + "u1 u2 u3 u4 u5 u6 u7 u8"),
+        (1, shared + " " + "v1 v2 v3 v4 v5 v6 v7 v8"),
+        (2, "short doc"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = TX.chunk_dedup(docs, width=8).collect()
+    assert len(out) == 1
+    assert out[0]["chunk"] == shared
+    assert out[0]["n_docs"] == 2 and out[0]["n_occurrences"] == 2
+
+
+def test_containment_subset_doc(spark):
+    # doc 1 is a verbatim subset of doc 0 → containment 1.0, jaccard low
+    long = "a b c d e f g h i j k l m n o p q r s t"
+    sub = "a b c d e f"
+    docs = spark.createDataFrame([(0, long), (1, sub), (2, "x y z w v u")],
+                                 "doc_id long, text string")
+    rows = {(r["doc_a"], r["doc_b"]): r["containment"]
+            for r in D.ngram_containment_pairs(docs, threshold=0.5).collect()}
+    assert rows == {(0, 1): 1.0}
+    jac = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in D.ngram_jaccard_pairs(docs, threshold=0.0).collect()}
+    assert jac[(0, 1)] < 0.5  # symmetric jaccard under-scores the subset
+
+
+def test_embedding_dup_cluster_labels(spark):
+    # three vectors: 0 and 1 colinear (cosine 1), 2 orthogonal
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [2.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = SIM.embedding_near_dups(emb, threshold=0.95).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    ids = emb.select(F.col("vec_id").alias("doc_id"))
+    out = {r["doc_id"]: r["cluster_id"] for r in D.connected_components(pairs, ids).collect()}
+    assert out == {0: 0, 1: 0, 2: 2}
