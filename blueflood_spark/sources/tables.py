@@ -95,10 +95,20 @@ def compact(
     partitions it rewrote.
 
     At 100 TB this runs as a scheduled maintenance job per recent date
-    partition; old partitions are write-once and never need it again."""
+    partition; old partitions are write-once and never need it again.
+
+    Atomicity: the compacted partition is fully written to a hidden
+    sibling directory FIRST (readers never see it — Spark's path filter
+    skips dot-prefixed names), then swapped in with two directory
+    renames. A crash before the first rename leaves the partition
+    untouched; between the renames it leaves a `<dir>.compact-old`
+    sibling whose presence means "rename back to recover". The previous
+    in-place dynamic-partition overwrite could lose the partition if the
+    job died between task completion and commit."""
     import collections
     import math
     import os
+    import shutil
 
     sizes: dict[tuple[str, str], int] = collections.defaultdict(int)
     counts: dict[tuple[str, str], int] = collections.defaultdict(int)
@@ -117,19 +127,60 @@ def compact(
         n_target = max(1, math.ceil(sizes[(res, date)] / target_bytes))
         if n_files <= n_target:
             continue
-        part = spark.read.parquet(path).filter(
-            (F.col("resolution") == res) & (F.col("date") == date)
+        part_dir = os.path.join(path, f"resolution={res}", f"date={date}")
+        tmp_dir = os.path.join(path, f"resolution={res}", f".date={date}.compact-tmp")
+        old_dir = part_dir + ".compact-old"
+        part = (
+            spark.read.parquet(path)
+            .filter((F.col("resolution") == res) & (F.col("date") == date))
+            .drop("resolution", "date")  # re-derived from the directory layout
         )
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            part.coalesce(n_target).write.partitionBy("resolution", "date").mode(
-                "overwrite"
-            ).parquet(path)
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        part.coalesce(n_target).write.mode("overwrite").parquet(tmp_dir)
+        os.rename(part_dir, old_dir)
+        os.rename(tmp_dir, part_dir)
+        shutil.rmtree(old_dir)
         rewritten[f"{res}/{date}"] = n_files
     return rewritten
+
+
+def write_rollups_bucketed(
+    df: DataFrame,
+    table_name: str,
+    n_buckets: int = 64,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed rollup storage: hash-bucket by locator (tenant_id,
+    metric_name), sorted by window_start within each file.
+
+    This persists the cascade's ONE shuffle into the table layout: a
+    bucketed scan reports HashPartitioning(locator, n_buckets), which
+    satisfies every rollup ladder groupBy's clustering requirement
+    (locator ⊂ locator+window) and co-locates locator-equi-joins between
+    two tables bucketed the same way — so the nightly coarsen job and
+    multi-table serving joins run with ZERO exchanges
+    (test_scale_ops asserts the exchange-free plan). This is the Spark
+    analog of the reference's shard-per-locator placement
+    (Util.java:47-48 computeShard): the same locator always lands in the
+    same bucket file.
+
+    At 100 TB: n_buckets sized so bucket × date-partition files stay
+    ~128 MB-1 GB; bucketed tables require saveAsTable (metastore keeps
+    the bucket spec)."""
+    (
+        with_date_partition(df)
+        .write.partitionBy("resolution", "date")
+        .bucketBy(n_buckets, "tenant_id", "metric_name")
+        .sortBy("window_start")
+        .mode(mode)
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
+def read_rollups_bucketed(spark: SparkSession, table_name: str) -> DataFrame:
+    """Bucket-aware scan — Catalyst sees HashPartitioning(tenant_id,
+    metric_name) and elides exchanges for locator-clustered operations."""
+    return spark.table(table_name)
 
 
 def retention_predicate(resolution: str, now_ms: int):

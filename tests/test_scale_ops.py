@@ -85,3 +85,86 @@ def test_compact_small_files(spark, tmp_path):
     assert {r["avg"] for r in after.collect()} == {float(i) for i in range(8)}
     # compaction is idempotent: second run rewrites nothing
     assert TBL.compact(spark, path, target_bytes=128 * 1024 * 1024) == {}
+
+
+def test_bucketed_rollups_merge_without_shuffle(spark):
+    """write_rollups_bucketed persists the cascade's shuffle into the
+    table layout: the 5m→20m merge over the bucketed table must plan
+    with ZERO exchanges (HashPartitioning(locator) from the bucketed
+    scan satisfies the merge groupBy's clustering requirement)."""
+    base = 1_700_000_000_000
+    rows = [
+        (f"t{i % 3}", f"m{i % 7}", "5m", base + (i // 21) * 300_000,
+         2, float(i), 0.0, float(i), float(i), 2.0 * i, 2.0 * i * i)
+        for i in range(84)
+    ]
+    t5 = spark.createDataFrame(
+        rows,
+        "tenant_id string, metric_name string, resolution string, window_start long,"
+        " num_points long, avg double, var_pop double, min double, max double,"
+        " sum double, sum_sq double",
+    )
+    spark.sql("DROP TABLE IF EXISTS t5m_bucketed_test")
+    TBL.write_rollups_bucketed(t5, "t5m_bucketed_test", n_buckets=4)
+    try:
+        scan = TBL.read_rollups_bucketed(spark, "t5m_bucketed_test").drop("date")
+        merged = R.basic_merge(scan, G.MIN_20)
+        plan = merged._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        # and the result matches the same merge over the unbucketed frame
+        expect = {
+            (r["tenant_id"], r["metric_name"], r["window_start"]): r["num_points"]
+            for r in R.basic_merge(t5, G.MIN_20).collect()
+        }
+        got = {
+            (r["tenant_id"], r["metric_name"], r["window_start"]): r["num_points"]
+            for r in merged.collect()
+        }
+        assert got == expect
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t5m_bucketed_test")
+
+
+def test_bucketed_join_colocated(spark):
+    """Rollups ⋈ per-locator metadata, both bucketed on the locator:
+    joining on exactly the bucket key runs with no exchange on either
+    side (the serving-path units-enrichment shape). Note co-partitioned
+    joins need the join keys to BE the bucket keys
+    (requireAllClusterKeysForCoPartition); aggregations only need the
+    bucket keys as a subset of the grouping keys."""
+    base = 1_700_000_000_000
+    rows = [
+        (f"t{i % 2}", f"m{i % 5}", "5m", base + i * 300_000, 1, float(i),
+         0.0, float(i), float(i), float(i), float(i) * i)
+        for i in range(40)
+    ]
+    schema = (
+        "tenant_id string, metric_name string, resolution string, window_start long,"
+        " num_points long, avg double, var_pop double, min double, max double,"
+        " sum double, sum_sq double"
+    )
+    t5 = spark.createDataFrame(rows, schema)
+    spark.sql("DROP TABLE IF EXISTS bj_rollups")
+    spark.sql("DROP TABLE IF EXISTS bj_meta")
+    TBL.write_rollups_bucketed(t5, "bj_rollups", n_buckets=4)
+    meta = t5.groupBy("tenant_id", "metric_name").agg(F.lit("ms").alias("unit"))
+    (
+        meta.write.bucketBy(4, "tenant_id", "metric_name")
+        .mode("overwrite").format("parquet").saveAsTable("bj_meta")
+    )
+    try:
+        a = spark.table("bj_rollups").select("tenant_id", "metric_name", "window_start", "avg")
+        b = spark.table("bj_meta")
+        # disable broadcast so the test exercises the co-located sort-merge path
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = a.join(b, ["tenant_id", "metric_name"])
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            assert j.count() == 40
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bj_rollups")
+        spark.sql("DROP TABLE IF EXISTS bj_meta")
