@@ -1573,6 +1573,13 @@ def llm_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.chunk_dedup(docs)
 
 
+def llm_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite C4/Gopher-style keep/drop verdict with a deterministic
+    first-failing-rule drop_reason (operators/text.py quality_gate)."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.quality_gate(docs)
+
+
 def llm_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-sided near-dup: shingle containment |A∩B|/min(|A|,|B|) ≥ 0.5
     over the shared-shingle candidate pairs (operators/dedup.py
@@ -1830,6 +1837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_ngram_stats": llm_ngram_stats,
         "llm_chunk_dedup": llm_chunk_dedup,
         "llm_containment": llm_containment,
+        "llm_quality_gate": llm_quality_gate,
         "bf_timer_pct_map_merge": bf_timer_pct_map_merge,
         # rows-only (no SQL-expressible oracle): stateful/planner/pandas ops
         "llm_multimodal_features": llm_multimodal_features,
@@ -1908,5 +1916,6 @@ def oracle_sql() -> dict[str, str]:
         "llm_ngram_stats": TX.ngram_stats_sql(),
         "llm_chunk_dedup": TX.chunk_dedup_sql(),
         "llm_containment": D.ngram_containment_pairs_sql(threshold=0.5),
+        "llm_quality_gate": TX.quality_gate_sql(),
         "bf_timer_pct_map_merge": _BF_TIMER_PCT_MAP_SQL,
     }

@@ -572,3 +572,88 @@ SELECT chunk, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences
 FROM chunks GROUP BY 1
 HAVING count(DISTINCT doc_id) >= 2
 """
+
+
+def quality_gate(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 30,
+    max_tokens: int = 100_000,
+    top_word_max: float = 0.14,
+    dup_2gram_max: float = 0.08,
+    min_stopword_ratio: float = 0.01,
+) -> DataFrame:
+    """The composite keep/drop verdict a C4/Gopher-style cleaning pass
+    applies per document: length band, single-word and 2-gram repetition
+    caps, and a minimum stopword presence. Emits the measured signals,
+    the boolean verdict, and a deterministic `drop_reason` — the FIRST
+    failing rule in fixed priority order, so downstream removal reports
+    are stable across engines and runs.
+
+    Plan shape: the per-row signals are codegen expressions; only the
+    repetition signals aggregate (explode → two-level agg, per-doc
+    shuffle key), then one join back on doc_id. Scales with corpus
+    splits like repetition_stats."""
+    txt = F.col(text_col)
+    toks = F.split(txt, " ")
+    n_toks = F.size(toks)
+    stop = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+    stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+    per_row = docs.select(
+        "doc_id",
+        n_toks.alias("n_tokens"),
+        safe_div(stop_hits.cast("double"), n_toks.cast("double")).alias("stopword_ratio"),
+    )
+    rep = repetition_stats(docs, text_col).select("doc_id", "top_word_frac", "dup_2gram_frac")
+    joined = per_row.join(rep, "doc_id")
+    reason = (
+        F.when(F.col("n_tokens") < min_tokens, F.lit("too_short"))
+        .when(F.col("n_tokens") > max_tokens, F.lit("too_long"))
+        .when(F.col("top_word_frac") > top_word_max, F.lit("repetitive_word"))
+        .when(F.col("dup_2gram_frac") > dup_2gram_max, F.lit("repetitive_2gram"))
+        .when(F.col("stopword_ratio") < min_stopword_ratio, F.lit("no_stopwords"))
+        .otherwise(F.lit("keep"))
+    )
+    return joined.select(
+        "doc_id",
+        "n_tokens",
+        "stopword_ratio",
+        "top_word_frac",
+        "dup_2gram_frac",
+        reason.alias("drop_reason"),
+        (reason == "keep").alias("keep"),
+    )
+
+
+def quality_gate_sql(
+    min_tokens: int = 30,
+    max_tokens: int = 100_000,
+    top_word_max: float = 0.14,
+    dup_2gram_max: float = 0.08,
+    min_stopword_ratio: float = 0.01,
+) -> str:
+    stop = "[" + ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"]) + "]"
+    return f"""
+WITH rep AS ({repetition_stats_sql()}),
+per_row AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         CASE WHEN len(string_split(text, ' ')) = 0 THEN 0.0
+              ELSE CAST(len(list_filter(string_split(text, ' '), t -> list_contains({stop}, t))) AS DOUBLE)
+                   / len(string_split(text, ' ')) END AS stopword_ratio
+  FROM documents
+),
+joined AS (
+  SELECT p.doc_id, p.n_tokens, p.stopword_ratio, r.top_word_frac, r.dup_2gram_frac,
+         CASE WHEN p.n_tokens < {min_tokens} THEN 'too_short'
+              WHEN p.n_tokens > {max_tokens} THEN 'too_long'
+              WHEN r.top_word_frac > {top_word_max} THEN 'repetitive_word'
+              WHEN r.dup_2gram_frac > {dup_2gram_max} THEN 'repetitive_2gram'
+              WHEN p.stopword_ratio < {min_stopword_ratio} THEN 'no_stopwords'
+              ELSE 'keep' END AS drop_reason
+  FROM per_row p JOIN rep r ON p.doc_id = r.doc_id
+)
+SELECT doc_id, n_tokens, stopword_ratio, top_word_frac, dup_2gram_frac,
+       drop_reason, drop_reason = 'keep' AS keep
+FROM joined
+"""

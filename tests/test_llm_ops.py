@@ -386,3 +386,21 @@ def test_embedding_dup_cluster_labels(spark):
     ids = emb.select(F.col("vec_id").alias("doc_id"))
     out = {r["doc_id"]: r["cluster_id"] for r in D.connected_components(pairs, ids).collect()}
     assert out == {0: 0, 1: 0, 2: 2}
+
+
+def test_quality_gate_reasons(spark):
+    rows = [
+        (0, "the quick brown fox and the lazy dog went down to the market in town for a full day of trading and then came back home quite pleased with it all done very well"),  # keep
+        (1, "short doc"),                                             # too_short
+        (2, " ".join(["spam"] * 40)),                                 # repetitive_word
+        (3, " ".join(["k1 v1"] * 20)),                                # repetitive (word or 2gram)
+        (4, " ".join(f"w{i}" for i in range(40))),                    # no stopwords
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in TX.quality_gate(docs).collect()}
+    assert out[0]["keep"] and out[0]["drop_reason"] == "keep"
+    assert out[1]["drop_reason"] == "too_short"
+    assert out[2]["drop_reason"] == "repetitive_word"
+    assert out[3]["drop_reason"] in ("repetitive_word", "repetitive_2gram")
+    assert out[4]["drop_reason"] == "no_stopwords"
+    assert not out[4]["keep"]
