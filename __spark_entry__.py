@@ -1589,6 +1589,40 @@ def llm_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_containment_pairs(docs, threshold=0.5)
 
 
+def llm_pipeline_output(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-build pipeline end-to-end: a document survives iff it
+    (a) passes the composite quality gate, (b) is the canonical member
+    (min doc_id) of its MinHash-LSH duplicate cluster, and (c) gets its
+    deterministic train/val/test split. This is the query a training-data
+    run materializes — the single-operator entries are its unit tests.
+
+    Composition stays one DAG: gate and split are semi-joins back onto
+    documents; the cluster filter reuses the connected-components label
+    frame. Each stage's scale argument is its own entry's; nothing here
+    adds a shuffle beyond them."""
+    docs = _t(spark, sf_dir, "documents")
+    gate = TX.quality_gate(docs).filter(F.col("keep")).select("doc_id")
+    clusters = D.connected_components(D.minhash_lsh_pairs(docs), docs.select("doc_id"))
+    canon = clusters.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
+    split = TX.train_split(docs).select("doc_id", "split")
+    return (
+        docs.select("doc_id", "source", "lang")
+        .join(gate, "doc_id")
+        .join(canon, "doc_id")
+        .join(split, "doc_id")
+    )
+
+
+def _llm_pipeline_output_sql() -> str:
+    return f"""
+SELECT d.doc_id, d.source, d.lang, s.split
+FROM documents d
+JOIN ({TX.quality_gate_sql()}) g ON d.doc_id = g.doc_id AND g.keep
+JOIN ({D.minhash_clusters_sql()}) c ON d.doc_id = c.doc_id AND c.doc_id = c.cluster_id
+JOIN ({TX.train_split_sql()}) s ON d.doc_id = s.doc_id
+"""
+
+
 _LLM_EMB_NEAR_DUPS_SQL = """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        list_sum(list_transform(list_zip(a.embedding, b.embedding),
@@ -1641,6 +1675,55 @@ def bf_granularity_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Independent SQL reimplementation of the three selection algorithms
+# (Granularity.java:248-339): the scan's early-stop ("break at the first
+# non-improving granularity") is the first row whose next metric fails to
+# strictly improve — expressed with lead() over the granularity ladder.
+# `period` is the planner's providable-points divisor (FULL assumes the
+# 30 s GET_BY_POINTS_ASSUME_INTERVAL); `ms` is the real window width the
+# LESSTHANEQUAL coarsen test uses.
+_BF_GRANULARITY_SELECT_SQL = """
+WITH grans(idx, name, period, ms) AS (
+  VALUES (0, 'full',     30000.0,    300000.0),
+         (1, '5m',       300000.0,   300000.0),
+         (2, '20m',      1200000.0,  1200000.0),
+         (3, '60m',      3600000.0,  3600000.0),
+         (4, '240m',     14400000.0, 14400000.0),
+         (5, '1440m',    86400000.0, 86400000.0)
+),
+cases AS (
+  SELECT s.span_days, p.points, a.algorithm
+  FROM (VALUES (1), (7), (30)) s(span_days)
+  CROSS JOIN (VALUES (1), (24), (288), (5000)) p(points)
+  CROSS JOIN (VALUES ('GEOMETRIC'), ('LINEAR'), ('LESSTHANEQUAL')) a(algorithm)
+),
+scored AS (
+  SELECT c.span_days, c.points, c.algorithm, g.idx, g.name, g.ms,
+         c.span_days * 86400000.0 AS duration,
+         CASE WHEN c.algorithm = 'GEOMETRIC' THEN
+              CASE WHEN c.span_days * 86400000.0 / g.period > c.points
+                   THEN (c.span_days * 86400000.0 / g.period) / c.points
+                   ELSE c.points / (c.span_days * 86400000.0 / g.period) END
+              ELSE floor(abs(c.points - c.span_days * 86400000.0 / g.period)) END AS metric
+  FROM cases c CROSS JOIN grans g
+),
+stopped AS (
+  SELECT *, lead(metric) OVER (PARTITION BY span_days, points, algorithm ORDER BY idx) AS next_metric
+  FROM scored
+),
+chosen AS (
+  SELECT *, row_number() OVER (PARTITION BY span_days, points, algorithm ORDER BY idx) AS rn
+  FROM stopped
+  WHERE next_metric IS NULL OR next_metric >= metric
+)
+SELECT span_days, points, algorithm,
+       CASE WHEN algorithm = 'LESSTHANEQUAL' AND duration / ms > points
+            THEN (SELECT g2.name FROM grans g2 WHERE g2.idx = least(chosen.idx + 1, 5))
+            ELSE name END AS resolution
+FROM chosen WHERE rn = 1
+"""
+
+
 def bf_preagg_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Preaggregated counter family rolled to 20m via preagg_cascade
     (counters derived from events as statsd-style flushes)."""
@@ -1664,6 +1747,36 @@ def bf_preagg_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     preagg = raw.select(*cols).withColumn("sample_count", F.lit(1).cast("long"))
     out = preagg_cascade(preagg, grans=(G.MIN_5, G.MIN_20))
     return out["counter"]["20m"]
+
+
+_BF_PREAGG_LADDER_SQL = _RAW_CTE + """
+, c0 AS (
+  SELECT tenant_id, metric_name,
+         (ts // 300000) * 300000 AS window_start,
+         value AS count, value / 30.0 AS rate, CAST(1 AS BIGINT) AS sample_count
+  FROM raw
+),
+c5 AS (
+  SELECT tenant_id, metric_name, window_start,
+         sum(count) AS count,
+         CASE WHEN sum(CASE WHEN rate IS NULL OR rate = 0 THEN 0.0 ELSE count / rate END) = 0
+              THEN 0.0
+              ELSE sum(count) / sum(CASE WHEN rate IS NULL OR rate = 0 THEN 0.0 ELSE count / rate END)
+         END AS rate,
+         CAST(sum(sample_count) AS BIGINT) AS sample_count
+  FROM c0 GROUP BY 1, 2, 3
+)
+SELECT tenant_id, metric_name,
+       (window_start // 1200000) * 1200000 AS window_start,
+       sum(count) AS count,
+       CASE WHEN sum(CASE WHEN rate IS NULL OR rate = 0 THEN 0.0 ELSE count / rate END) = 0
+            THEN 0.0
+            ELSE sum(count) / sum(CASE WHEN rate IS NULL OR rate = 0 THEN 0.0 ELSE count / rate END)
+       END AS rate,
+       CAST(sum(sample_count) AS BIGINT) AS sample_count,
+       '20m' AS resolution
+FROM c5 GROUP BY 1, 2, 3
+"""
 
 
 def bf_timer_pct_map_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1838,11 +1951,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_chunk_dedup": llm_chunk_dedup,
         "llm_containment": llm_containment,
         "llm_quality_gate": llm_quality_gate,
+        "llm_pipeline_output": llm_pipeline_output,
         "bf_timer_pct_map_merge": bf_timer_pct_map_merge,
-        # rows-only (no SQL-expressible oracle): stateful/planner/pandas ops
-        "llm_multimodal_features": llm_multimodal_features,
-        "bf_granularity_select": bf_granularity_select,
         "bf_preagg_ladder": bf_preagg_ladder,
+        "bf_granularity_select": bf_granularity_select,
+        # rows-only (no SQL-expressible oracle): stateful/pandas ops
+        "llm_multimodal_features": llm_multimodal_features,
     }
 
 
@@ -1917,5 +2031,8 @@ def oracle_sql() -> dict[str, str]:
         "llm_chunk_dedup": TX.chunk_dedup_sql(),
         "llm_containment": D.ngram_containment_pairs_sql(threshold=0.5),
         "llm_quality_gate": TX.quality_gate_sql(),
+        "llm_pipeline_output": _llm_pipeline_output_sql(),
         "bf_timer_pct_map_merge": _BF_TIMER_PCT_MAP_SQL,
+        "bf_preagg_ladder": _BF_PREAGG_LADDER_SQL,
+        "bf_granularity_select": _BF_GRANULARITY_SELECT_SQL,
     }
