@@ -533,6 +533,134 @@ FROM r20 GROUP BY 1, 2, 3
 """
 
 
+def _typed_raw_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw samples with F5 long/double polymorphism: a row is long-typed iff
+    its metric family has an even-length event_type (whole series long) OR
+    user_id % 31 == 0 (sprinkles long points into double series, exercising
+    promotion and cross-type min/max winners). Deterministic in both
+    engines; long values are floor(value*100) so they're exact in either
+    representation."""
+    raw = _raw_metrics(spark, sf_dir)
+    series_long = F.length(F.col("metric_name")) % 2 == 0
+    sprinkle = F.col("user_id") % 31 == 0
+    # Series-long values scale by 100 (distinct long range); sprinkles stay
+    # at the doubles' scale so a long can win min OR max inside a promoted
+    # group — all four cross-type winner branches get exercised.
+    return raw.select(
+        "tenant_id",
+        "metric_name",
+        "ts",
+        F.when(series_long, F.floor(F.col("value") * 100))
+        .when(sprinkle, F.floor(F.col("value")))
+        .alias("value_l"),
+        F.when(~(series_long | sprinkle), F.col("value")).alias("value_d"),
+    )
+
+
+_TYPED_RAW_CTE = _RAW_CTE + """
+, traw AS (
+  SELECT tenant_id, metric_name, ts,
+         CASE WHEN length(metric_name) % 2 = 0 THEN CAST(floor(value * 100) AS BIGINT)
+              WHEN user_id % 31 = 0            THEN CAST(floor(value) AS BIGINT) END AS value_l,
+         CASE WHEN NOT ((length(metric_name) % 2 = 0) OR (user_id % 31 = 0))
+              THEN value END AS value_d
+  FROM raw
+)
+"""
+
+# Candidate partials at 5m, then the typed winner/promotion derivation —
+# mirrors _typed_output (operators/rollup.py). Long average is exact
+# truncated division via the remainder trick so both engines agree bit-for-
+# bit; (x - x % n) is exactly divisible, making // == Java division.
+_T5_CTE = _TYPED_RAW_CTE + """
+, t5c AS (
+  SELECT tenant_id, metric_name,
+         (ts // 300000) * 300000 AS window_start,
+         count(*)       AS num_points,
+         count(value_d) AS n_double,
+         CAST(sum(value_l) AS BIGINT) AS sum_l,
+         sum(coalesce(value_d, CAST(value_l AS DOUBLE))) AS sum_d,
+         min(value_l) AS min_lc, min(value_d) AS min_dc,
+         max(value_l) AS max_lc, max(value_d) AS max_dc
+  FROM traw GROUP BY 1, 2, 3
+),
+t5 AS (
+  SELECT tenant_id, metric_name, window_start, num_points,
+         CAST(n_double AS BIGINT) AS n_double,
+         n_double > 0 AS is_float, sum_l, sum_d,
+         CASE WHEN n_double = 0
+              THEN CAST((sum_l - (sum_l % num_points)) // num_points AS BIGINT) END AS avg_l,
+         CASE WHEN n_double > 0 THEN sum_d / num_points END AS avg_d,
+         CASE WHEN min_dc IS NULL OR (min_lc IS NOT NULL AND CAST(min_lc AS DOUBLE) <= min_dc)
+              THEN min_lc END AS min_l,
+         CASE WHEN min_dc IS NULL OR (min_lc IS NOT NULL AND CAST(min_lc AS DOUBLE) <= min_dc)
+              THEN NULL ELSE min_dc END AS min_d,
+         CASE WHEN max_dc IS NULL OR (max_lc IS NOT NULL AND CAST(max_lc AS DOUBLE) >= max_dc)
+              THEN max_lc END AS max_l,
+         CASE WHEN max_dc IS NULL OR (max_lc IS NOT NULL AND CAST(max_lc AS DOUBLE) >= max_dc)
+              THEN NULL ELSE max_dc END AS max_d
+  FROM t5c
+)
+"""
+
+_TYPED_COLS = [
+    "tenant_id", "metric_name", "window_start", "num_points", "is_float",
+    "sum_l", "sum_d", "avg_l", "avg_d", "min_l", "min_d", "max_l", "max_d",
+]
+
+
+def bf_typed_rollup_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 number promotion, rollup level: long-typed series keep exact long
+    min/max/avg (truncated-division mean, Average.java:70-76's invariant);
+    a group promotes to double iff any point is floating; min/max keep the
+    winning value's type (MinValue.java:52-95)."""
+    return R.typed_from_raw(_typed_raw_metrics(spark, sf_dir), G.MIN_5).select(*_TYPED_COLS)
+
+
+_BF_TYPED_5M_SQL = _T5_CTE + """
+SELECT tenant_id, metric_name, window_start, num_points, is_float,
+       sum_l, sum_d, avg_l, avg_d, min_l, min_d, max_l, max_d
+FROM t5
+"""
+
+
+def bf_typed_merge_20m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 at merge level: typed partials merge with the same promotion rule
+    applied transitively (Average.java:115-121 handleRollupMetric); the
+    long path never round-trips through doubles."""
+    t5 = R.typed_from_raw(_typed_raw_metrics(spark, sf_dir), G.MIN_5)
+    return R.typed_merge(t5, G.MIN_20).select(*_TYPED_COLS)
+
+
+_BF_TYPED_MERGE_20M_SQL = _T5_CTE + """
+, t20c AS (
+  SELECT tenant_id, metric_name,
+         (window_start // 1200000) * 1200000 AS window_start,
+         CAST(sum(num_points) AS BIGINT) AS num_points,
+         CAST(sum(n_double) AS BIGINT)   AS n_double,
+         CAST(sum(coalesce(sum_l, 0)) AS BIGINT) AS sum_l,
+         sum(sum_d) AS sum_d,
+         min(min_l) AS min_lc, min(min_d) AS min_dc,
+         max(max_l) AS max_lc, max(max_d) AS max_dc
+  FROM t5 GROUP BY 1, 2, 3
+)
+SELECT tenant_id, metric_name, window_start, num_points,
+       n_double > 0 AS is_float, sum_l, sum_d,
+       CASE WHEN n_double = 0
+            THEN CAST((sum_l - (sum_l % num_points)) // num_points AS BIGINT) END AS avg_l,
+       CASE WHEN n_double > 0 THEN sum_d / num_points END AS avg_d,
+       CASE WHEN min_dc IS NULL OR (min_lc IS NOT NULL AND CAST(min_lc AS DOUBLE) <= min_dc)
+            THEN min_lc END AS min_l,
+       CASE WHEN min_dc IS NULL OR (min_lc IS NOT NULL AND CAST(min_lc AS DOUBLE) <= min_dc)
+            THEN NULL ELSE min_dc END AS min_d,
+       CASE WHEN max_dc IS NULL OR (max_lc IS NOT NULL AND CAST(max_lc AS DOUBLE) >= max_dc)
+            THEN max_lc END AS max_l,
+       CASE WHEN max_dc IS NULL OR (max_lc IS NOT NULL AND CAST(max_lc AS DOUBLE) >= max_dc)
+            THEN NULL ELSE max_dc END AS max_d
+FROM t20c
+"""
+
+
 def bf_counter_rollup_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 CounterFromRaw (rate = count / (maxTs − minTs), safeDiv)."""
     raw = _raw_metrics(spark, sf_dir)
@@ -1953,6 +2081,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_quality_gate": llm_quality_gate,
         "llm_pipeline_output": llm_pipeline_output,
         "bf_timer_pct_map_merge": bf_timer_pct_map_merge,
+        "bf_typed_rollup_5m": bf_typed_rollup_5m,
+        "bf_typed_merge_20m": bf_typed_merge_20m,
         "bf_preagg_ladder": bf_preagg_ladder,
         "bf_granularity_select": bf_granularity_select,
         # rows-only (no SQL-expressible oracle): stateful/pandas ops
@@ -2033,6 +2163,8 @@ def oracle_sql() -> dict[str, str]:
         "llm_quality_gate": TX.quality_gate_sql(),
         "llm_pipeline_output": _llm_pipeline_output_sql(),
         "bf_timer_pct_map_merge": _BF_TIMER_PCT_MAP_SQL,
+        "bf_typed_rollup_5m": _BF_TYPED_5M_SQL,
+        "bf_typed_merge_20m": _BF_TYPED_MERGE_20M_SQL,
         "bf_preagg_ladder": _BF_PREAGG_LADDER_SQL,
         "bf_granularity_select": _BF_GRANULARITY_SELECT_SQL,
     }

@@ -548,3 +548,134 @@ def merge_percentile_maps(
             F.sort_array(F.collect_list(F.struct("pct_label", "pct_mean")))
         ).alias(pct_col)
     )
+
+
+# ---------------------------------------------------------------------------
+# F5 number promotion: long-preserving typed rollup
+# ---------------------------------------------------------------------------
+
+def _trunc_div(s: Column, n: Column) -> Column:
+    """Java-semantics integer division (truncate toward zero), expressed so
+    any engine computes it identically: `%` follows the dividend's sign in
+    both Spark and Java (and DuckDB), so (s - s % n) is exactly divisible
+    and the quotient is exact regardless of the engine's own div rounding.
+    The division runs in DECIMAL(38,0), not DOUBLE, so sums beyond 2^53
+    (billions of points at 100 TB) don't round before the quotient."""
+    return ((s - s % n).cast("decimal(38,0)") / n.cast("decimal(38,0)")).cast("long")
+
+
+def _typed_winner(l: Column, d: Column, long_wins: Column):
+    """Split a (long-candidate, double-candidate) pair into the typed output
+    columns, keeping the type of the winning value (MinValue.java:52-95,
+    MaxValue.java:49-92: a stat only switches representation when the other
+    type's value actually wins; ties keep the long — documented rule, the
+    reference's tie behavior is arrival-order-dependent)."""
+    lw = d.isNull() | (l.isNotNull() & long_wins)
+    return (
+        F.when(lw, l).otherwise(F.lit(None).cast("long")),
+        F.when(lw, F.lit(None).cast("double")).otherwise(d),
+    )
+
+
+def _typed_output(num_points, n_double, sum_l, sum_d, min_l, min_d, max_l, max_d):
+    """Shared output derivation for typed_from_raw / typed_merge.
+
+    Promotion rule (AbstractRollupStat.java, Average.java:115-121
+    handleRollupMetric): the average is floating iff ANY contributing value
+    is floating; otherwise it stays long. The long average is exact
+    truncated division of the exact sum — Average.java:70-76's incremental
+    form maintains the invariant sum = count*value + remainder at every
+    step, so its final value IS trunc(sum/count), order-independent. The
+    double average is the exact mean (the reference's incremental double
+    form is order-dependent and its own test accepts 1e-6 drift —
+    AverageTest.java:57-70; we take the deterministic exact mean,
+    documented divergence at ulp level only).
+    """
+    is_float = n_double > F.lit(0)
+    avg_l = F.when(~is_float, _trunc_div(sum_l, num_points)).otherwise(F.lit(None).cast("long"))
+    avg_d = F.when(is_float, sum_d / num_points).otherwise(F.lit(None).cast("double"))
+    omin_l, omin_d = _typed_winner(min_l, min_d, min_l.cast("double") <= min_d)
+    omax_l, omax_d = _typed_winner(max_l, max_d, max_l.cast("double") >= max_d)
+    return [
+        num_points.alias("num_points"),
+        n_double.alias("n_double"),
+        is_float.alias("is_float"),
+        sum_l.alias("sum_l"),
+        sum_d.alias("sum_d"),
+        avg_l.alias("avg_l"),
+        avg_d.alias("avg_d"),
+        omin_l.alias("min_l"),
+        omin_d.alias("min_d"),
+        omax_l.alias("max_l"),
+        omax_d.alias("max_d"),
+    ]
+
+
+def typed_from_raw(
+    df: DataFrame,
+    gran: G.Granularity,
+    ts_col: str = "ts",
+    keys: Sequence[str] = KEYS,
+) -> DataFrame:
+    """A1 with F5 number promotion: rollup over a dual-typed value column.
+
+    Input carries `value_l` (BIGINT) / `value_d` (DOUBLE), exactly one
+    non-null per row — the Spark shape of the reference's long/double
+    polymorphic stats (AbstractRollupStat.java:24-60; BigInteger/float
+    already collapse at ingest, Metric.java:51-59). One windowed
+    aggregation, all built-ins; the promotion logic is pure column
+    expressions over exact integer partials, so long-typed series never
+    round-trip through doubles (bit-parity on longs preserved end-to-end).
+    """
+    vl, vd = F.col("value_l"), F.col("value_d")
+    promoted = F.coalesce(vd, vl.cast("double"))
+    return (
+        _grouped(df, gran, ts_col, keys)
+        .agg(
+            *_typed_output(
+                F.count(F.lit(1)),
+                F.count(vd),
+                F.sum(vl),
+                F.sum(promoted),
+                F.min(vl),
+                F.min(vd),
+                F.max(vl),
+                F.max(vd),
+            )
+        )
+        .withColumn("resolution", F.lit(gran.name))
+    )
+
+
+def typed_merge(
+    partials: DataFrame,
+    gran: G.Granularity,
+    keys: Sequence[str] = KEYS,
+) -> DataFrame:
+    """A2 with F5 promotion: merge typed partials into coarser windows.
+
+    Children carry exact (num_points, n_double, sum_l, sum_d) and typed
+    min/max pairs; the merge is plain sums + the same winner/promotion
+    derivation, so it is associative and engine-deterministic on the long
+    path (the double path merges exact sums, as basic_merge does). A group
+    promotes to floating iff any child has n_double > 0 —
+    Average.java:115-121's handleRollupMetric rule applied transitively.
+    Output schema equals typed_from_raw's, so the cascade composes.
+    """
+    sum_l_in = F.coalesce(F.col("sum_l"), F.lit(0).cast("long"))
+    return (
+        _grouped(partials, gran, "window_start", keys)
+        .agg(
+            *_typed_output(
+                F.sum("num_points"),
+                F.sum("n_double"),
+                F.sum(sum_l_in),
+                F.sum("sum_d"),
+                F.min("min_l"),
+                F.min("min_d"),
+                F.max("max_l"),
+                F.max("max_d"),
+            )
+        )
+        .withColumn("resolution", F.lit(gran.name))
+    )
