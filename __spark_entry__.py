@@ -1717,6 +1717,16 @@ def llm_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_containment_pairs(docs, threshold=0.5)
 
 
+def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-split sequence packing (GPT-style pretraining): docs
+    concatenated in doc_id order, token stream cut every 256 tokens.
+    shard_size=64 forces the two-phase prefix sum through multiple shards
+    so the distributed path (not a degenerate single shard) is what's
+    verified against the oracle's global window."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.pack_sequences(docs, budget=256, shard_size=64)
+
+
 def llm_pipeline_output(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus-build pipeline end-to-end: a document survives iff it
     (a) passes the composite quality gate, (b) is the canonical member
@@ -2079,6 +2089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_chunk_dedup": llm_chunk_dedup,
         "llm_containment": llm_containment,
         "llm_quality_gate": llm_quality_gate,
+        "llm_pack_sequences": llm_pack_sequences,
         "llm_pipeline_output": llm_pipeline_output,
         "bf_timer_pct_map_merge": bf_timer_pct_map_merge,
         "bf_typed_rollup_5m": bf_typed_rollup_5m,
@@ -2161,6 +2172,7 @@ def oracle_sql() -> dict[str, str]:
         "llm_chunk_dedup": TX.chunk_dedup_sql(),
         "llm_containment": D.ngram_containment_pairs_sql(threshold=0.5),
         "llm_quality_gate": TX.quality_gate_sql(),
+        "llm_pack_sequences": TX.pack_sequences_sql(budget=256),
         "llm_pipeline_output": _llm_pipeline_output_sql(),
         "bf_timer_pct_map_merge": _BF_TIMER_PCT_MAP_SQL,
         "bf_typed_rollup_5m": _BF_TYPED_5M_SQL,

@@ -657,3 +657,91 @@ SELECT doc_id, n_tokens, stopword_ratio, top_word_frac, dup_2gram_frac,
        drop_reason, drop_reason = 'keep' AS keep
 FROM joined
 """
+
+
+def pack_sequences(
+    docs: DataFrame,
+    text_col: str = "text",
+    budget: int = 2048,
+    shard_size: int = 1024,
+) -> DataFrame:
+    """Concat-and-split sequence packing: documents are concatenated in
+    doc_id order and the token stream is cut every `budget` tokens — the
+    packing GPT-style pretraining uses. Emits, per document, its absolute
+    start offset in the stream and the first/last context windows it lands
+    in.
+
+    The global prefix sum is two-phase so nothing funnels into one task:
+    (1) a running sum *within* contiguous doc_id shards (window partitioned
+    by shard — parallel), (2) shard totals roll up to one row per shard and
+    a prefix over THAT tiny frame (corpus_docs / shard_size rows; ~100k at
+    100 TB with shard_size=1M — the only single-partition window runs on
+    kilobytes) broadcasts back as each shard's base offset. Exact integer
+    arithmetic throughout; `budget` splits use the divisible-remainder
+    trick so every engine truncates identically.
+    """
+    from pyspark.sql import Window
+
+    B = F.lit(budget).cast("long")
+    toks = token_counts(docs, text_col).select(
+        "doc_id", F.col("bpe_tokens").cast("long").alias("n_tokens")
+    )
+    sharded = toks.withColumn("_shard", F.expr(f"doc_id div {shard_size}"))
+    w_in = (
+        Window.partitionBy("_shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = sharded.withColumn(
+        "_prefix", F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0).cast("long"))
+    )
+    shard_tot = sharded.groupBy("_shard").agg(F.sum("n_tokens").alias("_tot"))
+    w_sh = Window.orderBy("_shard").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = shard_tot.withColumn(
+        "_off", F.coalesce(F.sum("_tot").over(w_sh), F.lit(0).cast("long"))
+    ).select("_shard", "_off")
+    start = (F.col("_off") + F.col("_prefix")).alias("start_token")
+
+    def _div(c):
+        return ((c - c % B) / B).cast("long")
+
+    out = within.join(F.broadcast(offsets), "_shard").select(
+        "doc_id",
+        "n_tokens",
+        start,
+    )
+    pack_first = _div(F.col("start_token"))
+    pack_last = F.greatest(
+        pack_first, _div(F.col("start_token") + F.col("n_tokens") - 1)
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "start_token",
+        pack_first.alias("pack_first"),
+        pack_last.alias("pack_last"),
+        (pack_last - pack_first + 1).alias("n_packs"),
+    )
+
+
+def pack_sequences_sql(budget: int = 2048) -> str:
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_token
+  FROM toks
+)
+SELECT doc_id, n_tokens, start_token,
+       start_token // {budget} AS pack_first,
+       greatest(start_token // {budget}, (start_token + n_tokens - 1) // {budget}) AS pack_last,
+       greatest(start_token // {budget}, (start_token + n_tokens - 1) // {budget})
+         - start_token // {budget} + 1 AS n_packs
+FROM cum
+"""

@@ -404,3 +404,27 @@ def test_quality_gate_reasons(spark):
     assert out[3]["drop_reason"] in ("repetitive_word", "repetitive_2gram")
     assert out[4]["drop_reason"] == "no_stopwords"
     assert not out[4]["keep"]
+
+
+def test_pack_sequences_boundaries(spark):
+    # four docs, word counts 3/5/4/2 -> BPE-ish tokens equal word counts here
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "d e f g h"), (2, "i j k l"), (3, "m n")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in TX.pack_sequences(docs, budget=4, shard_size=2).collect()}
+    assert [out[i]["start_token"] for i in range(4)] == [0, 3, 8, 12]
+    # doc 1 spans tokens 3..7 -> windows 0 and 1
+    assert (out[1]["pack_first"], out[1]["pack_last"], out[1]["n_packs"]) == (0, 1, 2)
+    # doc 2 spans tokens 8..11 -> exactly window 2
+    assert (out[2]["pack_first"], out[2]["pack_last"], out[2]["n_packs"]) == (2, 2, 1)
+
+
+def test_pack_sequences_shard_invariance(spark):
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(1 + (i * 13) % 29))) for i in range(60)],
+        "doc_id long, text string",
+    )
+    a = sorted(TX.pack_sequences(docs, budget=16, shard_size=7).collect())
+    b = sorted(TX.pack_sequences(docs, budget=16, shard_size=1000).collect())
+    assert a == b
