@@ -1883,7 +1883,7 @@ def bf_preagg_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             cols.append(nulls[f.name].alias(f.name))
     preagg = raw.select(*cols).withColumn("sample_count", F.lit(1).cast("long"))
-    out = preagg_cascade(preagg, grans=(G.MIN_5, G.MIN_20))
+    out = preagg_cascade(preagg, grans=(G.MIN_5, G.MIN_20), families=("counter",))
     return out["counter"]["20m"]
 
 
@@ -1965,7 +1965,7 @@ def bf_timer_pct_map_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             cols.append(nulls[f.name].alias(f.name))
     preagg = raw.select(*cols).withColumn("sample_count", F.lit(1).cast("long"))
-    t20 = preagg_cascade(preagg, grans=(G.MIN_5, G.MIN_20))["timer"]["20m"]
+    t20 = preagg_cascade(preagg, grans=(G.MIN_5, G.MIN_20), families=("timer",))["timer"]["20m"]
     return t20.select(
         "tenant_id",
         "metric_name",

@@ -220,16 +220,33 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS) -
         "h", F.conv(F.substring(F.md5(F.col("tok")), 1, n_hex), 16, 10).cast("long")
     )
     # branchless bit sums: ±1 contribution sum s_b = 2*Σ((h>>b)&1) − n,
-    # so only cheap shift/and expressions sit inside the wide aggregate
-    # (a CASE WHEN per bit defeats codegen CSE and runs ~3.5× slower)
-    bit_sums = [
-        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"c_{b}")
-        for b in range(bits)
-    ]
-    agg = toks.groupBy("doc_id").agg(F.count("*").alias("n"), *bit_sums)
+    # so only cheap shift/and expressions sit inside the aggregate
+    # (a CASE WHEN per bit defeats codegen CSE and runs ~3.5× slower).
+    # SIMD-in-a-register: four 16-bit counter lanes share one LONG
+    # accumulator, cutting the aggregation buffer from `bits` slots to
+    # bits/4 — fewer codegen update slots and a narrower shuffle row.
+    # Safe while docs stay under 65k tokens (Σ of a 0/1 lane ≤ n).
+    lanes = 4
+    groups = (bits + lanes - 1) // lanes
+
+    def _packed(g: int):
+        expr = None
+        for lane in range(lanes):
+            b = g + lane * groups
+            if b >= bits:
+                break
+            contrib = F.shiftleft(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)), 16 * lane)
+            expr = contrib if expr is None else expr + contrib
+        return F.sum(expr).alias(f"p_{g}")
+
+    agg = toks.groupBy("doc_id").agg(
+        F.count("*").alias("n"), *[_packed(g) for g in range(groups)]
+    )
     fp = None
     for b in range(bits):
-        bit = F.when(2 * F.col(f"c_{b}") - F.col("n") > 0, F.lit(2**b).cast("long")).otherwise(
+        g, lane = b % groups, b // groups
+        c_b = F.shiftright(F.col(f"p_{g}"), 16 * lane).bitwiseAND(F.lit(0xFFFF))
+        bit = F.when(2 * c_b - F.col("n") > 0, F.lit(2**b).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
         fp = bit if fp is None else fp + bit
@@ -308,14 +325,17 @@ def simhash_near_pairs(
     b = bucketed.select(
         F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "idx", "bv"
     ).repartition(p, "idx", "bv")
+    # hamming-filter BEFORE the dedup: the verify predicate is a per-row
+    # expression, so running it on the raw join output shrinks the distinct
+    # shuffle from the full candidate volume (~bucket²) to just the true
+    # near-pairs — orders of magnitude fewer rows at any scale.
     return (
         a.join(b, ["idx", "bv"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
-        .distinct()
         .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
 
 

@@ -417,7 +417,11 @@ def set_merge_from_values(
     )
 
 
-def preagg_to_finest(preagg: DataFrame, gran: G.Granularity = G.MIN_5) -> dict[str, DataFrame]:
+def preagg_to_finest(
+    preagg: DataFrame,
+    gran: G.Granularity = G.MIN_5,
+    families: Sequence[str] = ("counter", "gauge", "timer", "set"),
+) -> dict[str, DataFrame]:
     """Normalize PREAGG_METRICS rows (sources/ingest.normalize_aggregated
     output) into finest-level per-family rollup partials — the
     metrics_preaggregated_full equivalent (CassandraModel.java:68-80).
@@ -426,8 +430,8 @@ def preagg_to_finest(preagg: DataFrame, gran: G.Granularity = G.MIN_5) -> dict[s
     finest window and shapes columns so the merge functions can cascade it.
     """
     ws = window_start(F.col("ts"), gran)
-    counters = (
-        preagg.filter(F.col("rollup_type") == "counter")
+    builders = {
+        "counter": lambda: preagg.filter(F.col("rollup_type") == "counter")
         .select(
             "tenant_id",
             "metric_name",
@@ -435,10 +439,8 @@ def preagg_to_finest(preagg: DataFrame, gran: G.Granularity = G.MIN_5) -> dict[s
             F.col("counter_value").alias("count"),
             F.col("counter_rate").alias("rate"),
             F.coalesce(F.col("sample_count"), F.lit(1)).alias("sample_count"),
-        )
-    )
-    gauges = (
-        preagg.filter(F.col("rollup_type") == "gauge")
+        ),
+        "gauge": lambda: preagg.filter(F.col("rollup_type") == "gauge")
         .select(
             "tenant_id",
             "metric_name",
@@ -452,10 +454,8 @@ def preagg_to_finest(preagg: DataFrame, gran: G.Granularity = G.MIN_5) -> dict[s
             (F.col("gauge_value") * F.col("gauge_value")).alias("sum_sq"),
             F.col("ts").alias("latest_ts"),
             F.col("gauge_value").alias("latest_value"),
-        )
-    )
-    timers = (
-        preagg.filter(F.col("rollup_type") == "timer")
+        ),
+        "timer": lambda: preagg.filter(F.col("rollup_type") == "timer")
         .select(
             "tenant_id",
             "metric_name",
@@ -476,18 +476,19 @@ def preagg_to_finest(preagg: DataFrame, gran: G.Granularity = G.MIN_5) -> dict[s
             F.col("timer_avg").alias("avg"),
             (F.col("timer_std") * F.col("timer_std")).alias("var_pop"),
             F.col("timer_percentiles").alias("percentiles"),
-        )
-    )
-    sets = preagg.filter(F.col("rollup_type") == "set").select(
-        "tenant_id", "metric_name", ws.alias("window_start"), F.col("set_values")
-    )
-    return {"counter": counters, "gauge": gauges, "timer": timers, "set": sets}
+        ),
+        "set": lambda: preagg.filter(F.col("rollup_type") == "set").select(
+            "tenant_id", "metric_name", ws.alias("window_start"), F.col("set_values")
+        ),
+    }
+    return {fam: builders[fam]() for fam in families}
 
 
 def preagg_cascade(
     preagg: DataFrame,
     grans: Sequence[G.Granularity] = tuple(G.ROLLUP_GRANULARITIES),
     pre_partition: bool = True,
+    families: Sequence[str] = ("counter", "gauge", "timer", "set"),
 ) -> dict[str, dict[str, DataFrame]]:
     """The preaggregated rollup ladder (metrics_preaggregated_5m …
     _1440m): per family, finest partials merged level by level with the
@@ -502,29 +503,58 @@ def preagg_cascade(
     exchange in the ladder across all four families."""
     if pre_partition:
         preagg = preagg.repartition(*[F.col(k) for k in KEYS])
-    finest = preagg_to_finest(preagg, grans[0])
-    out: dict[str, dict[str, DataFrame]] = {t: {} for t in finest}
-    counters = finest["counter"]
-    gauges = finest["gauge"]
-    timers = finest["timer"]
-    sets = finest["set"]
-    for gran in grans:
-        counters = counter_merge(counters, gran)
-        out["counter"][gran.name] = counters
-        gauges = gauge_merge(gauges, gran)
-        out["gauge"][gran.name] = gauges
-        timers_merged = timer_merge(timers, gran)
-        pct = merge_percentile_maps(timers, gran)
-        timers = timers_merged.join(pct, [*KEYS, "window_start"], "left")
-        out["timer"][gran.name] = timers
-        sets_rolled = set_merge_from_values(sets, gran)
-        out["set"][gran.name] = sets_rolled
-        # carry member arrays forward so coarser unions stay exact
-        sets = (
-            sets.withColumn("window_start", window_start(F.col("window_start"), gran))
-            .groupBy(*KEYS, "window_start")
-            .agg(F.array_distinct(F.flatten(F.collect_list("set_values"))).alias("set_values"))
+    finest = preagg_to_finest(preagg, grans[0], families=families)
+    # Only build the ladders the caller asks for: DataFrame construction IS
+    # Catalyst analysis, and a single-family caller (a timer-only backfill,
+    # the counter ladder query) should not pay three unused families'
+    # plan-tree analysis on the driver — at bench scale that was ~half the
+    # end-to-end latency of the timer query.
+    out: dict[str, dict[str, DataFrame]] = {t: {} for t in families}
+    counters = finest["counter"] if "counter" in families else None
+    gauges = finest["gauge"] if "gauge" in families else None
+    timers = finest["timer"].drop("percentiles") if "timer" in families else None
+    sets = finest["set"] if "set" in families else None
+    # Percentiles travel the ladder EXPLODED as (locator, window, label,
+    # mean) — the reference's unweighted mean-of-means per label
+    # (BluefloodTimerRollup.java:241-254) is then one avg() per level over
+    # an ever-shrinking frame. The MAP column is reassembled lazily per
+    # output level, so a consumer of only the coarsest level never pays the
+    # intermediate collect_list/explode round-trips the map shape forces.
+    pct = (
+        finest["timer"].select(
+            *KEYS, "window_start", F.explode("percentiles").alias("pct_label", "pct_mean")
         )
+        if "timer" in families
+        else None
+    )
+    for gran in grans:
+        if counters is not None:
+            counters = counter_merge(counters, gran)
+            out["counter"][gran.name] = counters
+        if gauges is not None:
+            gauges = gauge_merge(gauges, gran)
+            out["gauge"][gran.name] = gauges
+        if timers is not None:
+            timers = timer_merge(timers, gran)
+            pct = (
+                pct.withColumn("window_start", window_start(F.col("window_start"), gran))
+                .groupBy(*KEYS, "window_start", "pct_label")
+                .agg(F.avg("pct_mean").alias("pct_mean"))
+            )
+            pct_map = pct.groupBy(*KEYS, "window_start").agg(
+                F.map_from_entries(
+                    F.sort_array(F.collect_list(F.struct("pct_label", "pct_mean")))
+                ).alias("percentiles")
+            )
+            out["timer"][gran.name] = timers.join(pct_map, [*KEYS, "window_start"], "left")
+        if sets is not None:
+            out["set"][gran.name] = set_merge_from_values(sets, gran)
+            # carry member arrays forward so coarser unions stay exact
+            sets = (
+                sets.withColumn("window_start", window_start(F.col("window_start"), gran))
+                .groupBy(*KEYS, "window_start")
+                .agg(F.array_distinct(F.flatten(F.collect_list("set_values"))).alias("set_values"))
+            )
     return out
 
 
