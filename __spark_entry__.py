@@ -1717,6 +1717,26 @@ def llm_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_containment_pairs(docs, threshold=0.5)
 
 
+_STRAT_RATES = {"src0": 80, "src1": 100, "src2": 10}
+
+
+def llm_topk_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation cap: keep the 20 largest docs per source
+    (rank by n_chars desc, doc_id tiebreak; partitioned window, nothing
+    global)."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.topk_per_group(docs, group_col="source", order_col="n_chars", k=20)
+
+
+def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source deterministic sampling: md5-bucket(doc_id) under the
+    source's rate (src0 80%, src1 100%, src2 10%, default 25%) —
+    shuffle-free, stable across runs/engines/retries, monotone in the
+    rate."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.stratified_sample(docs, rates=_STRAT_RATES, default_pct=25)
+
+
 def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-split sequence packing (GPT-style pretraining): docs
     concatenated in doc_id order, token stream cut every 256 tokens.
@@ -2090,6 +2110,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_containment": llm_containment,
         "llm_quality_gate": llm_quality_gate,
         "llm_pack_sequences": llm_pack_sequences,
+        "llm_topk_per_source": llm_topk_per_source,
+        "llm_stratified_sample": llm_stratified_sample,
         "llm_pipeline_output": llm_pipeline_output,
         "bf_timer_pct_map_merge": bf_timer_pct_map_merge,
         "bf_typed_rollup_5m": bf_typed_rollup_5m,
@@ -2173,6 +2195,8 @@ def oracle_sql() -> dict[str, str]:
         "llm_containment": D.ngram_containment_pairs_sql(threshold=0.5),
         "llm_quality_gate": TX.quality_gate_sql(),
         "llm_pack_sequences": TX.pack_sequences_sql(budget=256),
+        "llm_topk_per_source": TX.topk_per_group_sql(k=20),
+        "llm_stratified_sample": TX.stratified_sample_sql(_STRAT_RATES, default_pct=25),
         "llm_pipeline_output": _llm_pipeline_output_sql(),
         "bf_timer_pct_map_merge": _BF_TIMER_PCT_MAP_SQL,
         "bf_typed_rollup_5m": _BF_TYPED_5M_SQL,

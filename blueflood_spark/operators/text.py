@@ -745,3 +745,88 @@ SELECT doc_id, n_tokens, start_token,
          - start_token // {budget} + 1 AS n_packs
 FROM cum
 """
+
+
+def topk_per_group(
+    docs: DataFrame,
+    group_col: str = "source",
+    order_col: str = "n_chars",
+    k: int = 20,
+) -> DataFrame:
+    """Keep the k best documents per group (per-source curation cap) —
+    rank by `order_col` descending, doc_id ascending as the deterministic
+    tiebreak. The window is PARTITIONED by group, so each group ranks
+    inside its own tasks; nothing global. At 100 TB the caveat is a
+    single mega-group (one source = most of the corpus): pre-filter with
+    an approximate per-group threshold (approx_percentile on a sample)
+    before the exact window if one group dominates."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(F.desc(order_col), F.asc("doc_id"))
+    return (
+        docs.select("doc_id", group_col, order_col)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def topk_per_group_sql(group_col: str = "source", order_col: str = "n_chars", k: int = 20) -> str:
+    return f"""
+SELECT doc_id, {group_col}, {order_col}, rank FROM (
+  SELECT doc_id, {group_col}, {order_col},
+         row_number() OVER (PARTITION BY {group_col}
+                            ORDER BY {order_col} DESC, doc_id) AS rank
+  FROM documents
+) WHERE rank <= {k}
+"""
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, int],
+    default_pct: int = 25,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group deterministic sampling: keep a document iff its md5
+    bucket (0-99) falls under its group's percentage. Same
+    hash-the-id-never-rand() rule as train_split — stable across runs,
+    engines, partitionings, and retries; changing a group's rate is
+    monotone (raising it only ADDS documents, it never re-deals the ones
+    already kept). Shuffle-free: rate lookup is a literal map, the keep
+    decision is a per-row expression."""
+    bucket = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("strat_"), F.col(id_col).cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(100),
+    )
+    rate = F.lit(default_pct)
+    for src, pct in sorted(rates.items()):
+        rate = F.when(F.col(group_col) == src, F.lit(pct)).otherwise(rate)
+    return docs.select(
+        id_col,
+        group_col,
+        bucket.alias("bucket"),
+        rate.alias("rate_pct"),
+    ).filter(F.col("bucket") < F.col("rate_pct"))
+
+
+def stratified_sample_sql(
+    rates: dict[str, int],
+    default_pct: int = 25,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> str:
+    bucket = f"CAST(('0x' || substr(md5('strat_' || CAST({id_col} AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+    branches = " ".join(
+        f"WHEN {group_col} = '{src}' THEN {pct}" for src, pct in sorted(rates.items())
+    )
+    rate = f"CASE {branches} ELSE {default_pct} END"
+    return f"""
+SELECT {id_col}, {group_col}, {bucket} AS bucket, CAST({rate} AS INT) AS rate_pct
+FROM documents
+WHERE {bucket} < {rate}
+"""

@@ -428,3 +428,28 @@ def test_pack_sequences_shard_invariance(spark):
     a = sorted(TX.pack_sequences(docs, budget=16, shard_size=7).collect())
     b = sorted(TX.pack_sequences(docs, budget=16, shard_size=1000).collect())
     assert a == b
+
+
+def test_topk_per_group(spark):
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 2}", 100 - i) for i in range(10)],
+        "doc_id long, source string, n_chars long",
+    )
+    out = TX.topk_per_group(docs, k=3).collect()
+    assert len(out) == 6
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append((r["rank"], r["doc_id"]))
+    # s0 docs have n_chars 100,98,96,94,92 -> top3 are doc 0,2,4
+    assert sorted(by_src["s0"]) == [(1, 0), (2, 2), (3, 4)]
+    assert sorted(by_src["s1"]) == [(1, 1), (2, 3), (3, 5)]
+
+
+def test_stratified_sample_monotone_in_rate(spark):
+    docs = spark.createDataFrame(
+        [(i, "web") for i in range(200)], "doc_id long, source string"
+    )
+    low = {r["doc_id"] for r in TX.stratified_sample(docs, {"web": 20}).collect()}
+    high = {r["doc_id"] for r in TX.stratified_sample(docs, {"web": 60}).collect()}
+    assert low < high  # raising the rate only adds documents
+    assert 0.10 < len(low) / 200 < 0.35
