@@ -661,6 +661,131 @@ FROM t20c
 """
 
 
+_VALIDATE_NOW_MS = 1_706_659_200_000  # just past the events table's max ts
+
+
+def bf_ingest_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 payload validation + P2 delayed predicate as one classification
+    query (ingest.validate / ingest.flag_delayed). Samples are re-timed
+    into the last day before NOW, then deterministically corrupted by
+    user_id residue so every rejection class appears: empty metricName
+    (%97), missing value (%89), collectionTime too old (%83) / too far
+    future (%79), ttl out of range (%73). Rule precedence is the bean
+    validator's (JSONMetric.java:28-41, EpochRangeValidator.java);
+    is_delayed = ts < now − 300000 (JSONMetricsContainer.isDelayed) on
+    accepted rows only."""
+    from blueflood_spark.sources import ingest as I
+
+    raw = _raw_metrics(spark, sf_dir)
+    now = _VALIDATE_NOW_MS
+    u = F.col("user_id")
+    ts1 = F.lit(now) - (F.col("ts") % 86_400_000)
+    shaped = raw.select(
+        "tenant_id",
+        F.when(u % 97 == 0, F.lit("")).otherwise(F.col("metric_name")).alias("metric_name"),
+        F.when(u % 83 == 0, ts1 - F.lit(4 * 86_400_000))
+        .when(u % 79 == 0, ts1 + F.lit(7_200_000))
+        .otherwise(ts1)
+        .alias("ts"),
+        F.when(u % 89 == 0, F.lit(None).cast("double")).otherwise(F.col("value")).alias("value"),
+        F.when(u % 73 == 0, F.lit(0)).otherwise(F.lit(14_400)).cast("int").alias("ttl_seconds"),
+        "user_id",
+    )
+    valid, rejected = I.validate(shaped, now_ms=now)
+    valid = I.flag_delayed(valid, now_ms=now)
+    out = valid.select(
+        "user_id", "ts", F.lit("ok").alias("error"), F.col("is_delayed")
+    ).unionByName(
+        rejected.select("user_id", "ts", "error", F.lit(None).cast("boolean").alias("is_delayed"))
+    )
+    return out.groupBy("error", "is_delayed").agg(
+        F.count("*").alias("n"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+    )
+
+
+_BF_INGEST_VALIDATE_SQL = _RAW_CTE + f"""
+, shaped AS (
+  SELECT tenant_id,
+         CASE WHEN user_id % 97 = 0 THEN '' ELSE metric_name END AS metric_name,
+         CASE WHEN user_id % 83 = 0 THEN {_VALIDATE_NOW_MS} - (ts % 86400000) - {4 * 86_400_000}
+              WHEN user_id % 79 = 0 THEN {_VALIDATE_NOW_MS} - (ts % 86400000) + 7200000
+              ELSE {_VALIDATE_NOW_MS} - (ts % 86400000) END AS ts,
+         CASE WHEN user_id % 89 = 0 THEN NULL ELSE value END AS value,
+         CASE WHEN user_id % 73 = 0 THEN 0 ELSE 14400 END AS ttl_seconds,
+         user_id
+  FROM raw
+),
+classified AS (
+  SELECT user_id, ts,
+         CASE WHEN tenant_id IS NULL OR length(tenant_id) = 0 THEN 'missing tenantId'
+              WHEN metric_name IS NULL OR length(metric_name) = 0 THEN 'missing metricName'
+              WHEN value IS NULL THEN 'missing metricValue'
+              WHEN ts IS NULL THEN 'missing collectionTime'
+              WHEN ts < {_VALIDATE_NOW_MS} - {3 * 86_400_000} THEN 'collectionTime too far in the past'
+              WHEN ts > {_VALIDATE_NOW_MS} + 600000 THEN 'collectionTime too far in the future'
+              WHEN ttl_seconds IS NOT NULL AND (ttl_seconds < 1 OR ttl_seconds > {2**31 - 1})
+                   THEN 'ttlInSeconds out of range'
+              ELSE 'ok' END AS error,
+         ts < {_VALIDATE_NOW_MS} - 300000 AS is_delayed
+  FROM shaped
+)
+SELECT error,
+       CASE WHEN error = 'ok' THEN is_delayed END AS is_delayed,
+       count(*) AS n, min(ts) AS min_ts, max(ts) AS max_ts
+FROM classified
+GROUP BY 1, 2
+"""
+
+
+def bf_ttl_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 TTL-as-predicate over the rollup ladder: each resolution keeps
+    only windows younger than its retention (5m: 10d, 20m: 20d, 60m: 155d
+    — CassandraModel.java:47-59) at a fixed NOW just past the newest
+    sample. The 30-day events span makes the three cutoffs differ
+    materially (5m keeps ~⅓ of windows, 60m keeps all)."""
+    from blueflood_spark.sources.tables import retention_predicate
+
+    raw = _raw_metrics(spark, sf_dir)
+    levels = R.cascade(raw, grans=(G.MIN_5, G.MIN_20, G.MIN_60))
+    now = _VALIDATE_NOW_MS
+    parts = [
+        levels[res]
+        .filter(retention_predicate(res, now))
+        .select("tenant_id", "metric_name", "window_start", "num_points", F.lit(res).alias("resolution"))
+        for res in ("5m", "20m", "60m")
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+_BF_TTL_RETENTION_SQL = _R5_CTE + f"""
+, r20 AS (
+  SELECT tenant_id, metric_name,
+         (window_start // 1200000) * 1200000 AS window_start,
+         CAST(sum(num_points) AS BIGINT) AS num_points
+  FROM r5 GROUP BY 1, 2, 3
+),
+r60 AS (
+  SELECT tenant_id, metric_name,
+         (window_start // 3600000) * 3600000 AS window_start,
+         CAST(sum(num_points) AS BIGINT) AS num_points
+  FROM r20 GROUP BY 1, 2, 3
+)
+SELECT tenant_id, metric_name, window_start, num_points, '5m' AS resolution
+FROM r5 WHERE window_start >= {_VALIDATE_NOW_MS} - {10 * 86_400_000}
+UNION ALL
+SELECT tenant_id, metric_name, window_start, num_points, '20m' AS resolution
+FROM r20 WHERE window_start >= {_VALIDATE_NOW_MS} - {20 * 86_400_000}
+UNION ALL
+SELECT tenant_id, metric_name, window_start, num_points, '60m' AS resolution
+FROM r60 WHERE window_start >= {_VALIDATE_NOW_MS} - {155 * 86_400_000}
+"""
+
+
 def bf_counter_rollup_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 CounterFromRaw (rate = count / (maxTs − minTs), safeDiv)."""
     raw = _raw_metrics(spark, sf_dir)
@@ -2116,6 +2241,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bf_timer_pct_map_merge": bf_timer_pct_map_merge,
         "bf_typed_rollup_5m": bf_typed_rollup_5m,
         "bf_typed_merge_20m": bf_typed_merge_20m,
+        "bf_ingest_validate": bf_ingest_validate,
+        "bf_ttl_retention": bf_ttl_retention,
         "bf_preagg_ladder": bf_preagg_ladder,
         "bf_granularity_select": bf_granularity_select,
         # rows-only (no SQL-expressible oracle): stateful/pandas ops
@@ -2201,6 +2328,8 @@ def oracle_sql() -> dict[str, str]:
         "bf_timer_pct_map_merge": _BF_TIMER_PCT_MAP_SQL,
         "bf_typed_rollup_5m": _BF_TYPED_5M_SQL,
         "bf_typed_merge_20m": _BF_TYPED_MERGE_20M_SQL,
+        "bf_ingest_validate": _BF_INGEST_VALIDATE_SQL,
+        "bf_ttl_retention": _BF_TTL_RETENTION_SQL,
         "bf_preagg_ladder": _BF_PREAGG_LADDER_SQL,
         "bf_granularity_select": _BF_GRANULARITY_SELECT_SQL,
     }
