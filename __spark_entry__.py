@@ -1842,6 +1842,15 @@ def llm_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_containment_pairs(docs, threshold=0.5)
 
 
+def llm_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd's k-means over the embeddings table (2 unrolled
+    iterations, k=8): the clustering stage of SemDeDup-style semantic
+    curation. Seeds, argmin tie-breaks, and centroid updates are all
+    order-pinned, so the DuckDB twin reproduces assignments bit-for-bit."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.kmeans_assign(emb, k=8, iterations=2)
+
+
 _STRAT_RATES = {"src0": 80, "src1": 100, "src2": 10}
 
 
@@ -2236,6 +2245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_quality_gate": llm_quality_gate,
         "llm_pack_sequences": llm_pack_sequences,
         "llm_topk_per_source": llm_topk_per_source,
+        "llm_kmeans_clusters": llm_kmeans_clusters,
         "llm_stratified_sample": llm_stratified_sample,
         "llm_pipeline_output": llm_pipeline_output,
         "bf_timer_pct_map_merge": bf_timer_pct_map_merge,
@@ -2323,6 +2333,7 @@ def oracle_sql() -> dict[str, str]:
         "llm_quality_gate": TX.quality_gate_sql(),
         "llm_pack_sequences": TX.pack_sequences_sql(budget=256),
         "llm_topk_per_source": TX.topk_per_group_sql(k=20),
+        "llm_kmeans_clusters": SIM.kmeans_assign_sql(k=8, iterations=2),
         "llm_stratified_sample": TX.stratified_sample_sql(_STRAT_RATES, default_pct=25),
         "llm_pipeline_output": _llm_pipeline_output_sql(),
         "bf_timer_pct_map_merge": _BF_TIMER_PCT_MAP_SQL,

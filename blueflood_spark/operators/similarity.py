@@ -407,3 +407,150 @@ def embedding_near_dups(
         .cogroup(right.groupby("blk_a", "blk_b"))
         .applyInPandas(tile_kernel, schema="id_a long, id_b long, cosine double")
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic k-means (semantic clustering for data curation)
+# ---------------------------------------------------------------------------
+
+def kmeans_assign(
+    emb: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd's k-means over an embedding column — the
+    clustering step of SemDeDup-style semantic curation (cluster, then
+    keep representatives per cluster).
+
+    Everything that normally makes distributed k-means irreproducible is
+    pinned: seeds are the k lowest ids' vectors (no rand()), the argmin
+    tie-breaks on centroid id via a struct-min, and the centroid update
+    sums members IN ID ORDER via a sorted-fold — so two engines (or two
+    cluster layouts) produce bit-identical centroids and assignments.
+    The ordered fold is the exactness device for the oracle gate; a
+    production run can swap it for a plain sum() and tolerate ulp drift.
+
+    Scale shape per iteration: assignment is a broadcast of k·dim
+    centroid values against one pass over the vectors (no shuffle of the
+    corpus); the update is one explode-by-position aggregation
+    (n·dim rows → k·dim groups). Iterations are unrolled into one DAG —
+    Catalyst sees a deep but static plan.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(id_col)
+    cents = (
+        emb.orderBy(id_col)
+        .limit(k)
+        .select((F.row_number().over(w) - 1).alias("cid"), F.col(vec_col).alias("cvec"))
+    )
+    assign = None
+    for _ in range(iterations):
+        pairs = emb.select(id_col, vec_col).crossJoin(F.broadcast(cents))
+        d = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.col("cvec"),
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        assign = (
+            pairs.withColumn("d", d)
+            .groupBy(id_col)
+            .agg(F.min(F.struct(F.col("d"), F.col("cid"))).alias("m"))
+            .select(id_col, F.col("m.cid").alias("cid"), F.col("m.d").alias("sq_dist"))
+        )
+        members = assign.join(emb.select(id_col, vec_col), id_col)
+        by_pos = members.select(
+            "cid", id_col, F.posexplode(F.col(vec_col)).alias("pos", "val")
+        )
+        sums = by_pos.groupBy("cid", "pos").agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct(F.col(id_col).alias("i"), F.col("val").alias("v")))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["v"].cast("double"),
+            ).alias("s"),
+            F.count("*").alias("n"),
+        )
+        cents = sums.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", (F.col("s") / F.col("n")).alias("mean")))),
+                lambda s: s["mean"],
+            ).alias("cvec")
+        )
+    # final assignment under the last update, so the output reflects
+    # `iterations` full Lloyd steps
+    pairs = emb.select(id_col, vec_col).crossJoin(F.broadcast(cents))
+    d = F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            F.col("cvec"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        pairs.withColumn("d", d)
+        .groupBy(id_col)
+        .agg(F.min(F.struct(F.col("d"), F.col("cid"))).alias("m"))
+        .select(id_col, F.col("m.cid").alias("cluster_id"), F.col("m.d").alias("sq_dist"))
+    )
+
+
+def kmeans_assign_sql(k: int = 8, iterations: int = 2) -> str:
+    """Unrolled DuckDB twin: same seeds, same ordered-fold update, same
+    struct-min argmin — independent SQL, shared determinism contract."""
+    seed = f"""
+seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT {k}
+)"""
+    dist = (
+        "list_sum(list_transform(list_zip(e.embedding, c.cvec), "
+        "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) "
+        "* (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+    )
+    parts = ["WITH " + seed.strip()]
+    prev = "seeds"
+    for it in range(iterations):
+        parts.append(f"""
+a{it} AS (
+  SELECT vec_id, min(struct_pack(d := {dist}, cid := c.cid)) AS m
+  FROM embeddings e CROSS JOIN {prev} c
+  GROUP BY vec_id
+)""".strip())
+        parts.append(f"""
+u{it} AS (
+  SELECT a.m.cid AS cid, generate_subscripts(e.embedding, 1) AS pos,
+         unnest(e.embedding) AS val, e.vec_id
+  FROM a{it} a JOIN embeddings e USING (vec_id)
+)""".strip())
+        parts.append(f"""
+s{it} AS (
+  SELECT cid, pos,
+         list_sum(list_transform(list(CAST(val AS DOUBLE) ORDER BY vec_id), x -> x)) AS s,
+         count(*) AS n
+  FROM u{it} GROUP BY cid, pos
+)""".strip())
+        parts.append(f"""
+c{it} AS (
+  SELECT cid, list(s / n ORDER BY pos) AS cvec
+  FROM s{it} GROUP BY cid
+)""".strip())
+        prev = f"c{it}"
+    body = ",\n".join(parts)
+    return f"""{body}
+SELECT vec_id, m.cid AS cluster_id, m.d AS sq_dist
+FROM (
+  SELECT vec_id, min(struct_pack(d := {dist}, cid := c.cid)) AS m
+  FROM embeddings e CROSS JOIN {prev} c
+  GROUP BY vec_id
+)
+"""

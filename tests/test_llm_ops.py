@@ -453,3 +453,18 @@ def test_stratified_sample_monotone_in_rate(spark):
     high = {r["doc_id"] for r in TX.stratified_sample(docs, {"web": 60}).collect()}
     assert low < high  # raising the rate only adds documents
     assert 0.10 < len(low) / 200 < 0.35
+
+
+def test_kmeans_deterministic_clusters(spark):
+    # two obvious blobs around (0,0) and (10,10); seeds = two lowest ids,
+    # one in each blob, so 2 iterations settle exactly
+    rows = [
+        (0, [0.0, 0.1]), (1, [10.0, 10.1]), (2, [0.2, 0.0]), (3, [9.9, 10.0]),
+        (4, [0.1, 0.2]), (5, [10.2, 9.8]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r["cluster_id"] for r in SIM.kmeans_assign(emb, k=2, iterations=2).collect()}
+    assert out == {0: 0, 2: 0, 4: 0, 1: 1, 3: 1, 5: 1}
+    # rerun is bit-identical (no rand anywhere)
+    again = {r["vec_id"]: r["cluster_id"] for r in SIM.kmeans_assign(emb, k=2, iterations=2).collect()}
+    assert out == again
