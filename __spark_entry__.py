@@ -1929,17 +1929,34 @@ WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
 """
 
 
-# ---------------------------------------------------------------------------
-# non-SQL-expressible operators (rows-only driver check; no oracle entry)
-# ---------------------------------------------------------------------------
-
 def llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: synthetic binary media → mapInPandas feature
-    extraction (decode stubbed deterministically; Arrow batch path real)."""
+    extraction. The decode is stubbed deterministically (declared — no
+    media libs in this runtime) but the Arrow batch path, schema, and
+    hash-derived features are real and ORACLE-CHECKED: the payload is
+    ASCII-hex bytes, so DuckDB reproduces sha/feature extraction from the
+    same string the pandas workers hash."""
     from blueflood_spark.operators import multimodal as MM
 
     media = MM.synthetic_media(spark, 96)
     return MM.extract_features(media)
+
+
+_LLM_MULTIMODAL_SQL = """
+WITH m AS (
+  SELECT i AS media_id,
+         CASE CAST(i % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         repeat(md5('media_' || CAST(i AS VARCHAR)), 5) AS payload_str
+  FROM range(96) t(i)
+)
+SELECT media_id, kind,
+       sha256(payload_str) AS payload_sha,
+       CAST(length(payload_str) AS BIGINT) AS n_bytes,
+       list_transform(range(0, 8), j ->
+         CAST(CAST(('0x' || substr(md5(payload_str), CAST(2 * j + 1 AS INT), 2)) AS INT) / 255.0 AS FLOAT)
+       ) AS feature
+FROM m
+"""
 
 
 def bf_granularity_select(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2255,7 +2272,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bf_ttl_retention": bf_ttl_retention,
         "bf_preagg_ladder": bf_preagg_ladder,
         "bf_granularity_select": bf_granularity_select,
-        # rows-only (no SQL-expressible oracle): stateful/pandas ops
         "llm_multimodal_features": llm_multimodal_features,
     }
 
@@ -2343,4 +2359,5 @@ def oracle_sql() -> dict[str, str]:
         "bf_ttl_retention": _BF_TTL_RETENTION_SQL,
         "bf_preagg_ladder": _BF_PREAGG_LADDER_SQL,
         "bf_granularity_select": _BF_GRANULARITY_SELECT_SQL,
+        "llm_multimodal_features": _LLM_MULTIMODAL_SQL,
     }

@@ -118,12 +118,16 @@ def frame_sample_plan(media: DataFrame, fps: float = 1.0) -> DataFrame:
 
 
 def synthetic_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic fake media table for tests (payload = seeded bytes)."""
+    """Deterministic fake media table for tests. The payload is ASCII-hex
+    bytes (md5 hex ×5 = 160 bytes) rather than raw binary so the DuckDB
+    oracle — whose hash functions take VARCHAR only — can reproduce the
+    feature pipeline byte-for-byte; the Spark column is still BINARY and
+    the Arrow plumbing is exactly what raw media bytes would traverse."""
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
         kind = kinds[i % 3]
-        payload = hashlib.sha1(f"media_{i}".encode()).digest() * 4
+        payload = (hashlib.md5(f"media_{i}".encode()).hexdigest() * 5).encode()
         rows.append(
             (
                 i,
