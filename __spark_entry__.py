@@ -739,6 +739,111 @@ GROUP BY 1, 2
 """
 
 
+def bf_statsd_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 aggregated (statsd) ingest + P4-adjacent family typing: raw
+    samples are packed into real AGGREGATED_PAYLOAD rows (one payload per
+    tenant×30s flush, families by user_id residue, arrays sorted so the
+    collect round-trip is deterministic), then normalize_aggregated
+    explodes them back to flat PREAGG rows (PreaggregateConversions.java:
+    48-129 — counter sampleCount = rate·flushInterval/1000). The oracle
+    computes the flat form directly from raw, so the pack→explode
+    round-trip is what's verified."""
+    from blueflood_spark.sources.ingest import AGGREGATED_PAYLOAD, normalize_aggregated
+
+    raw = _raw_metrics(spark, sf_dir)
+    fam = F.col("user_id") % 3
+    ts_p = (F.expr("ts div 30000") * 30000).cast("long")
+    tagged = raw.select(
+        "tenant_id",
+        "metric_name",
+        ts_p.alias("ts_p"),
+        "value",
+        "user_id",
+        fam.alias("fam"),
+    )
+    counters = F.array_sort(
+        F.collect_list(
+            F.when(
+                F.col("fam") == 0,
+                F.struct(
+                    F.col("metric_name").alias("name"),
+                    F.col("value").alias("value"),
+                    (F.col("value") / 30.0).alias("rate"),
+                ),
+            )
+        )
+    )
+    gauges = F.array_sort(
+        F.collect_list(
+            F.when(
+                F.col("fam") == 1,
+                F.struct(F.col("metric_name").alias("name"), F.col("value").alias("value")),
+            )
+        )
+    )
+    sets = F.array_sort(
+        F.collect_list(
+            F.when(
+                F.col("fam") == 2,
+                F.struct(
+                    F.col("metric_name").alias("name"),
+                    F.array_sort(
+                        F.array(
+                            (F.col("user_id") % 7).cast("string"),
+                            (F.col("user_id") % 13).cast("string"),
+                        )
+                    ).alias("values"),
+                ),
+            )
+        )
+    )
+    payloads = tagged.groupBy("tenant_id", "ts_p").agg(
+        counters.alias("counters"), gauges.alias("gauges"), sets.alias("sets")
+    )
+    shaped = payloads.select(
+        F.col("tenant_id").alias("tenantId"),
+        F.col("ts_p").alias("timestamp"),
+        F.lit(30_000).cast("long").alias("flushInterval"),
+        "counters",
+        "gauges",
+        F.lit(None).cast(AGGREGATED_PAYLOAD["timers"].dataType).alias("timers"),
+        "sets",
+    )
+    out = normalize_aggregated(shaped)
+    return out.select(
+        "tenant_id",
+        "metric_name",
+        "ts",
+        "rollup_type",
+        "counter_value",
+        "counter_rate",
+        "sample_count",
+        "gauge_value",
+        "set_values",
+    )
+
+
+_BF_STATSD_NORMALIZE_SQL = _RAW_CTE + """
+, tagged AS (
+  SELECT tenant_id, metric_name, (ts // 30000) * 30000 AS ts, value,
+         user_id, user_id % 3 AS fam
+  FROM raw
+)
+SELECT tenant_id, metric_name, ts, 'counter' AS rollup_type,
+       value AS counter_value, value / 30.0 AS counter_rate,
+       CAST(trunc((value / 30.0) * 30000 / 1000.0) AS BIGINT) AS sample_count,
+       NULL AS gauge_value, NULL AS set_values
+FROM tagged WHERE fam = 0
+UNION ALL
+SELECT tenant_id, metric_name, ts, 'gauge', NULL, NULL, NULL, value, NULL
+FROM tagged WHERE fam = 1
+UNION ALL
+SELECT tenant_id, metric_name, ts, 'set', NULL, NULL, NULL, NULL,
+       list_sort([CAST(user_id % 7 AS VARCHAR), CAST(user_id % 13 AS VARCHAR)])
+FROM tagged WHERE fam = 2
+"""
+
+
 def bf_ttl_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6 TTL-as-predicate over the rollup ladder: each resolution keeps
     only windows younger than its retention (5m: 10d, 20m: 20d, 60m: 155d
@@ -2269,6 +2374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bf_typed_rollup_5m": bf_typed_rollup_5m,
         "bf_typed_merge_20m": bf_typed_merge_20m,
         "bf_ingest_validate": bf_ingest_validate,
+        "bf_statsd_normalize": bf_statsd_normalize,
         "bf_ttl_retention": bf_ttl_retention,
         "bf_preagg_ladder": bf_preagg_ladder,
         "bf_granularity_select": bf_granularity_select,
@@ -2356,6 +2462,7 @@ def oracle_sql() -> dict[str, str]:
         "bf_typed_rollup_5m": _BF_TYPED_5M_SQL,
         "bf_typed_merge_20m": _BF_TYPED_MERGE_20M_SQL,
         "bf_ingest_validate": _BF_INGEST_VALIDATE_SQL,
+        "bf_statsd_normalize": _BF_STATSD_NORMALIZE_SQL,
         "bf_ttl_retention": _BF_TTL_RETENTION_SQL,
         "bf_preagg_ladder": _BF_PREAGG_LADDER_SQL,
         "bf_granularity_select": _BF_GRANULARITY_SELECT_SQL,
