@@ -318,3 +318,44 @@ def reroll(
         "left_semi",
     )
     return R.basic_from_raw(pruned, gran)
+
+
+def start_preagg_ingest(
+    spark: SparkSession,
+    input_path: str,
+    tables_dir: str,
+    checkpoint: str,
+    available_now: bool = True,
+    catalog_path: str | None = None,
+):
+    """S3 aggregated (statsd) streaming ingest: JSON payloads with the
+    AGGREGATED_PAYLOAD shape stream in, normalize_aggregated explodes
+    them to flat preagg rows (PreaggregateConversions.java:48-129), and
+    route_by_type (P4) fans each family out to its own table — the
+    metrics_preaggregated_full equivalents (CassandraModel.java:68-80).
+    Same topology contract as start_ingest: one stream, foreachBatch
+    multi-sink fan-out, checkpointed exactly-once per sink directory."""
+    from blueflood_spark.sources.ingest import (
+        AGGREGATED_PAYLOAD,
+        normalize_aggregated,
+        route_by_type,
+    )
+
+    stream = spark.readStream.schema(AGGREGATED_PAYLOAD).json(input_path)
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        preagg = normalize_aggregated(batch).cache()
+        for family, df in route_by_type(preagg).items():
+            df.withColumn(
+                "date", F.to_date(F.timestamp_millis(F.col("ts")))
+            ).write.partitionBy("date").mode("append").parquet(
+                f"{tables_dir}/preagg_{family}"
+            )
+        if catalog_path is not None:
+            discovery_upsert(preagg.withColumn("unit", F.lit(None).cast("string")), catalog_path)
+        preagg.unpersist()
+
+    writer = stream.writeStream.foreachBatch(process).option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -238,3 +238,52 @@ def test_ingest_dedup_within_watermark(spark, dirs):
     ).awaitTermination(120)
     raw = spark.read.parquet(dirs["raw"])
     assert raw.count() == 2  # 3 identical rows collapse to 1, plus the distinct one
+
+
+def test_preagg_streaming_ingest(spark, tmp_path):
+    """S3 statsd stream: payloads → normalize → per-family tables, with
+    the counter sampleCount derivation surviving the trip."""
+    import os
+
+    inp = str(tmp_path / "agg_input")
+    tables = str(tmp_path / "preagg_tables")
+    ckpt = str(tmp_path / "ckpt_preagg")
+    os.makedirs(inp)
+    now = int(time.time() * 1000)
+    payload = {
+        "tenantId": "t1",
+        "timestamp": now,
+        "flushInterval": 30000,
+        "counters": [{"name": "c.hits", "value": 60.0, "rate": 2.0}],
+        "gauges": [{"name": "g.depth", "value": 7.5}],
+        "timers": [
+            {
+                "name": "t.req",
+                "count": 10,
+                "rate": 0.33,
+                "min": 1.0,
+                "max": 9.0,
+                "sum": 50.0,
+                "avg": 5.0,
+                "std": 2.0,
+                "percentiles": {"p99": {"avg": 8.8}},
+            }
+        ],
+        "sets": [{"name": "s.users", "values": ["a", "b", "a"]}],
+    }
+    write_payload(f"{inp}/batch1.json", [payload])
+    q = P.start_preagg_ingest(spark, inp, tables, ckpt)
+    q.awaitTermination(120)
+
+    counters = spark.read.parquet(f"{tables}/preagg_counter").collect()
+    assert len(counters) == 1
+    c = counters[0]
+    assert c["metric_name"] == "c.hits" and c["counter_value"] == 60.0
+    # sampleCount = rate * flushInterval/1000 = 2.0 * 30 = 60
+    assert c["sample_count"] == 60
+    gauges = spark.read.parquet(f"{tables}/preagg_gauge").collect()
+    assert gauges[0]["gauge_value"] == 7.5
+    timers = spark.read.parquet(f"{tables}/preagg_timer").collect()
+    assert timers[0]["timer_percentiles"] == {"p99": 8.8}
+    sets = spark.read.parquet(f"{tables}/preagg_set").collect()
+    assert sorted(sets[0]["set_values"]) == ["a", "a", "b"]
