@@ -3,7 +3,7 @@ entry on Spark and its oracle_sql() on DuckDB at a given SF, compare
 row-count, column names, and values (floats with rel tolerance 1e-9,
 everything else exact, order-insensitive).
 
-Usage: python tools/check_oracle.py [--exact] [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [--exact] [--vanilla] [sf_dir] [query ...]
 
 --exact compares floats at rel_tol=1e-12 with NO absolute floor,
 approximating the driver's value-hash gate (r1 evidence: ulp-level
@@ -86,15 +86,30 @@ def compare(name: str, spark_rows, duck_rows, spark_cols, duck_cols, exact=False
 
 
 def main():
-    argv = [a for a in sys.argv[1:] if a != "--exact"]
+    argv = [a for a in sys.argv[1:] if a not in ("--exact", "--vanilla")]
     exact = "--exact" in sys.argv[1:]
+    vanilla = "--vanilla" in sys.argv[1:]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
 
     import __spark_entry__ as E
-    from blueflood_spark.session import get_spark
 
-    spark = get_spark("check_oracle")
+    if vanilla:
+        # driver-mimic: a plain SparkSession with a non-UTC timezone and
+        # none of our session profile's configs — catches any query that
+        # silently depends on get_spark's settings
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[16]")
+            .config("spark.sql.session.timeZone", "Asia/Kolkata")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        from blueflood_spark.session import get_spark
+
+        spark = get_spark("check_oracle")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
