@@ -168,3 +168,57 @@ def test_bucketed_join_colocated(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS bj_rollups")
         spark.sql("DROP TABLE IF EXISTS bj_meta")
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pack_sequences_no_corpus_global_sort(spark):
+    """The corpus-side prefix window must be partitioned by shard; the
+    only single-partition window is over the tiny per-shard totals
+    frame."""
+    from blueflood_spark.operators import text as TX
+
+    docs = spark.createDataFrame(
+        [(i, "w " * (1 + i % 5)) for i in range(300)], "doc_id long, text string"
+    )
+    plan = _executed_plan(TX.pack_sequences(docs, budget=16, shard_size=32))
+    # corpus window partitioned by _shard, never a bare global sort of docs
+    assert "partitionBy(_shard" in plan.replace(" ", "") or "hashpartitioning(_shard" in plan, plan
+
+
+def test_weighted_sample_is_take_ordered(spark):
+    from blueflood_spark.operators import text as TX
+
+    docs = spark.createDataFrame(
+        [(i, "x" * (1 + i % 40)) for i in range(500)], "doc_id long, text string"
+    )
+    docs = docs.withColumn("n_chars", F.length("text"))
+    plan = _executed_plan(TX.weighted_sample(docs, k=10))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_simhash_pairs_no_cartesian(spark):
+    from blueflood_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 11} tok{i % 7} tok{i % 5} filler words here") for i in range(60)],
+        "doc_id long, text string",
+    )
+    plan = _executed_plan(D.simhash_near_pairs(docs, max_hamming=8, bits=60))
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark):
+    """The corpus side must join centroids via broadcast (k·dim rows),
+    never a shuffled cartesian."""
+    from blueflood_spark.operators import similarity as SIM
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 13), float(i % 17)]) for i in range(120)],
+        "vec_id long, embedding array<float>",
+    )
+    plan = _executed_plan(SIM.kmeans_assign(emb, k=4, iterations=1))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
