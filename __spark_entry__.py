@@ -1976,6 +1976,15 @@ def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.stratified_sample(docs, rates=_STRAT_RATES, default_pct=25)
 
 
+def llm_rare_token_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-token gibberish filter (integer-exact CCNet-style signal):
+    corpus df table, rare subset broadcast back, per-doc rare-token ratio
+    against a percent threshold. Thresholds relative to corpus size, so
+    keep and drop both occur at every SF (~5% dropped)."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.rare_token_stats(docs, rare_df_pct=60, keep_max_rare_ratio_pct=1)
+
+
 def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-split sequence packing (GPT-style pretraining): docs
     concatenated in doc_id order, token stream cut every 256 tokens.
@@ -2366,6 +2375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_containment": llm_containment,
         "llm_quality_gate": llm_quality_gate,
         "llm_pack_sequences": llm_pack_sequences,
+        "llm_rare_token_filter": llm_rare_token_filter,
         "llm_topk_per_source": llm_topk_per_source,
         "llm_kmeans_clusters": llm_kmeans_clusters,
         "llm_stratified_sample": llm_stratified_sample,
@@ -2454,6 +2464,7 @@ def oracle_sql() -> dict[str, str]:
         "llm_containment": D.ngram_containment_pairs_sql(threshold=0.5),
         "llm_quality_gate": TX.quality_gate_sql(),
         "llm_pack_sequences": TX.pack_sequences_sql(budget=256),
+        "llm_rare_token_filter": TX.rare_token_stats_sql(rare_df_pct=60, keep_max_rare_ratio_pct=1),
         "llm_topk_per_source": TX.topk_per_group_sql(k=20),
         "llm_kmeans_clusters": SIM.kmeans_assign_sql(k=8, iterations=2),
         "llm_stratified_sample": TX.stratified_sample_sql(_STRAT_RATES, default_pct=25),

@@ -830,3 +830,77 @@ SELECT {id_col}, {group_col}, {bucket} AS bucket, CAST({rate} AS INT) AS rate_pc
 FROM documents
 WHERE {bucket} < {rate}
 """
+
+
+def rare_token_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    rare_df_pct: int = 60,
+    keep_max_rare_ratio_pct: int = 30,
+) -> DataFrame:
+    """Rare-token gibberish filter: tokens are scored by corpus document
+    frequency; a document with too many corpus-rare tokens (df in fewer
+    than rare_df_pct% of documents — relative, so the signal is
+    scale-invariant) is flagged. The perplexity-filter idea (CCNet) with
+    integer-exact outputs — counts, cross-multiplied percent thresholds,
+    no log-probs — so the result is engine-reproducible (no libm in
+    checked outputs; see NOTES.md ranking trap).
+
+    One explode+agg builds the df table; it joins back onto the exploded
+    tokens (at 100 TB the df table is vocabulary-sized — shuffle join on
+    the token, or broadcast its rare subset: only tokens BELOW the df
+    threshold matter, and that subset is small and broadcastable)."""
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    )
+    n_docs = docs.select(F.count("*").alias("n_docs"))
+    df_tbl = toks.distinct().groupBy("tok").agg(F.count("*").alias("df"))
+    # only the rare subset joins back — broadcastable at any corpus size;
+    # df*100 < n_docs*pct keeps the threshold in exact integer arithmetic
+    rare = F.broadcast(
+        df_tbl.crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") * 100 < F.col("n_docs") * rare_df_pct)
+        .select("tok")
+    )
+    per_doc = (
+        toks.join(rare.withColumn("is_rare", F.lit(1)), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.coalesce(F.col("is_rare"), F.lit(0))).alias("n_rare"),
+        )
+    )
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.coalesce("n_rare", F.lit(0)).alias("n_rare"),
+        (
+            F.coalesce("n_rare", F.lit(0)) * 100
+            <= F.coalesce("n_tokens", F.lit(0)) * keep_max_rare_ratio_pct
+        ).alias("keep"),
+    )
+
+
+def rare_token_stats_sql(rare_df_pct: int = 60, keep_max_rare_ratio_pct: int = 30) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+df_tbl AS (
+  SELECT tok, count(*) AS df FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok
+),
+rare AS (SELECT tok FROM df_tbl
+         WHERE df * 100 < (SELECT count(*) FROM documents) * {rare_df_pct}),
+per_doc AS (
+  SELECT t.doc_id,
+         count(*) AS n_tokens,
+         CAST(sum(CASE WHEN r.tok IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+  FROM toks t LEFT JOIN rare r ON t.tok = r.tok
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_tokens, 0) AS n_tokens,
+       coalesce(p.n_rare, 0) AS n_rare,
+       coalesce(p.n_rare, 0) * 100 <= coalesce(p.n_tokens, 0) * {keep_max_rare_ratio_pct} AS keep
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""
