@@ -611,9 +611,10 @@ _TYPED_COLS = [
 
 def bf_typed_rollup_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F5 number promotion, rollup level: long-typed series keep exact long
-    min/max/avg (truncated-division mean, Average.java:70-76's invariant);
-    a group promotes to double iff any point is floating; min/max keep the
-    winning value's type (MinValue.java:52-95)."""
+    min/max/avg (truncated-division mean — the canonical value inside the
+    reference incremental form's order-dependent ±1 envelope,
+    Average.java:70-76); a group promotes to double iff any point is
+    floating; min/max keep the winning value's type (MinValue.java:52-95)."""
     return R.typed_from_raw(_typed_raw_metrics(spark, sf_dir), G.MIN_5).select(*_TYPED_COLS)
 
 

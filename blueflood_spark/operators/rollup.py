@@ -613,13 +613,16 @@ def _typed_output(num_points, n_double, sum_l, sum_d, min_l, min_d, max_l, max_d
     Promotion rule (AbstractRollupStat.java, Average.java:115-121
     handleRollupMetric): the average is floating iff ANY contributing value
     is floating; otherwise it stays long. The long average is exact
-    truncated division of the exact sum — Average.java:70-76's incremental
-    form maintains the invariant sum = count*value + remainder at every
-    step, so its final value IS trunc(sum/count), order-independent. The
-    double average is the exact mean (the reference's incremental double
-    form is order-dependent and its own test accepts 1e-6 drift —
-    AverageTest.java:57-70; we take the deterministic exact mean,
-    documented divergence at ulp level only).
+    truncated division of the exact sum. Average.java:70-76's incremental
+    form maintains sum = count*value + remainder exactly, but its
+    remainder's sign convention drifts with arrival order, so the
+    REFERENCE's own long average is order-dependent within ±1 (e.g.
+    [100,1] → 51, [1,100] → 50 — property-tested in
+    test_properties.py). A distributed engine must canonicalize; we take
+    trunc(sum/count), the unique order-independent value inside the
+    reference's envelope. The double average is likewise the exact mean
+    (the reference's incremental double form is order-dependent; its own
+    test accepts 1e-6 drift — AverageTest.java:57-70).
     """
     is_float = n_double > F.lit(0)
     avg_l = F.when(~is_float, _trunc_div(sum_l, num_points)).otherwise(F.lit(None).cast("long"))

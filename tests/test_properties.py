@@ -104,3 +104,65 @@ def test_harmonic_rate_merge_associative(children):
             [(sum(c for c, _ in left), combine(left)), (sum(c for c, _ in right), combine(right))]
         )
         assert math.isclose(whole, merged, rel_tol=1e-9)
+
+
+# -- F5 typed promotion: python mirror of the _typed_output expressions --
+
+def _py_mod(s: int, n: int) -> int:
+    # % with the dividend's sign (Java/Spark/DuckDB integer %)
+    m = s % n
+    if m != 0 and (m < 0) != (s < 0):
+        m -= n if m > 0 else -n
+    return m
+
+
+@given(
+    st.lists(st.integers(min_value=-10**12, max_value=10**12), min_size=1, max_size=50)
+)
+def test_typed_long_avg_vs_reference_incremental(values):
+    """The reference's incremental remainder average (Average.java:70-76)
+    maintains sum = count*avg + remainder EXACTLY, but the remainder's
+    sign convention drifts with arrival order — so the reference's own
+    long average is order-dependent within ±1 (e.g. [100,1] → 51 but
+    [1,100] → 50). typed_from_raw canonicalizes to truncated division of
+    the exact sum: always inside the reference's ±1 envelope, and the
+    unique order-independent choice (the documented divergence)."""
+    avg, rem, count = 0, 0, 0
+    for x in values:
+        count += 1
+        num = x + rem - avg
+        avg = avg + _int_div_trunc(num, count)
+        rem = _py_mod(num, count)
+    s = sum(values)
+    assert s == count * avg + rem and abs(rem) < count  # the exact invariant
+    closed = (s - _py_mod(s, count)) // count
+    assert abs(avg - closed) <= 1  # canonical form within the envelope
+    if rem == _py_mod(s, count):  # canonical remainder sign → exact match
+        assert avg == closed
+
+
+def _int_div_trunc(a: int, b: int) -> int:
+    q = abs(a) // abs(b)
+    return q if (a < 0) == (b < 0) or q == 0 else -q
+
+
+@given(
+    st.lists(
+        st.tuples(st.booleans(), st.integers(min_value=-10**6, max_value=10**6)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_typed_winner_min_max(rows):
+    """Winner-typed min/max (MinValue/MaxValue.java): the output carries
+    the type of the winning value; ties keep the long."""
+    longs = [v for is_l, v in rows if is_l]
+    doubles = [v + 0.5 for is_l, v in rows if not is_l]
+    min_l = min(longs) if longs else None
+    min_d = min(doubles) if doubles else None
+    # mirror of _typed_winner: long wins when <= (ties keep long)
+    long_wins = min_d is None or (min_l is not None and float(min_l) <= min_d)
+    out_l = min_l if long_wins else None
+    out_d = None if long_wins else min_d
+    true_min = min([*longs, *doubles])
+    assert (out_l if out_l is not None else out_d) == true_min

@@ -1,10 +1,12 @@
 """F5 number promotion: long-preserving typed rollup (typed_from_raw /
 typed_merge) against the reference's semantics:
 
-- Long average is exact truncated division of the exact sum — the
-  incremental remainder form (Average.java:70-76) maintains
-  sum = count*value + remainder, so AverageTest.java:36-42's
-  (2, 4, 4) -> 3 is the invariant's fixed point.
+- Long average is exact truncated division of the exact sum. The
+  reference's incremental remainder form (Average.java:70-76) maintains
+  sum = count*value + remainder exactly but is order-dependent within
+  ±1 (see test_properties.py); trunc division is the canonical
+  order-independent choice, and matches AverageTest.java:36-42's
+  (2, 4, 4) -> 3.
 - A stat promotes to floating iff any contributing value is floating
   (Average.java:115-121 handleRollupMetric).
 - Min/max keep the type of the winning value (MinValue.java:52-95,
