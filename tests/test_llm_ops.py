@@ -468,3 +468,17 @@ def test_kmeans_deterministic_clusters(spark):
     # rerun is bit-identical (no rand anywhere)
     again = {r["vec_id"]: r["cluster_id"] for r in SIM.kmeans_assign(emb, k=2, iterations=2).collect()}
     assert out == again
+
+
+def test_lsh_ann_recall_floor(spark):
+    """The LSH path must actually find neighbors: recall@10 vs the exact
+    brute-force top-k stays above a floor on the sf0.001 embeddings."""
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    truth = E.queries()["llm_ann_cosine_topk"](spark, sf)
+    appx = E.queries()["llm_ann_lsh_topk"](spark, sf)
+    t = {(r["q_id"], r["c_id"]) for r in truth.select("q_id", "c_id").collect()}
+    a = {(r["q_id"], r["c_id"]) for r in appx.select("q_id", "c_id").collect()}
+    recall = len(t & a) / len(t)
+    assert recall >= 0.55, f"LSH recall@10 degraded to {recall}"
