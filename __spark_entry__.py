@@ -17,6 +17,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 from blueflood_spark.catalog import build_catalog, build_tokens, search_metric_names, search_metrics
 from blueflood_spark.functions.glob import anchored, glob_to_regex, next_level_regex
@@ -33,10 +34,22 @@ SF0001 = "/root/testdata/sf0.001"
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Session hygiene: the driver supplies its own SparkSession. UTC keeps
     # NTZ→epoch conversions aligned with the DuckDB oracle (naive = UTC);
-    # nanosAsLong lets Spark read events.parquet's TIMESTAMP(NANOS) column.
+    # nanosAsLong lets older Sparks read events.parquet's TIMESTAMP(NANOS)
+    # column as a nanos BIGINT (newer Sparks read it natively as
+    # TIMESTAMP_NTZ and ignore the flag — normalized below).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # conf removed — native nanos support
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and not isinstance(df.schema["ts"].dataType, LongType):
+        # Spark builds that read TIMESTAMP(NANOS) as TIMESTAMP_NTZ truncate
+        # to micros; re-expand to a nanos BIGINT so every downstream
+        # `ts DIV 1e6` epoch-ms derivation is engine-stable (nested floor:
+        # (us*1000) DIV 1e6 == ns DIV 1e6). Naive==UTC session tz is set
+        # above, so the cast is deterministic.
+        df = df.withColumn("ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000))
     # The test fixtures are single-row-group files, which Spark cannot
     # split — without a fan-out every map stage runs on ONE core. That
     # only matters for the tables with heavy per-row compute (shingling,
