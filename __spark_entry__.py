@@ -1749,6 +1749,41 @@ WHERE NOT EXISTS (
 """
 
 
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+_FUNNEL_WITHIN_MS = 7 * 86_400_000  # all steps within 7 days of step 1
+
+from blueflood_spark.operators.events import funnel_sql as _funnel_sql  # noqa: E402
+from blueflood_spark.operators.events import (  # noqa: E402
+    retention_cohorts_sql as _retention_sql,
+)
+
+_EV_FUNNEL_SQL = _funnel_sql(_FUNNEL_STEPS, within_ms=_FUNNEL_WITHIN_MS)
+_EV_RETENTION_SQL = _retention_sql(max_offset_days=7)
+
+
+def ev_funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel with a 7-day completion window
+    (greedy-earliest semantics; operators/events.py — one shuffle on the
+    user key + per-user codegen fold, no per-step self-joins)."""
+    from blueflood_spark.operators import events as EV
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.expr("CAST(ts DIV 1000000 AS BIGINT)").alias("ts_ms"), "event_type"
+    )
+    return EV.funnel(ev, _FUNNEL_STEPS, within_ms=_FUNNEL_WITHIN_MS)
+
+
+def ev_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: first-active epoch day × day offset
+    0..7, distinct active users per cell (operators/events.py)."""
+    from blueflood_spark.operators import events as EV
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.expr("CAST(ts DIV 1000000 AS BIGINT)").alias("ts_ms")
+    )
+    return EV.retention_cohorts(ev, max_offset_days=7)
+
+
 def llm_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates: shingle → 16-perm signature →
     4-band bucket self-join (operators/dedup.py)."""
@@ -1803,6 +1838,23 @@ def llm_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return TX.quality_score(docs)
+
+
+def llm_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram-LM mean-surprisal score per document with a
+    rare-token flag (operators/text.py unigram_surprisal — the CCNet-
+    style statistical quality filter)."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.unigram_surprisal(docs)
+
+
+def llm_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language length profile: count, exact mean, exact p10/p50/p90
+    of n_chars (operators/text.py corpus_length_profile; exact percentile
+    is correct for the bounded language group count — an unbounded group
+    key would swap in the approx_percentile sketch)."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.corpus_length_profile(docs)
 
 
 def llm_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1880,6 +1932,22 @@ def llm_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     alternative to hyperplane LSH (operators/similarity.py)."""
     emb = _t(spark, sf_dir, "embeddings")
     return SIM.ivf_topk(emb, F.col("vec_id") < 5, k=10)
+
+
+def llm_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode: 64-dim float vectors → 8 subspace
+    codes against a fixed 16-centroid codebook (operators/similarity.py
+    pq_encode — zero-shuffle map-only pass, 32× memory compression)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.pq_encode(emb)
+
+
+def llm_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-k over PQ codes: per-query distance tables against the
+    codebook, candidate distance = 8 table lookups — the corpus is
+    touched only through codes (operators/similarity.py pq_ann_topk)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.pq_ann_topk(emb, F.col("vec_id") < 5, k=10)
 
 
 def llm_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2362,6 +2430,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bf_anomaly_zscore": bf_anomaly_zscore,
         "bf_gapfill_series": bf_gapfill_series,
         "bf_repair_on_read": bf_repair_on_read,
+        "ev_funnel_3step": ev_funnel_3step,
+        "ev_retention_cohorts": ev_retention_cohorts,
         "llm_dedup_exact": llm_dedup_exact,
         "llm_text_stats": llm_text_stats,
         "llm_doc_fingerprint": llm_doc_fingerprint,
@@ -2375,6 +2445,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_lang_id": llm_lang_id,
         "llm_token_counts": llm_token_counts,
         "llm_quality_score": llm_quality_score,
+        "llm_unigram_surprisal": llm_unigram_surprisal,
+        "llm_length_profile": llm_length_profile,
         "llm_train_split": llm_train_split,
         "llm_weighted_sample": llm_weighted_sample,
         "llm_rolling_fingerprint": llm_rolling_fingerprint,
@@ -2384,6 +2456,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_pii_redact": llm_pii_redact,
         "llm_ann_lsh_topk": llm_ann_lsh_topk,
         "llm_ann_ivf_topk": llm_ann_ivf_topk,
+        "llm_pq_codes": llm_pq_codes,
+        "llm_ann_pq_topk": llm_ann_pq_topk,
         "llm_embedding_near_dups": llm_embedding_near_dups,
         "llm_embedding_dup_clusters": llm_embedding_dup_clusters,
         "llm_source_stats": llm_source_stats,
@@ -2451,6 +2525,8 @@ def oracle_sql() -> dict[str, str]:
         "bf_anomaly_zscore": _BF_ANOMALY_SQL,
         "bf_gapfill_series": _BF_GAPFILL_SQL,
         "bf_repair_on_read": _BF_REPAIR_SQL,
+        "ev_funnel_3step": _EV_FUNNEL_SQL,
+        "ev_retention_cohorts": _EV_RETENTION_SQL,
         "llm_dedup_exact": _LLM_DEDUP_EXACT_SQL,
         "llm_text_stats": _LLM_TEXT_STATS_SQL,
         "llm_doc_fingerprint": _LLM_FINGERPRINT_SQL,
@@ -2464,6 +2540,8 @@ def oracle_sql() -> dict[str, str]:
         "llm_lang_id": TX.language_id_sql(),
         "llm_token_counts": TX.token_counts_sql(),
         "llm_quality_score": TX.quality_score_sql(),
+        "llm_unigram_surprisal": TX.unigram_surprisal_sql(),
+        "llm_length_profile": TX.corpus_length_profile_sql(),
         "llm_train_split": TX.train_split_sql(),
         "llm_weighted_sample": TX.weighted_sample_sql(k=50),
         "llm_rolling_fingerprint": TX.rolling_fingerprint_sql(),
@@ -2473,6 +2551,8 @@ def oracle_sql() -> dict[str, str]:
         "llm_pii_redact": _LLM_PII_SQL,
         "llm_ann_lsh_topk": SIM.lsh_bucketed_topk_sql("vec_id < 5", k=10, planes_n=48, bands=12),
         "llm_ann_ivf_topk": SIM.ivf_topk_sql("vec_id < 5", k=10),
+        "llm_pq_codes": SIM.pq_encode_sql(),
+        "llm_ann_pq_topk": SIM.pq_ann_topk_sql("vec_id < 5", k=10),
         "llm_embedding_near_dups": _LLM_EMB_NEAR_DUPS_SQL,
         "llm_embedding_dup_clusters": _LLM_EMB_CLUSTERS_SQL,
         "llm_source_stats": TX.source_stats_sql(),

@@ -554,3 +554,194 @@ FROM (
   GROUP BY vec_id
 )
 """
+
+
+# ---- Product quantization (PQ) ------------------------------------------
+# The memory-scale path for ANN: each DIMS-dim float vector compresses to
+# M_SUB one-byte codes (here 64 floats -> 8 codes, 32x), and queries score
+# candidates with an asymmetric-distance (ADC) table lookup instead of
+# touching raw vectors. Codebook discipline matches ivf_topk: centroids =
+# the first KS_PQ vectors by id, standing in for a trained artifact that
+# would ship as a broadcast file.
+
+M_SUB = 8                 # subspaces
+SUB_DIM = DIMS // M_SUB   # dims per subspace
+KS_PQ = 16                # codes per subspace
+
+
+def _sub_l2sq(a: str, b: str, s: int) -> F.Column:
+    """Squared L2 between subspace s of two vectors — an ordered fold
+    (deterministic summation on both engines)."""
+    lo = s * SUB_DIM + 1
+    return F.expr(
+        f"aggregate(zip_with(slice({a}, {lo}, {SUB_DIM}), slice({b}, {lo}, {SUB_DIM}),"
+        " (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
+        " 0D, (acc, v) -> acc + v)"
+    )
+
+
+def _sub_l2sq_col(a: F.Column, b: F.Column, s: int) -> F.Column:
+    """Column-arg variant of _sub_l2sq (for lambdas over a codebook array)."""
+    lo = s * SUB_DIM + 1
+    diff2 = F.zip_with(
+        F.slice(a, lo, SUB_DIM),
+        F.slice(b, lo, SUB_DIM),
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    return F.aggregate(diff2, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def pq_encode(emb: DataFrame, id_col: str = "vec_id", emb_col: str = "embedding") -> DataFrame:
+    """PQ codes per vector: for each of M_SUB subspaces, the index of the
+    nearest codebook centroid (squared L2, ties to the lowest code).
+
+    ZERO shuffles: the KS_PQ-row codebook collapses to a single broadcast
+    array row, and each vector computes all M_SUB argmins as a pure
+    projection — array_min over (dist, code) structs built by lambda over
+    the codebook array. The corpus is never repartitioned; at 100 TB the
+    encode is a map-only pass emitting 8 bytes/vector."""
+    cents = emb.filter(F.col(id_col) < KS_PQ).select(
+        F.col(id_col).alias("cb_id"), F.col(emb_col).alias("cb_emb")
+    )
+    cb = cents.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("cb_id").cast("int").alias("c"), F.col("cb_emb").alias("v"))
+            )
+        ).alias("cb")
+    )
+    out = emb.select(id_col, emb_col).crossJoin(F.broadcast(cb))
+    codes = [
+        F.array_min(
+            F.transform(
+                F.col("cb"),
+                lambda x: F.struct(
+                    _sub_l2sq_col(F.col(emb_col), x["v"], s).alias("d"),
+                    x["c"].alias("c"),
+                ),
+            )
+        )["c"].alias(f"code_{s}")
+        for s in range(M_SUB)
+    ]
+    return out.select(id_col, *codes)
+
+
+def pq_encode_sql(id_col: str = "vec_id") -> str:
+    subs = []
+    for s in range(M_SUB):
+        lo = s * SUB_DIM + 1
+        d = (
+            f"list_sum(list_transform(list_zip(list_slice(e.embedding, {lo}, {lo + SUB_DIM - 1}),"
+            f" list_slice(c.cb_emb, {lo}, {lo + SUB_DIM - 1})),"
+            " p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+        )
+        subs.append(
+            f"(min(struct_pack(d := {d}, c := CAST(c.cb_id AS INTEGER)))).c AS code_{s}"
+        )
+    cols = ",\n       ".join(subs)
+    return f"""
+WITH cents AS (
+  SELECT {id_col} AS cb_id, embedding AS cb_emb FROM embeddings WHERE {id_col} < {KS_PQ}
+)
+SELECT e.{id_col},
+       {cols}
+FROM embeddings e CROSS JOIN cents c
+GROUP BY e.{id_col}
+"""
+
+
+def pq_ann_topk(
+    emb: DataFrame,
+    query_filter,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k over PQ codes: each query precomputes an M_SUB×KS_PQ
+    distance table against the codebook (broadcast, KS_PQ rows), then a
+    candidate's approximate distance is M_SUB table lookups summed in a
+    fixed expression order — the corpus side is touched only through its
+    codes, never its raw vectors. Output rank is ascending ADC distance
+    (ties to the lower candidate id)."""
+    codes = pq_encode(emb, id_col, emb_col)
+    cents = emb.filter(F.col(id_col) < KS_PQ).select(
+        F.col(id_col).alias("cb_id"), F.col(emb_col).alias("cb_emb")
+    )
+    qtab = (
+        emb.filter(query_filter)
+        .select(F.col(id_col).alias("q_id"), F.col(emb_col).alias("q_emb"))
+        .crossJoin(F.broadcast(cents))
+        .groupBy("q_id")
+        .agg(
+            *[
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("cb_id").cast("int").alias("c"),
+                                _sub_l2sq("q_emb", "cb_emb", s).alias("d"),
+                            )
+                        )
+                    ),
+                    lambda x: x["d"],
+                ).alias(f"dtab_{s}")
+                for s in range(M_SUB)
+            ]
+        )
+    )
+    adc = None
+    for s in range(M_SUB):
+        term = F.element_at(F.col(f"dtab_{s}"), F.col(f"code_{s}") + 1)
+        adc = term if adc is None else adc + term
+    pairs = (
+        codes.withColumnRenamed(id_col, "c_id")
+        .crossJoin(F.broadcast(qtab))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn("adc_dist", adc)
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adc_dist").asc(), F.col("c_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "adc_dist", "rank")
+    )
+
+
+def pq_ann_topk_sql(query_pred_sql: str, k: int = 10, id_col: str = "vec_id") -> str:
+    dtabs = []
+    for s in range(M_SUB):
+        lo = s * SUB_DIM + 1
+        d = (
+            f"list_sum(list_transform(list_zip(list_slice(q.embedding, {lo}, {lo + SUB_DIM - 1}),"
+            f" list_slice(c.cb_emb, {lo}, {lo + SUB_DIM - 1})),"
+            " p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+        )
+        dtabs.append(f"list({d} ORDER BY c.cb_id) AS dtab_{s}")
+    dtab_cols = ",\n         ".join(dtabs)
+    adc = " + ".join(f"q.dtab_{s}[co.code_{s} + 1]" for s in range(M_SUB))
+    codes_sql = pq_encode_sql(id_col)
+    return f"""
+WITH codes AS ({codes_sql}),
+cents AS (
+  SELECT {id_col} AS cb_id, embedding AS cb_emb FROM embeddings WHERE {id_col} < {KS_PQ}
+),
+qtab AS (
+  SELECT q.{id_col} AS q_id,
+         {dtab_cols}
+  FROM embeddings q CROSS JOIN cents c
+  WHERE ({query_pred_sql.replace('vec_id', 'q.vec_id')})
+  GROUP BY q.{id_col}
+),
+scored AS (
+  SELECT q.q_id, co.{id_col} AS c_id, {adc} AS adc_dist
+  FROM codes co CROSS JOIN qtab q
+  WHERE q.q_id != co.{id_col}
+),
+out AS (
+  SELECT q_id, c_id, adc_dist,
+         row_number() OVER (PARTITION BY q_id ORDER BY adc_dist ASC, c_id) AS rank
+  FROM scored
+)
+SELECT q_id, c_id, adc_dist, CAST(rank AS INTEGER) AS rank FROM out WHERE rank <= {k}
+"""

@@ -351,8 +351,13 @@ def tfidf_top_terms(docs: DataFrame, text_col: str = "text", k: int = 3) -> Data
     the last ulp between engines on mathematically-tied inputs).
 
     Corpus plan: one explode → per-(doc,term) counts; document frequency
-    from a second small agg over distinct (doc,term), broadcast back; the
-    per-doc top-k is a window over the doc partition key."""
+    from a second small agg over distinct (doc,term) joined back; the
+    per-doc top-k is a window over the doc partition key. The vocabulary
+    join carries NO broadcast hint on purpose: a web-scale corpus has a
+    vocabulary (billions of distinct terms) that would OOM a forced
+    broadcast build side, while AQE promotes the join to broadcast at
+    runtime whenever the measured df table is actually small — the safe
+    direction at 100 TB."""
     from pyspark.sql import Window
 
     words = docs.select("doc_id", F.explode(F.split(F.col(text_col), " ")).alias("term"))
@@ -363,7 +368,7 @@ def tfidf_top_terms(docs: DataFrame, text_col: str = "text", k: int = 3) -> Data
         (F.col("tf").cast("double") / F.col("df")).desc(), F.col("term").asc()
     )
     return (
-        tf.join(F.broadcast(df_tbl), "term")
+        tf.join(df_tbl, "term")
         .crossJoin(F.broadcast(n_docs))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -903,4 +908,89 @@ SELECT d.doc_id,
        coalesce(p.n_rare, 0) AS n_rare,
        coalesce(p.n_rare, 0) * 100 <= coalesce(p.n_tokens, 0) * {keep_max_rare_ratio_pct} AS keep
 FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""
+
+
+def corpus_length_profile(docs: DataFrame, group_col: str = "lang") -> DataFrame:
+    """Per-group document-length profile: count, exact mean, and exact
+    p10/p50/p90 of n_chars. `percentile` is the exact sort-based
+    aggregate and its linear interpolation is bit-identical to DuckDB's
+    quantile_cont (verified at the gate, not assumed).
+
+    Scale: the exact percentile keeps each group's values together in one
+    aggregation buffer — right for a bounded group count (languages),
+    which is this operator's contract. A percentile over an UNBOUNDED
+    group (e.g. per-domain at 100 TB) should swap in approx_percentile
+    (t-digest-style mergeable sketch) — same call shape, no sort."""
+    p = F.expr("percentile(n_chars, array(0.1D, 0.5D, 0.9D))")
+    return docs.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("n_chars").alias("mean_chars"),
+        p[0].alias("p10_chars"),
+        p[1].alias("p50_chars"),
+        p[2].alias("p90_chars"),
+    )
+
+
+def corpus_length_profile_sql(group_col: str = "lang") -> str:
+    return f"""
+SELECT {group_col}, count(*) AS n_docs, avg(n_chars) AS mean_chars,
+       quantile_cont(n_chars, 0.1) AS p10_chars,
+       quantile_cont(n_chars, 0.5) AS p50_chars,
+       quantile_cont(n_chars, 0.9) AS p90_chars
+FROM documents GROUP BY {group_col}
+"""
+
+
+def unigram_surprisal(
+    docs: DataFrame,
+    text_col: str = "text",
+    flag_above: float = 3.6,
+) -> DataFrame:
+    """CCNet-style statistical quality score: train a unigram LM on the
+    corpus itself (p(w) = count(w) / total words) and score each document
+    by mean surprisal −Σ ln p(w) / n — high = rare-token-heavy
+    (gibberish, boilerplate soup), low = repetitive. `flagged` marks docs
+    above `flag_above` nats. (CCNet filters on wiki-LM perplexity; the
+    corpus-trained unigram form keeps it self-contained and exact.)
+
+    Scale: explode → one map-side-combinable word-count agg, then the
+    words stream joins the vocabulary WITHOUT a broadcast hint (web-scale
+    vocabularies outgrow a forced broadcast build; AQE promotes small
+    ones at runtime), then one per-doc agg. Every term of the surprisal
+    sum is the same sign, so reassociation across partitionings stays in
+    the last ulps — no cancellation class."""
+    words = docs.select("doc_id", F.explode(F.split(F.col(text_col), " ")).alias("w"))
+    wc = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = wc.agg(F.sum("c").cast("double").alias("t"))
+    per_doc = (
+        words.join(wc, "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            (-F.sum(F.log(F.col("c") / F.col("t")))).alias("total_surprisal"),
+        )
+    )
+    ms = F.col("total_surprisal") / F.col("n_words")
+    return per_doc.select(
+        "doc_id",
+        "n_words",
+        ms.alias("mean_surprisal"),
+        (ms > flag_above).alias("flagged"),
+    )
+
+
+def unigram_surprisal_sql(flag_above: float = 3.6) -> str:
+    return f"""
+WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+wc AS (SELECT w, count(*) AS c FROM words GROUP BY w),
+scored AS (
+  SELECT doc_id, count(*) AS n_words,
+         -sum(ln(wc.c / (SELECT CAST(sum(c) AS DOUBLE) FROM wc))) AS total_surprisal
+  FROM words JOIN wc USING (w) GROUP BY doc_id
+)
+SELECT doc_id, n_words, total_surprisal / n_words AS mean_surprisal,
+       total_surprisal / n_words > {flag_above} AS flagged
+FROM scored
 """

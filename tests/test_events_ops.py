@@ -1,0 +1,74 @@
+"""Funnel / retention semantics on hand-built frames: the greedy-earliest
+ordering rule, the strictly-after constraint, the within-window cap, and
+the cohort triangle's day-0 identity."""
+
+from __future__ import annotations
+
+from blueflood_spark.operators.events import funnel, retention_cohorts
+
+DAY = 86_400_000
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(rows, "user_id long, ts_ms long, event_type string")
+
+
+def _counts(df):
+    return {r["step_name"]: r["n_users"] for r in df.collect()}
+
+
+def test_funnel_orders_and_strictly_after(spark):
+    rows = [
+        # u1 completes all three in order
+        (1, 100, "view"), (1, 200, "click"), (1, 300, "purchase"),
+        # u2: click BEFORE view never counts; no click after view
+        (2, 100, "click"), (2, 200, "view"), (2, 300, "purchase"),
+        # u3: click at the SAME ts as view is not strictly after
+        (3, 100, "view"), (3, 100, "click"),
+    ]
+    c = _counts(funnel(_ev(spark, rows), ["view", "click", "purchase"]))
+    assert c == {"view": 3, "click": 1, "purchase": 1}
+
+
+def test_funnel_greedy_uses_earliest_qualifying_event(spark):
+    rows = [
+        # earliest view=100; click must be >100 (the 150 one), purchase >150
+        (1, 100, "view"), (1, 50, "click"), (1, 150, "click"), (1, 160, "purchase"),
+    ]
+    c = _counts(funnel(_ev(spark, rows), ["view", "click", "purchase"]))
+    assert c == {"view": 1, "click": 1, "purchase": 1}
+
+
+def test_funnel_within_window_caps_completion(spark):
+    rows = [
+        (1, 0, "view"), (1, DAY, "click"),          # inside a 2-day window
+        (2, 0, "view"), (2, 3 * DAY, "click"),      # outside it
+    ]
+    c = _counts(funnel(_ev(spark, rows), ["view", "click"], within_ms=2 * DAY))
+    assert c == {"view": 2, "click": 1}
+
+
+def test_funnel_rejects_duplicate_steps(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        funnel(_ev(spark, [(1, 0, "view")]), ["view", "view"])
+
+
+def test_retention_day0_equals_cohort_size(spark):
+    rows = [
+        (1, 0, "view"), (1, DAY + 5, "click"),        # cohort day 0, active d0+d1
+        (2, 10, "view"),                               # cohort day 0, active d0
+        (3, DAY, "view"), (3, 3 * DAY, "purchase"),    # cohort day 1, active d0+d2
+    ]
+    out = {
+        (r["cohort_day"], r["day_offset"]): r["n_users"]
+        for r in retention_cohorts(_ev(spark, rows), max_offset_days=7).collect()
+    }
+    assert out == {(0, 0): 2, (0, 1): 1, (1, 0): 1, (1, 2): 1}
+
+
+def test_retention_offset_cap(spark):
+    rows = [(1, 0, "view"), (1, 30 * DAY, "view")]
+    out = retention_cohorts(_ev(spark, rows), max_offset_days=7).collect()
+    assert {(r["cohort_day"], r["day_offset"]) for r in out} == {(0, 0)}
