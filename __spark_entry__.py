@@ -1950,6 +1950,14 @@ def llm_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.pq_ann_topk(emb, F.col("vec_id") < 5, k=10)
 
 
+def llm_ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage PQ ANN: ADC shortlist (compressed-domain scan) → exact
+    squared-L2 re-rank of only the shortlist's raw vectors
+    (operators/similarity.py pq_ann_rerank — the production shape)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.pq_ann_rerank(emb, F.col("vec_id") < 5, k=10, shortlist=50)
+
+
 def llm_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return SIM.embedding_near_dups(emb, threshold=0.35)
@@ -2458,6 +2466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_ann_ivf_topk": llm_ann_ivf_topk,
         "llm_pq_codes": llm_pq_codes,
         "llm_ann_pq_topk": llm_ann_pq_topk,
+        "llm_ann_pq_rerank": llm_ann_pq_rerank,
         "llm_embedding_near_dups": llm_embedding_near_dups,
         "llm_embedding_dup_clusters": llm_embedding_dup_clusters,
         "llm_source_stats": llm_source_stats,
@@ -2553,6 +2562,7 @@ def oracle_sql() -> dict[str, str]:
         "llm_ann_ivf_topk": SIM.ivf_topk_sql("vec_id < 5", k=10),
         "llm_pq_codes": SIM.pq_encode_sql(),
         "llm_ann_pq_topk": SIM.pq_ann_topk_sql("vec_id < 5", k=10),
+        "llm_ann_pq_rerank": SIM.pq_ann_rerank_sql("vec_id < 5", k=10, shortlist=50),
         "llm_embedding_near_dups": _LLM_EMB_NEAR_DUPS_SQL,
         "llm_embedding_dup_clusters": _LLM_EMB_CLUSTERS_SQL,
         "llm_source_stats": TX.source_stats_sql(),

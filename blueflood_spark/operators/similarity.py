@@ -745,3 +745,71 @@ out AS (
 )
 SELECT q_id, c_id, adc_dist, CAST(rank AS INTEGER) AS rank FROM out WHERE rank <= {k}
 """
+
+
+def _l2sq_full(a: str, b: str) -> F.Column:
+    """Full-vector squared L2 — ordered fold, deterministic on both engines."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b},"
+        " (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
+        " 0D, (acc, v) -> acc + v)"
+    )
+
+
+def pq_ann_rerank(
+    emb: DataFrame,
+    query_filter,
+    k: int = 10,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage PQ ANN, the production shape: ADC over codes prunes the
+    corpus to a `shortlist` per query (compressed-domain scan — the 100 TB
+    stage), then ONLY the shortlist's raw vectors are fetched for an
+    exact squared-L2 re-rank. The raw-vector fetch is a broadcast join of
+    the tiny (queries × shortlist) candidate set against the corpus —
+    the corpus is scanned, never shuffled."""
+    cands = pq_ann_topk(emb, query_filter, k=shortlist, id_col=id_col, emb_col=emb_col).select(
+        "q_id", "c_id"
+    )
+    qvec = emb.filter(query_filter).select(
+        F.col(id_col).alias("q_id"), F.col(emb_col).alias("q_emb")
+    )
+    withq = cands.join(F.broadcast(qvec), "q_id")
+    cvec = emb.select(F.col(id_col).alias("c_id"), F.col(emb_col).alias("c_emb"))
+    scored = (
+        cvec.join(F.broadcast(withq), "c_id")
+        .withColumn("l2_dist", _l2sq_full("q_emb", "c_emb"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("l2_dist").asc(), F.col("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "l2_dist", "rank")
+    )
+
+
+def pq_ann_rerank_sql(
+    query_pred_sql: str, k: int = 10, shortlist: int = 50, id_col: str = "vec_id"
+) -> str:
+    inner = pq_ann_topk_sql(query_pred_sql, k=shortlist, id_col=id_col)
+    l2 = (
+        "list_sum(list_transform(list_zip(q.embedding, c.embedding),"
+        " p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+    )
+    return f"""
+WITH shortlist AS ({inner}),
+rescored AS (
+  SELECT s.q_id, s.c_id, {l2} AS l2_dist
+  FROM shortlist s
+  JOIN embeddings q ON q.{id_col} = s.q_id
+  JOIN embeddings c ON c.{id_col} = s.c_id
+),
+out2 AS (
+  SELECT q_id, c_id, l2_dist,
+         row_number() OVER (PARTITION BY q_id ORDER BY l2_dist ASC, c_id) AS rank
+  FROM rescored
+)
+SELECT q_id, c_id, l2_dist, CAST(rank AS INTEGER) AS rank FROM out2 WHERE rank <= {k}
+"""

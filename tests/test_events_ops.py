@@ -72,3 +72,48 @@ def test_retention_offset_cap(spark):
     rows = [(1, 0, "view"), (1, 30 * DAY, "view")]
     out = retention_cohorts(_ev(spark, rows), max_offset_days=7).collect()
     assert {(r["cohort_day"], r["day_offset"]) for r in out} == {(0, 0)}
+
+
+def _expected_funnel(rows, steps, within_ms=None):
+    """Reference implementation: iterative-min per user."""
+    by_user: dict = {}
+    for u, ts, et in rows:
+        by_user.setdefault(u, []).append((ts, et))
+    counts = dict.fromkeys(steps, 0)
+    for evs in by_user.values():
+        evs.sort()
+        prev = None
+        first = None
+        for i, s in enumerate(steps):
+            cand = [
+                t for t, et in evs
+                if et == s
+                and (i == 0 or (prev is not None and t > prev))
+                and (i == 0 or within_ms is None or t <= first + within_ms)
+            ]
+            if not cand or (i > 0 and prev is None):
+                break
+            prev = min(cand)
+            if i == 0:
+                first = prev
+            counts[s] += 1
+    return counts
+
+
+def test_funnel_matches_reference_on_randomized_logs(spark):
+    """Deterministic pseudo-random logs (seeded) across many shapes —
+    the codegen fold must equal the iterative-min reference exactly."""
+    import random
+
+    rng = random.Random(42)
+    types = ["view", "click", "purchase", "other"]
+    for trial in range(6):
+        n = rng.randint(1, 120)
+        rows = [
+            (rng.randint(1, 10), rng.randint(0, 50), rng.choice(types))
+            for _ in range(n)
+        ]
+        within = rng.choice([None, 10, 25])
+        got = _counts(funnel(_ev(spark, rows), ["view", "click", "purchase"], within_ms=within))
+        want = _expected_funnel(rows, ["view", "click", "purchase"], within_ms=within)
+        assert got == want, (trial, within, rows)

@@ -69,3 +69,32 @@ def test_adc_recall_floor_vs_exact_l2(emb):
         exact = {c for _, c in sorted(((np.sum((V[q] - V[c]) ** 2), c) for c in V if c != q))[:k]}
         recalls.append(len(exact & adc_sets[q]) / k)
     assert sum(recalls) / len(recalls) >= 0.2, recalls
+
+
+def test_rerank_recall_beats_pure_adc(emb):
+    """The exact re-rank over an ADC shortlist of 50 must recover
+    substantially more of the true top-10 than pure ADC top-10."""
+    from pyspark.sql import functions as F
+
+    k = 10
+    sets: dict[int, set[int]] = {}
+    for r in SIM.pq_ann_rerank(emb, F.col("vec_id") < 5, k=k, shortlist=50).collect():
+        sets.setdefault(r["q_id"], set()).add(r["c_id"])
+    V = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in emb.collect()}
+    recalls = []
+    for q in range(5):
+        exact = {c for _, c in sorted(((np.sum((V[q] - V[c]) ** 2), c) for c in V if c != q))[:k]}
+        recalls.append(len(exact & sets[q]) / k)
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+def test_rerank_distances_are_true_l2(emb):
+    """l2_dist in the re-ranked output must equal the exact squared L2 of
+    the raw vectors (the ADC approximation must not leak through)."""
+    from pyspark.sql import functions as F
+
+    out = SIM.pq_ann_rerank(emb, F.col("vec_id") < 2, k=5, shortlist=20).collect()
+    V = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in emb.collect()}
+    for r in out:
+        want = float(np.sum((V[r["q_id"]] - V[r["c_id"]]) ** 2))
+        assert abs(r["l2_dist"] - want) < 1e-9 * max(1.0, want)
