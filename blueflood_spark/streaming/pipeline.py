@@ -359,3 +359,63 @@ def start_preagg_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+DOC_INGEST_SCHEMA = "doc_id LONG, text STRING, lang STRING, source STRING"
+
+
+def start_doc_ingest(
+    spark: SparkSession,
+    input_path: str,
+    kept_path: str,
+    rejected_path: str,
+    checkpoint: str,
+    dedup_horizon: str = "1 hour",
+    min_tokens: int = 5,
+    available_now: bool = True,
+):
+    """Streaming training-corpus ingest: JSON document stream → stateful
+    exact dedup → quality gate → kept/rejected parquet fan-out.
+
+    Dedup is `dropDuplicatesWithinWatermark` on the content md5: the
+    engine's state store holds one fingerprint per distinct document seen
+    within `dedup_horizon` of processing time, deduping across
+    micro-batches AND restarts (checkpointed state) with BOUNDED state —
+    the streaming contract. Global all-time dedup is deliberately a batch
+    job (operators/dedup.py exact_dedup over the materialized corpus);
+    the stream guards the ingest edge, the batch pass owns history — the
+    same split the metric path uses for rollups vs re-rolls.
+
+    The quality gate runs inside foreachBatch (its signals are per-doc
+    independent — a per-doc aggregation, no cross-doc state), splitting
+    kept/rejected with the deterministic first-failing-rule verdict."""
+    from blueflood_spark.operators.text import quality_gate
+
+    stream = (
+        spark.readStream.schema(DOC_INGEST_SCHEMA)
+        .json(input_path)
+        .filter(F.col("text").isNotNull())
+        .withColumn("content_md5", F.md5(F.col("text")))
+        .withColumn("ingest_ts", F.current_timestamp())
+        .withWatermark("ingest_ts", dedup_horizon)
+        .dropDuplicatesWithinWatermark(["content_md5"])
+        .drop("ingest_ts")
+    )
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.cache()
+        verdicts = quality_gate(batch, min_tokens=min_tokens).select("doc_id", "keep", "drop_reason")
+        joined = batch.join(verdicts, "doc_id").cache()
+        joined.filter(F.col("keep")).drop("keep", "drop_reason").write.mode("append").parquet(
+            kept_path
+        )
+        rejected = joined.filter(~F.col("keep")).drop("keep")
+        if rejected.limit(1).count() > 0:
+            rejected.write.mode("append").parquet(rejected_path)
+        joined.unpersist()
+        batch.unpersist()
+
+    writer = stream.writeStream.foreachBatch(process).option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

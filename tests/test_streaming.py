@@ -287,3 +287,46 @@ def test_preagg_streaming_ingest(spark, tmp_path):
     assert timers[0]["timer_percentiles"] == {"p99": 8.8}
     sets = spark.read.parquet(f"{tables}/preagg_set").collect()
     assert sorted(sets[0]["set_values"]) == ["a", "a", "b"]
+
+
+def test_doc_ingest_stream_dedups_and_gates(spark, tmp_path):
+    """Streaming corpus ingest: cross-batch (and cross-restart) content
+    dedup via checkpointed state, quality gate fan-out to kept/rejected."""
+    import json
+    import os
+
+    inp = str(tmp_path / "docs_in")
+    kept = str(tmp_path / "kept")
+    rejected = str(tmp_path / "rejected")
+    ckpt = str(tmp_path / "doc_ckpt")
+    os.makedirs(inp)
+
+    good_a = "the quick brown fox jumps over a lazy dog and runs far away today"
+    good_b = "a steady stream of documents flows into the corpus for training runs"
+    junk = "zx qq"  # below min_tokens -> rejected
+
+    def write_docs(name, rows):
+        with open(f"{inp}/{name}", "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    write_docs("b1.json", [
+        {"doc_id": 1, "text": good_a, "lang": "en", "source": "s1"},
+        {"doc_id": 2, "text": junk, "lang": "en", "source": "s1"},
+    ])
+    P.start_doc_ingest(spark, inp, kept, rejected, ckpt).awaitTermination(120)
+
+    # second batch (fresh start, same checkpoint): duplicate of doc 1's
+    # CONTENT under a new id must be dropped by the state store; one new doc
+    write_docs("b2.json", [
+        {"doc_id": 10, "text": good_a, "lang": "en", "source": "s2"},
+        {"doc_id": 11, "text": good_b, "lang": "en", "source": "s2"},
+    ])
+    P.start_doc_ingest(spark, inp, kept, rejected, ckpt).awaitTermination(120)
+
+    kept_rows = spark.read.parquet(kept).collect()
+    assert sorted(r["doc_id"] for r in kept_rows) == [1, 11]
+    assert len({r["content_md5"] for r in kept_rows}) == 2
+    rej = spark.read.parquet(rejected).collect()
+    assert [r["doc_id"] for r in rej] == [2]
+    assert rej[0]["drop_reason"] == "too_short"
