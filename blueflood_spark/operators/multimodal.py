@@ -140,5 +140,8 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
             )
         )
     # one fat partition: pandas batches amortize; each touched partition
-    # costs a Python worker round (~0.3s), which dwarfs 100-row compute
-    return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(max(1, n // 2048))
+    # costs a Python worker round (~0.3s), which dwarfs 100-row compute.
+    # repartition, NOT coalesce: under Spark 4.1 coalesce(1) on a local
+    # relation falls off the fast path (~4s for 96 rows); the tiny
+    # round-robin exchange is ~0.1s and AQE leaves it alone.
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(max(1, n // 2048))
