@@ -453,6 +453,101 @@ HAVING count(*) > 0
 """
 
 
+def q_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q2-style correlated minimum: per part, the supplier(s) whose
+    best unit price equals that part's global minimum. Two-level agg
+    ((part, supp) → part) + an equality join back — the DataFrame form of
+    a correlated min subquery; the unit price is one exact IEEE division
+    so the equality match is engine-stable."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    unit = li.select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+    )
+    per_ps = unit.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("unit_price").alias("best_unit_price")
+    )
+    p_min = per_ps.groupBy("l_partkey").agg(F.min("best_unit_price").alias("p_min"))
+    return (
+        per_ps.join(p_min, "l_partkey")
+        .filter(F.col("best_unit_price") == F.col("p_min"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
+        .select("l_partkey", "s_suppkey", "s_name", "best_unit_price")
+    )
+
+
+_Q_CHEAPEST_SUPPLIER_SQL = """
+WITH per_ps AS (
+  SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS best_unit_price
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT p.l_partkey, s.s_suppkey, s.s_name, p.best_unit_price
+FROM per_ps p JOIN supplier s ON p.l_suppkey = s.s_suppkey
+WHERE p.best_unit_price = (
+  SELECT min(p2.best_unit_price) FROM per_ps p2 WHERE p2.l_partkey = p.l_partkey
+)
+"""
+
+
+def q_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q21-style double-correlated EXISTS: suppliers who were the
+    ONLY late shipper (l_shipdate > o_orderdate + 30 days) on a
+    multi-supplier order. Spark form: left_semi against other suppliers'
+    lines and left_anti against other LATE suppliers' lines — equi keys
+    on the order with a residual supplier-inequality condition, the
+    shapes Catalyst compiles EXISTS / NOT EXISTS into."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    sup = _t(spark, sf_dir, "supplier")
+    late = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    all_lines = li.select("l_orderkey", "l_suppkey").distinct()
+    o2, s2 = F.col("o2"), F.col("s2")
+    sole = (
+        late.join(
+            all_lines.select(F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")),
+            (F.col("l_orderkey") == o2) & (F.col("l_suppkey") != s2),
+            "left_semi",
+        )
+        .join(
+            late.select(F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")),
+            (F.col("l_orderkey") == o2) & (F.col("l_suppkey") != s2),
+            "left_anti",
+        )
+    )
+    return (
+        sole.join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+_Q_SOLE_LATE_SQL = """
+WITH late AS (
+  SELECT DISTINCT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+)
+SELECT s.s_suppkey, s.s_name, count(*) AS numwait
+FROM late l1 JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l2
+  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey != l1.l_suppkey
+)
+AND NOT EXISTS (
+  SELECT 1 FROM late l3
+  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey != l1.l_suppkey
+)
+GROUP BY s.s_suppkey, s.s_name
+"""
+
+
 # ---------------------------------------------------------------------------
 # Blueflood operators (SURVEY §2.3, §2.8, §2.11)
 # ---------------------------------------------------------------------------
@@ -2414,6 +2509,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pivot_status": q_pivot_status,
         "q_above_type_avg": q_above_type_avg,
         "q_supplier_volume": q_supplier_volume,
+        "q_cheapest_supplier": q_cheapest_supplier,
+        "q_sole_late_supplier": q_sole_late_supplier,
         "bf_basic_rollup_5m": bf_basic_rollup_5m,
         "bf_basic_merge_20m": bf_basic_merge_20m,
         "bf_rollup_cascade_60m": bf_rollup_cascade_60m,
@@ -2508,6 +2605,8 @@ def oracle_sql() -> dict[str, str]:
         "q_pivot_status": _Q_PIVOT_SQL,
         "q_above_type_avg": _Q_ABOVE_TYPE_AVG_SQL,
         "q_supplier_volume": _Q_SUPPLIER_VOLUME_SQL,
+        "q_cheapest_supplier": _Q_CHEAPEST_SUPPLIER_SQL,
+        "q_sole_late_supplier": _Q_SOLE_LATE_SQL,
         "bf_basic_rollup_5m": _BF_BASIC_5M_SQL,
         "bf_basic_merge_20m": _BF_BASIC_MERGE_20M_SQL,
         "bf_rollup_cascade_60m": _BF_CASCADE_60M_SQL,
