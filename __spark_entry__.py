@@ -1935,6 +1935,14 @@ def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.quality_score(docs)
 
 
+def llm_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunker (width 32, stride 24 — 8-token overlap):
+    context-window prep as a shuffle-free explode (operators/text.py
+    chunk_windows)."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.chunk_windows(docs, width=32, stride=24)
+
+
 def llm_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained unigram-LM mean-surprisal score per document with a
     rare-token flag (operators/text.py unigram_surprisal — the CCNet-
@@ -2550,6 +2558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_lang_id": llm_lang_id,
         "llm_token_counts": llm_token_counts,
         "llm_quality_score": llm_quality_score,
+        "llm_chunk_windows": llm_chunk_windows,
         "llm_unigram_surprisal": llm_unigram_surprisal,
         "llm_length_profile": llm_length_profile,
         "llm_train_split": llm_train_split,
@@ -2648,6 +2657,7 @@ def oracle_sql() -> dict[str, str]:
         "llm_lang_id": TX.language_id_sql(),
         "llm_token_counts": TX.token_counts_sql(),
         "llm_quality_score": TX.quality_score_sql(),
+        "llm_chunk_windows": TX.chunk_windows_sql(width=32, stride=24),
         "llm_unigram_surprisal": TX.unigram_surprisal_sql(),
         "llm_length_profile": TX.corpus_length_profile_sql(),
         "llm_train_split": TX.train_split_sql(),

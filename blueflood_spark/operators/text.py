@@ -994,3 +994,57 @@ SELECT doc_id, n_words, total_surprisal / n_words AS mean_surprisal,
        total_surprisal / n_words > {flag_above} AS flagged
 FROM scored
 """
+
+
+def chunk_windows(
+    docs: DataFrame,
+    text_col: str = "text",
+    width: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Sliding-window chunker for context-window prep (RAG indexing,
+    long-doc training): token windows of `width` every `stride` tokens
+    (overlap = width − stride), final partial window kept with its true
+    length. One row per (doc, chunk_idx) with the chunk text and its md5.
+
+    Pure per-doc projection + explode — no shuffle, scales with input
+    splits. The chunk count per doc is ⌈n/stride⌉-ish, so output rows ≈
+    corpus tokens / stride — linear, never quadratic."""
+    if stride <= 0 or width <= 0 or stride > width:
+        raise ValueError("need 0 < stride <= width")
+    words = F.split(F.col(text_col), " ")
+    n = F.size(words)
+    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+        F.floor((n - 1) / F.lit(stride)).cast("int") + 1
+    )
+    chunks = docs.select(
+        "doc_id",
+        words.alias("_w"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    piece = F.slice(F.col("_w"), F.col("chunk_idx") * stride + 1, width)
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.size(piece).alias("n_tokens"),
+        F.md5(F.array_join(piece, " ")).alias("chunk_md5"),
+    )
+
+
+def chunk_windows_sql(width: int = 64, stride: int = 48) -> str:
+    return f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, w,
+         unnest(range(0, CAST(floor((n - 1) / {stride}) AS BIGINT) + 1)) AS chunk_idx
+  FROM base WHERE n > 0
+)
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       len(list_slice(w, chunk_idx * {stride} + 1, chunk_idx * {stride} + {width})) AS n_tokens,
+       md5(array_to_string(list_slice(w, chunk_idx * {stride} + 1, chunk_idx * {stride} + {width}), ' ')) AS chunk_md5
+FROM idx
+"""

@@ -482,3 +482,26 @@ def test_lsh_ann_recall_floor(spark):
     a = {(r["q_id"], r["c_id"]) for r in appx.select("q_id", "c_id").collect()}
     recall = len(t & a) / len(t)
     assert recall >= 0.55, f"LSH recall@10 degraded to {recall}"
+
+
+def test_chunk_windows_overlap_and_tail(spark):
+    from blueflood_spark.operators.text import chunk_windows
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10))), (2, "a b")],
+        "doc_id long, text string",
+    )
+    out = {(r["doc_id"], r["chunk_idx"]): r["n_tokens"]
+           for r in chunk_windows(docs, width=4, stride=3).collect()}
+    # doc 1: 10 tokens -> starts 0,3,6,9 -> lengths 4,4,4,1
+    assert out == {(1, 0): 4, (1, 1): 4, (1, 2): 4, (1, 3): 1, (2, 0): 2}
+
+
+def test_chunk_windows_rejects_bad_params(spark):
+    import pytest
+
+    from blueflood_spark.operators.text import chunk_windows
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_windows(docs, width=4, stride=5)
