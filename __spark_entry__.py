@@ -1935,6 +1935,14 @@ def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.quality_score(docs)
 
 
+def llm_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix over shared 8-token chunk hashes
+    (operators/text.py source_overlap — chunk-hash inverted index, pair
+    rows bounded by sources-per-chunk², never corpus²)."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.source_overlap(docs, width=8)
+
+
 def llm_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window chunker (width 32, stride 24 — 8-token overlap):
     context-window prep as a shuffle-free explode (operators/text.py
@@ -2558,6 +2566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_lang_id": llm_lang_id,
         "llm_token_counts": llm_token_counts,
         "llm_quality_score": llm_quality_score,
+        "llm_source_overlap": llm_source_overlap,
         "llm_chunk_windows": llm_chunk_windows,
         "llm_unigram_surprisal": llm_unigram_surprisal,
         "llm_length_profile": llm_length_profile,
@@ -2657,6 +2666,7 @@ def oracle_sql() -> dict[str, str]:
         "llm_lang_id": TX.language_id_sql(),
         "llm_token_counts": TX.token_counts_sql(),
         "llm_quality_score": TX.quality_score_sql(),
+        "llm_source_overlap": TX.source_overlap_sql(width=8),
         "llm_chunk_windows": TX.chunk_windows_sql(width=32, stride=24),
         "llm_unigram_surprisal": TX.unigram_surprisal_sql(),
         "llm_length_profile": TX.corpus_length_profile_sql(),

@@ -1048,3 +1048,63 @@ SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
        md5(array_to_string(list_slice(w, chunk_idx * {stride} + 1, chunk_idx * {stride} + {width}), ' ')) AS chunk_md5
 FROM idx
 """
+
+
+def source_overlap(
+    docs: DataFrame,
+    text_col: str = "text",
+    width: int = 8,
+) -> DataFrame:
+    """Cross-source duplication matrix: for each source pair (a < b), how
+    many distinct `width`-token chunks they share, plus each side's
+    distinct-chunk total — the curation question "how much of B is
+    already in A" before mixing sources into a training run.
+
+    Scale shape: chunk-hash inverted index (distinct (chunk, source)),
+    then a self-equi-join ON THE CHUNK HASH — pair rows are bounded by
+    sources-per-chunk², never corpus²; the final matrix is #sources²
+    rows. Same index discipline as the n-gram Jaccard join."""
+    chunks = chunk_windows(docs, text_col=text_col, width=width, stride=width)
+    cs = (
+        docs.select("doc_id", "source")
+        .join(chunks, "doc_id")
+        .select("source", "chunk_md5")
+        .distinct()
+    )
+    totals = cs.groupBy("source").agg(F.count(F.lit(1)).alias("n_chunks"))
+    a = cs.select(F.col("source").alias("src_a"), "chunk_md5")
+    b = cs.select(F.col("source").alias("src_b"), "chunk_md5")
+    shared = (
+        a.join(b, "chunk_md5")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("shared_chunks"))
+    )
+    ta = totals.select(F.col("source").alias("src_a"), F.col("n_chunks").alias("chunks_a"))
+    tb = totals.select(F.col("source").alias("src_b"), F.col("n_chunks").alias("chunks_b"))
+    return (
+        shared.join(F.broadcast(ta), "src_a")
+        .join(F.broadcast(tb), "src_b")
+        .select("src_a", "src_b", "shared_chunks", "chunks_a", "chunks_b")
+    )
+
+
+def source_overlap_sql(width: int = 8) -> str:
+    return f"""
+WITH chunks AS ({chunk_windows_sql(width=width, stride=width)}),
+cs AS (
+  SELECT DISTINCT d.source, c.chunk_md5
+  FROM documents d JOIN chunks c USING (doc_id)
+),
+totals AS (SELECT source, count(*) AS n_chunks FROM cs GROUP BY source),
+shared AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared_chunks
+  FROM cs a JOIN cs b ON a.chunk_md5 = b.chunk_md5 AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT s.src_a, s.src_b, s.shared_chunks,
+       ta.n_chunks AS chunks_a, tb.n_chunks AS chunks_b
+FROM shared s
+JOIN totals ta ON ta.source = s.src_a
+JOIN totals tb ON tb.source = s.src_b
+"""
