@@ -20,6 +20,8 @@ Scale shapes:
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -47,6 +49,9 @@ def funnel(
     """
     if len(set(steps)) != len(steps):
         raise ValueError("funnel steps must be distinct event types")
+    for s in steps:
+        if not re.fullmatch(r"[A-Za-z0-9_.:-]+", s):
+            raise ValueError(f"step name {s!r} is not a plain identifier")
     k = len(steps)
     steps_arr = "array(" + ", ".join(f"'{s}'" for s in steps) + ")"
     within = (
@@ -82,7 +87,11 @@ def funnel(
     )
     counts = per_user.select(
         *[
-            F.sum(F.when(F.col("acc")[i].isNotNull(), 1).otherwise(0))
+            # coalesce: an aggregate over ZERO users sums to NULL, but the
+            # funnel's answer is 0 (the SQL twin's count(*) agrees)
+            F.coalesce(
+                F.sum(F.when(F.col("acc")[i].isNotNull(), 1).otherwise(0)), F.lit(0)
+            )
             .cast("long")
             .alias(f"_s{i}")
             for i in range(k)
@@ -105,6 +114,9 @@ def funnel_sql(steps: list[str], within_ms: int | None = None) -> str:
     """DuckDB twin via the independent iterative-min formulation (NOT a
     mirror of the fold) — a genuinely different derivation of the same
     semantics, so the compare checks the definition, not the code."""
+    for s in steps:
+        if not re.fullmatch(r"[A-Za-z0-9_.:-]+", s):
+            raise ValueError(f"step name {s!r} is not a plain identifier")
     ctes = ["e AS (SELECT user_id, epoch_ms(ts) AS ts, event_type FROM events)"]
     prev = None
     for i, s in enumerate(steps, start=1):

@@ -592,23 +592,44 @@ def _sub_l2sq_col(a: F.Column, b: F.Column, s: int) -> F.Column:
     return F.aggregate(diff2, F.lit(0.0), lambda acc, v: acc + v)
 
 
-def pq_encode(emb: DataFrame, id_col: str = "vec_id", emb_col: str = "embedding") -> DataFrame:
-    """PQ codes per vector: for each of M_SUB subspaces, the index of the
-    nearest codebook centroid (squared L2, ties to the lowest code).
-
-    ZERO shuffles: the KS_PQ-row codebook collapses to a single broadcast
-    array row, and each vector computes all M_SUB argmins as a pure
-    projection — array_min over (dist, code) structs built by lambda over
-    the codebook array. The corpus is never repartitioned; at 100 TB the
-    encode is a map-only pass emitting 8 bytes/vector."""
-    cents = emb.filter(F.col(id_col) < KS_PQ).select(
-        F.col(id_col).alias("cb_id"), F.col(emb_col).alias("cb_emb")
+def _pq_codebook(emb: DataFrame, id_col: str, emb_col: str) -> DataFrame:
+    """Codebook = the KS_PQ smallest-id vectors, each tagged with its
+    dense 0-based POSITION (cb_pos). Codes are positions, never raw id
+    values — sparse or offset id spaces (ids starting at 1, deleted ids)
+    cannot misalign the ADC table lookup."""
+    w = Window.orderBy(id_col)
+    return (
+        emb.orderBy(id_col)
+        .limit(KS_PQ)
+        .select(
+            (F.row_number().over(w) - 1).cast("int").alias("cb_pos"),
+            F.col(emb_col).alias("cb_emb"),
+        )
     )
+
+
+_PQ_CENTS_SQL = """
+  SELECT CAST(row_number() OVER (ORDER BY {id}) - 1 AS INTEGER) AS cb_pos,
+         embedding AS cb_emb
+  FROM (SELECT * FROM embeddings ORDER BY {id} LIMIT {ks})
+"""
+
+
+def pq_encode(emb: DataFrame, id_col: str = "vec_id", emb_col: str = "embedding") -> DataFrame:
+    """PQ codes per vector: for each of M_SUB subspaces, the POSITION of
+    the nearest codebook centroid (squared L2, ties to the lowest
+    position).
+
+    ZERO corpus shuffles: the KS_PQ-row codebook collapses to a single
+    broadcast array row, and each vector computes all M_SUB argmins as a
+    pure projection — array_min over (dist, position) structs built by an
+    index-aware lambda over the codebook array. The corpus is never
+    repartitioned; at 100 TB the encode is a map-only pass emitting
+    8 bytes/vector."""
+    cents = _pq_codebook(emb, id_col, emb_col)
     cb = cents.agg(
         F.array_sort(
-            F.collect_list(
-                F.struct(F.col("cb_id").cast("int").alias("c"), F.col("cb_emb").alias("v"))
-            )
+            F.collect_list(F.struct(F.col("cb_pos").alias("c"), F.col("cb_emb").alias("v")))
         ).alias("cb")
     )
     out = emb.select(id_col, emb_col).crossJoin(F.broadcast(cb))
@@ -616,9 +637,9 @@ def pq_encode(emb: DataFrame, id_col: str = "vec_id", emb_col: str = "embedding"
         F.array_min(
             F.transform(
                 F.col("cb"),
-                lambda x: F.struct(
+                lambda x, i: F.struct(
                     _sub_l2sq_col(F.col(emb_col), x["v"], s).alias("d"),
-                    x["c"].alias("c"),
+                    i.cast("int").alias("c"),
                 ),
             )
         )["c"].alias(f"code_{s}")
@@ -636,14 +657,11 @@ def pq_encode_sql(id_col: str = "vec_id") -> str:
             f" list_slice(c.cb_emb, {lo}, {lo + SUB_DIM - 1})),"
             " p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
         )
-        subs.append(
-            f"(min(struct_pack(d := {d}, c := CAST(c.cb_id AS INTEGER)))).c AS code_{s}"
-        )
+        subs.append(f"(min(struct_pack(d := {d}, c := c.cb_pos))).c AS code_{s}")
     cols = ",\n       ".join(subs)
+    cents = _PQ_CENTS_SQL.format(id=id_col, ks=KS_PQ)
     return f"""
-WITH cents AS (
-  SELECT {id_col} AS cb_id, embedding AS cb_emb FROM embeddings WHERE {id_col} < {KS_PQ}
-)
+WITH cents AS ({cents})
 SELECT e.{id_col},
        {cols}
 FROM embeddings e CROSS JOIN cents c
@@ -665,9 +683,7 @@ def pq_ann_topk(
     codes, never its raw vectors. Output rank is ascending ADC distance
     (ties to the lower candidate id)."""
     codes = pq_encode(emb, id_col, emb_col)
-    cents = emb.filter(F.col(id_col) < KS_PQ).select(
-        F.col(id_col).alias("cb_id"), F.col(emb_col).alias("cb_emb")
-    )
+    cents = _pq_codebook(emb, id_col, emb_col)
     qtab = (
         emb.filter(query_filter)
         .select(F.col(id_col).alias("q_id"), F.col(emb_col).alias("q_emb"))
@@ -679,7 +695,7 @@ def pq_ann_topk(
                     F.array_sort(
                         F.collect_list(
                             F.struct(
-                                F.col("cb_id").cast("int").alias("c"),
+                                F.col("cb_pos").alias("c"),
                                 _sub_l2sq("q_emb", "cb_emb", s).alias("d"),
                             )
                         )
@@ -717,15 +733,14 @@ def pq_ann_topk_sql(query_pred_sql: str, k: int = 10, id_col: str = "vec_id") ->
             f" list_slice(c.cb_emb, {lo}, {lo + SUB_DIM - 1})),"
             " p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
         )
-        dtabs.append(f"list({d} ORDER BY c.cb_id) AS dtab_{s}")
+        dtabs.append(f"list({d} ORDER BY c.cb_pos) AS dtab_{s}")
     dtab_cols = ",\n         ".join(dtabs)
     adc = " + ".join(f"q.dtab_{s}[co.code_{s} + 1]" for s in range(M_SUB))
     codes_sql = pq_encode_sql(id_col)
+    cents = _PQ_CENTS_SQL.format(id=id_col, ks=KS_PQ)
     return f"""
 WITH codes AS ({codes_sql}),
-cents AS (
-  SELECT {id_col} AS cb_id, embedding AS cb_emb FROM embeddings WHERE {id_col} < {KS_PQ}
-),
+cents AS ({cents}),
 qtab AS (
   SELECT q.{id_col} AS q_id,
          {dtab_cols}

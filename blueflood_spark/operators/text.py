@@ -459,7 +459,10 @@ def source_stats(docs: DataFrame) -> DataFrame:
     from pyspark.sql.window import Window
 
     per_lang = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
-    w = Window.partitionBy("source").orderBy(F.desc("n"), F.asc("lang"))
+    # asc_nulls_last: Spark default ASC puts NULLs FIRST, DuckDB's puts
+    # them LAST — a NULL lang tied on count would otherwise win the
+    # tiebreak on one engine only
+    w = Window.partitionBy("source").orderBy(F.desc("n"), F.asc_nulls_last("lang"))
     top = (
         per_lang.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
@@ -1014,10 +1017,12 @@ def chunk_windows(
         raise ValueError("need 0 < stride <= width")
     words = F.split(F.col(text_col), " ")
     n = F.size(words)
-    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
-        F.floor((n - 1) / F.lit(stride)).cast("int") + 1
-    )
-    chunks = docs.select(
+    n_chunks = F.floor((n - 1) / F.lit(stride)).cast("int") + 1
+    # filter BEFORE building the sequence: sequence(0, -1) would step
+    # DOWNWARD ([0, -1] — two phantom chunks), not produce an empty array.
+    # split() never yields size 0 today (split('', ' ') = ['']), but the
+    # guard must not invert its intent if tokenization ever changes.
+    chunks = docs.filter(n > 0).select(
         "doc_id",
         words.alias("_w"),
         F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),

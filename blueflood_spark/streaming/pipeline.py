@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from blueflood_spark.operators import granularity as G
 from blueflood_spark.operators import rollup as R
@@ -54,11 +55,17 @@ def discovery_upsert(batch: DataFrame, catalog_path: str) -> None:
     new_locs = (
         batch.groupBy("tenant_id", "metric_name").agg(F.max_by("unit", "ts").alias("unit"))
     )
+    from pyspark.errors import AnalysisException
+
     try:
         existing = spark.read.parquet(catalog_path).select("tenant_id", "metric_name")
         new_locs = new_locs.join(existing, ["tenant_id", "metric_name"], "left_anti")
-    except Exception:  # first batch: no catalog yet
-        pass
+    except AnalysisException as e:  # first batch: no catalog yet
+        # ONLY the missing-path case may pass — a corrupt footer, storage
+        # timeout, or schema drift must surface, not silently disable the
+        # anti-join and duplicate the catalog every batch
+        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+            raise
     new_locs.write.mode("append").parquet(catalog_path)
 
 
@@ -186,18 +193,28 @@ def start_streaming_rollup(
     else:
 
         def write_with_events(batch: DataFrame, batch_id: int) -> None:
+            # foreachBatch is at-least-once: a crash between task success
+            # and checkpoint commit REPLAYS the batch with the SAME
+            # batch_id. Both writes therefore go to batch_id-keyed
+            # partition directories in OVERWRITE mode — a replay rewrites
+            # its own partition instead of appending duplicates, making
+            # the pair effectively exactly-once (the standard foreachBatch
+            # idempotence recipe). Readers see a table partitioned by
+            # batch_id at each root.
+            # NOTE the two modes use different sink layouts: events_path=
+            # None uses the streaming file sink (_spark_metadata commit
+            # log) — never point both modes at the same rollup_path.
             import time
 
             batch = batch.cache()
-            batch.write.mode("append").parquet(rollup_path)
+            batch.write.mode("overwrite").parquet(f"{rollup_path}/batch_id={batch_id}")
             batch.select(
                 "tenant_id",
                 "metric_name",
                 "window_start",
                 "resolution",
                 F.lit(int(time.time() * 1000)).alias("emitted_at_ms"),
-                F.lit(batch_id).alias("batch_id"),
-            ).write.mode("append").parquet(events_path)
+            ).write.mode("overwrite").parquet(f"{events_path}/batch_id={batch_id}")
             batch.unpersist()
 
         writer = agg.writeStream.outputMode("append").foreachBatch(write_with_events).option(
@@ -403,7 +420,18 @@ def start_doc_ingest(
     )
 
     def process(batch: DataFrame, batch_id: int) -> None:
-        batch = batch.cache()
+        # doc_id is the downstream key: two surviving rows sharing an id
+        # (same id re-ingested with EDITED text — different md5, so the
+        # content dedup keeps both) would cross-multiply through the
+        # verdict join and corrupt quality_gate's per-doc aggregation.
+        # Keep one deterministically (lowest content hash).
+        w = Window.partitionBy("doc_id").orderBy("content_md5")
+        batch = (
+            batch.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .cache()
+        )
         verdicts = quality_gate(batch, min_tokens=min_tokens).select("doc_id", "keep", "drop_reason")
         joined = batch.join(verdicts, "doc_id").cache()
         joined.filter(F.col("keep")).drop("keep", "drop_reason").write.mode("append").parquet(
