@@ -50,3 +50,42 @@ def safe_div(num: Column, den: Column) -> Column:
 
 def safe_div_sql(num: str, den: str) -> str:
     return f"(CASE WHEN {den} IS NULL OR {den} = 0 THEN 0.0 ELSE {num} / {den} END)"
+
+
+def md5_bucket(col: Column, salt: str, mod: int = 100) -> Column:
+    """Deterministic uniform bucket in [0, mod): first 8 md5-hex chars of
+    the salted id, as a long, mod `mod`. THE sampling primitive for
+    train/val/test splits and stratified rates — stable across runs,
+    engines, partitionings, and retries (never rand()), and monotone
+    under rate changes. Keep in lockstep with md5_bucket_sql."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 8), 16, 10).cast(
+            "long"
+        ),
+        F.lit(mod),
+    )
+
+
+def md5_bucket_sql(expr: str, salt: str, mod: int = 100) -> str:
+    """DuckDB rendition of md5_bucket."""
+    return f"CAST(('0x' || substr(md5('{salt}' || CAST({expr} AS VARCHAR)), 1, 8)) AS BIGINT) % {mod}"
+
+
+def md5_uniform(col: Column, salt: str) -> Column:
+    """Deterministic uniform double in [0, 1): the same salted 8-hex-char
+    draw scaled by 2^-32 (weighted-sampling keys). Keep in lockstep with
+    md5_uniform_sql."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 8), 16, 10).cast(
+            "double"
+        )
+        / F.lit(float(2**32))
+    )
+
+
+def md5_uniform_sql(expr: str, salt: str) -> str:
+    """DuckDB rendition of md5_uniform."""
+    return (
+        f"CAST(CAST(('0x' || substr(md5('{salt}' || CAST({expr} AS VARCHAR)), 1, 8)) AS BIGINT)"
+        f" AS DOUBLE) / 4294967296.0"
+    )

@@ -11,7 +11,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from blueflood_spark.functions.hashing import safe_div
+from blueflood_spark.functions.hashing import (
+    md5_bucket,
+    md5_bucket_sql,
+    md5_uniform,
+    md5_uniform_sql,
+    safe_div,
+)
 
 # tiny deterministic stopword lists for the n-gram/stopword language heuristic
 LANG_STOPWORDS = {
@@ -149,12 +155,7 @@ def train_split(
     [0,100) per id — stable across runs, engines, and partitionings
     (never use rand(): resplits on every retry). Salt the id string to
     re-deal the split without touching data."""
-    bucket = F.pmod(
-        F.conv(F.substring(F.md5(F.concat(F.lit("split_"), F.col(id_col).cast("string"))), 1, 8), 16, 10).cast(
-            "long"
-        ),
-        F.lit(100),
-    )
+    bucket = md5_bucket(F.col(id_col), "split_")
     return docs.select(
         id_col,
         bucket.alias("bucket"),
@@ -166,9 +167,7 @@ def train_split(
 
 
 def train_split_sql(id_col: str = "doc_id", train_pct: int = 90, val_pct: int = 5) -> str:
-    bucket = (
-        f"CAST(('0x' || substr(md5('split_' || CAST({id_col} AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
-    )
+    bucket = md5_bucket_sql(id_col, "split_")
     return f"""
 SELECT {id_col}, {bucket} AS bucket,
        CASE WHEN {bucket} < {train_pct} THEN 'train'
@@ -195,11 +194,7 @@ def weighted_sample(
     Rank is derived AFTER the limit, over only k rows."""
     from pyspark.sql.window import Window
 
-    u = (
-        F.conv(F.substring(F.md5(F.concat(F.lit("samp_"), F.col(id_col).cast("string"))), 1, 8), 16, 10)
-        .cast("double")
-        / F.lit(float(2**32))
-    )
+    u = md5_uniform(F.col(id_col), "samp_")
     key = F.pow(u, 1.0 / F.col(weight_col).cast("double"))
     ranked = docs.select(id_col, F.col(weight_col).alias("weight"), key.alias("samp_key"))
     topk = ranked.orderBy(F.col("samp_key").desc(), F.col(id_col)).limit(k)
@@ -212,10 +207,7 @@ def weighted_sample(
 
 
 def weighted_sample_sql(k: int = 50, weight_col: str = "n_chars", id_col: str = "doc_id") -> str:
-    u = (
-        f"CAST(CAST(('0x' || substr(md5('samp_' || CAST({id_col} AS VARCHAR)), 1, 8)) AS BIGINT)"
-        f" AS DOUBLE) / 4294967296.0"
-    )
+    u = md5_uniform_sql(id_col, "samp_")
     return f"""
 WITH ranked AS (
   SELECT {id_col}, {weight_col} AS weight,
@@ -803,14 +795,7 @@ def stratified_sample(
     monotone (raising it only ADDS documents, it never re-deals the ones
     already kept). Shuffle-free: rate lookup is a literal map, the keep
     decision is a per-row expression."""
-    bucket = F.pmod(
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit("strat_"), F.col(id_col).cast("string"))), 1, 8),
-            16,
-            10,
-        ).cast("long"),
-        F.lit(100),
-    )
+    bucket = md5_bucket(F.col(id_col), "strat_")
     rate = F.lit(default_pct)
     for src, pct in sorted(rates.items()):
         rate = F.when(F.col(group_col) == src, F.lit(pct)).otherwise(rate)
@@ -828,7 +813,7 @@ def stratified_sample_sql(
     group_col: str = "source",
     id_col: str = "doc_id",
 ) -> str:
-    bucket = f"CAST(('0x' || substr(md5('strat_' || CAST({id_col} AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+    bucket = md5_bucket_sql(id_col, "strat_")
     branches = " ".join(
         f"WHEN {group_col} = '{src}' THEN {pct}" for src, pct in sorted(rates.items())
     )
