@@ -1852,8 +1852,15 @@ from blueflood_spark.operators.events import (  # noqa: E402
     retention_cohorts_sql as _retention_sql,
 )
 
+from blueflood_spark.operators.events import (  # noqa: E402
+    funnel_conversion_sql as _funnel_conv_sql,
+)
+from blueflood_spark.operators.events import top_paths_sql as _top_paths_sql  # noqa: E402
+
 _EV_FUNNEL_SQL = _funnel_sql(_FUNNEL_STEPS, within_ms=_FUNNEL_WITHIN_MS)
 _EV_RETENTION_SQL = _retention_sql(max_offset_days=7)
+_EV_FUNNEL_CONV_SQL = _funnel_conv_sql(_FUNNEL_STEPS, within_ms=_FUNNEL_WITHIN_MS)
+_EV_TOP_PATHS_SQL = _top_paths_sql(depth=3, k=20)
 
 
 def ev_funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1877,6 +1884,30 @@ def ev_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.expr("CAST(ts DIV 1000000 AS BIGINT)").alias("ts_ms")
     )
     return EV.retention_cohorts(ev, max_offset_days=7)
+
+
+def ev_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-transition conversion stats for the 3-step funnel: converted
+    users, mean and exact-median wait per adjacent step pair
+    (operators/events.py funnel_conversion — same one-shuffle fold)."""
+    from blueflood_spark.operators import events as EV
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.expr("CAST(ts DIV 1000000 AS BIGINT)").alias("ts_ms"), "event_type"
+    )
+    return EV.funnel_conversion(ev, _FUNNEL_STEPS, within_ms=_FUNNEL_WITHIN_MS)
+
+
+def ev_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path analysis: top-20 first-3-event sequences by user count
+    (operators/events.py top_paths — per-user sort-and-slice, then
+    TakeOrderedAndProject)."""
+    from blueflood_spark.operators import events as EV
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.expr("CAST(ts DIV 1000000 AS BIGINT)").alias("ts_ms"), "event_type"
+    )
+    return EV.top_paths(ev, depth=3, k=20)
 
 
 def llm_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2553,6 +2584,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bf_repair_on_read": bf_repair_on_read,
         "ev_funnel_3step": ev_funnel_3step,
         "ev_retention_cohorts": ev_retention_cohorts,
+        "ev_funnel_conversion": ev_funnel_conversion,
+        "ev_top_paths": ev_top_paths,
         "llm_dedup_exact": llm_dedup_exact,
         "llm_text_stats": llm_text_stats,
         "llm_doc_fingerprint": llm_doc_fingerprint,
@@ -2653,6 +2686,8 @@ def oracle_sql() -> dict[str, str]:
         "bf_repair_on_read": _BF_REPAIR_SQL,
         "ev_funnel_3step": _EV_FUNNEL_SQL,
         "ev_retention_cohorts": _EV_RETENTION_SQL,
+        "ev_funnel_conversion": _EV_FUNNEL_CONV_SQL,
+        "ev_top_paths": _EV_TOP_PATHS_SQL,
         "llm_dedup_exact": _LLM_DEDUP_EXACT_SQL,
         "llm_text_stats": _LLM_TEXT_STATS_SQL,
         "llm_doc_fingerprint": _LLM_FINGERPRINT_SQL,

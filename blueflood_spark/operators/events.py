@@ -28,30 +28,26 @@ from pyspark.sql import functions as F
 MS_PER_DAY = 86_400_000
 
 
-def funnel(
-    events: DataFrame,
-    steps: list[str],
-    within_ms: int | None = None,
-    user_col: str = "user_id",
-    ts_col: str = "ts_ms",
-    type_col: str = "event_type",
-) -> DataFrame:
-    """Greedy-earliest ordered funnel: per user, step 1 completes at the
-    earliest step-1 event, and step i at the earliest step-i event
-    STRICTLY after step i-1's completion (all steps within `within_ms` of
-    step 1 when set). Returns one row per step: (step, step_name,
-    n_users) with n_users = users reaching that step.
-
-    Greedy-earliest equals the iterative-min definition (t_i = min ts of
-    step i with ts > t_{i-1}): the fold scans events in ascending ts, so
-    each slot is first set at exactly that minimum. Step names must be
-    distinct (one event can satisfy at most one slot).
-    """
+def _check_steps(steps: list[str]) -> None:
     if len(set(steps)) != len(steps):
         raise ValueError("funnel steps must be distinct event types")
     for s in steps:
         if not re.fullmatch(r"[A-Za-z0-9_.:-]+", s):
             raise ValueError(f"step name {s!r} is not a plain identifier")
+
+
+def _user_step_times(
+    events: DataFrame,
+    steps: list[str],
+    within_ms: int | None,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+) -> DataFrame:
+    """Per-user greedy-earliest step-completion times: one row per user
+    with `acc` = array of k step timestamps (NULL where unreached). The
+    shared kernel of funnel() and funnel_conversion()."""
+    _check_steps(steps)
     k = len(steps)
     steps_arr = "array(" + ", ".join(f"'{s}'" for s in steps) + ")"
     within = (
@@ -73,7 +69,7 @@ def funnel(
         )
         """
     )
-    per_user = (
+    return (
         events.filter(F.col(type_col).isin(steps))
         .groupBy(user_col)
         .agg(
@@ -85,6 +81,29 @@ def funnel(
         )
         .select(fold.alias("acc"))
     )
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    within_ms: int | None = None,
+    user_col: str = "user_id",
+    ts_col: str = "ts_ms",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Greedy-earliest ordered funnel: per user, step 1 completes at the
+    earliest step-1 event, and step i at the earliest step-i event
+    STRICTLY after step i-1's completion (all steps within `within_ms` of
+    step 1 when set). Returns one row per step: (step, step_name,
+    n_users) with n_users = users reaching that step.
+
+    Greedy-earliest equals the iterative-min definition (t_i = min ts of
+    step i with ts > t_{i-1}): the fold scans events in ascending ts, so
+    each slot is first set at exactly that minimum. Step names must be
+    distinct (one event can satisfy at most one slot).
+    """
+    per_user = _user_step_times(events, steps, within_ms, user_col, ts_col, type_col)
+    k = len(steps)
     counts = per_user.select(
         *[
             # coalesce: an aggregate over ZERO users sums to NULL, but the
@@ -176,4 +195,114 @@ SELECT c.cohort_day, CAST(a.day - c.cohort_day AS INTEGER) AS day_offset,
 FROM active a JOIN cohort c USING (u)
 WHERE a.day - c.cohort_day <= {int(max_offset_days)}
 GROUP BY 1, 2
+"""
+
+
+def funnel_conversion(
+    events: DataFrame,
+    steps: list[str],
+    within_ms: int | None = None,
+    user_col: str = "user_id",
+    ts_col: str = "ts_ms",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Time-to-convert per funnel transition: for each adjacent step pair
+    (i → i+1), over the users who completed step i+1 — how many, the mean
+    wait, and the exact median wait. Reuses the funnel fold (one shuffle);
+    the waits are integer ms, so mean is an exact sum/count division and
+    the median's interpolation is the engine-verified percentile."""
+    # the fold is evaluated by every transition's aggregate — materialize
+    # it once (at scale: a real per-user step-times table)
+    per_user = _user_step_times(
+        events, steps, within_ms, user_col, ts_col, type_col
+    ).localCheckpoint(eager=False)
+    rows = []
+    for i in range(len(steps) - 1):
+        wait = (F.col("acc")[i + 1] - F.col("acc")[i]).alias("wait_ms")
+        seg = per_user.filter(F.col("acc")[i + 1].isNotNull()).select(wait)
+        rows.append(
+            seg.agg(
+                F.count(F.lit(1)).alias("n_converted"),
+                F.avg("wait_ms").alias("avg_wait_ms"),
+                F.expr("percentile(wait_ms, 0.5D)").alias("p50_wait_ms"),
+            ).select(
+                F.lit(i + 1).alias("step"),
+                F.lit(steps[i]).alias("from_name"),
+                F.lit(steps[i + 1]).alias("to_name"),
+                "n_converted",
+                "avg_wait_ms",
+                "p50_wait_ms",
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def funnel_conversion_sql(steps: list[str], within_ms: int | None = None) -> str:
+    """DuckDB twin from the iterative-min CTEs (independent derivation)."""
+    base = funnel_sql(steps, within_ms)
+    ctes = base[: base.index("\nSELECT 1 AS step")]  # reuse the WITH block
+    selects = []
+    for i in range(1, len(steps)):
+        selects.append(
+            f"SELECT {i} AS step, '{steps[i - 1]}' AS from_name,"
+            f" '{steps[i]}' AS to_name, count(*) AS n_converted,"
+            f" avg(t{i + 1}.ts - t{i}.ts) AS avg_wait_ms,"
+            f" quantile_cont(t{i + 1}.ts - t{i}.ts, 0.5) AS p50_wait_ms"
+            f" FROM t{i + 1} JOIN t{i} USING (user_id)"
+        )
+    return ctes + "\n" + "\nUNION ALL ".join(selects)
+
+
+def top_paths(
+    events: DataFrame,
+    depth: int = 3,
+    k: int = 20,
+    user_col: str = "user_id",
+    ts_col: str = "ts_ms",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Path analysis: each user's first `depth` event types (by time,
+    ties broken by type name) joined into a path string, with user counts
+    for the top-k paths. One shuffle on the user key for the per-user
+    sort-and-slice, one partial-aggregated count, and the top-k plans as
+    TakeOrderedAndProject — no global sort of users."""
+    path = F.array_join(
+        F.slice(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col(ts_col).alias("ts"), F.col(type_col).alias("et"))
+                    )
+                ),
+                lambda x: x["et"],
+            ),
+            1,
+            depth,
+        ),
+        ">",
+    )
+    per_user = events.groupBy(user_col).agg(path.alias("path"))
+    return (
+        per_user.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.col("n_users").desc(), F.col("path"))
+        .limit(k)
+    )
+
+
+def top_paths_sql(depth: int = 3, k: int = 20) -> str:
+    return f"""
+WITH e AS (SELECT user_id, epoch_ms(ts) AS ts, event_type FROM events),
+per_user AS (
+  SELECT user_id,
+         array_to_string(list_slice(list(event_type ORDER BY ts, event_type), 1, {depth}), '>') AS path
+  FROM e GROUP BY user_id
+)
+SELECT path, count(*) AS n_users
+FROM per_user GROUP BY path
+ORDER BY n_users DESC, path
+LIMIT {k}
 """

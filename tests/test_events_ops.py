@@ -117,3 +117,37 @@ def test_funnel_matches_reference_on_randomized_logs(spark):
         got = _counts(funnel(_ev(spark, rows), ["view", "click", "purchase"], within_ms=within))
         want = _expected_funnel(rows, ["view", "click", "purchase"], within_ms=within)
         assert got == want, (trial, within, rows)
+
+
+def test_funnel_conversion_waits(spark):
+    from blueflood_spark.operators.events import funnel_conversion
+
+    rows = [
+        (1, 100, "view"), (1, 150, "click"), (1, 250, "purchase"),
+        (2, 0, "view"), (2, 100, "click"),
+        (3, 0, "view"),
+    ]
+    out = {r["step"]: r for r in funnel_conversion(
+        _ev(spark, rows), ["view", "click", "purchase"]).collect()}
+    assert out[1]["n_converted"] == 2
+    assert out[1]["avg_wait_ms"] == 75.0       # (50 + 100) / 2
+    assert out[1]["p50_wait_ms"] == 75.0
+    assert out[2]["n_converted"] == 1
+    assert out[2]["avg_wait_ms"] == 100.0
+    assert out[1]["from_name"] == "view" and out[2]["to_name"] == "purchase"
+
+
+def test_top_paths_orders_and_ties(spark):
+    from blueflood_spark.operators.events import top_paths
+
+    rows = [
+        (1, 0, "view"), (1, 1, "click"), (1, 2, "purchase"), (1, 3, "error"),
+        (2, 0, "view"), (2, 1, "click"), (2, 2, "purchase"),
+        (3, 5, "signup"),
+        # same-ts tie: 'click' sorts before 'view'
+        (4, 0, "view"), (4, 0, "click"),
+    ]
+    out = [(r["path"], r["n_users"]) for r in top_paths(_ev(spark, rows), depth=3, k=10).collect()]
+    assert out[0] == ("view>click>purchase", 2)
+    assert ("signup", 1) in out
+    assert ("click>view", 1) in out
