@@ -453,6 +453,48 @@ HAVING count(*) > 0
 """
 
 
+def q_trailing_week_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (value-based, not row-based): daily revenue with
+    a trailing 7-day sum — the frame covers a VALUE interval of epoch
+    days, so gaps in the calendar shrink the window's row count. Sum
+    order inside a frame is the cumulative ordered prefix on both
+    engines, so the floats agree. The window is unpartitioned BY DESIGN:
+    it runs over the daily aggregate (rows bounded by calendar days, a
+    few thousand at any corpus size), never over raw lineitem."""
+    from pyspark.sql.window import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    daily = (
+        li.withColumn("day", F.expr("unix_millis(CAST(l_shipdate AS TIMESTAMP)) DIV 86400000"))
+        .groupBy("day")
+        .agg(F.sum(rev).alias("day_rev"), F.count(F.lit(1)).alias("n_items"))
+    )
+    w = Window.orderBy("day").rangeBetween(-6, 0)
+    return daily.select(
+        "day",
+        "day_rev",
+        "n_items",
+        F.sum("day_rev").over(w).alias("trailing_7d_rev"),
+        F.count(F.lit(1)).over(w).cast("long").alias("days_in_window"),
+    )
+
+
+_Q_TRAILING_WEEK_SQL = """
+WITH daily AS (
+  SELECT epoch_ms(l_shipdate) // 86400000 AS day,
+         sum(l_extendedprice * (1 - l_discount)) AS day_rev,
+         count(*) AS n_items
+  FROM lineitem GROUP BY 1
+)
+SELECT day, day_rev, n_items,
+       sum(day_rev) OVER w AS trailing_7d_rev,
+       count(*) OVER w AS days_in_window
+FROM daily
+WINDOW w AS (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H q2-style correlated minimum: per part, the supplier(s) whose
     best unit price equals that part's global minimum. Two-level agg
@@ -2556,6 +2598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pivot_status": q_pivot_status,
         "q_above_type_avg": q_above_type_avg,
         "q_supplier_volume": q_supplier_volume,
+        "q_trailing_week_revenue": q_trailing_week_revenue,
         "q_cheapest_supplier": q_cheapest_supplier,
         "q_sole_late_supplier": q_sole_late_supplier,
         "bf_basic_rollup_5m": bf_basic_rollup_5m,
@@ -2656,6 +2699,7 @@ def oracle_sql() -> dict[str, str]:
         "q_pivot_status": _Q_PIVOT_SQL,
         "q_above_type_avg": _Q_ABOVE_TYPE_AVG_SQL,
         "q_supplier_volume": _Q_SUPPLIER_VOLUME_SQL,
+        "q_trailing_week_revenue": _Q_TRAILING_WEEK_SQL,
         "q_cheapest_supplier": _Q_CHEAPEST_SUPPLIER_SQL,
         "q_sole_late_supplier": _Q_SOLE_LATE_SQL,
         "bf_basic_rollup_5m": _BF_BASIC_5M_SQL,
