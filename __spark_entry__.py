@@ -303,6 +303,35 @@ GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping_id disambiguation (a custom
+    set list — neither pure ROLLUP nor CUBE): per (flag, status), per
+    flag, and grand total, each row tagged with its grouping level. The
+    SQL-API form of the same Expand-based plan Catalyst builds for
+    cube/rollup."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS INT) AS gid,
+               count(*) AS n_rows,
+               sum(l_extendedprice * (1 - l_discount)) AS revenue
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+_Q_GROUPING_SETS_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(grouping_id(l_returnflag, l_linestatus) AS INT) AS gid,
+       count(*) AS n_rows,
+       sum(l_extendedprice * (1 - l_discount)) AS revenue
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
 def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi + anti join: customers who have orders but none with status
     'F' (EXISTS / NOT EXISTS shapes)."""
@@ -2592,6 +2621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q06_forecast_revenue": q06_forecast_revenue,
         "q_window_running": q_window_running,
         "q_cube_revenue": q_cube_revenue,
+        "q_grouping_sets": q_grouping_sets,
         "q_semi_anti": q_semi_anti,
         "q_distinct_agg": q_distinct_agg,
         "q_set_ops": q_set_ops,
@@ -2693,6 +2723,7 @@ def oracle_sql() -> dict[str, str]:
         "q06_forecast_revenue": _Q06_SQL,
         "q_window_running": _Q_WINDOW_SQL,
         "q_cube_revenue": _Q_CUBE_SQL,
+        "q_grouping_sets": _Q_GROUPING_SETS_SQL,
         "q_semi_anti": _Q_SEMI_ANTI_SQL,
         "q_distinct_agg": _Q_DISTINCT_AGG_SQL,
         "q_set_ops": _Q_SET_OPS_SQL,

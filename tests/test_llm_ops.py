@@ -505,3 +505,35 @@ def test_chunk_windows_rejects_bad_params(spark):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError):
         chunk_windows(docs, width=4, stride=5)
+
+
+def test_chunk_windows_matches_python_reference(spark):
+    """Randomized (seeded) differential test of the chunker against a
+    plain-python reference across widths/strides."""
+    import hashlib
+    import random
+
+    from blueflood_spark.operators.text import chunk_windows
+
+    rng = random.Random(7)
+    rows = [
+        (i, " ".join(f"t{rng.randint(0, 30)}" for _ in range(rng.randint(1, 40))))
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for width, stride in [(8, 8), (8, 5), (3, 1)]:
+        got = {
+            (r["doc_id"], r["chunk_idx"]): (r["n_tokens"], r["chunk_md5"])
+            for r in chunk_windows(docs, width=width, stride=stride).collect()
+        }
+        want = {}
+        for doc_id, text in rows:
+            w = text.split(" ")
+            starts = range(0, len(w), stride)
+            for ci, st in enumerate(starts):
+                piece = w[st : st + width]
+                want[(doc_id, ci)] = (
+                    len(piece),
+                    hashlib.md5(" ".join(piece).encode()).hexdigest(),
+                )
+        assert got == want, (width, stride)
