@@ -151,3 +151,28 @@ def test_top_paths_orders_and_ties(spark):
     assert out[0] == ("view>click>purchase", 2)
     assert ("signup", 1) in out
     assert ("click>view", 1) in out
+
+
+def test_retention_matches_python_reference_randomized(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (rng.randint(1, 6), rng.randint(0, 12) * DAY + rng.randint(0, DAY - 1), "view")
+        for _ in range(80)
+    ]
+    got = {
+        (r["cohort_day"], r["day_offset"]): r["n_users"]
+        for r in retention_cohorts(_ev(spark, rows), max_offset_days=7).collect()
+    }
+    days = {}
+    for u, ts, _ in rows:
+        days.setdefault(u, set()).add(ts // DAY)
+    want: dict = {}
+    for u, ds in days.items():
+        c = min(ds)
+        for d in ds:
+            if d - c <= 7:
+                key = (c, d - c)
+                want[key] = want.get(key, 0) + 1
+    assert got == want
