@@ -2605,6 +2605,152 @@ FROM t20 t JOIN p20 p
 
 
 # ---------------------------------------------------------------------------
+# §2.11 HTTP endpoints end-to-end (param parse → granularity select →
+# pruned scan → JSON shaping), driver-checked against DuckDB twins.
+# ---------------------------------------------------------------------------
+
+_API_FROM_MS = 1704067200000  # 2024-01-01T00:00:00Z
+_API_TO_MS = 1704672000000  # 2024-01-08T00:00:00Z (7 days)
+
+
+def _rollup_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A resolution-tagged rollups table (5m ∪ 20m ∪ 60m). series_frame's
+    `resolution == <name>` filter constant-folds against each branch's
+    lit() tag, so Catalyst prunes the two unselected branches at plan
+    time — the union is free, exactly like partition pruning on a
+    resolution-partitioned production table."""
+    raw = _raw_metrics(spark, sf_dir)
+    out = None
+    for g in (G.MIN_5, G.MIN_20, G.MIN_60):
+        r = R.basic_from_raw(raw, g)
+        out = r if out is None else out.unionByName(r)
+    return out
+
+
+def api_get_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GET /v2.0/:tenantId/views/:metricName END-TO-END through the API
+    layer (plans/query_api.py: parse_params → from_points_in_interval →
+    series_frame → shape_response; HttpRollupsQueryHandler.java:89-161).
+    points=500 over 7 days selects MIN20 (504 providable points,
+    geometric ratio 1.008); the shaped values list is flattened back to a
+    DataFrame for the oracle compare. The collect is the serving
+    boundary on one pruned series — ~500 rows regardless of SF."""
+    from blueflood_spark.plans import query_api as QA
+
+    rollups = _rollup_ladder(spark, sf_dir)
+    params = QA.parse_params(
+        {"points": ["500"], "from": [str(_API_FROM_MS)], "to": [str(_API_TO_MS)]}
+    )
+    resp = QA.get_view(
+        rollups, "t1", "events.click.value", params,
+        rollup_type="basic", unit="requests", now_ms=_API_TO_MS,
+    )
+    assert resp["unit"] == "requests" and resp["metadata"]["count"] == len(resp["values"])
+    rows = [
+        (v["timestamp"], v["average"], v["numPoints"], v["sum"]) for v in resp["values"]
+    ]
+    return spark.createDataFrame(
+        rows, "timestamp long, average double, numPoints long, sum double"
+    )
+
+
+_API_GET_VIEW_SQL = _RAW_CTE + f"""
+SELECT (ts // 1200000) * 1200000 AS "timestamp",
+       avg(value) AS average,
+       count(*) AS "numPoints",
+       sum(value) AS "sum"
+FROM raw
+WHERE tenant_id = 't1' AND metric_name = 'events.click.value'
+  AND ts >= {_API_FROM_MS} AND ts < {_API_TO_MS}
+GROUP BY 1
+"""
+
+
+def api_get_views_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POST /v2.0/:tenantId/views multi-series END-TO-END
+    (HttpMultiRollupsQueryHandler.java:80-151 via get_views_multi): O2
+    limit check, ONE pruned scan for all requested locators, per-series
+    JSON shaping; flattened with the series name as a column."""
+    from blueflood_spark.plans import query_api as QA
+
+    names = ["events.click.value", "events.view.value", "events.purchase.value"]
+    rollups = _rollup_ladder(spark, sf_dir)
+    params = QA.parse_params(
+        {"points": ["500"], "from": [str(_API_FROM_MS)], "to": [str(_API_TO_MS)]}
+    )
+    resp = QA.get_views_multi(rollups, "t0", names, params, now_ms=_API_TO_MS)
+    rows = [
+        (m, v["timestamp"], v["average"], v["numPoints"], v["sum"])
+        for m, shaped in resp.items()
+        for v in shaped["values"]
+    ]
+    return spark.createDataFrame(
+        rows,
+        "metric_name string, timestamp long, average double, numPoints long, sum double",
+    )
+
+
+_API_GET_VIEWS_MULTI_SQL = _RAW_CTE + f"""
+SELECT metric_name,
+       (ts // 1200000) * 1200000 AS "timestamp",
+       avg(value) AS average,
+       count(*) AS "numPoints",
+       sum(value) AS "sum"
+FROM raw
+WHERE tenant_id = 't0'
+  AND metric_name IN ('events.click.value', 'events.view.value', 'events.purchase.value')
+  AND ts >= {_API_FROM_MS} AND ts < {_API_TO_MS}
+GROUP BY 1, 2
+"""
+
+
+def _api_events_bounds() -> tuple[int, int]:
+    """Boundary epochs via the reference date grammar (F3,
+    DateTimeParser.java): parsed ONCE here and embedded in both the Spark
+    filter path (through get_events) and the oracle SQL, so the compare
+    is TZ-stable while still exercising the parser on the query path."""
+    from datetime import datetime
+
+    from blueflood_spark.functions.datetime_parser import parse_datetime
+
+    now = datetime(2024, 1, 15, 12, 0, 0)
+    frm = int(parse_datetime("00:00_2024_01_05", now).timestamp())
+    until = int(parse_datetime("00:00_2024_01_05", now).timestamp()) + 7 * 86400
+    return frm, until
+
+
+def api_events_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GET /v2.0/:tenantId/events/getEvents END-TO-END
+    (plans/events_api.py get_events; HttpEventsQueryHandler.java:45-75):
+    human-grammar from/until parsed at the boundary to epoch SECONDS,
+    tags as an exact term filter (EventElasticSearchIO.java:60-100)."""
+    from blueflood_spark.plans.events_api import get_events
+
+    ev = _t(spark, sf_dir, "events")
+    bf_ev = ev.select(
+        F.concat(F.lit("t"), (F.col("user_id") % 4).cast("string")).alias("tenant_id"),
+        F.expr("CAST(ts DIV 1000000000 AS BIGINT)").alias("when"),
+        F.col("event_id"),
+        F.col("event_type").alias("tags"),
+        F.col("value"),
+    )
+    frm, until = _api_events_bounds()
+    out = get_events(bf_ev, "t2", from_str=str(frm), until_str=str(until), tags="error")
+    return out.select("event_id", "when", "tags", "value")
+
+
+def _api_events_query_sql() -> str:
+    frm, until = _api_events_bounds()
+    return f"""
+SELECT event_id, epoch_ms(ts) // 1000 AS "when", event_type AS tags, value
+FROM events
+WHERE 't' || CAST(user_id % 4 AS VARCHAR) = 't2'
+  AND epoch_ms(ts) // 1000 >= {frm} AND epoch_ms(ts) // 1000 < {until}
+  AND event_type = 'error'
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
 
@@ -2614,69 +2760,21 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER CONTRACT: the driver's correctness gate stamps the FIRST 50
+    # entries. Rounds 1-2 stamped 58 distinct queries; this round leads
+    # with the 37 never-stamped entries, the 8 stamped only in r1, and
+    # the 3 new API-layer queries, plus two sentinels (the r1 failure
+    # bf_basic_merge_20m and the newest-semantics ev_retention_cohorts) —
+    # exactly 50. The union of r1+r2+r3 rows then covers all entries.
     return {
-        "q01_pricing_summary": q01_pricing_summary,
-        "q03_top_orders": q03_top_orders,
-        "q05_region_revenue": q05_region_revenue,
-        "q06_forecast_revenue": q06_forecast_revenue,
-        "q_window_running": q_window_running,
-        "q_cube_revenue": q_cube_revenue,
-        "q_grouping_sets": q_grouping_sets,
-        "q_semi_anti": q_semi_anti,
-        "q_distinct_agg": q_distinct_agg,
-        "q_set_ops": q_set_ops,
-        "q_pivot_status": q_pivot_status,
-        "q_above_type_avg": q_above_type_avg,
-        "q_supplier_volume": q_supplier_volume,
-        "q_trailing_week_revenue": q_trailing_week_revenue,
-        "q_cheapest_supplier": q_cheapest_supplier,
-        "q_sole_late_supplier": q_sole_late_supplier,
-        "bf_basic_rollup_5m": bf_basic_rollup_5m,
+        # -- sentinels --
         "bf_basic_merge_20m": bf_basic_merge_20m,
-        "bf_rollup_cascade_60m": bf_rollup_cascade_60m,
-        "bf_counter_rollup_5m": bf_counter_rollup_5m,
-        "bf_counter_merge_20m": bf_counter_merge_20m,
-        "bf_gauge_rollup_5m": bf_gauge_rollup_5m,
-        "bf_set_rollup_20m": bf_set_rollup_20m,
-        "bf_timer_merge_20m": bf_timer_merge_20m,
-        "bf_shard_hash": bf_shard_hash,
-        "bf_metric_tokens": bf_metric_tokens,
-        "bf_glob_search": bf_glob_search,
-        "bf_glob_braces": bf_glob_braces,
-        "bf_metric_names_browse": bf_metric_names_browse,
-        "bf_events_range": bf_events_range,
-        "bf_events_tags": bf_events_tags,
-        "bf_token_doc_counts": bf_token_doc_counts,
-        "bf_asof_enrich": bf_asof_enrich,
-        "bf_range_join": bf_range_join,
-        "bf_sessionize": bf_sessionize,
-        "bf_units_enrichment": bf_units_enrichment,
-        "bf_multi_series_fetch": bf_multi_series_fetch,
-        "bf_anomaly_zscore": bf_anomaly_zscore,
-        "bf_gapfill_series": bf_gapfill_series,
-        "bf_repair_on_read": bf_repair_on_read,
-        "ev_funnel_3step": ev_funnel_3step,
         "ev_retention_cohorts": ev_retention_cohorts,
-        "ev_funnel_conversion": ev_funnel_conversion,
-        "ev_top_paths": ev_top_paths,
-        "llm_dedup_exact": llm_dedup_exact,
-        "llm_text_stats": llm_text_stats,
-        "llm_doc_fingerprint": llm_doc_fingerprint,
-        "llm_ann_cosine_topk": llm_ann_cosine_topk,
-        "llm_ngram_jaccard": llm_ngram_jaccard,
-        "llm_minhash_signatures": llm_minhash_signatures,
-        "llm_minhash_lsh": llm_minhash_lsh,
-        "llm_dedup_clusters": llm_dedup_clusters,
-        "llm_simhash": llm_simhash,
-        "llm_simhash_near_pairs": llm_simhash_near_pairs,
-        "llm_lang_id": llm_lang_id,
-        "llm_token_counts": llm_token_counts,
-        "llm_quality_score": llm_quality_score,
+        # -- never stamped before r3 --
         "llm_source_overlap": llm_source_overlap,
         "llm_chunk_windows": llm_chunk_windows,
         "llm_unigram_surprisal": llm_unigram_surprisal,
         "llm_length_profile": llm_length_profile,
-        "llm_train_split": llm_train_split,
         "llm_weighted_sample": llm_weighted_sample,
         "llm_rolling_fingerprint": llm_rolling_fingerprint,
         "llm_repetition_filter": llm_repetition_filter,
@@ -2710,6 +2808,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bf_preagg_ladder": bf_preagg_ladder,
         "bf_granularity_select": bf_granularity_select,
         "llm_multimodal_features": llm_multimodal_features,
+        # -- stamped in r1 only --
+        "llm_minhash_lsh": llm_minhash_lsh,
+        "llm_dedup_clusters": llm_dedup_clusters,
+        "llm_simhash": llm_simhash,
+        "llm_simhash_near_pairs": llm_simhash_near_pairs,
+        "llm_lang_id": llm_lang_id,
+        "llm_token_counts": llm_token_counts,
+        "llm_quality_score": llm_quality_score,
+        "llm_train_split": llm_train_split,
+        # -- new this round: §2.11 endpoints end-to-end --
+        "api_get_view": api_get_view,
+        "api_get_views_multi": api_get_views_multi,
+        "api_events_query": api_events_query,
+        # ---- entry 51+ (green driver rows in both r1 and r2) ----
+        "q01_pricing_summary": q01_pricing_summary,
+        "q03_top_orders": q03_top_orders,
+        "q05_region_revenue": q05_region_revenue,
+        "q06_forecast_revenue": q06_forecast_revenue,
+        "q_window_running": q_window_running,
+        "q_cube_revenue": q_cube_revenue,
+        "q_grouping_sets": q_grouping_sets,
+        "q_semi_anti": q_semi_anti,
+        "q_distinct_agg": q_distinct_agg,
+        "q_set_ops": q_set_ops,
+        "q_pivot_status": q_pivot_status,
+        "q_above_type_avg": q_above_type_avg,
+        "q_supplier_volume": q_supplier_volume,
+        "q_trailing_week_revenue": q_trailing_week_revenue,
+        "q_cheapest_supplier": q_cheapest_supplier,
+        "q_sole_late_supplier": q_sole_late_supplier,
+        "bf_basic_rollup_5m": bf_basic_rollup_5m,
+        "bf_rollup_cascade_60m": bf_rollup_cascade_60m,
+        "bf_counter_rollup_5m": bf_counter_rollup_5m,
+        "bf_counter_merge_20m": bf_counter_merge_20m,
+        "bf_gauge_rollup_5m": bf_gauge_rollup_5m,
+        "bf_set_rollup_20m": bf_set_rollup_20m,
+        "bf_timer_merge_20m": bf_timer_merge_20m,
+        "bf_shard_hash": bf_shard_hash,
+        "bf_metric_tokens": bf_metric_tokens,
+        "bf_glob_search": bf_glob_search,
+        "bf_glob_braces": bf_glob_braces,
+        "bf_metric_names_browse": bf_metric_names_browse,
+        "bf_events_range": bf_events_range,
+        "bf_events_tags": bf_events_tags,
+        "bf_token_doc_counts": bf_token_doc_counts,
+        "bf_asof_enrich": bf_asof_enrich,
+        "bf_range_join": bf_range_join,
+        "bf_sessionize": bf_sessionize,
+        "bf_units_enrichment": bf_units_enrichment,
+        "bf_multi_series_fetch": bf_multi_series_fetch,
+        "bf_anomaly_zscore": bf_anomaly_zscore,
+        "bf_gapfill_series": bf_gapfill_series,
+        "bf_repair_on_read": bf_repair_on_read,
+        "ev_funnel_3step": ev_funnel_3step,
+        "ev_funnel_conversion": ev_funnel_conversion,
+        "ev_top_paths": ev_top_paths,
+        "llm_dedup_exact": llm_dedup_exact,
+        "llm_text_stats": llm_text_stats,
+        "llm_doc_fingerprint": llm_doc_fingerprint,
+        "llm_ann_cosine_topk": llm_ann_cosine_topk,
+        "llm_ngram_jaccard": llm_ngram_jaccard,
+        "llm_minhash_signatures": llm_minhash_signatures,
     }
 
 
@@ -2717,6 +2877,9 @@ def oracle_sql() -> dict[str, str]:
     glob_regex = anchored(glob_to_regex("events.*"))
     browse_regex = anchored(next_level_regex("events.*"))
     return {
+        "api_get_view": _API_GET_VIEW_SQL,
+        "api_get_views_multi": _API_GET_VIEWS_MULTI_SQL,
+        "api_events_query": _api_events_query_sql(),
         "q01_pricing_summary": _Q01_SQL,
         "q03_top_orders": _Q03_SQL,
         "q05_region_revenue": _Q05_SQL,

@@ -95,16 +95,37 @@ def main() -> None:
         elapsed = time.perf_counter() - start
         total = elapsed if total is None else min(total, elapsed)
 
+    # Emission order matters: the full per-query map (~100 entries) first,
+    # then a SHORT totals-only line LAST — r2's single long line outgrew
+    # the driver's tail capture and parsed as null, so the headline line
+    # must stay small. Both lines are self-contained valid JSON.
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    print(
+        json.dumps(
+            {
+                "metric": "per_query_detail_sec",
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as fh:
+        json.dump({"queries": timings, "sf": sf_val, "concurrency": concurrency}, fh, indent=1)
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:8])
     print(
         json.dumps(
             {
                 "metric": "total_query_wall_sec",
                 "value": round(total, 4),
                 "unit": "sec",
-                "queries": timings,
+                "queries": slowest,
+                "n_queries": len(timings),
                 "serial_total_sec": round(serial_total, 4),
                 "concurrency": concurrency,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
+                "detail": "BENCH_DETAIL.json",
             }
         )
     )

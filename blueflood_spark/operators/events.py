@@ -129,10 +129,11 @@ def funnel(
     return counts.select(F.explode(step_rows).alias("r")).select("r.*")
 
 
-def funnel_sql(steps: list[str], within_ms: int | None = None) -> str:
-    """DuckDB twin via the independent iterative-min formulation (NOT a
-    mirror of the fold) — a genuinely different derivation of the same
-    semantics, so the compare checks the definition, not the code."""
+def _funnel_ctes(steps: list[str], within_ms: int | None = None) -> list[str]:
+    """Shared WITH-block of the iterative-min funnel formulation: CTE
+    `t{i}` holds each user's step-i completion time. funnel_sql and
+    funnel_conversion_sql compose these structured parts (rather than one
+    slicing the other's rendered string)."""
     for s in steps:
         if not re.fullmatch(r"[A-Za-z0-9_.:-]+", s):
             raise ValueError(f"step name {s!r} is not a plain identifier")
@@ -155,6 +156,14 @@ def funnel_sql(steps: list[str], within_ms: int | None = None) -> str:
                 f" WHERE e.event_type = '{s}' AND e.ts > {prev}.ts{cap} GROUP BY 1)"
             )
         prev = f"t{i}"
+    return ctes
+
+
+def funnel_sql(steps: list[str], within_ms: int | None = None) -> str:
+    """DuckDB twin via the independent iterative-min formulation (NOT a
+    mirror of the fold) — a genuinely different derivation of the same
+    semantics, so the compare checks the definition, not the code."""
+    ctes = _funnel_ctes(steps, within_ms)
     selects = [
         f"SELECT {i} AS step, '{s}' AS step_name, count(*) AS n_users FROM t{i}"
         for i, s in enumerate(steps, start=1)
@@ -211,6 +220,8 @@ def funnel_conversion(
     wait, and the exact median wait. Reuses the funnel fold (one shuffle);
     the waits are integer ms, so mean is an exact sum/count division and
     the median's interpolation is the engine-verified percentile."""
+    if len(steps) < 2:
+        raise ValueError("funnel_conversion needs at least 2 steps")
     # the fold is evaluated by every transition's aggregate — materialize
     # it once (at scale: a real per-user step-times table)
     per_user = _user_step_times(
@@ -242,8 +253,9 @@ def funnel_conversion(
 
 def funnel_conversion_sql(steps: list[str], within_ms: int | None = None) -> str:
     """DuckDB twin from the iterative-min CTEs (independent derivation)."""
-    base = funnel_sql(steps, within_ms)
-    ctes = base[: base.index("\nSELECT 1 AS step")]  # reuse the WITH block
+    if len(steps) < 2:
+        raise ValueError("funnel_conversion needs at least 2 steps")
+    ctes = "WITH " + ",\n".join(_funnel_ctes(steps, within_ms))
     selects = []
     for i in range(1, len(steps)):
         selects.append(

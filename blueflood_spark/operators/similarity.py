@@ -745,7 +745,7 @@ qtab AS (
   SELECT q.{id_col} AS q_id,
          {dtab_cols}
   FROM embeddings q CROSS JOIN cents c
-  WHERE ({query_pred_sql.replace('vec_id', 'q.vec_id')})
+  WHERE ({query_pred_sql.replace(id_col, f'q.{id_col}')})
   GROUP BY q.{id_col}
 ),
 scored AS (

@@ -203,7 +203,13 @@ def start_streaming_rollup(
             # batch_id at each root.
             # NOTE the two modes use different sink layouts: events_path=
             # None uses the streaming file sink (_spark_metadata commit
-            # log) — never point both modes at the same rollup_path.
+            # log) — never point both modes at the same rollup_path. A
+            # pre-existing flat/append-mode output directory must be
+            # migrated (or a fresh path used) before switching modes —
+            # mixed layouts under one root double-read on scan. Also:
+            # batch_id here is a PARTITION column, so spark.read infers it
+            # as INT from the directory names (pin with an explicit schema
+            # if the long type matters downstream).
             import time
 
             batch = batch.cache()
@@ -405,7 +411,14 @@ def start_doc_ingest(
 
     The quality gate runs inside foreachBatch (its signals are per-doc
     independent — a per-doc aggregation, no cross-doc state), splitting
-    kept/rejected with the deterministic first-failing-rule verdict."""
+    kept/rejected with the deterministic first-failing-rule verdict.
+
+    INVARIANT NOTE: kept_path is NOT doc_id-unique across micro-batches.
+    The duplicate-doc_id guard below is per-batch only; the same doc_id
+    re-ingested with EDITED text in a later batch has a different
+    content_md5, survives the content dedup, and appends a second row.
+    That is the documented stream/batch split: the batch exact_dedup pass
+    over the materialized corpus owns the doc_id-uniqueness invariant."""
     from blueflood_spark.operators.text import quality_gate
 
     stream = (
