@@ -2181,13 +2181,18 @@ def llm_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact kernel (operators/similarity.py embedding_near_dups) clustered
     by connected components — every vector labeled with the minimum
     vec_id of its semantic-duplicate component, ready for a keep-one-
-    per-cluster filter."""
+    per-cluster filter.
+
+    PINNED to the distributed min-label path (driver_threshold=0): this
+    is the oracle query that exercises the 100 TB CC formulation
+    (_cc_distributed) end-to-end; llm_dedup_clusters keeps the driver
+    union-find default, so BOTH paths carry a driver-checked row."""
     emb = _t(spark, sf_dir, "embeddings")
     pairs = SIM.embedding_near_dups(emb, threshold=0.35).select(
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
     )
     ids = emb.select(F.col("vec_id").alias("doc_id"))
-    return D.connected_components(pairs, ids).select(
+    return D.connected_components(pairs, ids, driver_threshold=0).select(
         F.col("doc_id").alias("vec_id"), "cluster_id"
     )
 
@@ -2350,32 +2355,77 @@ WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
 
 
 def llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: synthetic binary media → mapInPandas feature
-    extraction. The decode is stubbed deterministically (declared — no
-    media libs in this runtime) but the Arrow batch path, schema, and
-    hash-derived features are real and ORACLE-CHECKED: the payload is
-    ASCII-hex bytes, so DuckDB reproduces sha/feature extraction from the
-    same string the pandas workers hash."""
+    """Multimodal decode + feature extraction through mapInPandas. Image
+    rows carry REAL P3 PPM payloads and are decoded pixel-by-pixel
+    (operators/multimodal.py decode_ppm — pure Python, no media libs
+    needed): feature = [w, h, mean_r,g,b, std_r,g,b] from actual pixel
+    values. Audio/video rows exercise the declared hash stand-in. BOTH
+    paths are oracle-checked: the P3 payload is ASCII, so DuckDB
+    rebuilds the identical string for the sha/n_bytes check and computes
+    the same pixel statistics from the generative formula."""
     from blueflood_spark.operators import multimodal as MM
 
     media = MM.synthetic_media(spark, 96)
     return MM.extract_features(media)
 
 
-_LLM_MULTIMODAL_SQL = """
+def _llm_multimodal_sql() -> str:
+    """DuckDB twin of extract_features over synthetic_media(96): images
+    via pixel statistics (exact-int sums, one double division — the same
+    IEEE op sequence decode_ppm uses), others via the md5 stand-in."""
+    chan_stats = []
+    for c in range(3):
+        chan = f"list_transform(range(0, w*h), k -> px[3*k + {c} + 1])"
+        chan_stats.append(
+            f"CAST(list_sum({chan}) AS DOUBLE) / (w*h) AS mean_{c},\n"
+            f"         sqrt(greatest(CAST(list_sum(list_transform({chan}, v -> v*v)) AS DOUBLE) / (w*h)"
+            f" - (CAST(list_sum({chan}) AS DOUBLE) / (w*h)) * (CAST(list_sum({chan}) AS DOUBLE) / (w*h)), 0.0)) AS std_{c}"
+        )
+    stats_sql = ",\n         ".join(chan_stats)
+    return f"""
 WITH m AS (
   SELECT i AS media_id,
          CASE CAST(i % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-         repeat(md5('media_' || CAST(i AS VARCHAR)), 5) AS payload_str
+         CAST(8 + i % 5 AS INT) AS w,
+         CAST(6 + i % 4 AS INT) AS h
   FROM range(96) t(i)
+),
+img AS (
+  SELECT media_id, kind, w, h,
+         list_transform(range(0, w*h*3), j -> CAST((media_id*37 + j*11) % 256 AS INT)) AS px
+  FROM m WHERE kind = 'image'
+),
+img_payload AS (
+  SELECT media_id, kind, w, h, px,
+         'P3' || chr(10) || CAST(w AS VARCHAR) || ' ' || CAST(h AS VARCHAR) || chr(10) || '255' || chr(10)
+           || array_to_string(list_transform(px, v -> CAST(v AS VARCHAR)), ' ') AS payload_str
+  FROM img
+),
+img_stats AS (
+  SELECT media_id, kind, payload_str, w, h,
+         {stats_sql}
+  FROM img_payload
+),
+img_out AS (
+  SELECT media_id, kind,
+         sha256(payload_str) AS payload_sha,
+         CAST(length(payload_str) AS BIGINT) AS n_bytes,
+         [CAST(w AS FLOAT), CAST(h AS FLOAT),
+          CAST(mean_0 AS FLOAT), CAST(mean_1 AS FLOAT), CAST(mean_2 AS FLOAT),
+          CAST(std_0 AS FLOAT), CAST(std_1 AS FLOAT), CAST(std_2 AS FLOAT)] AS feature
+  FROM img_stats
+),
+other_out AS (
+  SELECT media_id, kind,
+         sha256(payload_str) AS payload_sha,
+         CAST(length(payload_str) AS BIGINT) AS n_bytes,
+         list_transform(range(0, 8), j ->
+           CAST(CAST(('0x' || substr(md5(payload_str), CAST(2 * j + 1 AS INT), 2)) AS INT) / 255.0 AS FLOAT)
+         ) AS feature
+  FROM (SELECT media_id, kind, repeat(md5('media_' || CAST(media_id AS VARCHAR)), 5) AS payload_str
+        FROM m WHERE kind != 'image')
 )
-SELECT media_id, kind,
-       sha256(payload_str) AS payload_sha,
-       CAST(length(payload_str) AS BIGINT) AS n_bytes,
-       list_transform(range(0, 8), j ->
-         CAST(CAST(('0x' || substr(md5(payload_str), CAST(2 * j + 1 AS INT), 2)) AS INT) / 255.0 AS FLOAT)
-       ) AS feature
-FROM m
+SELECT * FROM img_out UNION ALL SELECT * FROM other_out
 """
 
 
@@ -2976,5 +3026,5 @@ def oracle_sql() -> dict[str, str]:
         "bf_ttl_retention": _BF_TTL_RETENTION_SQL,
         "bf_preagg_ladder": _BF_PREAGG_LADDER_SQL,
         "bf_granularity_select": _BF_GRANULARITY_SELECT_SQL,
-        "llm_multimodal_features": _LLM_MULTIMODAL_SQL,
+        "llm_multimodal_features": _llm_multimodal_sql(),
     }

@@ -415,30 +415,43 @@ def _cc_distributed(
     themselves) — the step that turns near-dup PAIRS into canonical
     dedup GROUPS.
 
-    Iterative min-label propagation: label(n) ← min(label(n),
-    min(label(neighbors))) until fixpoint. Each iteration is one
-    join+aggregate; convergence takes O(component diameter) rounds and
-    dup clusters are shallow, so the driver loop runs 2-4 rounds in
-    practice (localCheckpoint per round keeps lineage flat). At extreme
-    scale the same loop swaps to the large-star/small-star formulation —
-    per-round plans are unchanged.
+    Iterative min-label propagation with pointer-doubling compression:
+    each round does (1) label(n) ← min(label(n), min(label(neighbors)))
+    — one hop of propagation — then (2) label(n) ← min(label(n),
+    label(label(n))) — a shortcut join that roughly HALVES each node's
+    remaining distance to its component minimum (every label value is a
+    node id, so the self-join always resolves). Convergence is
+    O(log diameter) rounds, not O(diameter): a 1000-hop chain settles in
+    ~10 rounds (the hybrid propagate+compress scheme of CC-MR /
+    Kiveris et al. "Connected Components in MapReduce"). Each round is
+    two equi-joins + one aggregate, localCheckpoint'd to keep lineage
+    flat; non-convergence within max_iterations raises rather than
+    returning silently-wrong labels.
     """
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=False)
     labels = ids.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym.dst == labels.node)
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        prop = labels.join(neighbor_min, labels.node == neighbor_min.src, "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
+                "label"
+            ),
+        )
+        lab2 = prop.select(F.col("node").alias("n2"), F.col("label").alias("l2"))
         new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            prop.join(lab2, prop.label == lab2.n2, "left")
             .select(
                 "node",
-                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
+                F.least(F.col("label"), F.coalesce(F.col("l2"), F.col("label"))).alias(
                     "label"
                 ),
             )
@@ -453,7 +466,12 @@ def _cc_distributed(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected components did not converge within {max_iterations} iterations"
+        )
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
 
 

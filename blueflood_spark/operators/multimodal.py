@@ -3,18 +3,22 @@ columns with typed metadata, processed through Arrow-batched pandas
 iterators (`mapInPandas`).
 
 The Spark-side plumbing — schema, batch iteration, partition sizing —
-is real and tested. The media decode itself is STUBBED: the runtime here
-has no image/audio libraries, so decode functions either raise
-`NotImplementedError` (strict mode) or produce a deterministic fake
-derived from the bytes (test mode). Swapping in a real decoder (PIL,
-torchaudio, pyav) changes only the inner function, not the plan: the
-operator is already shaped for 100 TB (mapInPandas streams Arrow batches,
-memory bounded by batch size, not partition size; no shuffle introduced).
+is real and tested. Image decode is REAL for the PPM family (`decode_ppm`:
+P3 ASCII and P6 binary, a pure-Python decoder — no external image libs
+needed), and features for PPM payloads derive from actual pixels
+(dimensions + per-channel mean/std). Payload kinds the runtime cannot
+decode (compressed image formats, audio, video) fall back to a
+deterministic hash-derived stand-in — or raise in strict mode. Swapping
+in a richer decoder (PIL, torchaudio, pyav) changes only the inner
+per-payload function, not the plan: the operator is already shaped for
+100 TB (mapInPandas streams Arrow batches, memory bounded by batch size,
+not partition size; no shuffle introduced).
 """
 
 from __future__ import annotations
 
 import hashlib
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -45,26 +49,109 @@ FEATURES_SCHEMA = T.StructType(
 )
 
 
+def decode_ppm(payload: bytes | None) -> dict | None:
+    """Pure-Python decoder for the PPM image family (netpbm): P3 (ASCII)
+    and P6 (binary), maxval ≤ 255, `#` comments allowed in the header.
+    Returns {"width", "height", "means": [r,g,b], "stds": [r,g,b]}
+    (population std) or None when the payload is not PPM.
+
+    All statistics are EXACT-integer sums divided once in double
+    precision (sum/n, sqrt(sumsq/n - mean²)) — the same single-IEEE-op
+    sequence a SQL oracle computes, so features are engine-portable."""
+    if payload is None:
+        return None
+    payload = bytes(payload)
+    if payload[:2] not in (b"P3", b"P6"):
+        return None
+    binary = payload[:2] == b"P6"
+
+    # header = magic, width, height, maxval as whitespace-separated
+    # tokens with '#'-to-EOL comments; for P6 pixel bytes start after
+    # the single whitespace following maxval
+    tokens: list[int] = []
+    i = 2
+    n = len(payload)
+    while len(tokens) < 3 and i < n:
+        c = payload[i : i + 1]
+        if c == b"#":
+            while i < n and payload[i : i + 1] not in (b"\n", b"\r"):
+                i += 1
+        elif c.isspace():
+            i += 1
+        elif c.isdigit():
+            j = i
+            while j < n and payload[j : j + 1].isdigit():
+                j += 1
+            tokens.append(int(payload[i:j]))
+            i = j
+        else:
+            return None
+    if len(tokens) < 3:
+        return None
+    width, height, maxval = tokens
+    if maxval <= 0 or maxval > 255 or width <= 0 or height <= 0:
+        return None
+    count = width * height * 3
+    if binary:
+        i += 1  # exactly one whitespace byte after maxval
+        pixels = list(payload[i : i + count])
+    else:
+        body = payload[i:]
+        # strip comments, then split on whitespace
+        lines = [ln.partition(b"#")[0] for ln in body.splitlines()]
+        vals = b" ".join(lines).split()
+        pixels = [int(v) for v in vals[:count]]
+    if len(pixels) < count:
+        return None
+    means, stds = [], []
+    npix = width * height
+    for ch in range(3):
+        chan = pixels[ch:count:3]
+        s = sum(chan)  # exact int
+        sq = sum(v * v for v in chan)  # exact int
+        mean = s / npix
+        var = sq / npix - mean * mean
+        means.append(mean)
+        stds.append(math.sqrt(var if var > 0 else 0.0))
+    return {"width": width, "height": height, "means": means, "stds": stds}
+
+
 def _fake_decode(payload: bytes, dims: int = 8) -> list[float]:
-    """Deterministic stand-in for a real decode→embed step: md5-derived
-    floats. Replace with the real library call; the Spark plan is
-    unchanged."""
+    """Deterministic stand-in for decode→embed on payload kinds this
+    runtime can't decode: md5-derived floats. Replace with the real
+    library call; the Spark plan is unchanged."""
     if payload is None:
         return None
     h = hashlib.md5(payload).digest()
     return [b / 255.0 for b in h[:dims]]
 
 
+def _feature(payload: bytes | None, strict: bool, dims: int) -> list[float] | None:
+    decoded = decode_ppm(payload)
+    if decoded is not None:
+        return [
+            float(decoded["width"]),
+            float(decoded["height"]),
+            *decoded["means"],
+            *decoded["stds"],
+        ]
+    if strict:
+        raise NotImplementedError(
+            "payload is not a decodable format (PPM); other media decoders "
+            "require image/audio libraries not present in this runtime"
+        )
+    return _fake_decode(payload, dims)
+
+
 def extract_features(media: DataFrame, strict: bool = False, dims: int = 8) -> DataFrame:
     """Decode + feature-extract via mapInPandas: Arrow batches in, Arrow
-    batches out; executor memory is bounded by the Arrow batch size."""
+    batches out; executor memory is bounded by the Arrow batch size.
+    PPM payloads go through the REAL pixel decoder (dims, per-channel
+    mean/std → 8-float feature); undecodable payloads use the declared
+    hash stand-in (or raise when strict=True)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if strict:
-                raise NotImplementedError(
-                    "media decode requires an image/audio library not present in this runtime"
-                )
             out = pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -73,7 +160,7 @@ def extract_features(media: DataFrame, strict: bool = False, dims: int = 8) -> D
                         lambda b: hashlib.sha256(b).hexdigest() if b is not None else None
                     ),
                     "n_bytes": pdf["payload"].map(lambda b: len(b) if b is not None else 0),
-                    "feature": pdf["payload"].map(lambda b: _fake_decode(b, dims)),
+                    "feature": pdf["payload"].map(lambda b: _feature(b, strict, dims)),
                 }
             )
             yield out
@@ -117,25 +204,42 @@ def frame_sample_plan(media: DataFrame, fps: float = 1.0) -> DataFrame:
     )
 
 
+def synthetic_ppm(media_id: int) -> bytes:
+    """Deterministic P3 (ASCII PPM) image: width 8+(id%5), height
+    6+(id%4), pixel j = (id*37 + j*11) % 256. A REAL decodable image
+    payload whose generative formula a SQL oracle can also evaluate —
+    so the pixel-decoded features are checkable engine-to-engine."""
+    w, h = 8 + media_id % 5, 6 + media_id % 4
+    body = " ".join(str((media_id * 37 + j * 11) % 256) for j in range(w * h * 3))
+    return f"P3\n{w} {h}\n255\n{body}".encode()
+
+
 def synthetic_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic fake media table for tests. The payload is ASCII-hex
-    bytes (md5 hex ×5 = 160 bytes) rather than raw binary so the DuckDB
-    oracle — whose hash functions take VARCHAR only — can reproduce the
-    feature pipeline byte-for-byte; the Spark column is still BINARY and
-    the Arrow plumbing is exactly what raw media bytes would traverse."""
+    """Deterministic fake media table for tests. Image rows carry REAL
+    P3 PPM payloads (ASCII — decodable by decode_ppm AND reconstructible
+    by a DuckDB oracle as the same string, so sha/pixel-feature checks
+    run engine-to-engine). Audio/video rows are ASCII-hex stand-ins
+    (md5 hex ×5 = 160 bytes) exercising the declared hash path; the
+    Spark column is BINARY either way and the Arrow plumbing is exactly
+    what raw media bytes would traverse."""
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
         kind = kinds[i % 3]
-        payload = (hashlib.md5(f"media_{i}".encode()).hexdigest() * 5).encode()
+        if kind == "image":
+            payload = synthetic_ppm(i)
+            w, h = 8 + i % 5, 6 + i % 4
+        else:
+            payload = (hashlib.md5(f"media_{i}".encode()).hexdigest() * 5).encode()
+            w = h = None
         rows.append(
             (
                 i,
                 kind,
                 bytearray(payload),
-                {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
-                64 + i if kind == "image" else None,
-                48 + i if kind == "image" else None,
+                {"image": "image/x-portable-pixmap", "audio": "audio/wav", "video": "video/mp4"}[kind],
+                w,
+                h,
                 (i + 1) * 1500 if kind != "image" else None,
             )
         )

@@ -156,7 +156,9 @@ def test_multimodal_features(spark):
     feats = MM.extract_features(media).collect()
     assert len(feats) == 12
     by_id = {r["media_id"]: r for r in feats}
-    assert by_id[0]["n_bytes"] == 160
+    # media_id 0 is an image → real P3 payload; 1 is audio → 160-byte hex
+    assert by_id[0]["n_bytes"] == len(MM.synthetic_ppm(0))
+    assert by_id[1]["n_bytes"] == 160
     assert len(by_id[0]["feature"]) == 8
     # deterministic: same payload → same feature
     feats2 = {r["media_id"]: r["feature"] for r in MM.extract_features(media).collect()}
