@@ -440,17 +440,22 @@ def _cc_distributed(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # carry the pre-round label through so convergence is a plain
+        # column compare on the checkpointed result — no extra join+
+        # shuffle per round just to detect the fixpoint
         prop = labels.join(neighbor_min, labels.node == neighbor_min.src, "left").select(
             "node",
+            F.col("label").alias("old_label"),
             F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
                 "label"
             ),
         )
         lab2 = prop.select(F.col("node").alias("n2"), F.col("label").alias("l2"))
-        new_labels = (
+        stepped = (
             prop.join(lab2, prop.label == lab2.n2, "left")
             .select(
                 "node",
+                "old_label",
                 F.least(F.col("label"), F.coalesce(F.col("l2"), F.col("label"))).alias(
                     "label"
                 ),
@@ -458,13 +463,9 @@ def _cc_distributed(
             .localCheckpoint(eager=True)
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
+            stepped.filter(F.col("label") != F.col("old_label")).limit(1).count()
         )
-        labels = new_labels
+        labels = stepped.select("node", "label")
         if changed == 0:
             converged = True
             break
