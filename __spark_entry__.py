@@ -2669,6 +2669,27 @@ FROM t20 t JOIN p20 p
 """
 
 
+def llm_sq8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column with per-vector
+    reconstruction-error report (operators/similarity.py sq8_quantize):
+    map-only codegen expressions, no shuffle — the 4× storage-compression
+    step vector stores apply before PQ."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.sq8_quantize(emb)
+
+
+def llm_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling by token budget (operators/text.py
+    token_budget_mix): per-source running token sum in deterministic
+    md5(id) order; keep while the budget holds. One shuffle on the
+    source key."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.token_budget_mix(docs, _MIX_BUDGETS, default_budget=6_000)
+
+
+_MIX_BUDGETS = {"src0": 12_000, "src1": 3_000, "src2": 8_000}
+
+
 # ---------------------------------------------------------------------------
 # §2.11 HTTP endpoints end-to-end (param parse → granularity select →
 # pruned scan → JSON shaping), driver-checked against DuckDB twins.
@@ -2935,6 +2956,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_ann_cosine_topk": llm_ann_cosine_topk,
         "llm_ngram_jaccard": llm_ngram_jaccard,
         "llm_minhash_signatures": llm_minhash_signatures,
+        # -- new this round (entry 51+: stamped by the r4 gate window) --
+        "llm_sq8_quantize": llm_sq8_quantize,
+        "llm_token_budget_mix": llm_token_budget_mix,
     }
 
 
@@ -3042,4 +3066,6 @@ def oracle_sql() -> dict[str, str]:
         "bf_preagg_ladder": _BF_PREAGG_LADDER_SQL,
         "bf_granularity_select": _BF_GRANULARITY_SELECT_SQL,
         "llm_multimodal_features": _llm_multimodal_sql(),
+        "llm_sq8_quantize": SIM.sq8_quantize_sql(),
+        "llm_token_budget_mix": TX.token_budget_mix_sql(_MIX_BUDGETS, default_budget=6_000),
     }

@@ -828,3 +828,79 @@ out2 AS (
 )
 SELECT q_id, c_id, l2_dist, CAST(rank AS INTEGER) AS rank FROM out2 WHERE rank <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# scalar quantization (int8) — the storage-compression counterpart of PQ
+# ---------------------------------------------------------------------------
+
+def sq8_quantize(
+    emb: DataFrame, id_col: str = "vec_id", emb_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization: scale = max|x|/127,
+    code_i = floor(x_i/scale + 0.5) clamped to [-127, 127] (half-up —
+    portable across engines, unlike banker's rounding), plus the
+    reconstruction-error report (per-vector MSE and max abs error of
+    x ≈ code·scale). 4× smaller than float32 with per-vector scale, the
+    standard first compression step before PQ in vector stores.
+
+    Plan shape: map-only codegen expressions over the embedding column —
+    NO shuffle, no UDF; at 100 TB this is a pure scan→project whose cost
+    is the read itself. Zero vectors quantize to all-zero codes with
+    scale 0 (guarded, no division by zero).
+    """
+    e = F.col(emb_col)
+    scale = F.expr(
+        f"aggregate({emb_col}, 0D, (a, x) -> greatest(a, abs(CAST(x AS DOUBLE)))) / 127.0D"
+    ).alias("scale")
+    base = emb.select(F.col(id_col), e.alias("_e"), scale)
+    codes = F.when(
+        F.col("scale") == 0.0, F.expr("transform(_e, x -> 0)")
+    ).otherwise(
+        F.expr(
+            "transform(_e, x -> CAST(greatest(-127.0D, least(127.0D,"
+            " floor(CAST(x AS DOUBLE) / scale + 0.5D))) AS INT))"
+        )
+    )
+    coded = base.withColumn("codes", codes)
+    err = "zip_with(_e, codes, (x, c) -> CAST(x AS DOUBLE) - c * scale)"
+    return coded.select(
+        id_col,
+        "scale",
+        "codes",
+        (F.expr(f"aggregate({err}, 0D, (a, v) -> a + v * v)") / F.size(F.col("_e"))).alias(
+            "mse"
+        ),
+        F.expr(f"aggregate({err}, 0D, (a, v) -> greatest(a, abs(v)))").alias("max_abs_err"),
+    )
+
+
+def sq8_quantize_sql(id_col: str = "vec_id") -> str:
+    """DuckDB twin — same half-up rounding, same single-division /
+    fold-order arithmetic, so the error stats compare engine-to-engine."""
+    return f"""
+WITH base AS (
+  SELECT {id_col}, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+  FROM embeddings
+),
+coded AS (
+  SELECT {id_col}, embedding, scale,
+         CASE WHEN scale = 0 THEN list_transform(embedding, x -> 0)
+              ELSE list_transform(embedding, x -> CAST(greatest(-127.0, least(127.0,
+                     floor(CAST(x AS DOUBLE) / scale + 0.5))) AS INT))
+         END AS codes
+  FROM base
+),
+errs AS (
+  SELECT {id_col}, scale, codes,
+         list_transform(list_zip(embedding, codes),
+                        p -> CAST(p[1] AS DOUBLE) - p[2] * scale) AS err,
+         len(embedding) AS dims
+  FROM coded
+)
+SELECT {id_col}, scale, codes,
+       list_sum(list_transform(err, v -> v * v)) / dims AS mse,
+       list_max(list_transform(err, v -> abs(v))) AS max_abs_err
+FROM errs
+"""

@@ -1098,3 +1098,78 @@ FROM shared s
 JOIN totals ta ON ta.source = s.src_a
 JOIN totals tb ON tb.source = s.src_b
 """
+
+
+def token_budget_mix(
+    docs: DataFrame,
+    budgets: dict[str, int],
+    default_budget: int = 5_000,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Domain-mixture sampling by TOKEN budget: per source, documents are
+    taken in deterministic md5(id) order until the source's token budget
+    is exhausted (a doc is kept iff the running token total INCLUDING it
+    fits). This is how a training mix is actually specified — "20M tokens
+    of web, 5M of code" — rather than by document rates; hash order makes
+    the selection stable across runs/engines/retries, and raising a
+    budget only APPENDS documents to that source's selection.
+
+    Plan shape: one shuffle on the group key for the per-source running
+    sum (Window partitionBy source) — the window partitions are per-
+    source slices, bounded and parallel across sources; no global sort,
+    no driver state. At 100 TB with few sources the window key is
+    low-cardinality: pre-aggregate per (source, md5-prefix) ranges or
+    salt the running sum in two phases if a single source dominates."""
+    from pyspark.sql.window import Window
+
+    n_tokens = F.size(F.split(F.col(text_col), " "))
+    budget = F.lit(default_budget)
+    for src, b in sorted(budgets.items()):
+        budget = F.when(F.col(group_col) == src, F.lit(b)).otherwise(budget)
+    order_key = F.md5(F.concat(F.lit("mix_"), F.col(id_col).cast("string")))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_key)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.select(
+            id_col,
+            group_col,
+            n_tokens.alias("n_tokens"),
+            budget.alias("token_budget"),
+            order_key.alias("order_key"),
+        )
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .withColumn("keep", F.col("cum_tokens") <= F.col("token_budget"))
+        .drop("order_key")
+    )
+
+
+def token_budget_mix_sql(
+    budgets: dict[str, int],
+    default_budget: int = 5_000,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> str:
+    branches = " ".join(
+        f"WHEN {group_col} = '{src}' THEN {b}" for src, b in sorted(budgets.items())
+    )
+    budget = f"CASE {branches} ELSE {default_budget} END"
+    return f"""
+WITH scored AS (
+  SELECT {id_col}, {group_col},
+         len(string_split(text, ' ')) AS n_tokens,
+         CAST({budget} AS INT) AS token_budget,
+         md5('mix_' || CAST({id_col} AS VARCHAR)) AS order_key
+  FROM documents
+)
+SELECT {id_col}, {group_col}, n_tokens, token_budget,
+       CAST(sum(n_tokens) OVER (PARTITION BY {group_col} ORDER BY order_key
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+       sum(n_tokens) OVER (PARTITION BY {group_col} ORDER BY order_key
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) <= token_budget AS keep
+FROM scored
+"""

@@ -1,0 +1,76 @@
+"""New round-3 LLM-pipeline operators: int8 scalar quantization and
+token-budget domain mixture."""
+
+from pyspark.sql import functions as F
+
+from blueflood_spark.operators import similarity as SIM
+from blueflood_spark.operators import text as TX
+
+
+def test_sq8_roundtrip_error_bound(spark):
+    rows = [
+        (0, [1.0, -0.5, 0.25, 127.0]),
+        (1, [0.0, 0.0, 0.0, 0.0]),  # zero vector: scale 0, no div-by-zero
+        (2, [-3.5, 2.0, 0.001, -0.002]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in SIM.sq8_quantize(emb).collect()}
+    # half-up rounding bound: |x - code*scale| <= scale/2 (plus clamp at ±127)
+    for vid, vec in rows:
+        r = out[vid]
+        assert len(r["codes"]) == len(vec)
+        assert all(-127 <= c <= 127 for c in r["codes"])
+        if r["scale"] > 0:
+            assert r["max_abs_err"] <= r["scale"] / 2 + 1e-12
+            assert r["mse"] <= (r["scale"] / 2) ** 2 + 1e-12
+        else:
+            assert r["codes"] == [0] * len(vec)
+            assert r["mse"] == 0.0 and r["max_abs_err"] == 0.0
+    # the max-magnitude element always quantizes to ±127 exactly
+    assert out[0]["codes"][3] == 127
+    assert out[2]["codes"][0] == -127
+
+
+def test_sq8_deterministic(spark):
+    import random
+
+    rng = random.Random(9)
+    rows = [(i, [rng.uniform(-2, 2) for _ in range(16)]) for i in range(50)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = sorted(map(str, SIM.sq8_quantize(emb).collect()))
+    b = sorted(map(str, SIM.sq8_quantize(emb).collect()))
+    assert a == b
+
+
+def _mix_docs(spark):
+    rows = []
+    for i in range(60):
+        src = f"s{i % 3}"
+        text = " ".join(f"w{j}" for j in range(5 + i % 7))
+        rows.append((i, text, src))
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_token_budget_mix_semantics(spark):
+    docs = _mix_docs(spark)
+    out = TX.token_budget_mix(docs, {"s0": 50, "s1": 20}, default_budget=35).collect()
+    by_src: dict[str, list] = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    assert len(out) == 60  # report covers every doc; `keep` is the verdict
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r["cum_tokens"])
+        budget = {"s0": 50, "s1": 20}.get(src, 35)
+        run = 0
+        for r in rs:
+            run += r["n_tokens"]
+            assert r["cum_tokens"] == run  # contiguous running sum in order
+            assert r["keep"] == (run <= budget)
+            assert r["token_budget"] == budget
+
+
+def test_token_budget_mix_monotone_under_budget_raise(spark):
+    docs = _mix_docs(spark)
+    small = {r["doc_id"] for r in TX.token_budget_mix(docs, {}, 30).collect() if r["keep"]}
+    big = {r["doc_id"] for r in TX.token_budget_mix(docs, {}, 60).collect() if r["keep"]}
+    assert small <= big  # raising the budget only appends
