@@ -99,9 +99,9 @@ def main() -> None:
 
     concurrency = int(os.environ.get("SPARK_GRAFT_BENCH_CONCURRENCY", "4"))
     total = None
-    for _pass in range(2):  # min of 2, like the serial pass — GC debris
-        gc.collect()
-        spark.sparkContext._jvm.System.gc()  # from prior passes is jitter
+    for _pass in range(3):  # min of 3 — the concurrent wall is the headline
+        gc.collect()  # number and varies ±20% with GC debris; serial stays
+        spark.sparkContext._jvm.System.gc()  # min-of-2 (stable per query)
         start = time.perf_counter()
         with ThreadPoolExecutor(max_workers=concurrency) as pool:
             list(pool.map(run_one, bench_set))
