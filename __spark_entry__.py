@@ -2669,6 +2669,27 @@ FROM t20 t JOIN p20 p
 """
 
 
+def llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval for a 4-term query (operators/text.py
+    bm25_topk): explode → term-filtered tf, broadcast df/corpus scalars,
+    TakeOrderedAndProject top-k — the select-documents-about-X half of a
+    curation pipeline."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.bm25_topk(docs, _BM25_TERMS, k=25)
+
+
+_BM25_TERMS = ["spark", "vector", "stream", "window"]
+
+
+def llm_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids + pairwise centroid cosine matrix
+    (operators/similarity.py label_centroids): the class-collapse
+    diagnostic over the labeled corpus; one tiny-key shuffle, corpus
+    never moves."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.label_centroids(emb)
+
+
 def llm_sq8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar quantization of the embedding column with per-vector
     reconstruction-error report (operators/similarity.py sq8_quantize):
@@ -2899,15 +2920,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_dedup_clusters": llm_dedup_clusters,
         "llm_simhash": llm_simhash,
         "llm_simhash_near_pairs": llm_simhash_near_pairs,
+        # -- new this round: §2.11 endpoints end-to-end + late ops.
+        #    (llm_lang_id/token_counts/quality_score/train_split moved to
+        #    51+ to make room — they HAVE r1 driver rows, so the
+        #    rounds-union still covers every entry.) --
+        "api_get_view": api_get_view,
+        "api_get_views_multi": api_get_views_multi,
+        "api_events_query": api_events_query,
+        "llm_sq8_quantize": llm_sq8_quantize,
+        "llm_token_budget_mix": llm_token_budget_mix,
+        "llm_bm25_topk": llm_bm25_topk,
+        "llm_label_centroids": llm_label_centroids,
+        # ---- entry 51+ (green driver rows in earlier rounds) ----
         "llm_lang_id": llm_lang_id,
         "llm_token_counts": llm_token_counts,
         "llm_quality_score": llm_quality_score,
         "llm_train_split": llm_train_split,
-        # -- new this round: §2.11 endpoints end-to-end --
-        "api_get_view": api_get_view,
-        "api_get_views_multi": api_get_views_multi,
-        "api_events_query": api_events_query,
-        # ---- entry 51+ (green driver rows in both r1 and r2) ----
         "q01_pricing_summary": q01_pricing_summary,
         "q03_top_orders": q03_top_orders,
         "q05_region_revenue": q05_region_revenue,
@@ -2956,9 +2984,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_ann_cosine_topk": llm_ann_cosine_topk,
         "llm_ngram_jaccard": llm_ngram_jaccard,
         "llm_minhash_signatures": llm_minhash_signatures,
-        # -- new this round (entry 51+: stamped by the r4 gate window) --
-        "llm_sq8_quantize": llm_sq8_quantize,
-        "llm_token_budget_mix": llm_token_budget_mix,
     }
 
 
@@ -3068,4 +3093,6 @@ def oracle_sql() -> dict[str, str]:
         "llm_multimodal_features": _llm_multimodal_sql(),
         "llm_sq8_quantize": SIM.sq8_quantize_sql(),
         "llm_token_budget_mix": TX.token_budget_mix_sql(_MIX_BUDGETS, default_budget=6_000),
+        "llm_bm25_topk": TX.bm25_topk_sql(_BM25_TERMS, k=25),
+        "llm_label_centroids": SIM.label_centroids_sql(),
     }

@@ -904,3 +904,78 @@ SELECT {id_col}, scale, codes,
        list_max(list_transform(err, v -> abs(v))) AS max_abs_err
 FROM errs
 """
+
+
+def label_centroids(
+    emb: DataFrame,
+    label_col: str = "label",
+    emb_col: str = "embedding",
+    dims: int = 64,
+) -> DataFrame:
+    """Per-class embedding centroids + the pairwise cosine matrix between
+    them — the collapse/coverage diagnostic a curation pipeline runs on a
+    labeled (or clustered) corpus: near-1 centroid cosine means two
+    classes are semantically indistinct.
+
+    Plan shape: ONE shuffle on the (tiny-cardinality) label key, with
+    per-dimension avg aggregates that combine map-side; the centroid
+    table is #labels rows, so the pairwise join is a broadcast self-join
+    of a frame that fits in a page. The corpus is scanned once and never
+    shuffled as vectors."""
+    cents = emb.groupBy(label_col).agg(
+        F.array(
+            *[F.avg(F.col(emb_col)[i].cast("double")) for i in range(dims)]
+        ).alias("centroid"),
+        F.count(F.lit(1)).alias("n_vectors"),
+    )
+    a = cents.select(
+        F.col(label_col).alias("label_a"),
+        F.col("centroid").alias("cent_a"),
+        F.col("n_vectors").alias("n_a"),
+    )
+    b = cents.select(
+        F.col(label_col).alias("label_b"),
+        F.col("centroid").alias("cent_b"),
+        F.col("n_vectors").alias("n_b"),
+    )
+    dot = F.expr(
+        "aggregate(zip_with(cent_a, cent_b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+    )
+    nrm = (
+        "sqrt(aggregate(transform({c}, x -> x * x), 0D, (acc, v) -> acc + v))"
+    )
+    return (
+        a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            "n_a",
+            "n_b",
+            (dot / (F.expr(nrm.format(c="cent_a")) * F.expr(nrm.format(c="cent_b")))).alias(
+                "centroid_cosine"
+            ),
+        )
+    )
+
+
+def label_centroids_sql(label_col: str = "label", dims: int = 64) -> str:
+    """DuckDB twin: positional avg via explicit per-dimension aggregates,
+    same ordered-fold cosine arithmetic."""
+    avgs = ",\n         ".join(
+        f"avg(CAST(embedding[{i + 1}] AS DOUBLE)) AS d{i}" for i in range(dims)
+    )
+    cent = "[" + ", ".join(f"d{i}" for i in range(dims)) + "]"
+    return f"""
+WITH cents AS (
+  SELECT {label_col} AS label, count(*) AS n_vectors,
+         {avgs}
+  FROM embeddings GROUP BY 1
+),
+c AS (SELECT label, n_vectors, {cent} AS centroid FROM cents)
+SELECT a.label AS label_a, b.label AS label_b,
+       a.n_vectors AS n_a, b.n_vectors AS n_b,
+       list_sum(list_transform(list_zip(a.centroid, b.centroid), p -> p[1] * p[2]))
+         / (sqrt(list_sum(list_transform(a.centroid, x -> x * x)))
+            * sqrt(list_sum(list_transform(b.centroid, x -> x * x)))) AS centroid_cosine
+FROM c a JOIN c b ON a.label < b.label
+"""

@@ -1173,3 +1173,96 @@ SELECT {id_col}, {group_col}, n_tokens, token_budget,
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) <= token_budget AS keep
 FROM scored
 """
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 retrieval over the corpus for a bag-of-terms query — the
+    lexical-search half of a curation/RAG pipeline (select documents
+    about X). Standard Robertson/Sparck-Jones BM25:
+
+        score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·|d|/avgdl))
+        idf(t)   = ln(1 + (N − df + 0.5) / (df + 0.5))
+
+    Plan shape: one explode of term-filtered tokens → (doc, term) tf agg
+    (one shuffle on doc_id); df per term and the (N, avgdl) scalars are
+    term-count-sized aggregates that broadcast back; final top-k is
+    orderBy().limit(k) — TakeOrderedAndProject, no global sort, with
+    rank assigned over only the ≤k surviving rows. At 100 TB the tf
+    table carries only docs containing ≥1 query term."""
+    for t in query_terms:
+        if not t.isalnum():
+            raise ValueError(f"query term {t!r} must be alphanumeric")
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        id_col,
+        F.size(F.split(F.col(text_col), " ")).alias("doclen"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    )
+    scalars = docs.select(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size(F.split(F.col(text_col), " "))).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("term").isin(query_terms))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("doclen").alias("doclen"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("doclen") / F.col("avgdl"))
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            id_col,
+            (idf * F.col("tf") * (k1 + 1.0) / denom).alias("term_score"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("term_score").alias("score"))
+    )
+    top = scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col))
+    return top.withColumn("rank", F.row_number().over(w)).select(id_col, "score", "rank")
+
+
+def bm25_topk_sql(
+    query_terms: list[str], k: int = 20, k1: float = 1.2, b: float = 0.75
+) -> str:
+    terms = ", ".join(f"'{t}'" for t in query_terms)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS doclen,
+         unnest(string_split(text, ' ')) AS term
+  FROM documents
+),
+scalars AS (
+  SELECT count(*) AS n_docs, avg(len(string_split(text, ' '))) AS avgdl
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf, first(doclen) AS doclen
+  FROM toks WHERE term IN ({terms}) GROUP BY 1, 2
+),
+df_t AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (s.n_docs - df_t.df + 0.5) / (df_t.df + 0.5))
+             * tf.tf * ({k1} + 1.0)
+             / (tf.tf + {k1} * (1.0 - {b} + {b} * tf.doclen / s.avgdl))) AS score
+  FROM tf JOIN df_t USING (term) CROSS JOIN scalars s
+  GROUP BY 1
+),
+top AS (SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT {k})
+SELECT doc_id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+FROM top
+"""

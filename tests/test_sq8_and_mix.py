@@ -1,6 +1,7 @@
 """New round-3 LLM-pipeline operators: int8 scalar quantization and
 token-budget domain mixture."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from blueflood_spark.operators import similarity as SIM
@@ -74,3 +75,44 @@ def test_token_budget_mix_monotone_under_budget_raise(spark):
     small = {r["doc_id"] for r in TX.token_budget_mix(docs, {}, 30).collect() if r["keep"]}
     big = {r["doc_id"] for r in TX.token_budget_mix(docs, {}, 60).collect() if r["keep"]}
     assert small <= big  # raising the budget only appends
+
+
+def test_bm25_ranking_semantics(spark):
+    rows = [
+        (0, "spark spark spark other words here pad pad pad pad"),
+        (1, "spark other words here pad pad pad pad pad pad"),
+        (2, "nothing relevant at all in this one pad pad pad"),
+        (3, "vector vector spark pad pad pad pad pad pad pad"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in TX.bm25_topk(docs, ["spark", "vector"], k=10).collect()}
+    assert 2 not in out  # no query term → no row
+    # doc 3 matches two terms incl. the rarer 'vector' → highest score
+    assert out[3]["rank"] == 1
+    # more 'spark' occurrences outrank fewer at equal length
+    assert out[0]["score"] > out[1]["score"]
+    ranks = sorted(r["rank"] for r in out.values())
+    assert ranks == list(range(1, len(out) + 1))
+
+
+def test_bm25_rejects_bad_terms(spark):
+    docs = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        TX.bm25_topk(docs, ["ok", "bad'term"])
+
+
+def test_label_centroids_geometry(spark):
+    # two tight opposite clusters + one orthogonal: cosines are known
+    rows = []
+    for i in range(10):
+        rows.append((i, [1.0, 0.0, 0.0, 0.0], 0))
+        rows.append((100 + i, [-1.0, 0.0, 0.0, 0.0], 1))
+        rows.append((200 + i, [0.0, 1.0, 0.0, 0.0], 2))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {(r["label_a"], r["label_b"]): r for r in SIM.label_centroids(emb, dims=4).collect()}
+    assert out[(0, 1)]["centroid_cosine"] == pytest.approx(-1.0)
+    assert out[(0, 2)]["centroid_cosine"] == pytest.approx(0.0, abs=1e-12)
+    assert out[(1, 2)]["centroid_cosine"] == pytest.approx(0.0, abs=1e-12)
+    assert out[(0, 1)]["n_a"] == 10 and out[(0, 1)]["n_b"] == 10
