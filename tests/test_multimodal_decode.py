@@ -88,3 +88,43 @@ def test_strict_mode_decodes_ppm_raises_on_rest(spark):
     # strict over undecodable payloads: loud failure
     with pytest.raises(Exception):
         MM.extract_features(others, strict=True).collect()
+
+
+# --- property tests (no Spark session needed: pure decoder) ---
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(deadline=None, max_examples=60)
+@given(
+    w=st.integers(min_value=1, max_value=12),
+    h=st.integers(min_value=1, max_value=9),
+    data=st.data(),
+)
+def test_ppm_p3_p6_roundtrip_property(w, h, data):
+    pixels = data.draw(
+        st.lists(
+            st.integers(min_value=0, max_value=255),
+            min_size=w * h * 3,
+            max_size=w * h * 3,
+        )
+    )
+    a = MM.decode_ppm(_p3(w, h, pixels))
+    b = MM.decode_ppm(_p6(w, h, pixels))
+    assert a is not None and a == b
+    assert a["width"] == w and a["height"] == h
+    # means bounded by data range; stds bounded by half-range
+    for m in a["means"]:
+        assert 0.0 <= m <= 255.0
+    for s in a["stds"]:
+        assert 0.0 <= s <= 127.5 + 1e-9
+
+
+@settings(deadline=None, max_examples=40)
+@given(payload=st.binary(min_size=0, max_size=64))
+def test_ppm_decoder_never_crashes_on_garbage(payload):
+    # arbitrary bytes: decode returns a dict only for well-formed PPM,
+    # None otherwise — never raises
+    out = MM.decode_ppm(payload)
+    assert out is None or isinstance(out, dict)

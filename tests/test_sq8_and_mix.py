@@ -116,3 +116,43 @@ def test_label_centroids_geometry(spark):
     assert out[(0, 2)]["centroid_cosine"] == pytest.approx(0.0, abs=1e-12)
     assert out[(1, 2)]["centroid_cosine"] == pytest.approx(0.0, abs=1e-12)
     assert out[(0, 1)]["n_a"] == 10 and out[(0, 1)]["n_b"] == 10
+
+
+def test_bm25_differential_vs_pure_python(spark):
+    """Randomized differential: the DataFrame BM25 must match an
+    independently-written pure-Python scorer on random corpora."""
+    import math
+    import random
+
+    rng = random.Random(77)
+    vocab = [f"t{i}" for i in range(12)]
+    corpus = {
+        i: [rng.choice(vocab) for _ in range(rng.randrange(4, 30))] for i in range(40)
+    }
+    docs = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in corpus.items()], "doc_id long, text string"
+    )
+    terms = ["t1", "t3", "t7"]
+    k1, b = 1.2, 0.75
+
+    n = len(corpus)
+    avgdl = sum(len(ws) for ws in corpus.values()) / n
+    df = {t: sum(1 for ws in corpus.values() if t in ws) for t in terms}
+    expected = {}
+    for i, ws in corpus.items():
+        s = 0.0
+        for t in terms:
+            tf = ws.count(t)
+            if tf == 0 or df[t] == 0:
+                continue
+            idf = math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(ws) / avgdl))
+        if s > 0:
+            expected[i] = s
+    top_expected = sorted(expected.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+
+    got = TX.bm25_topk(docs, terms, k=10, k1=k1, b=b).collect()
+    got_sorted = sorted(got, key=lambda r: r["rank"])
+    assert [r["doc_id"] for r in got_sorted] == [i for i, _ in top_expected]
+    for r, (_, s) in zip(got_sorted, top_expected):
+        assert r["score"] == pytest.approx(s, rel=1e-12)
