@@ -42,10 +42,20 @@ _T_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir, name)
     hit = _T_CACHE.get(key)
     if hit is not None:
+        # re-pin the tz on every call (cheap conf set): a caller that
+        # reset session timeZone after the first read would otherwise
+        # drift NTZ→epoch conversions on cache hits
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         return hit
+    # a new application id means prior sessions' entries are dead weight
+    # (stopped-session py4j refs) — evict them so multi-session processes
+    # (pytest, notebooks) don't accumulate
+    for k in [k for k in _T_CACHE if k[0] != app_id]:
+        del _T_CACHE[k]
     # Session hygiene: the driver supplies its own SparkSession. UTC keeps
     # NTZ→epoch conversions aligned with the DuckDB oracle (naive = UTC);
     # nanosAsLong lets older Sparks read events.parquet's TIMESTAMP(NANOS)
@@ -2752,7 +2762,8 @@ def api_get_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         rollups, "t1", "events.click.value", params,
         rollup_type="basic", unit="requests", now_ms=_API_TO_MS,
     )
-    assert resp["unit"] == "requests" and resp["metadata"]["count"] == len(resp["values"])
+    if resp["unit"] != "requests" or resp["metadata"]["count"] != len(resp["values"]):
+        raise RuntimeError("shape_response invariant broken (unit/count)")
     rows = [
         (v["timestamp"], v["average"], v["numPoints"], v["sum"]) for v in resp["values"]
     ]
@@ -2868,11 +2879,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER CONTRACT: the driver's correctness gate stamps the FIRST 50
-    # entries. Rounds 1-2 stamped 58 distinct queries; this round leads
-    # with the 37 never-stamped entries, the 8 stamped only in r1, and
-    # the 3 new API-layer queries, plus two sentinels (the r1 failure
-    # bf_basic_merge_20m and the newest-semantics ev_retention_cohorts) —
-    # exactly 50. The union of r1+r2+r3 rows then covers all entries.
+    # entries. Rounds 1-2 stamped 58 distinct queries; this round's
+    # first 50 = 2 sentinels (the r1 failure bf_basic_merge_20m and the
+    # newest-semantics ev_retention_cohorts) + the 37 never-stamped
+    # entries + 4 of the 8 r1-only entries + 7 new queries (3 API-layer
+    # + sq8/token-mix/bm25/label-centroids). The other 4 r1-only entries
+    # (lang_id/token_counts/quality_score/train_split) sit at 51+ — they
+    # HAVE r1 rows, so the union of r1+r2+r3 still covers all entries.
+    # When editing: anything moved past 50 must already have a driver
+    # row in some round's CORRECTNESS file, or coverage regresses.
     return {
         # -- sentinels --
         "bf_basic_merge_20m": bf_basic_merge_20m,

@@ -93,16 +93,27 @@ def decode_ppm(payload: bytes | None) -> dict | None:
         return None
     count = width * height * 3
     if binary:
-        i += 1  # exactly one whitespace byte after maxval
+        # one whitespace byte after maxval per spec; tolerate CRLF from
+        # Windows writers (consume both, else the pixel stream shifts by
+        # one byte and every channel silently rotates)
+        if payload[i : i + 2] == b"\r\n":
+            i += 2
+        else:
+            i += 1
         pixels = list(payload[i : i + count])
     else:
         body = payload[i:]
         # strip comments, then split on whitespace
         lines = [ln.partition(b"#")[0] for ln in body.splitlines()]
         vals = b" ".join(lines).split()
-        pixels = [int(v) for v in vals[:count]]
+        try:
+            pixels = [int(v) for v in vals[:count]]
+        except ValueError:
+            return None  # corrupt body → not decodable, never raise
     if len(pixels) < count:
         return None
+    if any(p < 0 or p > maxval for p in pixels):
+        return None  # out-of-range samples violate the format
     means, stds = [], []
     npix = width * height
     for ch in range(3):
@@ -228,7 +239,8 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
         kind = kinds[i % 3]
         if kind == "image":
             payload = synthetic_ppm(i)
-            w, h = 8 + i % 5, 6 + i % 4
+            decoded = decode_ppm(payload)  # metadata derives from the
+            w, h = decoded["width"], decoded["height"]  # actual payload
         else:
             payload = (hashlib.md5(f"media_{i}".encode()).hexdigest() * 5).encode()
             w = h = None

@@ -1154,10 +1154,13 @@ def token_budget_mix_sql(
     group_col: str = "source",
     id_col: str = "doc_id",
 ) -> str:
-    branches = " ".join(
-        f"WHEN {group_col} = '{src}' THEN {b}" for src, b in sorted(budgets.items())
-    )
-    budget = f"CASE {branches} ELSE {default_budget} END"
+    if budgets:
+        branches = " ".join(
+            f"WHEN {group_col} = '{src}' THEN {b}" for src, b in sorted(budgets.items())
+        )
+        budget = f"CASE {branches} ELSE {default_budget} END"
+    else:
+        budget = str(default_budget)  # zero WHEN branches is invalid SQL
     return f"""
 WITH scored AS (
   SELECT {id_col}, {group_col},

@@ -128,3 +128,32 @@ def test_ppm_decoder_never_crashes_on_garbage(payload):
     # None otherwise — never raises
     out = MM.decode_ppm(payload)
     assert out is None or isinstance(out, dict)
+
+
+def test_decode_malformed_p3_body_returns_none():
+    # valid header, corrupt body tokens: None, not ValueError (the
+    # non-strict fallback path depends on decode never raising)
+    assert MM.decode_ppm(b"P3 1 1 255 ab") is None
+    assert MM.decode_ppm(b"P3\n1 1\n255\n1 2") is None  # truncated body
+
+
+def test_decode_p6_crlf_header():
+    # Windows-written P6 ('255\r\n'): both bytes consumed, channels intact
+    pixels = [10, 20, 30, 40, 50, 60]
+    d = MM.decode_ppm(b"P6\n2 1\n255\r\n" + bytes(pixels))
+    assert d is not None
+    assert d["means"] == [25.0, 35.0, 45.0]
+
+
+def test_decode_out_of_range_pixels_returns_none():
+    assert MM.decode_ppm(b"P3\n1 1\n255\n-5 300 7") is None
+    assert MM.decode_ppm(b"P3\n1 1\n100\n1 2 101") is None  # > maxval
+
+
+@settings(deadline=None, max_examples=40)
+@given(payload=st.binary(min_size=0, max_size=64))
+def test_ppm_prefixed_garbage_never_raises(payload):
+    # force the decoder INTO the PPM paths with arbitrary tails
+    for magic in (b"P3", b"P6", b"P3\n2 2\n255\n"):
+        out = MM.decode_ppm(magic + payload)
+        assert out is None or isinstance(out, dict)
