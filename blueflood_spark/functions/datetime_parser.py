@@ -81,10 +81,19 @@ def _apply_offset(dt: datetime, offset: str) -> datetime:
     if unit.startswith("mon"):
         month0 = dt.month - 1 + count
         year, month = dt.year + month0 // 12, month0 % 12 + 1
-        return dt.replace(year=year, month=month)
+        return dt.replace(year=year, month=month, day=_clamp_day(year, month, dt.day))
     if unit.startswith("y"):
-        return dt.replace(year=dt.year + count)
+        year = dt.year + count
+        return dt.replace(year=year, day=_clamp_day(year, dt.month, dt.day))
     return dt
+
+
+def _clamp_day(year: int, month: int, day: int) -> int:
+    """Joda plusMonths/plusYears clamp: Jan 31 + 1mon → Feb 28/29, not a
+    ValueError (reference DateTimeParser offset semantics)."""
+    import calendar
+
+    return min(day, calendar.monthrange(year, month)[1])
 
 
 def _extract_time(date_part: str, now: datetime) -> datetime:

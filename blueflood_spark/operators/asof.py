@@ -37,21 +37,32 @@ def asof_join(
     than left_ts - tolerance (pandas merge_asof semantics)."""
     on = list(on)
     lcols = [c for c in left.columns if c not in on and c != left_ts]
+    # the matched right row travels as ONE struct: `last(..., ignorenulls)`
+    # then skips only rows with NO right side, never a right row whose
+    # VALUE happens to be NULL — per-column carries could pair an older
+    # row's value with a newer row's asof_ts (and with several value
+    # columns, mix columns from different right rows)
+    r_struct_type = (
+        "struct<_mts:bigint,"
+        + ",".join(f"{c}:{right.schema[c].dataType.simpleString()}" for c in value_cols)
+        + ">"
+    )
     l_tagged = left.select(
         *on,
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),  # right rows sort first at equal ts → inclusive boundary
         *[F.col(c).alias(f"_l_{c}") for c in lcols],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
-        F.lit(None).cast("long").alias("_r_ts"),
+        F.lit(None).cast(r_struct_type).alias("_r_row"),
     )
     r_tagged = right.select(
         *on,
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}") for c in lcols],
-        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
-        F.col(right_ts).cast("long").alias("_r_ts"),
+        F.struct(
+            F.col(right_ts).cast("long").alias("_mts"),
+            *[F.col(c) for c in value_cols],
+        ).alias("_r_row"),
     )
     unioned = l_tagged.unionByName(r_tagged)
     w = (
@@ -64,23 +75,18 @@ def asof_join(
         "_ts",
         "_side",
         *[F.col(f"_l_{c}") for c in lcols],
-        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_r_{c}") for c in value_cols],
-        F.last("_r_ts", ignorenulls=True).over(w).alias("_matched_ts"),
+        F.last("_r_row", ignorenulls=True).over(w).alias("_m"),
     )
     out = carried.filter(F.col("_side") == 1)
+    matched = F.col("_m")
     if tolerance_ms is not None:
-        too_old = F.col("_matched_ts") < F.col("_ts") - F.lit(tolerance_ms)
-        out = out.select(
-            *on,
-            "_ts",
-            *[F.col(f"_l_{c}") for c in lcols],
-            *[F.when(too_old, None).otherwise(F.col(f"_r_{c}")).alias(f"_r_{c}") for c in value_cols],
-            F.when(too_old, None).otherwise(F.col("_matched_ts")).alias("_matched_ts"),
-        )
+        too_old = F.col("_m")["_mts"] < F.col("_ts") - F.lit(tolerance_ms)
+        matched = F.when(too_old, F.lit(None).cast(r_struct_type)).otherwise(F.col("_m"))
+        out = out.withColumn("_m", matched)
     return out.select(
         *on,
         F.col("_ts").alias(left_ts),
         *[F.col(f"_l_{c}").alias(c) for c in lcols],
-        *[F.col(f"_r_{c}").alias(f"asof_{c}") for c in value_cols],
-        F.col("_matched_ts").alias("asof_ts"),
+        *[F.col("_m")[c].alias(f"asof_{c}") for c in value_cols],
+        F.col("_m")["_mts"].alias("asof_ts"),
     )

@@ -208,14 +208,26 @@ SIMHASH_BITS = 32
 SIMHASH_MAX_BITS = 60
 
 
+# The packed 16-bit lane accumulators below bound the per-doc token count:
+# a lane's 0/1 sum must stay < 2^16 or it carries into the neighboring
+# lane and silently corrupts the fingerprint. The bound is therefore
+# ENFORCED, not advisory: both engines fingerprint the first 65,535
+# tokens of a document (a stable prefix — identical docs still collide,
+# and >65k-token docs are fingerprinted on identical prefixes).
+SIMHASH_MAX_TOKENS = 65_535
+
+
 def simhash(docs: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS) -> DataFrame:
     """SimHash over word tokens: per bit, sum ±1 contributions of each
     token's md5-derived hash; fingerprint bit = (sum > 0).
-    One explode + one aggregation — no quadratic work. `bits` ≤ 60."""
+    One explode + one aggregation — no quadratic work. `bits` ≤ 60;
+    tokens per doc capped at SIMHASH_MAX_TOKENS (lane-overflow guard,
+    mirrored in the SQL twin)."""
     assert bits <= SIMHASH_MAX_BITS
     n_hex = (bits + 3) // 4
     toks = docs.select(
-        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("tok")
+        "doc_id",
+        F.explode(F.slice(F.split(F.col(text_col), " "), 1, SIMHASH_MAX_TOKENS)).alias("tok"),
     ).withColumn(
         "h", F.conv(F.substring(F.md5(F.col("tok")), 1, n_hex), 16, 10).cast("long")
     )
@@ -253,7 +265,7 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS) -
     return agg.select("doc_id", fp.alias("simhash"))
 
 
-def simhash_sql(bits: int = SIMHASH_BITS) -> str:
+def simhash_sql(bits: int = SIMHASH_BITS, max_toks: int = SIMHASH_MAX_TOKENS) -> str:
     n_hex = (bits + 3) // 4
     sums = ",\n         ".join(
         f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{b}" for b in range(bits)
@@ -263,7 +275,7 @@ def simhash_sql(bits: int = SIMHASH_BITS) -> str:
 WITH toks AS (
   SELECT doc_id,
          CAST(('0x' || substr(md5(tok), 1, {n_hex})) AS BIGINT) AS h
-  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')[1:{max_toks}]) AS tok FROM documents)
 ),
 agg AS (
   SELECT doc_id,
@@ -530,8 +542,12 @@ def _shingle_intersections(docs: DataFrame, text_col: str = "text") -> DataFrame
     the Jaccard and containment scorers.
 
     Shingles join on a 64-bit hash key (not the string): smaller shuffle
-    rows and cheaper equality; the per-doc size relation is broadcast
-    since the doc-count table is tiny relative to the shingle index."""
+    rows and cheaper equality. The per-doc sizes relation is one row PER
+    DOCUMENT — small relative to the shingle index but still
+    corpus-cardinality, so it carries NO broadcast hint: AQE promotes it
+    at bench scale and falls back to a shuffle join at web scale (the
+    same no-forced-broadcast discipline as tfidf's df table; a forced
+    broadcast here would OOM at a billion docs)."""
     sh = docs.select("doc_id", F.explode(shingles_expr(text_col)).alias("shingle")).select(
         "doc_id", F.xxhash64("shingle").alias("sh_key")
     ).localCheckpoint(eager=False)  # read 3x: both join sides + sizes
@@ -548,7 +564,7 @@ def _shingle_intersections(docs: DataFrame, text_col: str = "text") -> DataFrame
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
-    return pairs.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+    return pairs.join(sa, "doc_a").join(sb, "doc_b")
 
 
 def ngram_jaccard_pairs(

@@ -193,7 +193,7 @@ def _from_points_geometric(
 ) -> Granularity:
     """Minimize the "absolute ratio" max(p/r, r/p); skip granularities whose
     TTL has already expired for the range start (Granularity.java:298-339)."""
-    best_ratio = None
+    best_ratio = 1.7976931348623157e308  # Double.MAX_VALUE, like the reference
     best = None
     for g in GRANULARITIES:
         if now_ms is not None:
@@ -202,8 +202,21 @@ def _from_points_geometric(
                 continue
         period = assumed_interval_ms if g is FULL else g.milliseconds
         providable = duration / period
-        ratio = providable / requested_points if providable > requested_points else requested_points / providable
-        if best_ratio is None or ratio < best_ratio:
+        # Java double division never raises: providable/0 is Infinity, so
+        # the reference breaks on the first granularity and falls through
+        # to LAST for points <= 0 (Granularity.java:298-339). Mirror that
+        # instead of letting Python raise ZeroDivisionError.
+        if requested_points == 0:
+            ratio = float("inf") if providable > 0 else float("nan")
+        elif providable == 0:
+            ratio = float("inf")
+        else:
+            ratio = (
+                providable / requested_points
+                if providable > requested_points
+                else requested_points / providable
+            )
+        if ratio < best_ratio:
             best_ratio = ratio
             best = g
         else:

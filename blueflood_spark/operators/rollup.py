@@ -428,7 +428,20 @@ def preagg_to_finest(
 
     Each arriving preagg sample IS already a rollup; this snaps it to the
     finest window and shapes columns so the merge functions can cascade it.
+
+    Accepts rows with the declared PREAGG_METRICS schema directly: the
+    derived counter sample_count column (normalize_aggregated's
+    augmentation) is recomputed here from rate × flush interval when the
+    input doesn't carry it, so storage-round-tripped rows work too.
     """
+    if "sample_count" not in preagg.columns:
+        preagg = preagg.withColumn(
+            "sample_count",
+            F.when(
+                (F.col("rollup_type") == "counter") & (F.col("flush_interval_ms") > 0),
+                (F.col("counter_rate") * F.col("flush_interval_ms") / 1000.0).cast("long"),
+            ).when(F.col("rollup_type") == "counter", F.lit(1).cast("long")),
+        )
     ws = window_start(F.col("ts"), gran)
     builders = {
         "counter": lambda: preagg.filter(F.col("rollup_type") == "counter")

@@ -72,20 +72,6 @@ def plane_literals(planes: int = PLANES, dims: int = DIMS) -> list[list[float]]:
     return [[_plane_component(p, d) for d in range(dims)] for p in range(planes)]
 
 
-def signature_expr(emb_col: str, planes: list[list[float]]) -> list[F.Column]:
-    """One bit per hyperplane: sign of <v, plane>. Built as literal-array
-    dot products — constant-folded by Catalyst, no UDF."""
-    bits = []
-    for p, plane in enumerate(planes):
-        arr = F.array(*[F.lit(x) for x in plane])
-        dot = F.expr(
-            f"aggregate(zip_with({emb_col}, array({','.join(repr(x) for x in plane)}),"
-            " (x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, v) -> acc + v)"
-        )
-        bits.append(F.when(dot > 0, 1).otherwise(0).alias(f"bit_{p}"))
-    return bits
-
-
 def _signatures_pandas(emb: DataFrame, planes: list[list[float]], id_col: str, emb_col: str) -> DataFrame:
     """Signature bits via one numpy matmul per Arrow batch (BLAS) instead
     of planes_n interpreted fold expressions per row. Same float64 math;

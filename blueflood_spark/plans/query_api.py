@@ -270,20 +270,38 @@ def get_view(
     unit: str | None = None,
     now_ms: int | None = None,
     catalog: DataFrame | None = None,
+    raw: DataFrame | None = None,
 ) -> dict:
     """GET /v2.0/:tenantId/views/:metricName end-to-end
     (HttpRollupsQueryHandler.java:89-161). Pass catalog (and
-    rollup_type=None) to resolve the family from metadata (J2)."""
+    rollup_type=None) to resolve the family from metadata (J2).
+
+    When granularity selection picks FULL (short recent ranges with high
+    point budgets), the scan dispatches to `raw` — the metrics_full
+    equivalent — via series_frame_full; the rollups table only holds
+    5m..1440m rows (schemas.ROLLUPS), so serving FULL from it would
+    silently return an empty series. Callers that can serve FULL must
+    pass `raw`; if they can't, the error is loud."""
     if rollup_type is None:
         if catalog is None:
             rollup_type = "basic"
         else:
             rollup_type = lookup_rollup_type(catalog, tenant_id, metric_name)
     gran = select_granularity(params, now_ms)
-    df = series_frame(
-        rollups, tenant_id, [metric_name], gran, params.from_ms, params.to_ms,
-        params.stats, rollup_type,
-    )
+    if gran.name == "full":
+        if raw is None:
+            raise InvalidRequestError(
+                "granularity selection chose FULL resolution; pass raw= (the "
+                "metrics_full table) to serve it — the rollups table has no full rows"
+            )
+        df = series_frame_full(
+            raw, tenant_id, [metric_name], params.from_ms, params.to_ms, params.stats
+        )
+    else:
+        df = series_frame(
+            rollups, tenant_id, [metric_name], gran, params.from_ms, params.to_ms,
+            params.stats, rollup_type,
+        )
     return shape_response(df.collect(), params.stats, unit)
 
 
@@ -295,18 +313,30 @@ def get_views_multi(
     rollup_type: str = "basic",
     max_metrics: int = 100,
     now_ms: int | None = None,
+    raw: DataFrame | None = None,
 ) -> dict[str, dict]:
     """POST /v2.0/:tenantId/views multi-series
     (HttpMultiRollupsQueryHandler.java:80-151) — one pruned scan for all
     series (the reference's per-locator fetches collapse into one isin
-    semi-filter), O2 limit enforced up front."""
+    semi-filter), O2 limit enforced up front. FULL-resolution selection
+    dispatches to `raw` like get_view (loud error when absent)."""
     if len(metric_names) > max_metrics:
         raise InvalidRequestError(f"Too many metrics fetched in a single call ({len(metric_names)} > {max_metrics})")
     gran = select_granularity(params, now_ms)
-    df = series_frame(
-        rollups, tenant_id, metric_names, gran, params.from_ms, params.to_ms,
-        params.stats, rollup_type,
-    )
+    if gran.name == "full":
+        if raw is None:
+            raise InvalidRequestError(
+                "granularity selection chose FULL resolution; pass raw= (the "
+                "metrics_full table) to serve it — the rollups table has no full rows"
+            )
+        df = series_frame_full(
+            raw, tenant_id, metric_names, params.from_ms, params.to_ms, params.stats
+        )
+    else:
+        df = series_frame(
+            rollups, tenant_id, metric_names, gran, params.from_ms, params.to_ms,
+            params.stats, rollup_type,
+        )
     by_name: dict[str, list] = {m: [] for m in metric_names}
     for r in df.collect():
         by_name.setdefault(r["metric_name"], []).append(r)

@@ -193,14 +193,21 @@ def retention_predicate(resolution: str, now_ms: int):
 def expired_partitions(spark: SparkSession, path: str, now_ms: int) -> list[tuple[str, str]]:
     """Maintenance: list (resolution, date) partitions entirely past
     retention — candidates for metadata-only drops."""
+    import calendar
+
     df = spark.read.parquet(path).select("resolution", "date").distinct()
     rows = df.collect()
     out = []
     for r in rows:
         gran = G.BY_NAME[r["resolution"]]
         cutoff_ms = now_ms - gran.ttl_millis
+        # timegm: the partition date is a UTC calendar day. (strftime('%s')
+        # is a glibc extension that applies the HOST timezone — it shifted
+        # cutoffs by the TZ offset and doesn't exist on non-glibc.)
         date_end_ms = (
-            int(r["date"].strftime("%s")) * 1000 + 86_400_000 if r["date"] is not None else 0
+            calendar.timegm(r["date"].timetuple()) * 1000 + 86_400_000
+            if r["date"] is not None
+            else 0
         )
         if date_end_ms < cutoff_ms:
             out.append((r["resolution"], str(r["date"])))

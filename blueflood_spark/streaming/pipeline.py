@@ -105,18 +105,44 @@ def start_ingest(
         now_ms = int(time.time() * 1000)
         valid, rejected = validate(batch, now_ms)
         valid = valid.cache()
-        valid.withColumn("date", F.to_date(F.timestamp_millis(F.col("ts")))).write.partitionBy(
-            "date"
-        ).mode("append").parquet(raw_path)
+        # foreachBatch is at-least-once: a replay re-runs with the SAME
+        # batch_id, so every sink is keyed by a batch_id partition and
+        # written in DYNAMIC overwrite mode — the replay rewrites its own
+        # partitions instead of appending duplicates (the same T7 recipe
+        # as write_with_events / tables.overwrite_windows). The discovery
+        # upsert is idempotent by construction: its left-anti join filters
+        # out locators a previous attempt already appended.
+        (
+            valid.withColumn("date", F.to_date(F.timestamp_millis(F.col("ts"))))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.partitionBy("batch_id", "date")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(raw_path)
+        )
         delayed = valid.filter(F.col("ts") < F.lit(now_ms - ROLLUP_DELAY_MS))
         # record the affected 20m slot per delayed locator (S8: DELAYED_METRICS_REROLL_GRANULARITY)
-        delayed.select(
-            "tenant_id",
-            "metric_name",
-            R.window_start(F.col("ts"), G.MIN_20).alias("slot_window_start"),
-        ).distinct().write.mode("append").parquet(delayed_path)
+        (
+            delayed.select(
+                "tenant_id",
+                "metric_name",
+                R.window_start(F.col("ts"), G.MIN_20).alias("slot_window_start"),
+            )
+            .distinct()
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(delayed_path)
+        )
         if rejected.limit(1).count() > 0:
-            rejected.write.mode("append").parquet(rejected_path)
+            (
+                rejected.withColumn("batch_id", F.lit(batch_id))
+                .write.partitionBy("batch_id")
+                .option("partitionOverwriteMode", "dynamic")
+                .mode("overwrite")
+                .parquet(rejected_path)
+            )
         if catalog_path is not None:
             discovery_upsert(valid, catalog_path)
         valid.unpersist()
@@ -149,7 +175,7 @@ def start_streaming_rollup(
     event exists iff its rollup batch committed."""
     raw = spark.readStream.schema(
         "tenant_id string, metric_name string, ts long, value double, unit string,"
-        " ttl_seconds int, date date"
+        " ttl_seconds int, batch_id long, date date"
     ).parquet(raw_path)
     ts = F.timestamp_millis(F.col("ts"))
     agg = (
@@ -256,7 +282,7 @@ def start_slot_tracker(
 
     raw = spark.readStream.schema(
         "tenant_id string, metric_name string, ts long, value double, unit string,"
-        " ttl_seconds int, date date"
+        " ttl_seconds int, batch_id long, date date"
     ).parquet(raw_path)
     slotted = raw.withColumn("slot_window_start", R.window_start(F.col("ts"), gran))
 
@@ -368,11 +394,16 @@ def start_preagg_ingest(
 
     def process(batch: DataFrame, batch_id: int) -> None:
         preagg = normalize_aggregated(batch).cache()
+        # batch_id-keyed dynamic overwrite per family sink: replays of the
+        # same micro-batch rewrite their own partitions (see start_ingest)
         for family, df in route_by_type(preagg).items():
-            df.withColumn(
-                "date", F.to_date(F.timestamp_millis(F.col("ts")))
-            ).write.partitionBy("date").mode("append").parquet(
-                f"{tables_dir}/preagg_{family}"
+            (
+                df.withColumn("date", F.to_date(F.timestamp_millis(F.col("ts"))))
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.partitionBy("batch_id", "date")
+                .option("partitionOverwriteMode", "dynamic")
+                .mode("overwrite")
+                .parquet(f"{tables_dir}/preagg_{family}")
             )
         if catalog_path is not None:
             discovery_upsert(preagg.withColumn("unit", F.lit(None).cast("string")), catalog_path)

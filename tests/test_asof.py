@@ -38,3 +38,17 @@ def test_asof_tolerance(spark):
 def test_asof_preserves_left_rows(spark):
     left, right = frames(spark)
     assert asof_join(left, right, on=["key"]).count() == left.count()
+
+
+def test_asof_null_right_value_is_preserved(spark):
+    """A matched right row whose VALUE is NULL must yield asof_value NULL
+    (not an older row's value) — struct-carry regression test."""
+    left = spark.createDataFrame([("k", 25), ("k", 15)], "key string, ts long")
+    right = spark.createDataFrame(
+        [("k", 10, 5.0), ("k", 20, None)], "key string, ts long, value double"
+    )
+    from blueflood_spark.operators.asof import asof_join
+
+    out = {r["ts"]: r for r in asof_join(left, right, ["key"]).collect()}
+    assert out[15]["asof_ts"] == 10 and out[15]["asof_value"] == 5.0
+    assert out[25]["asof_ts"] == 20 and out[25]["asof_value"] is None

@@ -65,3 +65,16 @@ def test_offsets():
     assert parse_datetime("today-1mon", NOW) == MIDNIGHT.replace(month=2)
     assert parse_datetime("now-1y", NOW) == REF.replace(year=2023)
     assert parse_datetime("12:00 12/30/14 + 25s", NOW) == datetime(2014, 12, 30, 12, 0, 25)
+
+
+def test_month_year_offsets_clamp_end_of_month():
+    from datetime import datetime
+
+    from blueflood_spark.functions.datetime_parser import parse_datetime
+
+    # Jan 31 + 1 month → Feb 28 (Joda plusMonths clamp), not ValueError
+    now = datetime(2023, 1, 31, 12, 0)
+    assert parse_datetime("now+1mon", now) == datetime(2023, 2, 28, 12, 0)
+    # leap-day + 1 year → Feb 28
+    now = datetime(2024, 2, 29, 9, 30)
+    assert parse_datetime("now+1y", now) == datetime(2025, 2, 28, 9, 30)

@@ -110,3 +110,39 @@ def test_metadata_driven_rollup_type(spark, rollups):
     # unknown metric falls back to basic defaults
     out2 = Q.get_view(gauge_rollups, "t1", "m.zzz", p, rollup_type=None, catalog=cat)
     assert out2["metadata"]["count"] == 0
+
+
+def test_get_view_full_resolution_dispatch(spark):
+    """FULL granularity selection must serve from the raw table (the
+    rollups table has no 'full' rows) — and fail loudly without it."""
+    import pytest as _pytest
+
+    from blueflood_spark.plans import query_api as QA
+
+    now = 1_700_000_000_000
+    frm, to = now - 3_600_000, now  # 1 hour, recent
+    raw = spark.createDataFrame(
+        [("t1", "m.cpu", frm + i * 60_000, float(i)) for i in range(60)],
+        "tenant_id string, metric_name string, ts long, value double",
+    )
+    rollups = spark.createDataFrame(
+        [], "tenant_id string, metric_name string, resolution string,"
+            " window_start long, num_points long, avg double, var_pop double,"
+            " min double, max double, sum double",
+    )
+    params = QA.parse_params(
+        {"points": ["500"], "from": [str(frm)], "to": [str(to)]}
+    )
+    # 1h at the 30s assumed interval → FULL provides 120 points; 5m only 12
+    assert QA.select_granularity(params, now_ms=now).name == "full"
+    resp = QA.get_view(rollups, "t1", "m.cpu", params, now_ms=now, raw=raw)
+    assert len(resp["values"]) == 60
+    assert resp["values"][0]["numPoints"] == 1  # raw sample shaped as point
+    with _pytest.raises(QA.InvalidRequestError, match="FULL"):
+        QA.get_view(rollups, "t1", "m.cpu", params, now_ms=now)
+
+
+def test_points_zero_selects_last_like_reference(spark):
+    from blueflood_spark.operators import granularity as G
+
+    assert G.from_points_in_interval(0, 7_200_000, 0).name == "1440m"

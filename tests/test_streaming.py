@@ -330,3 +330,22 @@ def test_doc_ingest_stream_dedups_and_gates(spark, tmp_path):
     rej = spark.read.parquet(rejected).collect()
     assert [r["doc_id"] for r in rej] == [2]
     assert rej[0]["drop_reason"] == "too_short"
+
+
+def test_ingest_replay_is_idempotent(spark, dirs):
+    """T7 for the ingest sinks: re-processing the same micro-batch (same
+    batch_id — here forced by replaying the same input against a FRESH
+    checkpoint into the same sink paths) rewrites its batch_id partition
+    instead of appending duplicates."""
+    now = int(time.time() * 1000)
+    rows = [sample("t1", "svc.replay", now - 60_000 - i * 1000, float(i)) for i in range(6)]
+    rows.append(sample("t1", "", now, 1.0))  # one rejected row
+    write_payload(f"{dirs['input']}/replay.json", rows)
+    for attempt in range(2):
+        ckpt = f"{dirs['ckpt_ingest']}_replay{attempt}"  # fresh ckpt → batch_id 0 again
+        P.start_ingest(
+            spark, dirs["input"], dirs["raw"], dirs["rejected"], dirs["delayed"], ckpt
+        ).awaitTermination(120)
+    raw = spark.read.parquet(dirs["raw"])
+    assert raw.count() == 6  # NOT 12: replay overwrote batch_id=0
+    assert spark.read.parquet(dirs["rejected"]).count() == 1
