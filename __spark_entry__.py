@@ -2721,6 +2721,26 @@ def llm_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MIX_BUDGETS = {"src0": 12_000, "src1": 3_000, "src2": 8_000}
 
 
+def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/similarity.py semdedup): k-means the corpus,
+    compare pairs only WITHIN a cluster, prune any vector whose cosine
+    to a lower-id cluster-mate reaches the threshold — the published
+    cluster-bounded fix for embedding dedup's quadratic wall. Output is
+    one verdict row per vector (is_kept, dup_of, max_dup_cosine)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.semdedup(emb, k=8, iterations=2, threshold=0.35)
+
+
+def llm_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (operators/similarity.py ivfpq_topk): coarse quantizer
+    routes vectors into inverted lists stored as 8 one-byte PQ codes;
+    queries probe their 2 nearest lists and score members by ADC table
+    lookup — candidate pruning × 32× compression, the FAISS IVFADC
+    shape. Raw vectors are never touched past the encode."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.ivfpq_topk(emb, F.col("vec_id") < 5, k=10, n_lists=8, n_probe=2)
+
+
 # ---------------------------------------------------------------------------
 # §2.11 HTTP endpoints end-to-end (param parse → granularity select →
 # pruned scan → JSON shaping), driver-checked against DuckDB twins.
@@ -2946,7 +2966,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_token_budget_mix": llm_token_budget_mix,
         "llm_bm25_topk": llm_bm25_topk,
         "llm_label_centroids": llm_label_centroids,
-        # ---- entry 51+ (green driver rows in earlier rounds) ----
+        # ---- entry 51+ (green driver rows in earlier rounds, plus r3
+        #      late adds that the r4 window will stamp) ----
+        "llm_semdedup": llm_semdedup,
+        "llm_ann_ivfpq_topk": llm_ann_ivfpq_topk,
         "llm_lang_id": llm_lang_id,
         "llm_token_counts": llm_token_counts,
         "llm_quality_score": llm_quality_score,
@@ -3110,4 +3133,6 @@ def oracle_sql() -> dict[str, str]:
         "llm_token_budget_mix": TX.token_budget_mix_sql(_MIX_BUDGETS, default_budget=6_000),
         "llm_bm25_topk": TX.bm25_topk_sql(_BM25_TERMS, k=25),
         "llm_label_centroids": SIM.label_centroids_sql(),
+        "llm_semdedup": SIM.semdedup_sql(k=8, iterations=2, threshold=0.35),
+        "llm_ann_ivfpq_topk": SIM.ivfpq_topk_sql("vec_id < 5", k=10, n_lists=8, n_probe=2),
     }

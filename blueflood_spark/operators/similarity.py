@@ -965,3 +965,330 @@ SELECT a.label AS label_a, b.label AS label_b,
             * sqrt(list_sum(list_transform(b.centroid, x -> x * x)))) AS centroid_cosine
 FROM c a JOIN c b ON a.label < b.label
 """
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — cluster-bounded semantic deduplication
+# ---------------------------------------------------------------------------
+
+def semdedup(
+    emb: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means the
+    corpus, then compare pairs ONLY within a cluster and prune any
+    vector whose cosine to a lower-id cluster-mate reaches `threshold`
+    — keep-lowest-id per near-duplicate neighborhood, the same
+    ordering-based pruning rule the published implementation applies
+    per cluster (it sorts the cluster and drops rows whose max
+    similarity to an earlier row exceeds tau).
+
+    Output: one row per vector — (vec_id, cluster_id, is_kept, n_dups,
+    dup_of = smallest-id near neighbor, max_dup_cosine).
+
+    Scale shape: this is THE published fix for embedding dedup's
+    quadratic wall — candidate pairs are Σ |cluster|² instead of N².
+    The pairwise stage is ONE shuffle on cluster_id into a grouped
+    applyInPandas kernel that runs a single BLAS matmul per cluster
+    and emits only the per-vector verdict — pairs never materialize as
+    rows. (A pure-SQL self-join on cluster_id computes the same thing
+    but evaluates three interpreted 64-element folds per pair inside
+    an 8-way-parallel join — measured 10× slower at sf0.1; same lesson
+    as embedding_near_dups' tile kernel.) At 100 TB, k grows with the
+    corpus (√N-ish) so cluster sizes — and each task's n² matmul —
+    stay bounded, and the clustered table is written bucketed by
+    cluster_id so this stage reads co-located buckets shuffle-free."""
+    import numpy as np
+    import pandas as pd
+
+    assign = kmeans_assign(emb, k=k, iterations=iterations, id_col=id_col, vec_col=emb_col)
+    vecs = assign.join(emb.select(id_col, emb_col), id_col).select(
+        id_col, "cluster_id", emb_col
+    )
+
+    def cluster_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(pdf[id_col].to_numpy(dtype=np.int64), kind="stable")
+        ids = pdf[id_col].to_numpy(dtype=np.int64)[order]
+        mat = np.array(list(pdf[emb_col].iloc[order]), dtype=np.float64)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        sims = (mat @ mat.T) / np.outer(norms, norms)
+        n = len(ids)
+        # row i vs strictly-lower-id mates j < i (ids are sorted)
+        lower = np.tril(sims >= threshold, k=-1)
+        n_dups = lower.sum(axis=1).astype(np.int64)
+        pruned = n_dups > 0
+        dup_of = pd.array(
+            [ids[np.nonzero(lower[i])[0][0]] if pruned[i] else None for i in range(n)],
+            dtype="Int64",
+        )
+        masked = np.where(lower, sims, -np.inf)
+        max_cos = pd.array(
+            [masked[i].max() if pruned[i] else None for i in range(n)], dtype="Float64"
+        )
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "cluster_id": pdf["cluster_id"].iloc[0],
+                "is_kept": ~pruned,
+                "n_dups": n_dups,
+                "dup_of": dup_of,
+                "max_dup_cosine": max_cos,
+            }
+        )
+
+    schema = (
+        f"{id_col} long, cluster_id int, is_kept boolean, "
+        "n_dups long, dup_of long, max_dup_cosine double"
+    )
+    return vecs.groupBy("cluster_id").applyInPandas(cluster_kernel, schema=schema)
+
+
+def semdedup_sql(
+    k: int = 8, iterations: int = 2, threshold: float = 0.35, id_col: str = "vec_id"
+) -> str:
+    """DuckDB twin: embeds the k-means twin as a nested-WITH CTE, then
+    the same cluster-equi pairwise rule with ordered-fold cosine."""
+    cos = (
+        "list_sum(list_transform(list_zip(a.embedding, b.b_emb),"
+        " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+        " / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        " * sqrt(list_sum(list_transform(b.b_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+    )
+    return f"""
+WITH assign AS ({kmeans_assign_sql(k=k, iterations=iterations)}),
+vecs AS (
+  SELECT a.{id_col}, a.cluster_id, e.embedding
+  FROM assign a JOIN embeddings e USING ({id_col})
+),
+pairs AS (
+  SELECT a.{id_col}, b.b_id, {cos} AS c
+  FROM vecs a
+  JOIN (SELECT {id_col} AS b_id, cluster_id AS b_cluster, embedding AS b_emb FROM vecs) b
+    ON a.cluster_id = b.b_cluster AND a.{id_col} > b.b_id
+),
+dup AS (
+  SELECT {id_col},
+         max(c) AS max_dup_cosine,
+         count(*) AS n_dups,
+         min(b_id) AS dup_of
+  FROM pairs
+  WHERE c >= {threshold}
+  GROUP BY {id_col}
+)
+SELECT v.{id_col}, v.cluster_id,
+       d.max_dup_cosine IS NULL AS is_kept,
+       coalesce(d.n_dups, 0) AS n_dups,
+       d.dup_of, d.max_dup_cosine
+FROM vecs v LEFT JOIN dup d USING ({id_col})
+"""
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ — coarse inverted lists + compressed-domain ADC (FAISS IVFADC)
+# ---------------------------------------------------------------------------
+
+def _pq_qtab(emb: DataFrame, query_filter, id_col: str, emb_col: str) -> DataFrame:
+    """Per-query ADC distance tables: one row per query with M_SUB
+    KS_PQ-wide arrays of subspace squared-L2s against the codebook
+    (same build as pq_ann_topk's inline qtab)."""
+    cents = _pq_codebook(emb, id_col, emb_col)
+    return (
+        emb.filter(query_filter)
+        .select(F.col(id_col).alias("q_id"), F.col(emb_col).alias("q_emb"))
+        .crossJoin(F.broadcast(cents))
+        .groupBy("q_id")
+        .agg(
+            *[
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("cb_pos").alias("c"),
+                                _sub_l2sq("q_emb", "cb_emb", s).alias("d"),
+                            )
+                        )
+                    ),
+                    lambda x: x["d"],
+                ).alias(f"dtab_{s}")
+                for s in range(M_SUB)
+            ]
+        )
+    )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    query_filter,
+    k: int = 10,
+    n_lists: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ ANN (the IVFADC index of Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search" — FAISS's workhorse):
+    a coarse quantizer routes every vector into one of n_lists inverted
+    lists, vectors are stored ONLY as M_SUB PQ codes, and a query (a)
+    probes its n_probe nearest lists and (b) scores just those lists'
+    members by ADC table lookup — compounding IVF's candidate pruning
+    with PQ's 32× compression.
+
+    Divergence from the paper: codes quantize the raw vector, not the
+    residual (vector − coarse centroid); residual encoding refines
+    accuracy but changes nothing about the distributed plan, and flat
+    codes keep the codebook shared with pq_encode/pq_ann_topk.
+
+    Scale shape: the coded-list table is (id, list_id, 8 one-byte
+    codes) — at 100 TB it is written bucketed by list_id, so a probe
+    scans only ~n_probe/n_lists of the codes and NEVER touches raw
+    vectors; here the equi-join on list_id plays the bucket-pruning
+    role. Distance tables are a per-query broadcast of M_SUB·KS_PQ
+    doubles. Output contract matches pq_ann_topk: ascending ADC
+    distance, ties to the lower candidate id."""
+    cents = emb.filter(F.col(id_col) < n_lists).select(
+        F.col(id_col).alias("cent_id"), F.col(emb_col).alias("cent_emb")
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).withColumn(
+        "cent_sim", _dot(emb_col, "cent_emb") / (_norm(emb_col) * _norm("cent_emb"))
+    )
+    w_assign = Window.partitionBy(id_col).orderBy(F.col("cent_sim").desc(), F.col("cent_id"))
+    ranked = scored.withColumn("cent_rank", F.row_number().over(w_assign)).localCheckpoint(
+        eager=False
+    )
+    # coded inverted lists: list routing + PQ codes in ONE projection of
+    # the assignment frame (no second pass over the corpus)
+    cb = _pq_codebook(emb, id_col, emb_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("cb_pos").alias("c"), F.col("cb_emb").alias("v")))
+        ).alias("cb")
+    )
+    code_cols = [
+        F.array_min(
+            F.transform(
+                F.col("cb"),
+                lambda x, i: F.struct(
+                    _sub_l2sq_col(F.col(emb_col), x["v"], s).alias("d"),
+                    i.cast("int").alias("c"),
+                ),
+            )
+        )["c"].alias(f"code_{s}")
+        for s in range(M_SUB)
+    ]
+    coded_lists = (
+        ranked.filter(F.col("cent_rank") == 1)
+        .select(F.col(id_col).alias("c_id"), F.col("cent_id").alias("list_id"), emb_col)
+        .crossJoin(F.broadcast(cb))
+        .select("c_id", "list_id", *code_cols)
+    )
+    probes = (
+        ranked.filter(query_filter)
+        .filter(F.col("cent_rank") <= n_probe)
+        .select(F.col(id_col).alias("q_id"), F.col("cent_id").alias("list_id"))
+    )
+    qtab = _pq_qtab(emb, query_filter, id_col, emb_col)
+    adc = None
+    for s in range(M_SUB):
+        term = F.element_at(F.col(f"dtab_{s}"), F.col(f"code_{s}") + 1)
+        adc = term if adc is None else adc + term
+    cands = (
+        coded_lists.join(probes, "list_id")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .dropDuplicates(["q_id", "c_id"])
+        .join(F.broadcast(qtab), "q_id")
+        .withColumn("adc_dist", adc)
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adc_dist").asc(), F.col("c_id"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "adc_dist", "rank")
+    )
+
+
+def ivfpq_topk_sql(
+    query_pred_sql: str,
+    k: int = 10,
+    n_lists: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+) -> str:
+    """DuckDB twin of ivfpq_topk: same coarse assignment, same flat-code
+    PQ encode, same probe discipline and ADC arithmetic."""
+    cos = (
+        "list_sum(list_transform(list_zip({a}, {b}), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+        " / (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        " * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+    )
+    code_exprs = []
+    for s in range(M_SUB):
+        lo = s * SUB_DIM + 1
+        d = (
+            f"list_sum(list_transform(list_zip(list_slice(l.embedding, {lo}, {lo + SUB_DIM - 1}),"
+            f" list_slice(c.cb_emb, {lo}, {lo + SUB_DIM - 1})),"
+            " p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+        )
+        code_exprs.append(f"(min(struct_pack(d := {d}, c := c.cb_pos))).c AS code_{s}")
+    code_cols = ",\n         ".join(code_exprs)
+    dtabs = []
+    for s in range(M_SUB):
+        lo = s * SUB_DIM + 1
+        d = (
+            f"list_sum(list_transform(list_zip(list_slice(q.embedding, {lo}, {lo + SUB_DIM - 1}),"
+            f" list_slice(c.cb_emb, {lo}, {lo + SUB_DIM - 1})),"
+            " p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+        )
+        dtabs.append(f"list({d} ORDER BY c.cb_pos) AS dtab_{s}")
+    dtab_cols = ",\n         ".join(dtabs)
+    adc = " + ".join(f"q.dtab_{s}[cl.code_{s} + 1]" for s in range(M_SUB))
+    pq_cents = _PQ_CENTS_SQL.format(id=id_col, ks=KS_PQ)
+    return f"""
+WITH cents AS (
+  SELECT {id_col} AS cent_id, embedding AS cent_emb FROM embeddings WHERE {id_col} < {n_lists}
+),
+ranked AS (
+  SELECT e.{id_col}, e.embedding, c.cent_id,
+         row_number() OVER (PARTITION BY e.{id_col}
+                            ORDER BY {cos.format(a="e.embedding", b="c.cent_emb")} DESC, c.cent_id) AS cent_rank
+  FROM embeddings e CROSS JOIN cents c
+),
+pq_cents AS ({pq_cents}),
+coded_lists AS (
+  SELECT l.{id_col} AS c_id, any_value(l.cent_id) AS list_id,
+         {code_cols}
+  FROM (SELECT {id_col}, embedding, cent_id FROM ranked WHERE cent_rank = 1) l
+  CROSS JOIN pq_cents c
+  GROUP BY l.{id_col}
+),
+probes AS (
+  SELECT {id_col} AS q_id, cent_id AS list_id
+  FROM ranked r
+  WHERE ({query_pred_sql.replace(id_col, f'r.{id_col}')}) AND cent_rank <= {n_probe}
+),
+qtab AS (
+  SELECT q.{id_col} AS q_id,
+         {dtab_cols}
+  FROM embeddings q CROSS JOIN pq_cents c
+  WHERE ({query_pred_sql.replace(id_col, f'q.{id_col}')})
+  GROUP BY q.{id_col}
+),
+cands AS (
+  SELECT DISTINCT p.q_id, cl.c_id, cl.code_0, cl.code_1, cl.code_2, cl.code_3,
+                  cl.code_4, cl.code_5, cl.code_6, cl.code_7
+  FROM coded_lists cl JOIN probes p USING (list_id)
+  WHERE p.q_id != cl.c_id
+),
+scored AS (
+  SELECT cl.q_id, cl.c_id, {adc} AS adc_dist
+  FROM cands cl JOIN qtab q USING (q_id)
+),
+out AS (
+  SELECT q_id, c_id, adc_dist,
+         row_number() OVER (PARTITION BY q_id ORDER BY adc_dist ASC, c_id) AS rank
+  FROM scored
+)
+SELECT q_id, c_id, adc_dist, CAST(rank AS INTEGER) AS rank FROM out WHERE rank <= {k}
+"""
