@@ -46,6 +46,8 @@ CASES = {
     "llm_sq8_quantize": "int8 scalar quantization: pure map-only projection — the only Exchange is _t()'s single-row-group test-fixture fan-out, absent on real multi-split input",
     "llm_token_budget_mix": "token-budget mix: ONE semantic exchange (source key, for the per-source running sum); the scan-side Exchange is the test-fixture fan-out",
     "llm_multimodal_features": "PPM pixel decode inside one ArrowEvalPython/mapInPandas stage — no shuffle added around the Python boundary",
+    "llm_semdedup": "SemDeDup: ONE shuffle on cluster_id into a grouped applyInPandas matmul kernel — pairs never materialize as rows (candidates = Σ|cluster|², never corpus²)",
+    "llm_ann_ivfpq_topk": "IVF-PQ: probe→coded-list equi-join on list_id prunes candidates; ADC scores code columns only — raw embeddings never read past the encode",
 }
 
 
