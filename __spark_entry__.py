@@ -2731,6 +2731,15 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.semdedup(emb, k=8, iterations=2, threshold=0.35)
 
 
+def llm_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-pair mining for contrastive training (operators/similarity.py
+    contrastive_pairs): per anchor, the hardest same-label positive and
+    the hardest cross-label negative by cosine — anchors broadcast, the
+    corpus is scanned once and never shuffled as vectors."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.contrastive_pairs(emb, F.col("vec_id") < 20)
+
+
 def llm_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN (operators/similarity.py ivfpq_topk): coarse quantizer
     routes vectors into inverted lists stored as 8 one-byte PQ codes;
@@ -2970,6 +2979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #      late adds that the r4 window will stamp) ----
         "llm_semdedup": llm_semdedup,
         "llm_ann_ivfpq_topk": llm_ann_ivfpq_topk,
+        "llm_contrastive_pairs": llm_contrastive_pairs,
         "llm_lang_id": llm_lang_id,
         "llm_token_counts": llm_token_counts,
         "llm_quality_score": llm_quality_score,
@@ -3135,4 +3145,5 @@ def oracle_sql() -> dict[str, str]:
         "llm_label_centroids": SIM.label_centroids_sql(),
         "llm_semdedup": SIM.semdedup_sql(k=8, iterations=2, threshold=0.35),
         "llm_ann_ivfpq_topk": SIM.ivfpq_topk_sql("vec_id < 5", k=10, n_lists=8, n_probe=2),
+        "llm_contrastive_pairs": SIM.contrastive_pairs_sql("vec_id < 20"),
     }

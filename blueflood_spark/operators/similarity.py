@@ -1292,3 +1292,102 @@ out AS (
 )
 SELECT q_id, c_id, adc_dist, CAST(rank AS INTEGER) AS rank FROM out WHERE rank <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# contrastive pair mining — training data for embedding models
+# ---------------------------------------------------------------------------
+
+def contrastive_pairs(
+    emb: DataFrame,
+    anchor_filter,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-pair mining for contrastive / metric-learning training data
+    (the batch-mining step of triplet-loss pipelines, e.g. FaceNet's
+    semi-hard mining, Schroff et al. 2015): for every anchor row
+    selected by `anchor_filter`, find the most-similar SAME-label
+    candidate (hardest positive by cosine) and the most-similar
+    OTHER-label candidate (hardest negative — the informative one that
+    sits closest to the anchor across the class boundary). Ties break
+    to the lower candidate id.
+
+    Output: one row per anchor — (q_id, label, pos_id, pos_cosine,
+    neg_id, neg_cosine); pos_* are NULL if the anchor's class has no
+    other member.
+
+    Scale shape: the anchor set (a training batch — thousands, not the
+    corpus) broadcasts; the corpus is scanned ONCE with two conditional
+    struct-min aggregates per anchor and never shuffles as vectors —
+    partial aggregation reduces each task to ≤2 structs per anchor
+    before the one tiny exchange on q_id."""
+    anchors = emb.filter(anchor_filter).select(
+        F.col(id_col).alias("q_id"),
+        F.col(emb_col).alias("q_emb"),
+        F.col(label_col).alias("q_label"),
+    )
+    cands = emb.select(
+        F.col(id_col).alias("c_id"),
+        F.col(emb_col).alias("c_emb"),
+        F.col(label_col).alias("c_label"),
+    )
+    cos = _dot("q_emb", "c_emb") / (_norm("q_emb") * _norm("c_emb"))
+    scored = (
+        cands.crossJoin(F.broadcast(anchors))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn("cosine", cos)
+    )
+    # min(struct(-cosine, c_id)) = highest cosine, ties to lower id
+    pos = F.min(
+        F.when(
+            F.col("c_label") == F.col("q_label"),
+            F.struct((-F.col("cosine")).alias("nc"), F.col("c_id").alias("c")),
+        )
+    ).alias("p")
+    neg = F.min(
+        F.when(
+            F.col("c_label") != F.col("q_label"),
+            F.struct((-F.col("cosine")).alias("nc"), F.col("c_id").alias("c")),
+        )
+    ).alias("n")
+    return (
+        scored.groupBy("q_id", "q_label")
+        .agg(pos, neg)
+        .select(
+            "q_id",
+            F.col("q_label").alias("label"),
+            F.col("p.c").alias("pos_id"),
+            (-F.col("p.nc")).alias("pos_cosine"),
+            F.col("n.c").alias("neg_id"),
+            (-F.col("n.nc")).alias("neg_cosine"),
+        )
+    )
+
+
+def contrastive_pairs_sql(anchor_pred_sql: str, id_col: str = "vec_id") -> str:
+    """DuckDB twin: same ordered-fold cosine, same struct-min argmax with
+    lower-id tie-break, same NULL-if-singleton-class semantics."""
+    cos = (
+        "list_sum(list_transform(list_zip(q.embedding, c.embedding),"
+        " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+        " / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        " * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+    )
+    return f"""
+WITH scored AS (
+  SELECT q.{id_col} AS q_id, q.label AS q_label,
+         c.{id_col} AS c_id, c.label AS c_label,
+         {cos} AS cosine
+  FROM embeddings q CROSS JOIN embeddings c
+  WHERE ({anchor_pred_sql.replace(id_col, f'q.{id_col}')}) AND q.{id_col} != c.{id_col}
+)
+SELECT q_id, q_label AS label,
+       (min(struct_pack(nc := -cosine, c := c_id)) FILTER (WHERE c_label = q_label)).c AS pos_id,
+       -((min(struct_pack(nc := -cosine, c := c_id)) FILTER (WHERE c_label = q_label)).nc) AS pos_cosine,
+       (min(struct_pack(nc := -cosine, c := c_id)) FILTER (WHERE c_label != q_label)).c AS neg_id,
+       -((min(struct_pack(nc := -cosine, c := c_id)) FILTER (WHERE c_label != q_label)).nc) AS neg_cosine
+FROM scored
+GROUP BY q_id, q_label
+"""

@@ -491,3 +491,62 @@ def start_doc_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_session_stream(
+    spark: SparkSession,
+    events_path: str,
+    sessions_path: str,
+    checkpoint: str,
+    gap_seconds: int = 1800,
+    watermark_seconds: int = 300,
+    available_now: bool = True,
+):
+    """Streaming sessionization — the live counterpart of the batch
+    session_window query (bf_sessionize): gap-based per-user sessions
+    over an event stream via F.session_window, Spark's native stateful
+    session operator. Events within `gap_seconds` of each other merge
+    into one growing session; a session FINALIZES (append-mode emit)
+    once the watermark passes its end + gap, so late events inside the
+    watermark still extend their session instead of fragmenting it.
+
+    Input parquet schema: user_id long, ts_ms long (epoch ms),
+    event_type string. Output: one row per closed session —
+    (user_id, session_start, session_end, n_events, span_ms).
+
+    Scale shape: state is keyed by (user, open session) and bounded by
+    the watermark — closed sessions leave the store; the shuffle is the
+    session operator's own user-key exchange, identical to what the
+    batch query pays. availableNow caveat (NOTES): the watermark
+    advances BETWEEN micro-batches, so a single-batch run emits
+    nothing — tests restart the stream (same checkpoint) after writing
+    a watermark-advancing trailing file."""
+    ev = spark.readStream.schema("user_id long, ts_ms long, event_type string").parquet(
+        events_path
+    )
+    agg = (
+        ev.withColumn("event_time", F.timestamp_millis(F.col("ts_ms")))
+        .withWatermark("event_time", f"{watermark_seconds} seconds")
+        .groupBy("user_id", F.session_window(F.col("event_time"), f"{gap_seconds} seconds"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts_ms").alias("session_start"),
+            F.max("ts_ms").alias("session_end"),
+        )
+        .select(
+            "user_id",
+            "session_start",
+            "session_end",
+            "n_events",
+            (F.col("session_end") - F.col("session_start")).alias("span_ms"),
+        )
+    )
+    writer = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sessions_path)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -147,3 +147,48 @@ def test_ivfpq_recall_floor_vs_exact_l2(emb, ivfpq):
         exact = {c for _, c in sorted(((np.sum((V[q] - V[c]) ** 2), c) for c in V if c != q))[:k]}
         recalls.append(len(exact & got.get(q, set())) / k)
     assert sum(recalls) / len(recalls) >= 0.1, recalls
+
+
+# ---- contrastive pair mining ---------------------------------------------
+
+
+def test_contrastive_pairs_match_numpy(emb):
+    out = {r["q_id"]: r for r in SIM.contrastive_pairs(emb, F.col("vec_id") < 20).collect()}
+    rows = emb.collect()
+    V = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    L = {r["vec_id"]: r["label"] for r in rows}
+    assert set(out) == {i for i in V if i < 20}
+    for q, r in out.items():
+        assert r["label"] == L[q]
+        sims = {
+            c: float(V[q] @ V[c] / (np.linalg.norm(V[q]) * np.linalg.norm(V[c])))
+            for c in V
+            if c != q
+        }
+        pos = [(s, c) for c, s in sims.items() if L[c] == L[q]]
+        neg = [(s, c) for c, s in sims.items() if L[c] != L[q]]
+        if pos:
+            best = max(pos, key=lambda t: (t[0], -t[1]))
+            assert r["pos_id"] == best[1]
+            assert abs(r["pos_cosine"] - best[0]) < 1e-9
+            assert L[r["pos_id"]] == L[q]
+        else:
+            assert r["pos_id"] is None and r["pos_cosine"] is None
+        assert neg, "fixture always has other labels"
+        best = max(neg, key=lambda t: (t[0], -t[1]))
+        assert r["neg_id"] == best[1]
+        assert abs(r["neg_cosine"] - best[0]) < 1e-9
+        assert L[r["neg_id"]] != L[q]
+
+
+def test_contrastive_pairs_corpus_not_shuffled(emb):
+    plan = (
+        SIM.contrastive_pairs(emb, F.col("vec_id") < 20)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the only hash exchange allowed is the per-anchor aggregate (q_id
+    # grouping); the corpus side reaches it via partial aggregation, so
+    # exactly one hashpartitioning exchange may appear
+    assert plan.count("Exchange hashpartitioning") <= 1, plan

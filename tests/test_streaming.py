@@ -349,3 +349,62 @@ def test_ingest_replay_is_idempotent(spark, dirs):
     raw = spark.read.parquet(dirs["raw"])
     assert raw.count() == 6  # NOT 12: replay overwrote batch_id=0
     assert spark.read.parquet(dirs["rejected"]).count() == 1
+
+
+def test_session_stream_matches_batch_session_window(spark, tmp_path):
+    """Streaming gap sessions finalize exactly the sessions the batch
+    session_window query computes on the same (watermark-closed) data."""
+    import os
+
+    ev_dir = str(tmp_path / "sess_events")
+    out_dir = str(tmp_path / "sessions")
+    ckpt = str(tmp_path / "ckpt_sessions")
+    os.makedirs(ev_dir)
+    base = 1_700_000_000_000  # fixed epoch ms, deterministic
+    rows = []
+    # user 1: two sessions (3 events tight, then a 2-gap jump, 2 events)
+    for i, off in enumerate([0, 5 * MIN, 9 * MIN]):
+        rows.append((1, base + off, "click"))
+    rows.extend([(1, base + 80 * MIN, "click"), (1, base + 85 * MIN, "buy")])
+    # user 2: one long session bridged by sub-gap steps
+    rows.extend([(2, base + i * 20 * MIN, "view") for i in range(4)])
+    # late-but-inside-watermark event lands in user 1's first session
+    rows.append((1, base + 12 * MIN, "late"))
+    spark.createDataFrame(rows, "user_id long, ts_ms long, event_type string").repartition(
+        1
+    ).write.mode("append").parquet(ev_dir)
+
+    q = P.start_session_stream(spark, ev_dir, out_dir, ckpt, gap_seconds=30 * 60,
+                               watermark_seconds=300)
+    q.awaitTermination(120)
+    # single availableNow run: watermark still at batch-1 floor — nothing final
+    # now push the watermark far past every session and restart (same ckpt)
+    spark.createDataFrame(
+        [(99, base + 500 * MIN, "tick")], "user_id long, ts_ms long, event_type string"
+    ).repartition(1).write.mode("append").parquet(ev_dir)
+    q = P.start_session_stream(spark, ev_dir, out_dir, ckpt, gap_seconds=30 * 60,
+                               watermark_seconds=300)
+    q.awaitTermination(120)
+
+    got = {
+        (r["user_id"], r["session_start"]): r
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    batch = (
+        spark.read.parquet(ev_dir)
+        .filter(F.col("user_id") != 99)
+        .groupBy("user_id", F.session_window(F.timestamp_millis(F.col("ts_ms")), "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.min("ts_ms").alias("session_start"),
+             F.max("ts_ms").alias("session_end"))
+        .collect()
+    )
+    expect = {(r["user_id"], r["session_start"]): r for r in batch}
+    assert set(got) == set(expect)
+    for k, r in expect.items():
+        assert got[k]["n_events"] == r["n_events"], k
+        assert got[k]["session_end"] == r["session_end"], k
+    # semantic spot-checks: the late event extended session 1 (4 events),
+    # user 2's sub-gap chain stayed ONE session
+    assert got[(1, base)]["n_events"] == 4
+    assert got[(2, base)]["n_events"] == 4
+    assert got[(1, base + 80 * MIN)]["n_events"] == 2
