@@ -2381,13 +2381,15 @@ WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
 
 def llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode + feature extraction through mapInPandas. Image
-    rows carry REAL P3 PPM payloads and are decoded pixel-by-pixel
-    (operators/multimodal.py decode_ppm — pure Python, no media libs
-    needed): feature = [w, h, mean_r,g,b, std_r,g,b] from actual pixel
-    values. Audio/video rows exercise the declared hash stand-in. BOTH
-    paths are oracle-checked: the P3 payload is ASCII, so DuckDB
-    rebuilds the identical string for the sha/n_bytes check and computes
-    the same pixel statistics from the generative formula."""
+    rows carry REAL P3 PPM payloads decoded pixel-by-pixel
+    (operators/multimodal.py decode_ppm); audio rows carry REAL PCM16
+    WAV payloads decoded sample-by-sample (decode_wav: duration, rate,
+    count, mean, RMS, peak). Video rows exercise the declared hash
+    stand-in. ALL three paths are oracle-checked: PPM payloads are
+    ASCII so DuckDB rebuilds the identical string; WAV features and
+    byte sizes are computed in-SQL from the generative sample formula
+    (the payload sha alone is reconstructed at oracle-build time —
+    DuckDB's sha256 is VARCHAR-only and WAV bytes are binary)."""
     from blueflood_spark.operators import multimodal as MM
 
     media = MM.synthetic_media(spark, 96)
@@ -2397,7 +2399,19 @@ def llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _llm_multimodal_sql() -> str:
     """DuckDB twin of extract_features over synthetic_media(96): images
     via pixel statistics (exact-int sums, one double division — the same
-    IEEE op sequence decode_ppm uses), others via the md5 stand-in."""
+    IEEE op sequence decode_ppm uses), audio via sample statistics from
+    the WAV generative formula (sha literals built here with hashlib —
+    DuckDB cannot sha256 a BLOB; sizes and all six features stay
+    in-SQL), video via the md5 stand-in."""
+    import hashlib as _hl
+
+    from blueflood_spark.operators import multimodal as _MM
+
+    wav_shas = ",".join(
+        f"({i}, '{_hl.sha256(_MM.synthetic_wav(i)).hexdigest()}')"
+        for i in range(96)
+        if i % 3 == 1
+    )
     chan_stats = []
     for c in range(3):
         chan = f"list_transform(range(0, w*h), k -> px[3*k + {c} + 1])"
@@ -2440,6 +2454,21 @@ img_out AS (
           CAST(std_0 AS FLOAT), CAST(std_1 AS FLOAT), CAST(std_2 AS FLOAT)] AS feature
   FROM img_stats
 ),
+audio_sha(sha_media_id, sha) AS (VALUES {wav_shas}),
+audio_out AS (
+  SELECT media_id, kind, sha AS payload_sha,
+         CAST(44 + 2 * ns AS BIGINT) AS n_bytes,
+         [CAST(CAST(ns * 1000 AS DOUBLE) / 8000 AS FLOAT),
+          CAST(8000 AS FLOAT), CAST(ns AS FLOAT),
+          CAST(CAST(list_sum(samples) AS DOUBLE) / ns AS FLOAT),
+          CAST(sqrt(CAST(list_sum(list_transform(samples, v -> v * v)) AS DOUBLE) / ns) AS FLOAT),
+          CAST(list_max(list_transform(samples, v -> abs(v))) AS FLOAT)] AS feature
+  FROM (
+    SELECT media_id, kind, ns,
+           list_transform(range(0, ns), j -> (media_id * 73 + j * 19) % 4096 - 2048) AS samples
+    FROM (SELECT media_id, kind, 64 + media_id % 33 AS ns FROM m WHERE kind = 'audio')
+  ) JOIN audio_sha ON sha_media_id = media_id
+),
 other_out AS (
   SELECT media_id, kind,
          sha256(payload_str) AS payload_sha,
@@ -2448,9 +2477,9 @@ other_out AS (
            CAST(CAST(('0x' || substr(md5(payload_str), CAST(2 * j + 1 AS INT), 2)) AS INT) / 255.0 AS FLOAT)
          ) AS feature
   FROM (SELECT media_id, kind, repeat(md5('media_' || CAST(media_id AS VARCHAR)), 5) AS payload_str
-        FROM m WHERE kind != 'image')
+        FROM m WHERE kind = 'video')
 )
-SELECT * FROM img_out UNION ALL SELECT * FROM other_out
+SELECT * FROM img_out UNION ALL SELECT * FROM audio_out UNION ALL SELECT * FROM other_out
 """
 
 

@@ -3,16 +3,20 @@ columns with typed metadata, processed through Arrow-batched pandas
 iterators (`mapInPandas`).
 
 The Spark-side plumbing — schema, batch iteration, partition sizing —
-is real and tested. Image decode is REAL for the PPM family (`decode_ppm`:
-P3 ASCII and P6 binary, a pure-Python decoder — no external image libs
-needed), and features for PPM payloads derive from actual pixels
-(dimensions + per-channel mean/std). Payload kinds the runtime cannot
-decode (compressed image formats, audio, video) fall back to a
-deterministic hash-derived stand-in — or raise in strict mode. Swapping
-in a richer decoder (PIL, torchaudio, pyav) changes only the inner
-per-payload function, not the plan: the operator is already shaped for
-100 TB (mapInPandas streams Arrow batches, memory bounded by batch size,
-not partition size; no shuffle introduced).
+is real and tested. Decode is REAL for two uncompressed families, both
+pure Python with no external media libs:
+- images: the PPM family (`decode_ppm`: P3 ASCII and P6 binary) —
+  features derive from actual pixels (dimensions + per-channel
+  mean/std);
+- audio: RIFF/WAVE PCM16 (`decode_wav`: chunk walk, fmt/data parse) —
+  features derive from actual samples (duration, rate, count, mean,
+  RMS, peak).
+Payload kinds the runtime cannot decode (compressed formats, video)
+fall back to a deterministic hash-derived stand-in — or raise in strict
+mode. Swapping in a richer decoder (PIL, torchaudio, pyav) changes only
+the inner per-payload function, not the plan: the operator is already
+shaped for 100 TB (mapInPandas streams Arrow batches, memory bounded by
+batch size, not partition size; no shuffle introduced).
 """
 
 from __future__ import annotations
@@ -127,6 +131,62 @@ def decode_ppm(payload: bytes | None) -> dict | None:
     return {"width": width, "height": height, "means": means, "stds": stds}
 
 
+def decode_wav(payload: bytes | None) -> dict | None:
+    """Pure-Python decoder for RIFF/WAVE PCM16: walks the word-aligned
+    chunk list, requires a fmt chunk declaring format 1 (integer PCM)
+    with 16-bit samples, and computes sample statistics over the data
+    chunk. Returns {"channels", "sample_rate", "n_samples",
+    "duration_ms", "mean", "rms", "peak"} or None when the payload is
+    not decodable WAV (never raises on corrupt bytes).
+
+    Statistics are EXACT-integer sums over the int16 samples with a
+    single IEEE division each (sum/n, sqrt(sumsq/n), n_frames·1000 /
+    rate) — the same op sequence a SQL oracle computes, so features are
+    engine-portable."""
+    if payload is None:
+        return None
+    import struct
+
+    b = bytes(payload)
+    if len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", b, pos + 4)
+        body = b[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            return None  # truncated chunk
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    if fmt is None or data is None or len(fmt) < 16:
+        return None
+    audio_fmt, channels, rate, _byterate, _align, bits = struct.unpack_from(
+        "<HHIIHH", fmt, 0
+    )
+    if audio_fmt != 1 or bits != 16 or channels <= 0 or rate <= 0:
+        return None
+    n = len(data) // 2
+    if n == 0 or n % channels != 0:
+        return None
+    samples = struct.unpack(f"<{n}h", data[: 2 * n])
+    s = sum(samples)  # exact int
+    sq = sum(v * v for v in samples)  # exact int
+    n_frames = n // channels
+    return {
+        "channels": channels,
+        "sample_rate": rate,
+        "n_samples": n,
+        "duration_ms": (n_frames * 1000) / rate,
+        "mean": s / n,
+        "rms": math.sqrt(sq / n),
+        "peak": float(max(abs(v) for v in samples)),
+    }
+
+
 def _fake_decode(payload: bytes, dims: int = 8) -> list[float]:
     """Deterministic stand-in for decode→embed on payload kinds this
     runtime can't decode: md5-derived floats. Replace with the real
@@ -146,10 +206,20 @@ def _feature(payload: bytes | None, strict: bool, dims: int) -> list[float] | No
             *decoded["means"],
             *decoded["stds"],
         ]
+    wav = decode_wav(payload)
+    if wav is not None:
+        return [
+            wav["duration_ms"],
+            float(wav["sample_rate"]),
+            float(wav["n_samples"]),
+            wav["mean"],
+            wav["rms"],
+            wav["peak"],
+        ]
     if strict:
         raise NotImplementedError(
-            "payload is not a decodable format (PPM); other media decoders "
-            "require image/audio libraries not present in this runtime"
+            "payload is not a decodable format (PPM image / PCM16 WAV); other "
+            "media decoders require libraries not present in this runtime"
         )
     return _fake_decode(payload, dims)
 
@@ -158,8 +228,10 @@ def extract_features(media: DataFrame, strict: bool = False, dims: int = 8) -> D
     """Decode + feature-extract via mapInPandas: Arrow batches in, Arrow
     batches out; executor memory is bounded by the Arrow batch size.
     PPM payloads go through the REAL pixel decoder (dims, per-channel
-    mean/std → 8-float feature); undecodable payloads use the declared
-    hash stand-in (or raise when strict=True)."""
+    mean/std → 8-float feature) and PCM16 WAV payloads through the REAL
+    sample decoder (duration/rate/count/mean/rms/peak → 6-float
+    feature); undecodable payloads use the declared hash stand-in (or
+    raise when strict=True)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -225,22 +297,50 @@ def synthetic_ppm(media_id: int) -> bytes:
     return f"P3\n{w} {h}\n255\n{body}".encode()
 
 
+def synthetic_wav(media_id: int) -> bytes:
+    """Deterministic mono PCM16 WAV at 8 kHz: n = 64 + (id%33) samples,
+    sample j = ((id·73 + j·19) mod 4096) − 2048. A REAL decodable RIFF
+    payload whose generative formula a SQL oracle can also evaluate, so
+    the sample-decoded features are checkable engine-to-engine (the
+    bytes themselves are binary; the oracle rebuilds them via unhex for
+    the size check)."""
+    import struct
+
+    n = 64 + media_id % 33
+    samples = [((media_id * 73 + j * 19) % 4096) - 2048 for j in range(n)]
+    data = struct.pack(f"<{n}h", *samples)
+    header = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, 1, 1, 8000, 16000, 2, 16,
+        b"data", len(data),
+    )
+    return header + data
+
+
 def synthetic_media(spark, n: int = 64) -> DataFrame:
     """Deterministic fake media table for tests. Image rows carry REAL
     P3 PPM payloads (ASCII — decodable by decode_ppm AND reconstructible
     by a DuckDB oracle as the same string, so sha/pixel-feature checks
-    run engine-to-engine). Audio/video rows are ASCII-hex stand-ins
-    (md5 hex ×5 = 160 bytes) exercising the declared hash path; the
-    Spark column is BINARY either way and the Arrow plumbing is exactly
-    what raw media bytes would traverse."""
+    run engine-to-engine); audio rows carry REAL PCM16 WAV payloads
+    (decode_wav). Video rows are ASCII-hex stand-ins (md5 hex ×5 =
+    160 bytes) exercising the declared hash path; the Spark column is
+    BINARY either way and the Arrow plumbing is exactly what raw media
+    bytes would traverse."""
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
         kind = kinds[i % 3]
+        duration = (i + 1) * 1500 if kind == "video" else None
         if kind == "image":
             payload = synthetic_ppm(i)
             decoded = decode_ppm(payload)  # metadata derives from the
             w, h = decoded["width"], decoded["height"]  # actual payload
+        elif kind == "audio":
+            payload = synthetic_wav(i)
+            wav = decode_wav(payload)
+            w = h = None
+            duration = int(wav["duration_ms"])
         else:
             payload = (hashlib.md5(f"media_{i}".encode()).hexdigest() * 5).encode()
             w = h = None
@@ -252,7 +352,7 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
                 {"image": "image/x-portable-pixmap", "audio": "audio/wav", "video": "video/mp4"}[kind],
                 w,
                 h,
-                (i + 1) * 1500 if kind != "image" else None,
+                duration,
             )
         )
     # one fat partition: pandas batches amortize; each touched partition

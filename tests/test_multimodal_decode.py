@@ -1,9 +1,9 @@
-"""Real media decode path: pure-Python PPM (P3 ASCII / P6 binary)
-decoder inside the mapInPandas kernel — features derive from ACTUAL
-pixels, not payload hashes (VERDICT r2 missing #2 / next #4). The hash
-path remains for kinds the runtime can't decode (audio/video), and
-strict mode now succeeds on decodable payloads and raises only on
-undecodable ones.
+"""Real media decode paths: pure-Python PPM (P3 ASCII / P6 binary) and
+RIFF/WAVE PCM16 decoders inside the mapInPandas kernel — features
+derive from ACTUAL pixels/samples, not payload hashes (VERDICT r2
+missing #2 / next #4). The hash path remains for kinds the runtime
+can't decode (video), and strict mode succeeds on decodable payloads
+and raises only on undecodable ones.
 """
 
 import hashlib
@@ -70,24 +70,36 @@ def test_extract_features_real_pixels(spark):
         assert feat[5:8] == pytest.approx([f32(x) for x in d["stds"]], abs=0)
         assert out[i]["payload_sha"] == hashlib.sha256(payload).hexdigest()
         assert out[i]["n_bytes"] == len(payload)
-    # audio/video rows keep the declared hash-derived stand-in
+    # audio rows (media_id % 3 == 1) carry PCM16 WAV → decoded features
     for i in range(1, 48, 3):
+        payload = bytes(src[i]["payload"])
+        assert payload.startswith(b"RIFF")
+        wav = MM.decode_wav(payload)
+        feat = out[i]["feature"]
+        assert feat[1] == 8000.0 and feat[2] == float(wav["n_samples"])
+        assert feat[3] == pytest.approx(wav["mean"], rel=1e-6)
+        assert feat[4] == pytest.approx(wav["rms"], rel=1e-6)
+        assert feat[5] == wav["peak"]
+        assert out[i]["payload_sha"] == hashlib.sha256(payload).hexdigest()
+        assert out[i]["n_bytes"] == len(payload)
+    # video rows keep the declared hash-derived stand-in
+    for i in range(2, 48, 3):
         payload = bytes(src[i]["payload"])
         assert out[i]["feature"] == pytest.approx(
             [b / 255.0 for b in hashlib.md5(payload).digest()[:8]], rel=1e-6
         )
 
 
-def test_strict_mode_decodes_ppm_raises_on_rest(spark):
-    media = MM.synthetic_media(spark, 6)
-    images = media.filter("kind = 'image'")
-    others = media.filter("kind != 'image'")
-    # strict over decodable payloads: succeeds via the REAL decoder
-    rows = MM.extract_features(images, strict=True).collect()
-    assert len(rows) == 2 and all(r["feature"] is not None for r in rows)
+def test_strict_mode_decodes_ppm_wav_raises_on_rest(spark):
+    media = MM.synthetic_media(spark, 9)
+    decodable = media.filter("kind != 'video'")
+    video = media.filter("kind = 'video'")
+    # strict over decodable payloads: succeeds via the REAL decoders
+    rows = MM.extract_features(decodable, strict=True).collect()
+    assert len(rows) == 6 and all(r["feature"] is not None for r in rows)
     # strict over undecodable payloads: loud failure
     with pytest.raises(Exception):
-        MM.extract_features(others, strict=True).collect()
+        MM.extract_features(video, strict=True).collect()
 
 
 # --- property tests (no Spark session needed: pure decoder) ---
@@ -156,4 +168,68 @@ def test_ppm_prefixed_garbage_never_raises(payload):
     # force the decoder INTO the PPM paths with arbitrary tails
     for magic in (b"P3", b"P6", b"P3\n2 2\n255\n"):
         out = MM.decode_ppm(magic + payload)
+        assert out is None or isinstance(out, dict)
+
+
+# --- WAV decoder ---
+
+
+def _wav(samples, rate=8000, channels=1, fmt=1, bits=16, extra_chunk=False):
+    import struct
+
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    chunks = b""
+    if extra_chunk:  # a LIST chunk before fmt — the walker must skip it
+        chunks += b"LIST" + struct.pack("<I", 4) + b"INFO"
+    chunks += b"fmt " + struct.pack(
+        "<IHHIIHH", 16, fmt, channels, rate, rate * channels * bits // 8,
+        channels * bits // 8, bits
+    )
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_decode_wav_known_stats():
+    d = MM.decode_wav(_wav([100, -100, 300, -300]))
+    assert d["channels"] == 1 and d["sample_rate"] == 8000
+    assert d["n_samples"] == 4 and d["duration_ms"] == 0.5
+    assert d["mean"] == 0.0 and d["peak"] == 300.0
+    assert d["rms"] == pytest.approx((2 * (100**2 + 300**2) / 4) ** 0.5)
+
+
+def test_decode_wav_skips_foreign_chunks():
+    a = MM.decode_wav(_wav([1, 2, 3, 4], extra_chunk=False))
+    b = MM.decode_wav(_wav([1, 2, 3, 4], extra_chunk=True))
+    assert a is not None and {k: a[k] for k in a} == {k: b[k] for k in b}
+
+
+def test_decode_wav_rejects_non_pcm16():
+    assert MM.decode_wav(_wav([1, 2], fmt=3)) is None  # IEEE float fmt
+    assert MM.decode_wav(_wav([1, 2], bits=8)) is None
+    assert MM.decode_wav(b"RIFFxxxxWAVE") is None  # no chunks
+    assert MM.decode_wav(b"OggS" + b"\x00" * 64) is None
+    assert MM.decode_wav(None) is None
+
+
+def test_decode_wav_stereo_frames():
+    d = MM.decode_wav(_wav([10, -10, 20, -20], channels=2))
+    assert d["channels"] == 2 and d["n_samples"] == 4
+    assert d["duration_ms"] == pytest.approx(2 * 1000 / 8000)
+
+
+def test_synthetic_wav_roundtrip():
+    for i in (1, 4, 31, 94):
+        wav = MM.decode_wav(MM.synthetic_wav(i))
+        n = 64 + i % 33
+        samples = [((i * 73 + j * 19) % 4096) - 2048 for j in range(n)]
+        assert wav["n_samples"] == n
+        assert wav["mean"] == sum(samples) / n
+        assert wav["peak"] == float(max(abs(s) for s in samples))
+
+
+@settings(deadline=None, max_examples=40)
+@given(payload=st.binary(min_size=0, max_size=96))
+def test_wav_decoder_never_crashes_on_garbage(payload):
+    for prefix in (b"", b"RIFF", b"RIFF\x10\x00\x00\x00WAVE"):
+        out = MM.decode_wav(prefix + payload)
         assert out is None or isinstance(out, dict)
