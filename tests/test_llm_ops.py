@@ -156,10 +156,13 @@ def test_multimodal_features(spark):
     feats = MM.extract_features(media).collect()
     assert len(feats) == 12
     by_id = {r["media_id"]: r for r in feats}
-    # media_id 0 is an image → real P3 payload; 1 is audio → 160-byte hex
+    # media_id 0 is an image → real P3 payload; 1 is audio → real WAV;
+    # 2 is video → 160-byte hex stand-in
     assert by_id[0]["n_bytes"] == len(MM.synthetic_ppm(0))
-    assert by_id[1]["n_bytes"] == 160
+    assert by_id[1]["n_bytes"] == len(MM.synthetic_wav(1))
+    assert by_id[2]["n_bytes"] == 160
     assert len(by_id[0]["feature"]) == 8
+    assert len(by_id[1]["feature"]) == 6
     # deterministic: same payload → same feature
     feats2 = {r["media_id"]: r["feature"] for r in MM.extract_features(media).collect()}
     assert feats2[3] == by_id[3]["feature"]

@@ -48,6 +48,7 @@ CASES = {
     "llm_multimodal_features": "PPM pixel decode inside one ArrowEvalPython/mapInPandas stage — no shuffle added around the Python boundary",
     "llm_semdedup": "SemDeDup: ONE shuffle on cluster_id into a grouped applyInPandas matmul kernel — pairs never materialize as rows (candidates = Σ|cluster|², never corpus²)",
     "llm_ann_ivfpq_topk": "IVF-PQ: probe→coded-list equi-join on list_id prunes candidates; ADC scores code columns only — raw embeddings never read past the encode",
+    "llm_contrastive_pairs": "contrastive mining: anchors broadcast against one corpus scan; conditional struct-min aggregates partial-combine before the single q_id exchange",
 }
 
 
