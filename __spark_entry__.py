@@ -2760,6 +2760,103 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.semdedup(emb, k=8, iterations=2, threshold=0.35)
 
 
+def llm_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical top-50 fused with embedding-cosine
+    top-50 (anchor vec 0; embeddings keyed by doc id) via reciprocal-
+    rank fusion (operators/similarity.py rrf_fuse) — the standard RAG
+    combiner. Fusion cost is independent of corpus size (two ≤50-row
+    lists); the retrievers carry the scale story."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = TX.bm25_topk(docs, _BM25_TERMS, k=50).select("doc_id", "rank")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    c = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"))
+    sem = SIM.cosine_topk(q, c, k=50).select(F.col("c_id").alias("doc_id"), "rank")
+    return SIM.rrf_fuse(lex, sem, k0=60, k=25)
+
+
+_LLM_HYBRID_RRF_SQL_TMPL = """
+WITH lex AS ({bm25}),
+sem_scored AS (
+  SELECT c.vec_id AS doc_id,
+         list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
+  FROM embeddings q CROSS JOIN embeddings c
+  WHERE q.vec_id = 0 AND c.vec_id != 0
+),
+sem AS (
+  SELECT doc_id, rank FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id) AS rank
+    FROM sem_scored
+  ) WHERE rank <= 50
+),
+fused AS (
+  SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+         coalesce(1.0 / (60 + l.rank), 0) + coalesce(1.0 / (60 + s.rank), 0) AS rrf_score,
+         l.rank IS NOT NULL AS in_lexical,
+         s.rank IS NOT NULL AS in_semantic
+  FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+)
+SELECT doc_id, rrf_score, in_lexical, in_semantic, CAST(fused_rank AS INT) AS fused_rank
+FROM (
+  SELECT *, row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS fused_rank
+  FROM fused
+) WHERE fused_rank <= 25
+"""
+
+
+def bf_rate_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-time rate/derivative over raw series — the Prometheus-style
+    counterpart of the counter family's per-rollup rate (A4/A5 emit
+    rate = sum/window; this serves rate between adjacent SAMPLES with
+    monotone-counter reset handling: a value drop starts a new counter
+    epoch, so the delta is the new value, never negative). One window
+    shuffle on the series key; NULL rate on each series' first sample
+    and on zero-dt ties (safe-division discipline, utils/Util.safeDiv
+    analog)."""
+    from pyspark.sql.window import Window
+
+    raw = _raw_metrics(spark, sf_dir)
+    w = Window.partitionBy("tenant_id", "metric_name").orderBy("ts", "user_id", "value")
+    prev_v = F.lag("value").over(w)
+    prev_t = F.lag("ts").over(w)
+    delta = F.when(F.col("value") >= prev_v, F.col("value") - prev_v).otherwise(
+        F.col("value")
+    )
+    rate = F.when(
+        prev_t.isNull() | (F.col("ts") == prev_t), F.lit(None).cast("double")
+    ).otherwise(delta / ((F.col("ts") - prev_t) / F.lit(1000.0)))
+    return raw.select(
+        "tenant_id", "metric_name", "ts", "user_id", "value", rate.alias("rate_per_s")
+    )
+
+
+_BF_RATE_SERIES_SQL = """
+WITH raw AS (
+  SELECT 't' || CAST(user_id % 4 AS VARCHAR) AS tenant_id,
+         'events.' || event_type || '.value' AS metric_name,
+         epoch_ms(ts) AS ts, CAST(value AS DOUBLE) AS value, user_id
+  FROM events
+),
+lagged AS (
+  SELECT tenant_id, metric_name, ts, user_id, value,
+         lag(value) OVER w AS prev_v, lag(ts) OVER w AS prev_t
+  FROM raw
+  WINDOW w AS (PARTITION BY tenant_id, metric_name ORDER BY ts, user_id, value)
+)
+SELECT tenant_id, metric_name, ts, user_id, value,
+       CASE WHEN prev_t IS NULL OR ts = prev_t THEN NULL
+            ELSE (CASE WHEN value >= prev_v THEN value - prev_v ELSE value END)
+                 / ((ts - prev_t) / 1000.0)
+       END AS rate_per_s
+FROM lagged
+"""
+
+
 def llm_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-pair mining for contrastive training (operators/similarity.py
     contrastive_pairs): per anchor, the hardest same-label positive and
@@ -3009,6 +3106,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_semdedup": llm_semdedup,
         "llm_ann_ivfpq_topk": llm_ann_ivfpq_topk,
         "llm_contrastive_pairs": llm_contrastive_pairs,
+        "llm_hybrid_rrf": llm_hybrid_rrf,
+        "bf_rate_series": bf_rate_series,
         "llm_lang_id": llm_lang_id,
         "llm_token_counts": llm_token_counts,
         "llm_quality_score": llm_quality_score,
@@ -3175,4 +3274,8 @@ def oracle_sql() -> dict[str, str]:
         "llm_semdedup": SIM.semdedup_sql(k=8, iterations=2, threshold=0.35),
         "llm_ann_ivfpq_topk": SIM.ivfpq_topk_sql("vec_id < 5", k=10, n_lists=8, n_probe=2),
         "llm_contrastive_pairs": SIM.contrastive_pairs_sql("vec_id < 20"),
+        "llm_hybrid_rrf": _LLM_HYBRID_RRF_SQL_TMPL.format(
+            bm25=TX.bm25_topk_sql(_BM25_TERMS, k=50)
+        ),
+        "bf_rate_series": _BF_RATE_SERIES_SQL,
     }

@@ -1391,3 +1391,48 @@ SELECT q_id, q_label AS label,
 FROM scored
 GROUP BY q_id, q_label
 """
+
+
+# ---------------------------------------------------------------------------
+# reciprocal-rank fusion — lexical ⊕ semantic retrieval
+# ---------------------------------------------------------------------------
+
+def rrf_fuse(
+    lexical: DataFrame,
+    semantic: DataFrame,
+    id_col: str = "doc_id",
+    k0: int = 60,
+    k: int = 25,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009) of two
+    ranked retrieval lists — the standard hybrid-search combiner (BM25 ⊕
+    embedding ANN) in RAG/curation pipelines:
+
+        rrf(d) = Σ_lists 1/(k0 + rank_list(d)),  absent list → 0
+
+    Inputs are (id_col, rank) frames; output is the fused top-k with
+    provenance flags. Rank arithmetic is two exact integer-denominator
+    divisions summed — bit-identical across engines, so fused order is
+    deterministic (ties to the lower id).
+
+    Scale shape: both inputs are already top-N lists (≤ a few hundred
+    rows regardless of corpus size), so the fusion is a broadcast-scale
+    full outer join + TakeOrderedAndProject — cost lives entirely in
+    the upstream retrievers."""
+    lex = lexical.select(F.col(id_col).alias("lex_id"), F.col("rank").alias("lex_rank"))
+    sem = semantic.select(F.col(id_col).alias("sem_id"), F.col("rank").alias("sem_rank"))
+    fused = (
+        lex.join(sem, F.col("lex_id") == F.col("sem_id"), "full_outer")
+        .select(
+            F.coalesce(F.col("lex_id"), F.col("sem_id")).alias(id_col),
+            (
+                F.coalesce(F.lit(1.0) / (F.lit(k0) + F.col("lex_rank")), F.lit(0.0))
+                + F.coalesce(F.lit(1.0) / (F.lit(k0) + F.col("sem_rank")), F.lit(0.0))
+            ).alias("rrf_score"),
+            F.col("lex_rank").isNotNull().alias("in_lexical"),
+            F.col("sem_rank").isNotNull().alias("in_semantic"),
+        )
+    )
+    top = fused.orderBy(F.col("rrf_score").desc(), F.col(id_col)).limit(k)
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col(id_col))
+    return top.withColumn("fused_rank", F.row_number().over(w))

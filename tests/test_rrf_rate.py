@@ -1,0 +1,97 @@
+"""RRF hybrid fusion and rate-series: reference recomputation from the
+component retrievers / a pandas lag model, plus contract checks."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as E
+from blueflood_spark.operators import similarity as SIM
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def test_rrf_fuse_matches_reference(spark):
+    out = E.llm_hybrid_rrf(spark, SF0001).collect()
+    docs = E._t(spark, SF0001, "documents")
+    emb = E._t(spark, SF0001, "embeddings")
+    from blueflood_spark.operators import text as TX
+
+    lex = {r["doc_id"]: r["rank"] for r in TX.bm25_topk(docs, E._BM25_TERMS, k=50).collect()}
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    c = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"))
+    sem = {r["c_id"]: r["rank"] for r in SIM.cosine_topk(q, c, k=50).collect()}
+    scores = {}
+    for d in set(lex) | set(sem):
+        scores[d] = (1.0 / (60 + lex[d]) if d in lex else 0.0) + (
+            1.0 / (60 + sem[d]) if d in sem else 0.0
+        )
+    expect = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
+    got = sorted(out, key=lambda r: r["fused_rank"])
+    assert [(r["doc_id"], r["rrf_score"]) for r in got] == [
+        (d, pytest.approx(s, rel=1e-12)) for d, s in expect
+    ]
+    for r in got:
+        assert r["in_lexical"] == (r["doc_id"] in lex)
+        assert r["in_semantic"] == (r["doc_id"] in sem)
+        assert r["in_lexical"] or r["in_semantic"]
+
+
+def test_rrf_overlap_docs_outrank_single_list_docs(spark):
+    """A doc near the top of BOTH lists must beat a doc appearing in
+    only one list at a similar rank — the point of fusion."""
+    rows = E.llm_hybrid_rrf(spark, SF0001).collect()
+    both = [r["fused_rank"] for r in rows if r["in_lexical"] and r["in_semantic"]]
+    if both:  # fixture-dependent; assert only when overlap exists
+        single = [r["fused_rank"] for r in rows if not (r["in_lexical"] and r["in_semantic"])]
+        assert not single or min(both) < min(single)
+
+
+def test_rate_series_matches_pandas_lag(spark):
+    out = E.bf_rate_series(spark, SF0001).collect()
+    rows = sorted(
+        (
+            (r["tenant_id"], r["metric_name"], r["ts"], r["user_id"], r["value"])
+            for r in E._raw_metrics(spark, SF0001).collect()
+        )
+    )
+    by_series: dict[tuple, list] = {}
+    for t, m, ts, uid, v in rows:
+        by_series.setdefault((t, m), []).append((ts, uid, v))
+    expect = {}
+    for key, evs in by_series.items():
+        evs.sort()
+        prev = None
+        for ts, uid, v in evs:
+            if prev is None or ts == prev[0]:
+                rate = None
+            else:
+                delta = v - prev[2] if v >= prev[2] else v  # counter reset
+                rate = delta / ((ts - prev[0]) / 1000.0)
+            expect[key + (ts, uid, v)] = rate
+            prev = (ts, uid, v)
+    assert len(out) == len(rows)
+    for r in out:
+        k = (r["tenant_id"], r["metric_name"], r["ts"], r["user_id"], r["value"])
+        e = expect[k]
+        if e is None:
+            assert r["rate_per_s"] is None, k
+        else:
+            assert r["rate_per_s"] == pytest.approx(e, rel=1e-12), k
+
+
+def test_rate_series_first_sample_null_and_reset_nonnegative(spark):
+    rows = E.bf_rate_series(spark, SF0001).collect()
+    per_series_nulls: dict[tuple, int] = {}
+    for r in rows:
+        if r["rate_per_s"] is None:
+            k = (r["tenant_id"], r["metric_name"])
+            per_series_nulls[k] = per_series_nulls.get(k, 0) + 1
+        else:
+            assert r["rate_per_s"] >= 0.0  # reset handling forbids negatives
+    series = {(r["tenant_id"], r["metric_name"]) for r in rows}
+    # every series has at least its first-sample NULL
+    assert set(per_series_nulls) == series
