@@ -2857,6 +2857,57 @@ FROM lagged
 """
 
 
+def bf_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed EWMA smoothing for series serving (alpha = 0.3 over the
+    trailing 32 samples): s = fold(trail[2:], seed = trail[1],
+    (acc, x) -> 0.3·x + 0.7·acc) — the bounded-memory variant of
+    exponential smoothing (restarting the recursion at the window edge
+    caps per-row state at 32 values, the same reason Spark's own
+    windows demand bounded frames). Both engines run the IDENTICAL
+    left-fold (Spark `aggregate` seeded with the first element; DuckDB
+    `list_reduce`, which seeds the same way), so the smoothed values
+    are bit-identical — the portable-fold discipline from NOTES.
+    One window shuffle on the series key; frame memory is 32 doubles."""
+    from pyspark.sql.window import Window
+
+    raw = _raw_metrics(spark, sf_dir)
+    w = (
+        Window.partitionBy("tenant_id", "metric_name")
+        .orderBy("ts", "user_id", "value")
+        .rowsBetween(-31, 0)
+    )
+    trail = F.collect_list(F.col("value").cast("double")).over(w)
+    ewma = F.expr(
+        "aggregate(slice(trail, 2, size(trail) - 1),"
+        " CAST(element_at(trail, 1) AS DOUBLE),"
+        " (acc, x) -> 0.3D * x + 0.7D * acc)"
+    )
+    return (
+        raw.withColumn("trail", trail)
+        .select("tenant_id", "metric_name", "ts", "user_id", "value", ewma.alias("ewma"))
+    )
+
+
+_BF_EWMA_SQL = """
+WITH raw AS (
+  SELECT 't' || CAST(user_id % 4 AS VARCHAR) AS tenant_id,
+         'events.' || event_type || '.value' AS metric_name,
+         epoch_ms(ts) AS ts, CAST(value AS DOUBLE) AS value, user_id
+  FROM events
+),
+trailed AS (
+  SELECT tenant_id, metric_name, ts, user_id, value,
+         list(value) OVER (PARTITION BY tenant_id, metric_name
+                           ORDER BY ts, user_id, value
+                           ROWS BETWEEN 31 PRECEDING AND CURRENT ROW) AS trail
+  FROM raw
+)
+SELECT tenant_id, metric_name, ts, user_id, value,
+       list_reduce(trail, (acc, x) -> CAST(0.3 AS DOUBLE) * x + CAST(0.7 AS DOUBLE) * acc) AS ewma
+FROM trailed
+"""
+
+
 def llm_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-pair mining for contrastive training (operators/similarity.py
     contrastive_pairs): per anchor, the hardest same-label positive and
@@ -3108,6 +3159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_contrastive_pairs": llm_contrastive_pairs,
         "llm_hybrid_rrf": llm_hybrid_rrf,
         "bf_rate_series": bf_rate_series,
+        "bf_ewma_smooth": bf_ewma_smooth,
         "llm_lang_id": llm_lang_id,
         "llm_token_counts": llm_token_counts,
         "llm_quality_score": llm_quality_score,
@@ -3278,4 +3330,5 @@ def oracle_sql() -> dict[str, str]:
             bm25=TX.bm25_topk_sql(_BM25_TERMS, k=50)
         ),
         "bf_rate_series": _BF_RATE_SERIES_SQL,
+        "bf_ewma_smooth": _BF_EWMA_SQL,
     }

@@ -95,3 +95,38 @@ def test_rate_series_first_sample_null_and_reset_nonnegative(spark):
     series = {(r["tenant_id"], r["metric_name"]) for r in rows}
     # every series has at least its first-sample NULL
     assert set(per_series_nulls) == series
+
+
+def test_ewma_matches_python_fold(spark):
+    out = E.bf_ewma_smooth(spark, SF0001).collect()
+    rows = sorted(
+        (
+            (r["tenant_id"], r["metric_name"], r["ts"], r["user_id"], r["value"])
+            for r in E._raw_metrics(spark, SF0001).collect()
+        )
+    )
+    by_series: dict[tuple, list] = {}
+    for t, m, ts, uid, v in rows:
+        by_series.setdefault((t, m), []).append((ts, uid, v))
+    expect = {}
+    for key, evs in by_series.items():
+        evs.sort()
+        vals = [v for _, _, v in evs]
+        for i, (ts, uid, v) in enumerate(evs):
+            trail = vals[max(0, i - 31) : i + 1]
+            acc = float(trail[0])
+            for x in trail[1:]:
+                acc = 0.3 * x + 0.7 * acc
+            expect[key + (ts, uid, v)] = acc
+    assert len(out) == len(rows)
+    for r in out:
+        k = (r["tenant_id"], r["metric_name"], r["ts"], r["user_id"], r["value"])
+        assert r["ewma"] == expect[k], k  # bit-identical fold, no tolerance
+
+
+def test_ewma_constant_series_is_identity():
+    # pure-arithmetic sanity: folding a constant keeps the constant
+    acc = 5.0
+    for _ in range(31):
+        acc = 0.3 * 5.0 + 0.7 * acc
+    assert acc == pytest.approx(5.0, rel=1e-12)
