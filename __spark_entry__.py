@@ -2908,6 +2908,53 @@ FROM trailed
 """
 
 
+_HIST_BOUNDS = [1.0, 2.5, 5.0, 10.0, 25.0, 50.0, 100.0]
+
+
+def bf_histogram_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus-style cumulative histogram serving: per (tenant,
+    metric, 20m slot) and per `le` bound, the count of samples with
+    value ≤ le — the distribution shape a `histogram_quantile` consumer
+    reads (cumulative buckets mean bucket merges across slots/shards
+    are plain sums, the same mergeability argument as the rollup
+    moments). The +Inf bucket is served as the slot's total n alongside
+    the per-bound rows.
+
+    Plan shape: the bounds list is a 7-row broadcast; one shuffle on
+    (series, slot, le) with map-side partial sums — identical cost to
+    a basic rollup with a ×|bounds| row fan-out, no second pass."""
+    raw = _raw_metrics(spark, sf_dir)
+    slot = (F.col("ts") - F.pmod(F.col("ts"), F.lit(1_200_000))).alias("slot_ms")
+    bounds = spark.createDataFrame([(b,) for b in _HIST_BOUNDS], "le double")
+    return (
+        raw.select("tenant_id", "metric_name", slot, "value")
+        .crossJoin(F.broadcast(bounds))
+        .groupBy("tenant_id", "metric_name", "slot_ms", "le")
+        .agg(
+            F.sum(F.when(F.col("value") <= F.col("le"), 1).otherwise(0)).alias(
+                "cum_count"
+            ),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+    )
+
+
+_BF_HISTOGRAM_SQL = f"""
+WITH raw AS (
+  SELECT 't' || CAST(user_id % 4 AS VARCHAR) AS tenant_id,
+         'events.' || event_type || '.value' AS metric_name,
+         epoch_ms(ts) - epoch_ms(ts) % 1200000 AS slot_ms,
+         CAST(value AS DOUBLE) AS value
+  FROM events
+)
+SELECT tenant_id, metric_name, slot_ms, le,
+       sum(CASE WHEN value <= le THEN 1 ELSE 0 END) AS cum_count,
+       count(*) AS n_total
+FROM raw CROSS JOIN (SELECT unnest([{", ".join(str(b) for b in _HIST_BOUNDS)}]) AS le) b
+GROUP BY tenant_id, metric_name, slot_ms, le
+"""
+
+
 def llm_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-pair mining for contrastive training (operators/similarity.py
     contrastive_pairs): per anchor, the hardest same-label positive and
@@ -3160,6 +3207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_hybrid_rrf": llm_hybrid_rrf,
         "bf_rate_series": bf_rate_series,
         "bf_ewma_smooth": bf_ewma_smooth,
+        "bf_histogram_buckets": bf_histogram_buckets,
         "llm_lang_id": llm_lang_id,
         "llm_token_counts": llm_token_counts,
         "llm_quality_score": llm_quality_score,
@@ -3331,4 +3379,5 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bf_rate_series": _BF_RATE_SERIES_SQL,
         "bf_ewma_smooth": _BF_EWMA_SQL,
+        "bf_histogram_buckets": _BF_HISTOGRAM_SQL,
     }

@@ -130,3 +130,36 @@ def test_ewma_constant_series_is_identity():
     for _ in range(31):
         acc = 0.3 * 5.0 + 0.7 * acc
     assert acc == pytest.approx(5.0, rel=1e-12)
+
+
+def test_histogram_buckets_cumulative_and_consistent(spark):
+    rows = E.bf_histogram_buckets(spark, SF0001).collect()
+    by_slot: dict[tuple, list] = {}
+    for r in rows:
+        by_slot.setdefault((r["tenant_id"], r["metric_name"], r["slot_ms"]), []).append(r)
+    assert by_slot
+    for key, bucket_rows in by_slot.items():
+        bucket_rows.sort(key=lambda r: r["le"])
+        assert [r["le"] for r in bucket_rows] == E._HIST_BOUNDS  # all bounds present
+        counts = [r["cum_count"] for r in bucket_rows]
+        assert counts == sorted(counts)  # cumulative → monotone in le
+        totals = {r["n_total"] for r in bucket_rows}
+        assert len(totals) == 1  # same slot population for every bound
+        assert counts[-1] <= totals.pop()
+    # slot alignment: every slot on a 20m boundary
+    assert all(k[2] % 1_200_000 == 0 for k in by_slot)
+
+
+def test_histogram_counts_match_direct_filter(spark):
+    raw = E._raw_metrics(spark, SF0001).collect()
+    import collections
+
+    expect = collections.Counter()
+    for r in raw:
+        slot = r["ts"] - r["ts"] % 1_200_000
+        for le in E._HIST_BOUNDS:
+            if r["value"] <= le:
+                expect[(r["tenant_id"], r["metric_name"], slot, le)] += 1
+    for r in E.bf_histogram_buckets(spark, SF0001).collect():
+        k = (r["tenant_id"], r["metric_name"], r["slot_ms"], r["le"])
+        assert r["cum_count"] == expect.get(k, 0), k
