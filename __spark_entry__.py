@@ -2870,7 +2870,11 @@ def bf_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     One window shuffle on the series key; frame memory is 32 doubles."""
     from pyspark.sql.window import Window
 
-    raw = _raw_metrics(spark, sf_dir)
+    # NULL samples are excluded SYMMETRICALLY: Spark's collect_list
+    # silently drops NULLs from the frame while DuckDB's list() keeps
+    # them (poisoning the fold), so the only engine-identical contract
+    # is to smooth over non-null samples on both sides.
+    raw = _raw_metrics(spark, sf_dir).filter(F.col("value").isNotNull())
     w = (
         Window.partitionBy("tenant_id", "metric_name")
         .orderBy("ts", "user_id", "value")
@@ -2894,6 +2898,7 @@ WITH raw AS (
          'events.' || event_type || '.value' AS metric_name,
          epoch_ms(ts) AS ts, CAST(value AS DOUBLE) AS value, user_id
   FROM events
+  WHERE value IS NOT NULL
 ),
 trailed AS (
   SELECT tenant_id, metric_name, ts, user_id, value,

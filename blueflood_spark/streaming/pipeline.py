@@ -106,19 +106,22 @@ def start_ingest(
         valid, rejected = validate(batch, now_ms)
         valid = valid.cache()
         # foreachBatch is at-least-once: a replay re-runs with the SAME
-        # batch_id, so every sink is keyed by a batch_id partition and
-        # written in DYNAMIC overwrite mode — the replay rewrites its own
-        # partitions instead of appending duplicates (the same T7 recipe
-        # as write_with_events / tables.overwrite_windows). The discovery
-        # upsert is idempotent by construction: its left-anti join filters
-        # out locators a previous attempt already appended.
+        # batch_id but a LATER wall clock, and validation/delay routing
+        # are clock-dependent — a row can change sinks between attempts.
+        # Each sink therefore STATIC-overwrites its whole batch_id=N
+        # directory UNCONDITIONALLY (empty frames included): the replay
+        # rewrites every sink's view of the batch, so a row re-routed on
+        # retry cannot survive in its old sink (dynamic overwrite — or a
+        # skip-when-empty guard — would leave the first attempt's stale
+        # partitions in place). Last attempt wins, consistently across
+        # all three sinks. The discovery upsert is idempotent by
+        # construction: its left-anti join filters out locators a
+        # previous attempt already appended.
         (
             valid.withColumn("date", F.to_date(F.timestamp_millis(F.col("ts"))))
-            .withColumn("batch_id", F.lit(batch_id))
-            .write.partitionBy("batch_id", "date")
-            .option("partitionOverwriteMode", "dynamic")
+            .write.partitionBy("date")
             .mode("overwrite")
-            .parquet(raw_path)
+            .parquet(f"{raw_path}/batch_id={batch_id}")
         )
         delayed = valid.filter(F.col("ts") < F.lit(now_ms - ROLLUP_DELAY_MS))
         # record the affected 20m slot per delayed locator (S8: DELAYED_METRICS_REROLL_GRANULARITY)
@@ -129,20 +132,10 @@ def start_ingest(
                 R.window_start(F.col("ts"), G.MIN_20).alias("slot_window_start"),
             )
             .distinct()
-            .withColumn("batch_id", F.lit(batch_id))
-            .write.partitionBy("batch_id")
-            .option("partitionOverwriteMode", "dynamic")
-            .mode("overwrite")
-            .parquet(delayed_path)
+            .write.mode("overwrite")
+            .parquet(f"{delayed_path}/batch_id={batch_id}")
         )
-        if rejected.limit(1).count() > 0:
-            (
-                rejected.withColumn("batch_id", F.lit(batch_id))
-                .write.partitionBy("batch_id")
-                .option("partitionOverwriteMode", "dynamic")
-                .mode("overwrite")
-                .parquet(rejected_path)
-            )
+        rejected.write.mode("overwrite").parquet(f"{rejected_path}/batch_id={batch_id}")
         if catalog_path is not None:
             discovery_upsert(valid, catalog_path)
         valid.unpersist()

@@ -146,3 +146,32 @@ def test_points_zero_selects_last_like_reference(spark):
     from blueflood_spark.operators import granularity as G
 
     assert G.from_points_in_interval(0, 7_200_000, 0).name == "1440m"
+
+
+def test_get_view_full_resolution_preagg_family_is_loud(spark):
+    """A preagg-family metric whose budget selects FULL must raise (the
+    basic metrics_full table cannot serve it), never silently return an
+    empty series."""
+    import pytest as _pytest
+
+    from blueflood_spark.plans import query_api as QA
+
+    now = 1_700_000_000_000
+    frm, to = now - 3_600_000, now
+    raw = spark.createDataFrame(
+        [("t1", "m.req", frm + 60_000, 1.0)],
+        "tenant_id string, metric_name string, ts long, value double",
+    )
+    rollups = spark.createDataFrame(
+        [], "tenant_id string, metric_name string, resolution string,"
+            " window_start long, num_points long, avg double, var_pop double,"
+            " min double, max double, sum double",
+    )
+    params = QA.parse_params({"points": ["500"], "from": [str(frm)], "to": [str(to)]})
+    assert QA.select_granularity(params, now_ms=now).name == "full"
+    with _pytest.raises(QA.InvalidRequestError, match="preaggregated family 'timer'"):
+        QA.get_view(rollups, "t1", "m.req", params, rollup_type="timer",
+                    now_ms=now, raw=raw)
+    with _pytest.raises(QA.InvalidRequestError, match="preaggregated family 'counter'"):
+        QA.get_views_multi(rollups, "t1", ["m.req"], params, rollup_type="counter",
+                           now_ms=now, raw=raw)

@@ -192,3 +192,9 @@ def test_contrastive_pairs_corpus_not_shuffled(emb):
     # grouping); the corpus side reaches it via partial aggregation, so
     # exactly one hashpartitioning exchange may appear
     assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_label_centroids_partitioning_invariant(emb):
+    a = sorted(tuple(r) for r in SIM.label_centroids(emb).collect())
+    b = sorted(tuple(r) for r in SIM.label_centroids(emb.repartition(7)).collect())
+    assert a == b  # ordered-fold centroids: bit-identical across layouts

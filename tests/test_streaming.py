@@ -408,3 +408,33 @@ def test_session_stream_matches_batch_session_window(spark, tmp_path):
     assert got[(1, base)]["n_events"] == 4
     assert got[(2, base)]["n_events"] == 4
     assert got[(1, base + 80 * MIN)]["n_events"] == 2
+
+
+def test_ingest_replay_reclassification_leaves_no_stale_rows(spark, dirs):
+    """A replay of the same batch_id can classify rows DIFFERENTLY (the
+    validation clock moved between attempts). Every sink static-
+    overwrites its whole batch_id directory unconditionally, so a row
+    that switches sinks on retry must vanish from its old sink. Here the
+    drift is simulated by editing the input between two fresh-checkpoint
+    runs that both process batch_id=0 into the same sink paths."""
+    now = int(time.time() * 1000)
+    good = [sample("t1", "svc.drift", now - 60_000 - i * 1000, float(i)) for i in range(3)]
+    # attempt 1: one row invalid → lands in rejected
+    write_payload(f"{dirs['input']}/drift.json", good + [sample("t1", "", now, 9.0)])
+    P.start_ingest(
+        spark, dirs["input"], dirs["raw"], dirs["rejected"], dirs["delayed"],
+        f"{dirs['ckpt_ingest']}_a",
+    ).awaitTermination(120)
+    assert spark.read.parquet(dirs["rejected"]).count() == 1
+    # attempt 2 (same batch_id=0, same sinks): the row is now valid
+    write_payload(
+        f"{dirs['input']}/drift.json", good + [sample("t1", "svc.drift", now - 1000, 9.0)]
+    )
+    P.start_ingest(
+        spark, dirs["input"], dirs["raw"], dirs["rejected"], dirs["delayed"],
+        f"{dirs['ckpt_ingest']}_b",
+    ).awaitTermination(120)
+    raw = spark.read.parquet(dirs["raw"]).filter(F.col("metric_name") == "svc.drift")
+    assert raw.count() == 4  # 3 good + the re-classified row, once
+    # the stale rejected copy from attempt 1 was overwritten away
+    assert spark.read.parquet(dirs["rejected"]).count() == 0

@@ -34,7 +34,10 @@ BASE = "/tmp/bench_ingest"
 
 
 def gen(spark, n_rows: int, n_files: int = 32) -> str:
-    path = f"{BASE}/input"
+    # row-count-keyed path: the warm-up corpus must NOT overwrite the
+    # measurement corpus (a shared path silently re-pointed every run
+    # at the warm-up's 1k rows while throughput divided by n_rows)
+    path = f"{BASE}/input_{n_rows}"
     shutil.rmtree(path, ignore_errors=True)
     now_ms = int(time.time() * 1000)
     # deterministic payload: 200 tenants × 50 metrics, ts within the
@@ -58,7 +61,7 @@ def run_stream(spark, input_path: str, tag: str, max_files: int | None) -> float
     start = time.perf_counter()
     q = P.start_ingest(
         spark,
-        input_path if max_files is None else input_path,
+        input_path,
         raw_path=f"{out}/raw",
         rejected_path=f"{out}/rejected",
         delayed_path=f"{out}/delayed",

@@ -49,6 +49,10 @@ CASES = {
     "llm_semdedup": "SemDeDup: ONE shuffle on cluster_id into a grouped applyInPandas matmul kernel — pairs never materialize as rows (candidates = Σ|cluster|², never corpus²)",
     "llm_ann_ivfpq_topk": "IVF-PQ: probe→coded-list equi-join on list_id prunes candidates; ADC scores code columns only — raw embeddings never read past the encode",
     "llm_contrastive_pairs": "contrastive mining: anchors broadcast against one corpus scan; conditional struct-min aggregates partial-combine before the single q_id exchange",
+    "bf_rate_series": "per-sample rate: ONE window exchange on the series key; lag + reset-guard are pure codegen expressions",
+    "bf_ewma_smooth": "windowed EWMA: one series-key exchange; the 32-sample trailing frame bounds per-row state, fold runs in the projection",
+    "bf_histogram_buckets": "cumulative buckets: 7-row bounds broadcast fan-out, then one partial-summed exchange on (series, slot, le)",
+    "llm_hybrid_rrf": "RRF fusion: full outer join of two bounded top-50 lists + TakeOrderedAndProject — cost independent of corpus size",
 }
 
 
