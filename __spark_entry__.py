@@ -2979,6 +2979,25 @@ def llm_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivfpq_topk(emb, F.col("vec_id") < 5, k=10, n_lists=8, n_probe=2)
 
 
+def llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (operators/text.py dsir_weights,
+    arXiv:2302.03169): hashed unigram+bigram bag-of-words models over a
+    target slice (English docs) vs the whole corpus; per-doc log
+    importance weight = target log-likelihood − raw log-likelihood.
+    Two corpus passes, O(buckets) model state, broadcast ratio table.
+
+    The checked projection carries the two SAME-SIGN log-likelihood sums
+    and the selection bit, not their raw difference: `log_weight`
+    subtracts two ~1e3-magnitude sums, so reassociation noise in the
+    last ulps is amplified to ~1e-11 relative on near-zero weights —
+    the exact cancellation class the pooled-variance rule (NOTES) bans
+    from checked outputs. Consumers derive the weight from the sums."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.dsir_weights(docs, F.col("lang") == "en").select(
+        "doc_id", "n_feats", "target_ll", "raw_ll", "selected"
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.11 HTTP endpoints end-to-end (param parse → granularity select →
 # pruned scan → JSON shaping), driver-checked against DuckDB twins.
@@ -3213,6 +3232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bf_rate_series": bf_rate_series,
         "bf_ewma_smooth": bf_ewma_smooth,
         "bf_histogram_buckets": bf_histogram_buckets,
+        "llm_dsir_weights": llm_dsir_weights,
         "llm_lang_id": llm_lang_id,
         "llm_token_counts": llm_token_counts,
         "llm_quality_score": llm_quality_score,
@@ -3385,4 +3405,9 @@ def oracle_sql() -> dict[str, str]:
         "bf_rate_series": _BF_RATE_SERIES_SQL,
         "bf_ewma_smooth": _BF_EWMA_SQL,
         "bf_histogram_buckets": _BF_HISTOGRAM_SQL,
+        "llm_dsir_weights": (
+            "SELECT doc_id, n_feats, target_ll, raw_ll, selected FROM ("
+            + TX.dsir_weights_sql("lang = 'en'")
+            + ")"
+        ),
     }

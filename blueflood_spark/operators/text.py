@@ -1269,3 +1269,143 @@ SELECT doc_id, score,
        CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rank
 FROM top
 """
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_pred,
+    text_col: str = "text",
+    buckets: int = 512,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al., "Data Selection for
+    Language Models via Importance Resampling", arXiv:2302.03169):
+    represent each document as a bag of HASHED unigram+bigram features,
+    fit two Laplace-smoothed bag-of-words models — p over the TARGET
+    slice (`target_pred`, e.g. the domain you want more of) and q over
+    the whole corpus — and score each document by its log importance
+    weight  log w(x) = Σ_f n_f·(ln p_f − ln q_f).  Resampling by these
+    weights tilts a raw corpus toward the target domain; this operator
+    emits the weights plus the two per-doc log-likelihood sums so the
+    caller can threshold/sample however they like.
+
+    Engine-portability: feature hashing is md5-derived (md5_bucket — the
+    NOTES oracle-portability rule), and the two log-likelihood sums are
+    same-sign (every ln of a probability is negative) so their values
+    survive reassociation; `log_weight` is their difference and is only
+    near zero for documents equidistant from both models — ties feed no
+    ranking here (NOTES ln-ranking trap: weights are emitted as data,
+    ordered by doc_id).
+
+    Scale shape: one explode over tokens (map-side), two global
+    `buckets`-row count aggregations (map-side combinable, output is
+    O(buckets) ≪ data), the ratio table broadcast (≤ a few KB), then one
+    per-doc sum — no shuffle wider than the per-doc groupBy. At 100 TB
+    the feature stream dominates; it is scanned exactly twice (model fit
+    + scoring) and never joined against itself.
+    """
+    w_sql = f"split(lower({text_col}), ' ')"
+    words = F.split(F.lower(F.col(text_col)), " ")
+    # sequence(1, 0) would DESCEND in Spark (NOTES trap) — guard size<2.
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.expr(
+            f"transform(sequence(1, size({w_sql}) - 1),"
+            f" i -> concat(element_at({w_sql}, i), '_',"
+            f"             element_at({w_sql}, i + 1)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = docs.select(
+        "doc_id",
+        F.explode(F.concat(words, bigrams)).alias("f"),
+    ).select("doc_id", md5_bucket(F.col("f"), "dsir", buckets).alias("bucket"))
+
+    target_ids = docs.filter(target_pred).select("doc_id")
+    tgt = (
+        feats.join(F.broadcast(target_ids), "doc_id")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    raw = feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
+
+    spark = docs.sparkSession
+    spine = spark.range(buckets).select(F.col("id").alias("bucket"))
+    b = float(buckets)
+    ratio = (
+        spine.join(tgt, "bucket", "left")
+        .join(raw, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce(F.col("ct"), F.lit(0)).alias("ct"),
+            F.coalesce(F.col("cr"), F.lit(0)).alias("cr"),
+        )
+        .crossJoin(
+            F.broadcast(
+                feats.join(F.broadcast(target_ids), "doc_id")
+                .agg(F.count(F.lit(1)).alias("nt"))
+                .crossJoin(feats.agg(F.count(F.lit(1)).alias("nr")))
+            )
+        )
+        .select(
+            "bucket",
+            F.log((F.col("ct") + 1.0) / (F.col("nt") + F.lit(b))).alias("ln_p"),
+            F.log((F.col("cr") + 1.0) / (F.col("nr") + F.lit(b))).alias("ln_q"),
+        )
+    )
+    return (
+        feats.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("ln_p").alias("target_ll"),
+            F.sum("ln_q").alias("raw_ll"),
+        )
+        .select(
+            "doc_id",
+            "n_feats",
+            "target_ll",
+            "raw_ll",
+            (F.col("target_ll") - F.col("raw_ll")).alias("log_weight"),
+            (F.col("target_ll") > F.col("raw_ll")).alias("selected"),
+        )
+    )
+
+
+def dsir_weights_sql(target_pred_sql: str, buckets: int = 512) -> str:
+    bucket = md5_bucket_sql("f", "dsir", buckets)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+),
+feats AS (
+  SELECT doc_id, {bucket} AS bucket
+  FROM (
+    SELECT doc_id, unnest(list_concat(
+             w, list_transform(range(len(w) - 1), i -> w[i+1] || '_' || w[i+2])
+           )) AS f
+    FROM toks
+  )
+),
+target_ids AS (SELECT doc_id FROM documents WHERE {target_pred_sql}),
+tgt AS (
+  SELECT bucket, count(*) AS ct FROM feats JOIN target_ids USING (doc_id) GROUP BY 1
+),
+raw AS (SELECT bucket, count(*) AS cr FROM feats GROUP BY 1),
+totals AS (
+  SELECT (SELECT count(*) FROM feats JOIN target_ids USING (doc_id)) AS nt,
+         (SELECT count(*) FROM feats) AS nr
+),
+ratio AS (
+  SELECT s.bucket,
+         ln((coalesce(tgt.ct, 0) + 1.0) / (t.nt + {buckets}.0)) AS ln_p,
+         ln((coalesce(raw.cr, 0) + 1.0) / (t.nr + {buckets}.0)) AS ln_q
+  FROM (SELECT unnest(range({buckets})) AS bucket) s
+  LEFT JOIN tgt USING (bucket) LEFT JOIN raw USING (bucket)
+  CROSS JOIN totals t
+)
+SELECT doc_id, count(*) AS n_feats,
+       sum(ln_p) AS target_ll, sum(ln_q) AS raw_ll,
+       sum(ln_p) - sum(ln_q) AS log_weight,
+       sum(ln_p) > sum(ln_q) AS selected
+FROM feats JOIN ratio USING (bucket)
+GROUP BY doc_id
+"""

@@ -542,3 +542,30 @@ def test_chunk_windows_matches_python_reference(spark):
                     hashlib.md5(" ".join(piece).encode()).hexdigest(),
                 )
         assert got == want, (width, stride)
+
+
+def test_dsir_weights_tilt_toward_target(spark, docs):
+    """Target = English docs: every English doc must score a positive log
+    importance weight (its features dominate the target model) and every
+    non-English doc a negative one — the langs' vocabularies are
+    disjoint, so the tilt is unambiguous. n_feats = unigrams + bigrams =
+    2·n_words − 1 for multi-word docs."""
+    out = {r["doc_id"]: r for r in TX.dsir_weights(docs, F.col("lang") == "en").collect()}
+    assert len(out) == 6
+    for doc_id, r in out.items():
+        lang = "en" if doc_id in (0, 1, 2, 5) else "other"
+        assert r["selected"] == (lang == "en"), (doc_id, r)
+        assert (r["log_weight"] > 0) == (lang == "en")
+        # same-sign invariants: log-likelihood sums are sums of ln(p<1)
+        assert r["target_ll"] < 0 and r["raw_ll"] < 0
+        assert math.isclose(r["log_weight"], r["target_ll"] - r["raw_ll"], rel_tol=1e-9)
+    n_words = len("the quick brown fox jumps over the lazy dog".split())
+    assert out[0]["n_feats"] == 2 * n_words - 1
+
+
+def test_dsir_single_word_doc_has_no_bigrams(spark):
+    one = spark.createDataFrame([(0, "solo", "en"), (1, "a b", "en")],
+                                "doc_id long, text string, lang string")
+    out = {r["doc_id"]: r["n_feats"] for r in
+           TX.dsir_weights(one, F.col("lang") == "en").collect()}
+    assert out == {0: 1, 1: 3}  # no descending-sequence bigram blowup
