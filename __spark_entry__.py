@@ -2979,6 +2979,17 @@ def llm_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivfpq_topk(emb, F.col("vec_id") < 5, k=10, n_lists=8, n_probe=2)
 
 
+def llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of an incoming batch against the indexed corpus
+    (operators/dedup.py incremental_dedup): docs with doc_id % 10 = 7
+    play the new crawl; the rest are the reference corpus. Exact match
+    via md5 anti-identity, near match via minhash-LSH band candidates
+    verified by true shingle Jaccard — the corpus is only touched
+    through its band index and candidate shingle sets."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.incremental_dedup(docs, F.col("doc_id") % 10 == 7)
+
+
 def llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (operators/text.py dsir_weights,
     arXiv:2302.03169): hashed unigram+bigram bag-of-words models over a
@@ -3233,6 +3244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bf_ewma_smooth": bf_ewma_smooth,
         "bf_histogram_buckets": bf_histogram_buckets,
         "llm_dsir_weights": llm_dsir_weights,
+        "llm_incremental_dedup": llm_incremental_dedup,
         "llm_lang_id": llm_lang_id,
         "llm_token_counts": llm_token_counts,
         "llm_quality_score": llm_quality_score,
@@ -3410,4 +3422,5 @@ def oracle_sql() -> dict[str, str]:
             + TX.dsir_weights_sql("lang = 'en'")
             + ")"
         ),
+        "llm_incremental_dedup": D.incremental_dedup_sql("doc_id % 10 = 7"),
     }

@@ -715,3 +715,197 @@ SELECT t.doc_id, t.n_grams,
        (CAST(coalesce(o.n_contaminated, 0) AS DOUBLE) / t.n_grams >= {flag_threshold}) AS flagged
 FROM totals t LEFT JOIN overlap o ON t.doc_id = o.doc_id
 """
+
+
+def incremental_dedup(
+    docs: DataFrame,
+    incoming_pred,
+    text_col: str = "text",
+    num_perm: int = NUM_PERM,
+    bands: int = BANDS,
+    threshold: float = 0.12,
+) -> DataFrame:
+    """Incremental dedup of an INCOMING batch against an already-indexed
+    CORPUS — the workflow a 100 TB training pipeline actually runs day
+    to day: the corpus is deduped once, then every new crawl/delivery is
+    checked against it (never against itself — intra-batch dedup is
+    `exact_dedup`/`minhash_lsh_pairs`' job). `incoming_pred` splits the
+    unified table; rows failing it are the reference corpus.
+
+    Per incoming doc: `exact_dup` (md5(text) already in the corpus, with
+    the smallest matching corpus id), and `near_dup` (≥1 corpus doc with
+    true word-shingle Jaccard ≥ `threshold`, reached through minhash-LSH
+    band candidates — the corpus side is only ever touched via its band
+    index and its candidate shingle sets).
+
+    Scale shape (asymmetric by design): the corpus appears as (a) a
+    band-key index — in production a persisted signature table, here
+    derived in the same job — and (b) shingle sets for CANDIDATE ids
+    only (semi-join pruned before the verify join). Candidates are
+    banded equi-joins, never cross joins; all verification arithmetic is
+    integer counts and one exactly-rounded division, so the output is
+    engine-portable (NOTES discipline). Reference analogue: the
+    locator-cache "have we seen this" filter (cache/LocatorCache.java)
+    lifted to content identity.
+    """
+    inc_ids = docs.filter(incoming_pred).select("doc_id")
+    texts = docs.select("doc_id", F.md5(F.col(text_col)).alias("th"))
+    inc_h = texts.join(inc_ids, "doc_id")
+    corp_h = texts.join(inc_ids, "doc_id", "left_anti").select(
+        F.col("doc_id").alias("corpus_id"), "th"
+    )
+    exact = (
+        inc_h.join(corp_h, "th")
+        .groupBy("doc_id")
+        .agg(F.min("corpus_id").alias("exact_match_id"))
+    )
+
+    # band index over the whole table (one signature pass), split by side
+    rows = num_perm // bands
+    sig = minhash_signatures(docs, text_col, num_perm)
+    band_entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[F.col(f"mh_{b * rows + r}") for r in range(rows)]).alias("bk"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = (
+        sig.select("doc_id", F.explode(band_entries).alias("e"))
+        .select("doc_id", F.col("e.band").alias("band"), F.col("e.bk").alias("bk"))
+        .localCheckpoint(eager=False)  # signature subtree computed once
+    )
+    p = _join_parallelism(docs)
+    b_inc = banded.join(inc_ids, "doc_id").repartition(p, "band", "bk")
+    b_corp = (
+        banded.join(inc_ids, "doc_id", "left_anti")
+        .select(F.col("doc_id").alias("corpus_id"), "band", "bk")
+        .repartition(p, "band", "bk")
+    )
+    cands = (
+        b_inc.join(b_corp, ["band", "bk"]).select("doc_id", "corpus_id").distinct()
+    )
+
+    # verify candidates with exact shingle Jaccard; shingle sets pruned
+    # to candidate ids BEFORE the shingle equi-join
+    sh = docs.select(
+        "doc_id", F.explode(shingles_expr(text_col)).alias("shingle")
+    ).select("doc_id", F.xxhash64("shingle").alias("sh_key"))
+    sh = sh.localCheckpoint(eager=False)  # read for both sides + sizes
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    sh_inc = sh.join(cands.select("doc_id").distinct(), "doc_id")
+    sh_corp = sh.withColumnRenamed("doc_id", "corpus_id").join(
+        cands.select("corpus_id").distinct(), "corpus_id"
+    )
+    inter = (
+        sh_inc.join(sh_corp, "sh_key")
+        .groupBy("doc_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .join(cands, ["doc_id", "corpus_id"])  # candidate pairs only
+    )
+    sa = sizes.select(F.col("doc_id"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(
+        F.col("doc_id").alias("corpus_id"), F.col("n_shingles").alias("n_b")
+    )
+    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    near = (
+        inter.join(sa, "doc_id")
+        .join(sb, "corpus_id")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .groupBy("doc_id")
+        .agg(
+            F.min("corpus_id").alias("near_match_id"),
+            F.max("jaccard").alias("best_jaccard"),
+        )
+    )
+
+    return (
+        inc_ids.join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("exact_match_id").isNotNull().alias("exact_dup"),
+            "exact_match_id",
+            F.col("near_match_id").isNotNull().alias("near_dup"),
+            "near_match_id",
+            "best_jaccard",
+        )
+    )
+
+
+def incremental_dedup_sql(
+    incoming_pred_sql: str,
+    num_perm: int = NUM_PERM,
+    bands: int = BANDS,
+    threshold: float = 0.12,
+) -> str:
+    rows = num_perm // bands
+    mh_cols = _mh_sql_cols(num_perm)
+    band_cols = ",\n       ".join(
+        "md5("
+        + " || '_' || ".join(f"CAST(mh_{b * rows + r} AS VARCHAR)" for r in range(rows))
+        + f") AS band_{b}"
+        for b in range(bands)
+    )
+    cand_unions = "\nUNION\n".join(
+        f"SELECT i.doc_id, c.doc_id AS corpus_id FROM banded i "
+        f"JOIN banded c ON i.band_{b} = c.band_{b} "
+        f"AND i.doc_id IN (SELECT doc_id FROM inc_ids) "
+        f"AND c.doc_id NOT IN (SELECT doc_id FROM inc_ids)"
+        for b in range(bands)
+    )
+    return f"""
+WITH inc_ids AS (SELECT doc_id FROM documents WHERE {incoming_pred_sql}),
+texts AS (SELECT doc_id, md5(text) AS th FROM documents),
+exact AS (
+  SELECT i.doc_id, min(c.doc_id) AS exact_match_id
+  FROM texts i JOIN texts c ON i.th = c.th
+  WHERE i.doc_id IN (SELECT doc_id FROM inc_ids)
+    AND c.doc_id NOT IN (SELECT doc_id FROM inc_ids)
+  GROUP BY 1
+),
+sh AS ({_shingle_sql()}),
+sig AS (
+  SELECT doc_id,
+         {mh_cols}
+  FROM sh GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id,
+       {band_cols}
+  FROM sig
+),
+cands AS (
+{cand_unions}
+),
+shk AS (SELECT doc_id, hash(shingle) AS sh_key FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM shk GROUP BY 1),
+inter AS (
+  SELECT p.doc_id, p.corpus_id, count(*) AS inter
+  FROM cands p
+  JOIN shk a ON a.doc_id = p.doc_id
+  JOIN shk b ON b.doc_id = p.corpus_id AND b.sh_key = a.sh_key
+  GROUP BY 1, 2
+),
+near AS (
+  SELECT t.doc_id, min(t.corpus_id) AS near_match_id, max(t.jaccard) AS best_jaccard
+  FROM (
+    SELECT i.doc_id, i.corpus_id,
+           CAST(i.inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - i.inter) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_id
+    JOIN sizes sb ON sb.doc_id = i.corpus_id
+  ) t
+  WHERE t.jaccard >= {threshold}
+  GROUP BY 1
+)
+SELECT n.doc_id,
+       e.exact_match_id IS NOT NULL AS exact_dup, e.exact_match_id,
+       r.near_match_id IS NOT NULL AS near_dup, r.near_match_id, r.best_jaccard
+FROM inc_ids n
+LEFT JOIN exact e ON e.doc_id = n.doc_id
+LEFT JOIN near r ON r.doc_id = n.doc_id
+"""

@@ -569,3 +569,41 @@ def test_dsir_single_word_doc_has_no_bigrams(spark):
     out = {r["doc_id"]: r["n_feats"] for r in
            TX.dsir_weights(one, F.col("lang") == "en").collect()}
     assert out == {0: 1, 1: 3}  # no descending-sequence bigram blowup
+
+
+def test_incremental_dedup_against_corpus(spark):
+    """Corpus = ids 0-3; incoming = ids 100-103. 100 is an exact copy of
+    corpus doc 1, 101 a near-dup of corpus doc 0, 102 unrelated, 103 a
+    near-dup of ANOTHER INCOMING doc only (must NOT be flagged — the
+    operator checks against the corpus, never intra-batch)."""
+    # near-dup pair chosen so the deterministic minhash signatures
+    # collide in all 4 bands (verified offline: J = 0.889) — LSH recall
+    # at low Jaccard is probabilistic BY DESIGN, so the test pins a
+    # high-J pair rather than asserting on a coin flip
+    corpus_text = (
+        "the quick brown fox jumps over the lazy dog every day"
+        " in the green field near the old mill"
+    )
+    rows = [
+        (0, corpus_text),
+        (1, "metrics rollups aggregate time series data in five minute windows"),
+        (2, "completely unrelated corpus document about database engines"),
+        (3, "another filler corpus document with its own words entirely"),
+        (100, "metrics rollups aggregate time series data in five minute windows"),
+        (101, corpus_text.replace("old mill", "old barn")),
+        (102, "fresh new content that matches nothing else in the index"),
+        (103, "fresh new content that matches nothing else in the indexes"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in D.incremental_dedup(docs, F.col("doc_id") >= 100).collect()
+    }
+    assert set(out) == {100, 101, 102, 103}
+    assert out[100]["exact_dup"] and out[100]["exact_match_id"] == 1
+    assert out[101]["near_dup"] and out[101]["near_match_id"] == 0
+    assert not out[101]["exact_dup"]
+    assert not out[102]["exact_dup"] and not out[102]["near_dup"]
+    # 103 near-dups incoming doc 102, but intra-batch pairs are out of scope
+    assert not out[103]["exact_dup"] and not out[103]["near_dup"]
+    assert out[101]["best_jaccard"] > 0.12
