@@ -2960,6 +2960,180 @@ GROUP BY tenant_id, metric_name, slot_ms, le
 """
 
 
+def bf_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 visual downsampling (Jugel et al., VLDB 2014): per (series,
+    6h pixel bucket) the min, max, first and last values — the four
+    samples a pixel-perfect line plot actually needs, the canonical
+    answer to 'render a month of FULL-resolution data in one request'
+    (the reference's points-budget selector O3 picks a coarser rollup;
+    M4 keeps extremes the rollup's avg would flatten). First/last are
+    min/max over (ts, value) structs, so same-timestamp ties break by
+    value identically in both engines — no nondeterministic first().
+
+    Plan: single map-side-combinable groupBy — identical shuffle shape
+    to a basic rollup; 100 TB cost is one pass + one 4-double-per-pixel
+    output."""
+    raw = _raw_metrics(spark, sf_dir)
+    bucket = (F.col("ts") - F.pmod(F.col("ts"), F.lit(21_600_000))).alias("bucket_ms")
+    tv = F.struct(F.col("ts").alias("t"), F.col("value").alias("v"))
+    return (
+        raw.select("tenant_id", "metric_name", bucket, "value", tv.alias("tv"))
+        .groupBy("tenant_id", "metric_name", "bucket_ms")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+            F.min("tv").getField("v").alias("first_v"),
+            F.max("tv").getField("v").alias("last_v"),
+        )
+    )
+
+
+_BF_M4_SQL = """
+WITH raw AS (
+  SELECT 't' || CAST(user_id % 4 AS VARCHAR) AS tenant_id,
+         'events.' || event_type || '.value' AS metric_name,
+         epoch_ms(ts) AS ts, CAST(value AS DOUBLE) AS value
+  FROM events
+)
+SELECT tenant_id, metric_name,
+       ts - ts % 21600000 AS bucket_ms,
+       count(*) AS n,
+       min(value) AS min_v, max(value) AS max_v,
+       min(struct_pack(t := ts, v := value)).v AS first_v,
+       max(struct_pack(t := ts, v := value)).v AS last_v
+FROM raw
+GROUP BY 1, 2, 3
+"""
+
+
+_MOVERS_SPLIT_MS = 1705276800000  # 2024-01-15T00:00:00Z
+
+
+def bf_topk_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k moving series: for every series, the mean over the recent
+    half of the range vs the mean over the prior half, ranked by
+    absolute change — the 'what changed most since last week' dashboard
+    query. Sums and counts are emitted alongside the derived means so
+    the mover magnitude is auditable; ranking ties break on the series
+    key (deterministic across engines).
+
+    Plan: one conditional-aggregation pass (no self-join of the two
+    halves), then a k-row TakeOrderedAndProject — at 100 TB this is a
+    scan + one shuffle on the series key + a top-k heap."""
+    raw = _raw_metrics(spark, sf_dir)
+    recent = F.col("ts") >= F.lit(_MOVERS_SPLIT_MS)
+    agg = (
+        raw.groupBy("tenant_id", "metric_name")
+        .agg(
+            F.sum(F.when(recent, F.col("value"))).alias("sum_recent"),
+            F.count(F.when(recent, F.lit(1))).alias("n_recent"),
+            F.sum(F.when(~recent, F.col("value"))).alias("sum_prior"),
+            F.count(F.when(~recent, F.lit(1))).alias("n_prior"),
+        )
+        .filter((F.col("n_recent") > 0) & (F.col("n_prior") > 0))
+        .withColumn("avg_recent", F.col("sum_recent") / F.col("n_recent"))
+        .withColumn("avg_prior", F.col("sum_prior") / F.col("n_prior"))
+    )
+    return (
+        agg.orderBy(
+            F.abs(F.col("avg_recent") - F.col("avg_prior")).desc(),
+            "tenant_id",
+            "metric_name",
+        )
+        .limit(10)
+        .select(
+            "tenant_id", "metric_name",
+            "n_recent", "n_prior",
+            "sum_recent", "sum_prior",
+            "avg_recent", "avg_prior",
+        )
+    )
+
+
+_BF_MOVERS_SQL = f"""
+WITH raw AS (
+  SELECT 't' || CAST(user_id % 4 AS VARCHAR) AS tenant_id,
+         'events.' || event_type || '.value' AS metric_name,
+         epoch_ms(ts) AS ts, CAST(value AS DOUBLE) AS value
+  FROM events
+),
+agg AS (
+  SELECT tenant_id, metric_name,
+         sum(CASE WHEN ts >= {_MOVERS_SPLIT_MS} THEN value END) AS sum_recent,
+         count(CASE WHEN ts >= {_MOVERS_SPLIT_MS} THEN 1 END) AS n_recent,
+         sum(CASE WHEN ts < {_MOVERS_SPLIT_MS} THEN value END) AS sum_prior,
+         count(CASE WHEN ts < {_MOVERS_SPLIT_MS} THEN 1 END) AS n_prior
+  FROM raw GROUP BY 1, 2
+)
+SELECT tenant_id, metric_name, n_recent, n_prior,
+       sum_recent, sum_prior,
+       sum_recent / n_recent AS avg_recent,
+       sum_prior / n_prior AS avg_prior
+FROM agg
+WHERE n_recent > 0 AND n_prior > 0
+ORDER BY abs(sum_recent / n_recent - sum_prior / n_prior) DESC, tenant_id, metric_name
+LIMIT 10
+"""
+
+
+def bf_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal baseline per series: the per-hour mean over
+    the whole range next to the series' overall mean — the profile an
+    alerting layer compares 'now' against instead of a flat threshold
+    (time-of-day seasonality is the first thing a naive z-score trips
+    over). Hour is pure epoch arithmetic (ts % 86400000) DIV 3600000 —
+    no calendar/tz dependence, identical in both engines. The two means
+    are emitted side by side, not subtracted: a deviation column would
+    difference two close floats (the DSIR/pooled-variance cancellation
+    class); consumers compare or subtract at THEIR precision.
+
+    Plan: one groupBy on (series, hour) + a 24-row-per-series window
+    sum for the overall mean — both map-side combinable; no second
+    scan of the raw data."""
+    from pyspark.sql.window import Window
+
+    raw = _raw_metrics(spark, sf_dir)
+    # integer DIV on both sides: DuckDB's `/` floats and CAST ROUNDS,
+    # Spark's cast TRUNCATES — only `DIV` / `//` agree
+    hour = F.expr("CAST((ts % 86400000) DIV 3600000 AS INT)")
+    per_hour = (
+        raw.select("tenant_id", "metric_name", hour.alias("hour_utc"), "value")
+        .groupBy("tenant_id", "metric_name", "hour_utc")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_v"))
+    )
+    w = Window.partitionBy("tenant_id", "metric_name")
+    return per_hour.select(
+        "tenant_id",
+        "metric_name",
+        "hour_utc",
+        "n",
+        (F.col("sum_v") / F.col("n")).alias("hour_avg"),
+        (F.sum("sum_v").over(w) / F.sum("n").over(w)).alias("series_avg"),
+    )
+
+
+_BF_SEASONAL_SQL = """
+WITH raw AS (
+  SELECT 't' || CAST(user_id % 4 AS VARCHAR) AS tenant_id,
+         'events.' || event_type || '.value' AS metric_name,
+         epoch_ms(ts) AS ts, CAST(value AS DOUBLE) AS value
+  FROM events
+),
+per_hour AS (
+  SELECT tenant_id, metric_name,
+         CAST((ts % 86400000) // 3600000 AS INTEGER) AS hour_utc,
+         count(*) AS n, sum(value) AS sum_v
+  FROM raw GROUP BY 1, 2, 3
+)
+SELECT tenant_id, metric_name, hour_utc, n,
+       sum_v / n AS hour_avg,
+       sum(sum_v) OVER (PARTITION BY tenant_id, metric_name)
+         / sum(n) OVER (PARTITION BY tenant_id, metric_name) AS series_avg
+FROM per_hour
+"""
+
+
 def llm_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-pair mining for contrastive training (operators/similarity.py
     contrastive_pairs): per anchor, the hardest same-label positive and
@@ -3243,6 +3417,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bf_rate_series": bf_rate_series,
         "bf_ewma_smooth": bf_ewma_smooth,
         "bf_histogram_buckets": bf_histogram_buckets,
+        "bf_m4_downsample": bf_m4_downsample,
+        "bf_topk_movers": bf_topk_movers,
+        "bf_seasonal_baseline": bf_seasonal_baseline,
         "llm_dsir_weights": llm_dsir_weights,
         "llm_incremental_dedup": llm_incremental_dedup,
         "llm_lang_id": llm_lang_id,
@@ -3417,6 +3594,9 @@ def oracle_sql() -> dict[str, str]:
         "bf_rate_series": _BF_RATE_SERIES_SQL,
         "bf_ewma_smooth": _BF_EWMA_SQL,
         "bf_histogram_buckets": _BF_HISTOGRAM_SQL,
+        "bf_m4_downsample": _BF_M4_SQL,
+        "bf_topk_movers": _BF_MOVERS_SQL,
+        "bf_seasonal_baseline": _BF_SEASONAL_SQL,
         "llm_dsir_weights": (
             "SELECT doc_id, n_feats, target_ll, raw_ll, selected FROM ("
             + TX.dsir_weights_sql("lang = 'en'")

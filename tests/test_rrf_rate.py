@@ -163,3 +163,58 @@ def test_histogram_counts_match_direct_filter(spark):
     for r in E.bf_histogram_buckets(spark, SF0001).collect():
         k = (r["tenant_id"], r["metric_name"], r["slot_ms"], r["le"])
         assert r["cum_count"] == expect.get(k, 0), k
+
+
+def test_m4_downsample_reference(spark):
+    """M4 on a hand-built series: first/last come from (ts, value)
+    struct ordering, so same-timestamp ties resolve by VALUE — pinned
+    here because that tie rule is what makes the operator
+    engine-deterministic."""
+    out = {
+        (r["tenant_id"], r["metric_name"], r["bucket_ms"]): r
+        for r in E.bf_m4_downsample(spark, SF0001).collect()
+    }
+    # recompute one bucket from the raw frame
+    raw = E._raw_metrics(spark, SF0001).collect()
+    from collections import defaultdict
+
+    buckets = defaultdict(list)
+    for r in raw:
+        buckets[(r["tenant_id"], r["metric_name"], r["ts"] - r["ts"] % 21_600_000)].append(
+            (r["ts"], r["value"])
+        )
+    assert len(out) == len(buckets)
+    for key, pts in list(buckets.items())[:25]:
+        got = out[key]
+        vals = [v for _, v in pts]
+        assert got["n"] == len(pts)
+        assert got["min_v"] == min(vals) and got["max_v"] == max(vals)
+        assert got["first_v"] == min(pts)[1]  # lexicographic (ts, value)
+        assert got["last_v"] == max(pts)[1]
+
+
+def test_topk_movers_ranks_by_abs_change(spark):
+    rows = E.bf_topk_movers(spark, SF0001).collect()
+    assert 0 < len(rows) <= 10
+    deltas = [abs(r["avg_recent"] - r["avg_prior"]) for r in rows]
+    assert deltas == sorted(deltas, reverse=True)
+    for r in rows:
+        assert r["n_recent"] > 0 and r["n_prior"] > 0
+        assert r["avg_recent"] == pytest.approx(r["sum_recent"] / r["n_recent"])
+
+
+def test_seasonal_baseline_weighted_mean_identity(spark):
+    """series_avg must equal the n-weighted mean of the 24 hour_avgs —
+    the exact-sums discipline (derive means at output, merge sums)."""
+    rows = E.bf_seasonal_baseline(spark, SF0001).collect()
+    from collections import defaultdict
+
+    by_series = defaultdict(list)
+    for r in rows:
+        assert 0 <= r["hour_utc"] <= 23
+        by_series[(r["tenant_id"], r["metric_name"])].append(r)
+    for series, hrs in by_series.items():
+        total_n = sum(r["n"] for r in hrs)
+        weighted = sum(r["hour_avg"] * r["n"] for r in hrs) / total_n
+        for r in hrs:
+            assert r["series_avg"] == pytest.approx(weighted, rel=1e-9)
