@@ -2006,6 +2006,44 @@ def ev_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return EV.top_paths(ev, depth=3, k=20)
 
 
+def ev_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload extraction: parse the events' JSON `props`
+    column at query time and aggregate the extracted field per event
+    type — the reference stores an opaque `data` payload on events
+    (types/Event.java:27-50) and this is how a Spark engine serves
+    schema-on-read questions about it without an ingest-time schema
+    change. get_json_object stays JVM-side (Jackson under codegen);
+    one map-side-combinable aggregation."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("k").alias("n_with_k"),
+            F.countDistinct("k").alias("n_distinct_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+_EV_PROPS_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       count(k) AS n_with_k,
+       count(DISTINCT k) AS n_distinct_k,
+       sum(k) AS sum_k, min(k) AS min_k, max(k) AS max_k
+FROM (
+  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+GROUP BY event_type
+"""
+
+
 def llm_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates: shingle → 16-perm signature →
     4-band bucket self-join (operators/dedup.py)."""
@@ -3134,6 +3172,72 @@ FROM per_hour
 """
 
 
+def bf_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series winsorization: clip every sample to its series' exact
+    interpolated [p01, p99] — the standard outlier guard applied before
+    feeding series to baselines/forecasts (a single spike otherwise owns
+    the mean the alert compares against). Exact `percentile`
+    interpolation is bit-identical to DuckDB's quantile_cont (NOTES,
+    verified on the length-profile operator), so the clip decisions and
+    clipped values are engine-deterministic.
+
+    Plan: one per-series percentile agg (the only wide state is the
+    per-series sorted sample — Spark's percentile is a partial-merge
+    aggregate), then the tiny per-series bounds relation joins back
+    WITHOUT a broadcast hint: series-count ≪ samples at any SF, AQE
+    promotes the build side at bench scale and a billion-series tenant
+    still shuffles safely."""
+    raw = _raw_metrics(spark, sf_dir)
+    bounds = (
+        raw.groupBy("tenant_id", "metric_name")
+        .agg(F.expr("percentile(value, array(0.01D, 0.99D))").alias("p"))
+        .select(
+            "tenant_id",
+            "metric_name",
+            F.col("p")[0].alias("p01"),
+            F.col("p")[1].alias("p99"),
+        )
+    )
+    return (
+        raw.join(bounds, ["tenant_id", "metric_name"])
+        .select(
+            "tenant_id",
+            "metric_name",
+            "ts",
+            "user_id",
+            "value",
+            "p01",
+            "p99",
+            F.greatest(F.col("p01"), F.least(F.col("p99"), F.col("value"))).alias(
+                "clipped"
+            ),
+            ((F.col("value") < F.col("p01")) | (F.col("value") > F.col("p99"))).alias(
+                "was_clipped"
+            ),
+        )
+    )
+
+
+_BF_WINSORIZE_SQL = """
+WITH raw AS (
+  SELECT 't' || CAST(user_id % 4 AS VARCHAR) AS tenant_id,
+         'events.' || event_type || '.value' AS metric_name,
+         epoch_ms(ts) AS ts, CAST(value AS DOUBLE) AS value, user_id
+  FROM events
+),
+bounds AS (
+  SELECT tenant_id, metric_name,
+         quantile_cont(value, 0.01) AS p01,
+         quantile_cont(value, 0.99) AS p99
+  FROM raw GROUP BY 1, 2
+)
+SELECT r.tenant_id, r.metric_name, r.ts, r.user_id, r.value, b.p01, b.p99,
+       greatest(b.p01, least(b.p99, r.value)) AS clipped,
+       (r.value < b.p01 OR r.value > b.p99) AS was_clipped
+FROM raw r JOIN bounds b USING (tenant_id, metric_name)
+"""
+
+
 def llm_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-pair mining for contrastive training (operators/similarity.py
     contrastive_pairs): per anchor, the hardest same-label positive and
@@ -3420,6 +3524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bf_m4_downsample": bf_m4_downsample,
         "bf_topk_movers": bf_topk_movers,
         "bf_seasonal_baseline": bf_seasonal_baseline,
+        "bf_winsorize": bf_winsorize,
         "llm_dsir_weights": llm_dsir_weights,
         "llm_incremental_dedup": llm_incremental_dedup,
         "llm_lang_id": llm_lang_id,
@@ -3468,6 +3573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_funnel_3step": ev_funnel_3step,
         "ev_funnel_conversion": ev_funnel_conversion,
         "ev_top_paths": ev_top_paths,
+        "ev_props_extract": ev_props_extract,
         "llm_dedup_exact": llm_dedup_exact,
         "llm_text_stats": llm_text_stats,
         "llm_doc_fingerprint": llm_doc_fingerprint,
@@ -3530,6 +3636,7 @@ def oracle_sql() -> dict[str, str]:
         "ev_retention_cohorts": _EV_RETENTION_SQL,
         "ev_funnel_conversion": _EV_FUNNEL_CONV_SQL,
         "ev_top_paths": _EV_TOP_PATHS_SQL,
+        "ev_props_extract": _EV_PROPS_SQL,
         "llm_dedup_exact": _LLM_DEDUP_EXACT_SQL,
         "llm_text_stats": _LLM_TEXT_STATS_SQL,
         "llm_doc_fingerprint": _LLM_FINGERPRINT_SQL,
@@ -3597,6 +3704,7 @@ def oracle_sql() -> dict[str, str]:
         "bf_m4_downsample": _BF_M4_SQL,
         "bf_topk_movers": _BF_MOVERS_SQL,
         "bf_seasonal_baseline": _BF_SEASONAL_SQL,
+        "bf_winsorize": _BF_WINSORIZE_SQL,
         "llm_dsir_weights": (
             "SELECT doc_id, n_feats, target_ll, raw_ll, selected FROM ("
             + TX.dsir_weights_sql("lang = 'en'")

@@ -218,3 +218,38 @@ def test_seasonal_baseline_weighted_mean_identity(spark):
         weighted = sum(r["hour_avg"] * r["n"] for r in hrs) / total_n
         for r in hrs:
             assert r["series_avg"] == pytest.approx(weighted, rel=1e-9)
+
+
+def test_ev_props_extract_counts(spark):
+    rows = {r["event_type"]: r for r in E.ev_props_extract(spark, SF0001).collect()}
+    ev = E._t(spark, SF0001, "events").collect()
+    import json
+    from collections import defaultdict
+
+    want = defaultdict(list)
+    for r in ev:
+        want[r["event_type"]].append(json.loads(r["props"]).get("k"))
+    assert set(rows) == set(want)
+    for et, ks in want.items():
+        present = [k for k in ks if k is not None]
+        assert rows[et]["n_events"] == len(ks)
+        assert rows[et]["n_with_k"] == len(present)
+        assert rows[et]["sum_k"] == sum(present)
+        assert rows[et]["n_distinct_k"] == len(set(present))
+
+
+def test_winsorize_clips_to_series_percentiles(spark):
+    rows = E.bf_winsorize(spark, SF0001).collect()
+    assert rows
+    n_clipped = 0
+    for r in rows:
+        assert r["p01"] <= r["p99"]
+        assert r["p01"] <= r["clipped"] <= r["p99"]
+        if r["was_clipped"]:
+            n_clipped += 1
+            assert r["value"] < r["p01"] or r["value"] > r["p99"]
+            assert r["clipped"] in (r["p01"], r["p99"])
+        else:
+            assert r["clipped"] == r["value"]
+    # ~2% of samples sit outside [p01, p99] by construction
+    assert 0 < n_clipped < 0.1 * len(rows)
