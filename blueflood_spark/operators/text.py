@@ -1314,37 +1314,33 @@ def dsir_weights(
             f"             element_at({w_sql}, i + 1)))"
         ),
     ).otherwise(F.array().cast("array<string>"))
+    # the target flag is evaluated on the doc row BEFORE the explode —
+    # no id join anywhere; the feature stream carries a boolean
     feats = docs.select(
         "doc_id",
+        target_pred.alias("is_t"),
         F.explode(F.concat(words, bigrams)).alias("f"),
-    ).select("doc_id", md5_bucket(F.col("f"), "dsir", buckets).alias("bucket"))
+    ).select("doc_id", "is_t", md5_bucket(F.col("f"), "dsir", buckets).alias("bucket"))
 
-    target_ids = docs.filter(target_pred).select("doc_id")
-    tgt = (
-        feats.join(F.broadcast(target_ids), "doc_id")
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("ct"))
-    )
-    raw = feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
+    # both models from ONE conditional-count pass; totals derive from the
+    # buckets-row counts table (a second full scan would be pure waste)
+    counts = feats.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("ct"),
+        F.count(F.lit(1)).alias("cr"),
+    ).localCheckpoint(eager=False)  # consumed twice (ratio + totals): one corpus pass, not two
+    totals = counts.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr"))
 
     spark = docs.sparkSession
     spine = spark.range(buckets).select(F.col("id").alias("bucket"))
     b = float(buckets)
     ratio = (
-        spine.join(tgt, "bucket", "left")
-        .join(raw, "bucket", "left")
+        spine.join(counts, "bucket", "left")
         .select(
             "bucket",
             F.coalesce(F.col("ct"), F.lit(0)).alias("ct"),
             F.coalesce(F.col("cr"), F.lit(0)).alias("cr"),
         )
-        .crossJoin(
-            F.broadcast(
-                feats.join(F.broadcast(target_ids), "doc_id")
-                .agg(F.count(F.lit(1)).alias("nt"))
-                .crossJoin(feats.agg(F.count(F.lit(1)).alias("nr")))
-            )
-        )
+        .crossJoin(F.broadcast(totals))
         .select(
             "bucket",
             F.log((F.col("ct") + 1.0) / (F.col("nt") + F.lit(b))).alias("ln_p"),
@@ -1374,32 +1370,31 @@ def dsir_weights_sql(target_pred_sql: str, buckets: int = 512) -> str:
     bucket = md5_bucket_sql("f", "dsir", buckets)
     return f"""
 WITH toks AS (
-  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+  SELECT doc_id, ({target_pred_sql}) AS is_t, string_split(lower(text), ' ') AS w
+  FROM documents
 ),
 feats AS (
-  SELECT doc_id, {bucket} AS bucket
+  SELECT doc_id, is_t, {bucket} AS bucket
   FROM (
-    SELECT doc_id, unnest(list_concat(
+    SELECT doc_id, is_t, unnest(list_concat(
              w, list_transform(range(len(w) - 1), i -> w[i+1] || '_' || w[i+2])
            )) AS f
     FROM toks
   )
 ),
-target_ids AS (SELECT doc_id FROM documents WHERE {target_pred_sql}),
-tgt AS (
-  SELECT bucket, count(*) AS ct FROM feats JOIN target_ids USING (doc_id) GROUP BY 1
+counts AS (
+  SELECT bucket,
+         sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+         count(*) AS cr
+  FROM feats GROUP BY 1
 ),
-raw AS (SELECT bucket, count(*) AS cr FROM feats GROUP BY 1),
-totals AS (
-  SELECT (SELECT count(*) FROM feats JOIN target_ids USING (doc_id)) AS nt,
-         (SELECT count(*) FROM feats) AS nr
-),
+totals AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM counts),
 ratio AS (
   SELECT s.bucket,
-         ln((coalesce(tgt.ct, 0) + 1.0) / (t.nt + {buckets}.0)) AS ln_p,
-         ln((coalesce(raw.cr, 0) + 1.0) / (t.nr + {buckets}.0)) AS ln_q
+         ln((coalesce(c.ct, 0) + 1.0) / (t.nt + {buckets}.0)) AS ln_p,
+         ln((coalesce(c.cr, 0) + 1.0) / (t.nr + {buckets}.0)) AS ln_q
   FROM (SELECT unnest(range({buckets})) AS bucket) s
-  LEFT JOIN tgt USING (bucket) LEFT JOIN raw USING (bucket)
+  LEFT JOIN counts c USING (bucket)
   CROSS JOIN totals t
 )
 SELECT doc_id, count(*) AS n_feats,

@@ -53,6 +53,11 @@ CASES = {
     "bf_ewma_smooth": "windowed EWMA: one series-key exchange; the 32-sample trailing frame bounds per-row state, fold runs in the projection",
     "bf_histogram_buckets": "cumulative buckets: 7-row bounds broadcast fan-out, then one partial-summed exchange on (series, slot, le)",
     "llm_hybrid_rrf": "RRF fusion: full outer join of two bounded top-50 lists + TakeOrderedAndProject — cost independent of corpus size",
+    "llm_dsir_weights": "DSIR: feature stream scanned for two O(buckets) count aggs, 512-row ratio table broadcast back — corpus never self-joins",
+    "llm_incremental_dedup": "incremental dedup: incoming batch vs corpus BAND INDEX equi-joins; shingle verify sets candidate-pruned by semi-joins before the sh_key join",
+    "bf_m4_downsample": "M4 pixel downsample: one map-side-combinable groupBy — same shuffle shape as a basic rollup, 4 doubles per pixel out",
+    "bf_topk_movers": "recent-vs-prior movers: ONE conditional-agg pass (no self-join of the halves) + TakeOrderedAndProject",
+    "bf_winsorize": "winsorize: per-series percentile agg + bounds joined back with NO forced broadcast (AQE promotes at bench scale)",
 }
 
 
