@@ -3268,6 +3268,15 @@ def llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.incremental_dedup(docs, F.col("doc_id") % 10 == 7)
 
 
+def llm_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (operators/text.py cdc_chunks): chunk
+    boundaries from per-token md5 buckets, so edits shift only the
+    chunks they touch — the sub-document dedup key fixed-width chunking
+    cannot provide. One window exchange on the doc key."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.cdc_chunks(docs)
+
+
 def llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (operators/text.py dsir_weights,
     arXiv:2302.03169): hashed unigram+bigram bag-of-words models over a
@@ -3527,6 +3536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bf_winsorize": bf_winsorize,
         "llm_dsir_weights": llm_dsir_weights,
         "llm_incremental_dedup": llm_incremental_dedup,
+        "llm_cdc_chunks": llm_cdc_chunks,
         "llm_lang_id": llm_lang_id,
         "llm_token_counts": llm_token_counts,
         "llm_quality_score": llm_quality_score,
@@ -3711,4 +3721,5 @@ def oracle_sql() -> dict[str, str]:
             + ")"
         ),
         "llm_incremental_dedup": D.incremental_dedup_sql("doc_id % 10 = 7"),
+        "llm_cdc_chunks": TX.cdc_chunks_sql(),
     }

@@ -1404,3 +1404,99 @@ SELECT doc_id, count(*) AS n_feats,
 FROM feats JOIN ratio USING (bucket)
 GROUP BY doc_id
 """
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    text_col: str = "text",
+    divisor: int = 32,
+) -> DataFrame:
+    """Content-defined chunking: a chunk boundary falls AFTER token i
+    whenever md5(token_i) lands in bucket 0 of `divisor` — so boundaries
+    are decided by content alone, and inserting or deleting text shifts
+    only the chunks it touches (fixed-width chunking reflows everything
+    downstream — the reason dedup-friendly storage and diff transfer use
+    CDC). Expected chunk length = `divisor` tokens. This is the
+    single-token threshold member of the CDC family (rsync/LBFS
+    lineage); a windowed gear hash changes the boundary test, not the
+    dataflow.
+
+    Per chunk: (doc_id, chunk_idx, start_pos, n_tokens, chunk_md5) with
+    chunk_md5 over the space-joined token slice — sub-document dedup
+    keys robust to edits.
+
+    Scale shape: boundary flags are map-side array math; the running
+    boundary count is ONE window exchange partitioned by doc (bounded
+    frames, parallel across docs); chunk text is recovered by slicing
+    the doc's own token array after a doc-key join — token order never
+    depends on aggregation order (no collect_list), so the digest is
+    engine-deterministic."""
+    toks = F.split(F.col(text_col), " ")
+    from pyspark.sql.window import Window
+
+    flags = docs.select(
+        "doc_id",
+        F.posexplode(toks).alias("pos", "tok"),
+    ).select(
+        "doc_id",
+        "pos",
+        (md5_bucket(F.col("tok"), "cdc", divisor) == 0).cast("int").alias("is_boundary"),
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunk_of = F.coalesce(F.sum("is_boundary").over(w_prev), F.lit(0))
+    spans = (
+        flags.withColumn("chunk_idx", chunk_of)
+        .groupBy("doc_id", "chunk_idx")
+        .agg(
+            F.min("pos").alias("start0"),  # 0-based
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+    return (
+        spans.join(docs.select("doc_id", toks.alias("toks")), "doc_id")
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            (F.col("start0") + 1).cast("int").alias("start_pos"),  # 1-based out
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            F.md5(
+                F.concat_ws(
+                    " ", F.slice(F.col("toks"), F.col("start0") + 1, F.col("n_tokens"))
+                )
+            ).alias("chunk_md5"),
+        )
+    )
+
+
+def cdc_chunks_sql(divisor: int = 32) -> str:
+    bucket = md5_bucket_sql("tok", "cdc", divisor)
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+flags AS (
+  SELECT doc_id, pos, CASE WHEN {bucket} = 0 THEN 1 ELSE 0 END AS is_boundary
+  FROM (
+    SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos, unnest(toks) AS tok
+    FROM toks
+  )
+),
+numbered AS (
+  SELECT doc_id, pos,
+         coalesce(sum(is_boundary) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+  FROM flags
+),
+spans AS (
+  SELECT doc_id, chunk_idx, min(pos) AS start0, count(*) AS n_tokens
+  FROM numbered GROUP BY 1, 2
+)
+SELECT s.doc_id,
+       CAST(s.chunk_idx AS INTEGER) AS chunk_idx,
+       CAST(s.start0 + 1 AS INTEGER) AS start_pos,
+       CAST(s.n_tokens AS INTEGER) AS n_tokens,
+       md5(array_to_string(t.toks[s.start0 + 1 : s.start0 + s.n_tokens], ' ')) AS chunk_md5
+FROM spans s JOIN toks t USING (doc_id)
+"""

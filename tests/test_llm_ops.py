@@ -607,3 +607,33 @@ def test_incremental_dedup_against_corpus(spark):
     # 103 near-dups incoming doc 102, but intra-batch pairs are out of scope
     assert not out[103]["exact_dup"] and not out[103]["near_dup"]
     assert out[101]["best_jaccard"] > 0.12
+
+
+def test_cdc_chunks_edit_locality(spark):
+    """The CDC property: appending text to a document must leave every
+    earlier chunk's digest unchanged (fixed-width chunking would reflow
+    them), and chunks must partition the token stream exactly."""
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lamda mu nu xi omicron pi rho sigma tau upsilon "
+            "phi chi psi omega one two three four five six") * 3
+    edited = base + " appended tail words here"
+    docs = spark.createDataFrame(
+        [(0, base), (1, edited)], "doc_id long, text string"
+    )
+    out = TX.cdc_chunks(docs).collect()
+    by_doc = {0: [], 1: []}
+    for r in out:
+        by_doc[r["doc_id"]].append(r)
+    for d, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        n_words = len((base if d == 0 else edited).split(" "))
+        # chunks tile the doc: contiguous, no gaps/overlap
+        pos = 1
+        for c in chunks:
+            assert c["start_pos"] == pos
+            pos += c["n_tokens"]
+        assert pos - 1 == n_words
+    # every chunk of the base doc except possibly the last survives the edit
+    base_digests = [c["chunk_md5"] for c in by_doc[0]]
+    edit_digests = [c["chunk_md5"] for c in by_doc[1]]
+    assert edit_digests[: len(base_digests) - 1] == base_digests[:-1]
