@@ -2998,6 +2998,106 @@ GROUP BY tenant_id, metric_name, slot_ms, le
 """
 
 
+_HQ_Q = 0.95
+
+
+def bf_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """histogram_quantile(0.95) over the cumulative buckets — the
+    consumer bf_histogram_buckets exists FOR: per (series, 20m slot),
+    find the first bound whose cumulative count reaches q·n and linearly
+    interpolate inside that bucket (0 as the first bucket's lower edge;
+    the highest finite bound when the quantile lands past it, flagged
+    `saturated`) — exactly the Prometheus estimator. All arithmetic is
+    exactly-rounded products/divisions of identical inputs, so the
+    estimates are engine-deterministic.
+
+    Plan: the bucket aggregation's shuffle + one window over the 7-row
+    per-slot bucket group (partitioned by slot key — bounded frames,
+    no global sort), then a per-slot reduce. Bucket counts are the only
+    data-sized state."""
+    from pyspark.sql.window import Window
+
+    hist = bf_histogram_buckets(spark, sf_dir)
+    w = Window.partitionBy("tenant_id", "metric_name", "slot_ms").orderBy("le")
+    target = F.lit(_HQ_Q) * F.col("n_total")
+    rows = (
+        hist.withColumn("cum_lo", F.coalesce(F.lag("cum_count").over(w), F.lit(0)))
+        .withColumn("lo", F.coalesce(F.lag("le").over(w), F.lit(0.0)))
+        .withColumn("target", target)
+    )
+    hit = rows.filter(
+        (F.col("cum_count") >= F.col("target")) & (F.col("cum_lo") < F.col("target"))
+    ).select(
+        "tenant_id",
+        "metric_name",
+        "slot_ms",
+        "n_total",
+        (
+            F.col("lo")
+            + (F.col("le") - F.col("lo"))
+            * (F.col("target") - F.col("cum_lo"))
+            / (F.col("cum_count") - F.col("cum_lo"))
+        ).alias("p_est"),
+        F.lit(False).alias("saturated"),
+    )
+    top = rows.groupBy("tenant_id", "metric_name", "slot_ms").agg(
+        F.max("le").alias("max_le"),
+        F.max("cum_count").alias("max_cum"),
+        F.first("target").alias("t"),
+        F.first("n_total").alias("n_total"),
+    )
+    sat = top.filter(F.col("max_cum") < F.col("t")).select(
+        "tenant_id",
+        "metric_name",
+        "slot_ms",
+        "n_total",
+        F.col("max_le").alias("p_est"),
+        F.lit(True).alias("saturated"),
+    )
+    return hit.unionByName(sat)
+
+
+_BF_HIST_QUANTILE_SQL = f"""
+WITH raw AS (
+  SELECT 't' || CAST(user_id % 4 AS VARCHAR) AS tenant_id,
+         'events.' || event_type || '.value' AS metric_name,
+         epoch_ms(ts) - epoch_ms(ts) % 1200000 AS slot_ms,
+         CAST(value AS DOUBLE) AS value
+  FROM events
+),
+hist AS (
+  SELECT tenant_id, metric_name, slot_ms, le,
+         sum(CASE WHEN value <= le THEN 1 ELSE 0 END) AS cum_count,
+         count(*) AS n_total
+  FROM raw CROSS JOIN (SELECT unnest([{", ".join(str(b) for b in _HIST_BOUNDS)}]) AS le) b
+  GROUP BY 1, 2, 3, 4
+),
+rows_ AS (
+  SELECT *,
+         coalesce(lag(cum_count) OVER w, 0) AS cum_lo,
+         coalesce(lag(le) OVER w, 0.0) AS lo,
+         {_HQ_Q} * n_total AS target
+  FROM hist
+  WINDOW w AS (PARTITION BY tenant_id, metric_name, slot_ms ORDER BY le)
+),
+hit AS (
+  SELECT tenant_id, metric_name, slot_ms, n_total,
+         lo + (le - lo) * (target - cum_lo) / (cum_count - cum_lo) AS p_est,
+         FALSE AS saturated
+  FROM rows_
+  WHERE cum_count >= target AND cum_lo < target
+),
+sat AS (
+  SELECT tenant_id, metric_name, slot_ms, any_value(n_total) AS n_total,
+         max(le) AS p_est, TRUE AS saturated
+  FROM rows_
+  GROUP BY 1, 2, 3
+  HAVING max(cum_count) < any_value(target)
+)
+SELECT * FROM hit UNION ALL SELECT * FROM sat
+"""
+
+
 def bf_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M4 visual downsampling (Jugel et al., VLDB 2014): per (series,
     6h pixel bucket) the min, max, first and last values — the four
@@ -3531,6 +3631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bf_ewma_smooth": bf_ewma_smooth,
         "bf_histogram_buckets": bf_histogram_buckets,
         "bf_m4_downsample": bf_m4_downsample,
+        "bf_histogram_quantile": bf_histogram_quantile,
         "bf_topk_movers": bf_topk_movers,
         "bf_seasonal_baseline": bf_seasonal_baseline,
         "bf_winsorize": bf_winsorize,
@@ -3712,6 +3813,7 @@ def oracle_sql() -> dict[str, str]:
         "bf_ewma_smooth": _BF_EWMA_SQL,
         "bf_histogram_buckets": _BF_HISTOGRAM_SQL,
         "bf_m4_downsample": _BF_M4_SQL,
+        "bf_histogram_quantile": _BF_HIST_QUANTILE_SQL,
         "bf_topk_movers": _BF_MOVERS_SQL,
         "bf_seasonal_baseline": _BF_SEASONAL_SQL,
         "bf_winsorize": _BF_WINSORIZE_SQL,

@@ -253,3 +253,42 @@ def test_winsorize_clips_to_series_percentiles(spark):
             assert r["clipped"] == r["value"]
     # ~2% of samples sit outside [p01, p99] by construction
     assert 0 < n_clipped < 0.1 * len(rows)
+
+
+def test_histogram_quantile_reference(spark):
+    """Recompute the Prometheus estimator in Python from the bucket frame
+    and compare slot by slot, including the saturated (past-last-bound)
+    branch."""
+    buckets = E.bf_histogram_buckets(spark, SF0001).collect()
+    out = {
+        (r["tenant_id"], r["metric_name"], r["slot_ms"]): r
+        for r in E.bf_histogram_quantile(spark, SF0001).collect()
+    }
+    from collections import defaultdict
+
+    by_slot = defaultdict(dict)
+    n_tot = {}
+    for r in buckets:
+        key = (r["tenant_id"], r["metric_name"], r["slot_ms"])
+        by_slot[key][r["le"]] = r["cum_count"]
+        n_tot[key] = r["n_total"]
+    assert set(out) == set(by_slot)
+    n_sat = 0
+    for key, cums in by_slot.items():
+        target = 0.95 * n_tot[key]
+        lo, cum_lo = 0.0, 0
+        want = None
+        for le in sorted(cums):
+            if cums[le] >= target and cum_lo < target:
+                want = lo + (le - lo) * (target - cum_lo) / (cums[le] - cum_lo)
+                break
+            lo, cum_lo = le, cums[le]
+        r = out[key]
+        assert r["n_total"] == n_tot[key]
+        if want is None:  # quantile past the last bound
+            n_sat += 1
+            assert r["saturated"] and r["p_est"] == max(cums)
+        else:
+            assert not r["saturated"]
+            assert r["p_est"] == pytest.approx(want, rel=1e-12)
+    assert n_sat > 0  # the fixture's value range exceeds the top bound
