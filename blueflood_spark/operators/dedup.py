@@ -909,3 +909,40 @@ FROM inc_ids n
 LEFT JOIN exact e ON e.doc_id = n.doc_id
 LEFT JOIN near r ON r.doc_id = n.doc_id
 """
+
+
+def incremental_dedup_frames(
+    incoming: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    num_perm: int = NUM_PERM,
+    bands: int = BANDS,
+    threshold: float = 0.12,
+) -> DataFrame:
+    """Two-frame face of `incremental_dedup` for callers whose incoming
+    batch and corpus live in separate tables (the streaming corpus
+    guard) and may even share doc_id values — a re-ingest of an existing
+    id is precisely the interesting case. Ids are remapped onto disjoint
+    odd/even keys (uid = 2·id + side) for the unified pass and mapped
+    back on output; requires non-negative doc_ids (the repo-wide id
+    convention)."""
+    uid = (F.col("doc_id") * 2).cast("long")
+    inc = incoming.select((uid + 1).alias("doc_id"), F.col(text_col).alias(text_col))
+    corp = corpus.select(uid.alias("doc_id"), F.col(text_col).alias(text_col))
+    out = incremental_dedup(
+        inc.unionByName(corp),
+        F.col("doc_id") % 2 == 1,
+        text_col=text_col,
+        num_perm=num_perm,
+        bands=bands,
+        threshold=threshold,
+    )
+    back = lambda c: F.when(F.col(c).isNotNull(), (F.col(c) / 2).cast("long"))  # noqa: E731
+    return out.select(
+        ((F.col("doc_id") - 1) / 2).cast("long").alias("doc_id"),
+        "exact_dup",
+        back("exact_match_id").alias("exact_match_id"),
+        "near_dup",
+        back("near_match_id").alias("near_match_id"),
+        "best_jaccard",
+    )

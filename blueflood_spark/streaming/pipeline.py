@@ -543,3 +543,62 @@ def start_session_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_corpus_guard(
+    spark: SparkSession,
+    input_path: str,
+    corpus_path: str,
+    kept_path: str,
+    dup_path: str,
+    checkpoint: str,
+    threshold: float = 0.12,
+    available_now: bool = True,
+):
+    """Streaming corpus-membership guard — the live face of
+    operators/dedup.incremental_dedup: every micro-batch of incoming
+    documents is checked against a MATERIALIZED reference corpus (exact
+    md5 identity + minhash-LSH near-dup with true-Jaccard verify);
+    fresh docs land in kept_path, duplicates in dup_path with their
+    matched corpus id and best Jaccard. The corpus is read once at
+    stream start and cached — in production it is a persisted signature
+    table; the per-batch cost is the incoming batch's own signatures
+    plus band-index equi-joins (incremental_dedup's asymmetric shape),
+    never a corpus rescan.
+
+    Contract notes: the guard checks batch-vs-corpus only; intra-batch
+    and intra-stream duplicates are start_doc_ingest's
+    dropDuplicatesWithinWatermark's job (compose the two streams for
+    both guarantees). doc_ids must be non-negative (the two-frame
+    remap's convention)."""
+    from blueflood_spark.operators.dedup import incremental_dedup_frames
+
+    corpus = spark.read.parquet(corpus_path).select("doc_id", "text").cache()
+    corpus.count()  # materialize once, before the first batch
+
+    stream = (
+        spark.readStream.schema(DOC_INGEST_SCHEMA)
+        .json(input_path)
+        .filter(F.col("text").isNotNull())
+    )
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        batch = batch.cache()
+        flags = incremental_dedup_frames(batch, corpus, threshold=threshold)
+        joined = batch.join(flags, "doc_id", "left").cache()
+        dup = F.coalesce(F.col("exact_dup"), F.lit(False)) | F.coalesce(
+            F.col("near_dup"), F.lit(False)
+        )
+        joined.filter(~dup).select(*batch.columns).write.mode("append").parquet(kept_path)
+        dups = joined.filter(dup)
+        if dups.limit(1).count() > 0:
+            dups.write.mode("append").parquet(dup_path)
+        joined.unpersist()
+        batch.unpersist()
+
+    writer = stream.writeStream.foreachBatch(process).option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

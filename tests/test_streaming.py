@@ -438,3 +438,48 @@ def test_ingest_replay_reclassification_leaves_no_stale_rows(spark, dirs):
     assert raw.count() == 4  # 3 good + the re-classified row, once
     # the stale rejected copy from attempt 1 was overwritten away
     assert spark.read.parquet(dirs["rejected"]).count() == 0
+
+
+def test_corpus_guard_stream(spark, tmp_path):
+    """Streaming corpus-membership guard: incoming docs are checked
+    against a materialized corpus — exact copies and LSH-verified
+    near-dups divert to dup_path with their matched corpus id; fresh
+    docs (including one REUSING a corpus doc_id with new text — the
+    disjoint-key remap case) pass through."""
+    import json
+    import os
+
+    inp = str(tmp_path / "guard_in")
+    corpus_path = str(tmp_path / "corpus")
+    kept = str(tmp_path / "guard_kept")
+    dup = str(tmp_path / "guard_dup")
+    ckpt = str(tmp_path / "guard_ckpt")
+    os.makedirs(inp)
+
+    base = ("the quick brown fox jumps over the lazy dog every day"
+            " in the green field near the old mill")
+    spark.createDataFrame(
+        [(0, base), (1, "metrics rollups aggregate time series data in windows")],
+        "doc_id long, text string",
+    ).write.parquet(corpus_path)
+
+    rows = [
+        {"doc_id": 100, "text": base, "lang": "en", "source": "s"},  # exact dup of 0
+        # all-band LSH collision with corpus doc 0 (J=0.889, verified offline)
+        {"doc_id": 101, "text": base.replace("old mill", "old barn"),
+         "lang": "en", "source": "s"},
+        {"doc_id": 1, "text": "totally fresh content reusing a corpus id here",
+         "lang": "en", "source": "s"},
+    ]
+    with open(f"{inp}/b1.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    P.start_corpus_guard(spark, inp, corpus_path, kept, dup, ckpt).awaitTermination(120)
+
+    kept_ids = sorted(r["doc_id"] for r in spark.read.parquet(kept).collect())
+    assert kept_ids == [1]
+    dups = {r["doc_id"]: r for r in spark.read.parquet(dup).collect()}
+    assert set(dups) == {100, 101}
+    assert dups[100]["exact_dup"] and dups[100]["exact_match_id"] == 0
+    assert dups[101]["near_dup"] and dups[101]["near_match_id"] == 0
+    assert not dups[101]["exact_dup"]
