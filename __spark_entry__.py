@@ -2998,6 +2998,82 @@ GROUP BY tenant_id, metric_name, slot_ms, le
 """
 
 
+_BREACH_THRESHOLD = 55.0
+_BREACH_MIN_SLOTS = 2
+_BREACH_SLOT_MS = 14_400_000  # MIN_240 — the fixture is too sparse for 5m runs
+
+
+def bf_sustained_breach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-for-duration alerting: runs of ≥2 CONSECUTIVE 240m slots
+    whose rollup avg exceeds the threshold, emitted as one breach row
+    (start, end, length, peak) — the 'alert only if it stays bad'
+    semantics every paging rule needs, which a per-slot comparison
+    cannot express. Consecutiveness is detected by the gaps-and-islands
+    slot-number-minus-rank key: slots are epoch-regular, so a missing
+    slot breaks the run exactly as a healthy one does. (240m because the
+    test fixture's series are too sparse to ever fill adjacent 5m slots;
+    the operator is granularity-parametric in all but the two literals.)
+
+    Plan: the rollup's one shuffle + one window over BREACHING slots
+    only (the filter runs before the rank — island detection never sees
+    healthy slots), then a per-island agg. Breaching rows ≪ total at
+    any scale."""
+    from pyspark.sql.window import Window
+
+    raw = _raw_metrics(spark, sf_dir)
+    r240 = R.basic_from_raw(raw, G.MIN_240)
+    breaches = r240.filter(F.col("avg") > _BREACH_THRESHOLD).select(
+        "tenant_id",
+        "metric_name",
+        "window_start",
+        F.expr(f"window_start DIV {_BREACH_SLOT_MS}").alias("slot_num"),
+        F.col("avg").alias("avg_val"),
+    )
+    w = Window.partitionBy("tenant_id", "metric_name").orderBy("slot_num")
+    islands = breaches.withColumn(
+        "grp", F.col("slot_num") - F.row_number().over(w)
+    )
+    return (
+        islands.groupBy("tenant_id", "metric_name", "grp")
+        .agg(
+            F.min("window_start").alias("breach_start"),
+            F.max("window_start").alias("breach_end"),
+            F.count(F.lit(1)).alias("n_slots"),
+            F.max("avg_val").alias("peak_avg"),
+        )
+        .filter(F.col("n_slots") >= _BREACH_MIN_SLOTS)
+        .drop("grp")
+    )
+
+
+_BF_BREACH_SQL = _RAW_CTE + f"""
+, r240 AS (
+  SELECT tenant_id, metric_name,
+         (ts // {_BREACH_SLOT_MS}) * {_BREACH_SLOT_MS} AS window_start,
+         avg(value) AS avg_val
+  FROM raw GROUP BY 1, 2, 3
+),
+breaches AS (
+  SELECT tenant_id, metric_name, window_start,
+         window_start // {_BREACH_SLOT_MS} AS slot_num, avg_val
+  FROM r240 WHERE avg_val > {_BREACH_THRESHOLD}
+),
+islands AS (
+  SELECT *, slot_num - row_number() OVER (
+           PARTITION BY tenant_id, metric_name ORDER BY slot_num) AS grp
+  FROM breaches
+)
+SELECT tenant_id, metric_name,
+       min(window_start) AS breach_start,
+       max(window_start) AS breach_end,
+       count(*) AS n_slots,
+       max(avg_val) AS peak_avg
+FROM islands
+GROUP BY tenant_id, metric_name, grp
+HAVING count(*) >= {_BREACH_MIN_SLOTS}
+"""
+
+
 _HQ_Q = 0.95
 
 
@@ -3632,6 +3708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bf_histogram_buckets": bf_histogram_buckets,
         "bf_m4_downsample": bf_m4_downsample,
         "bf_histogram_quantile": bf_histogram_quantile,
+        "bf_sustained_breach": bf_sustained_breach,
         "bf_topk_movers": bf_topk_movers,
         "bf_seasonal_baseline": bf_seasonal_baseline,
         "bf_winsorize": bf_winsorize,
@@ -3814,6 +3891,7 @@ def oracle_sql() -> dict[str, str]:
         "bf_histogram_buckets": _BF_HISTOGRAM_SQL,
         "bf_m4_downsample": _BF_M4_SQL,
         "bf_histogram_quantile": _BF_HIST_QUANTILE_SQL,
+        "bf_sustained_breach": _BF_BREACH_SQL,
         "bf_topk_movers": _BF_MOVERS_SQL,
         "bf_seasonal_baseline": _BF_SEASONAL_SQL,
         "bf_winsorize": _BF_WINSORIZE_SQL,

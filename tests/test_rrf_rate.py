@@ -292,3 +292,29 @@ def test_histogram_quantile_reference(spark):
             assert not r["saturated"]
             assert r["p_est"] == pytest.approx(want, rel=1e-12)
     assert n_sat > 0  # the fixture's value range exceeds the top bound
+
+
+def test_sustained_breach_runs_are_consecutive(spark):
+    """Every emitted breach must be a maximal run: length matches the
+    slot span, all covered slots breach, and the slots flanking the run
+    either don't exist or don't breach."""
+    slot = E._BREACH_SLOT_MS
+    breaches = E.bf_sustained_breach(spark, SF0001).collect()
+    assert breaches
+    from blueflood_spark.operators import granularity as G
+    from blueflood_spark.operators import rollup as R
+
+    r240 = {
+        (r["tenant_id"], r["metric_name"], r["window_start"]): r["avg"]
+        for r in R.basic_from_raw(E._raw_metrics(spark, SF0001), G.MIN_240).collect()
+    }
+    for b in breaches:
+        k = (b["tenant_id"], b["metric_name"])
+        n_span = (b["breach_end"] - b["breach_start"]) // slot + 1
+        assert b["n_slots"] == n_span >= E._BREACH_MIN_SLOTS
+        covered = [r240[(*k, b["breach_start"] + i * slot)] for i in range(n_span)]
+        assert all(v > E._BREACH_THRESHOLD for v in covered)
+        assert b["peak_avg"] == max(covered)
+        for edge in (b["breach_start"] - slot, b["breach_end"] + slot):
+            v = r240.get((*k, edge))
+            assert v is None or v <= E._BREACH_THRESHOLD
