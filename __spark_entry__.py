@@ -2418,16 +2418,17 @@ WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
 
 
 def llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal decode + feature extraction through mapInPandas. Image
-    rows carry REAL P3 PPM payloads decoded pixel-by-pixel
-    (operators/multimodal.py decode_ppm); audio rows carry REAL PCM16
-    WAV payloads decoded sample-by-sample (decode_wav: duration, rate,
-    count, mean, RMS, peak). Video rows exercise the declared hash
-    stand-in. ALL three paths are oracle-checked: PPM payloads are
-    ASCII so DuckDB rebuilds the identical string; WAV features and
-    byte sizes are computed in-SQL from the generative sample formula
-    (the payload sha alone is reconstructed at oracle-build time —
-    DuckDB's sha256 is VARCHAR-only and WAV bytes are binary)."""
+    """Multimodal decode + feature extraction through mapInPandas — ALL
+    THREE kinds through REAL pure-Python decoders: P3 PPM images
+    pixel-by-pixel (operators/multimodal.py decode_ppm), PCM16 WAV audio
+    sample-by-sample (decode_wav: duration, rate, count, mean, RMS,
+    peak), and C420 YUV4MPEG2 video frame-by-frame (decode_y4m: dims,
+    frame count, fps, luma mean/std). All three are oracle-checked: PPM
+    payloads are ASCII so DuckDB rebuilds the identical string; WAV and
+    Y4M features and byte sizes are computed in-SQL from the generative
+    formulas (only the payload shas are reconstructed at oracle-build
+    time — DuckDB's sha256 is VARCHAR-only and those bytes are
+    binary)."""
     from blueflood_spark.operators import multimodal as MM
 
     media = MM.synthetic_media(spark, 96)
@@ -2438,9 +2439,10 @@ def _llm_multimodal_sql() -> str:
     """DuckDB twin of extract_features over synthetic_media(96): images
     via pixel statistics (exact-int sums, one double division — the same
     IEEE op sequence decode_ppm uses), audio via sample statistics from
-    the WAV generative formula (sha literals built here with hashlib —
-    DuckDB cannot sha256 a BLOB; sizes and all six features stay
-    in-SQL), video via the md5 stand-in."""
+    the WAV generative formula, video via luma statistics from the Y4M
+    generative formula (sha literals for both binary kinds built here
+    with hashlib — DuckDB cannot sha256 a BLOB; sizes and every feature
+    stay in-SQL)."""
     import hashlib as _hl
 
     from blueflood_spark.operators import multimodal as _MM
@@ -2449,6 +2451,11 @@ def _llm_multimodal_sql() -> str:
         f"({i}, '{_hl.sha256(_MM.synthetic_wav(i)).hexdigest()}')"
         for i in range(96)
         if i % 3 == 1
+    )
+    y4m_shas = ",".join(
+        f"({i}, '{_hl.sha256(_MM.synthetic_y4m(i)).hexdigest()}')"
+        for i in range(96)
+        if i % 3 == 2
     )
     chan_stats = []
     for c in range(3):
@@ -2507,17 +2514,31 @@ audio_out AS (
     FROM (SELECT media_id, kind, 64 + media_id % 33 AS ns FROM m WHERE kind = 'audio')
   ) JOIN audio_sha ON sha_media_id = media_id
 ),
-other_out AS (
-  SELECT media_id, kind,
-         sha256(payload_str) AS payload_sha,
-         CAST(length(payload_str) AS BIGINT) AS n_bytes,
-         list_transform(range(0, 8), j ->
-           CAST(CAST(('0x' || substr(md5(payload_str), CAST(2 * j + 1 AS INT), 2)) AS INT) / 255.0 AS FLOAT)
-         ) AS feature
-  FROM (SELECT media_id, kind, repeat(md5('media_' || CAST(media_id AS VARCHAR)), 5) AS payload_str
-        FROM m WHERE kind = 'video')
+video_sha(sha_media_id, vsha) AS (VALUES {y4m_shas}),
+video_out AS (
+  SELECT media_id, kind, vsha AS payload_sha,
+         CAST(length('YUV4MPEG2 W' || CAST(vw AS VARCHAR) || ' H' || CAST(vh AS VARCHAR)
+              || ' F25:1 C420' || chr(10))
+              + nf * (6 + vw * vh + 2 * (vw // 2) * (vh // 2)) AS BIGINT) AS n_bytes,
+         [CAST(vw AS FLOAT), CAST(vh AS FLOAT), CAST(nf AS FLOAT), CAST(25.0 AS FLOAT),
+          CAST(CAST(list_sum(luma) AS DOUBLE) / (nf * vw * vh) AS FLOAT),
+          CAST(sqrt(greatest(CAST(list_sum(list_transform(luma, v -> v * v)) AS DOUBLE) / (nf * vw * vh)
+               - (CAST(list_sum(luma) AS DOUBLE) / (nf * vw * vh)) * (CAST(list_sum(luma) AS DOUBLE) / (nf * vw * vh)),
+               0.0)) AS FLOAT)] AS feature
+  FROM (
+    SELECT media_id, kind, vw, vh, nf,
+           list_transform(range(0, nf * vw * vh),
+             k -> (media_id * 31 + (k // (vw * vh)) * 17 + (k % (vw * vh)) * 7) % 256) AS luma
+    FROM (
+      SELECT media_id, kind,
+             4 + 2 * ((media_id // 3) % 3) AS vw,
+             4 + 2 * ((media_id // 3) % 2) AS vh,
+             2 + (media_id // 3) % 3 AS nf
+      FROM m WHERE kind = 'video'
+    )
+  ) JOIN video_sha ON sha_media_id = media_id
 )
-SELECT * FROM img_out UNION ALL SELECT * FROM audio_out UNION ALL SELECT * FROM other_out
+SELECT * FROM img_out UNION ALL SELECT * FROM audio_out UNION ALL SELECT * FROM video_out
 """
 
 

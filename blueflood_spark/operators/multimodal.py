@@ -3,18 +3,21 @@ columns with typed metadata, processed through Arrow-batched pandas
 iterators (`mapInPandas`).
 
 The Spark-side plumbing — schema, batch iteration, partition sizing —
-is real and tested. Decode is REAL for two uncompressed families, both
-pure Python with no external media libs:
+is real and tested. Decode is REAL for one uncompressed family per
+modality, all pure Python with no external media libs:
 - images: the PPM family (`decode_ppm`: P3 ASCII and P6 binary) —
   features derive from actual pixels (dimensions + per-channel
   mean/std);
 - audio: RIFF/WAVE PCM16 (`decode_wav`: chunk walk, fmt/data parse) —
   features derive from actual samples (duration, rate, count, mean,
-  RMS, peak).
-Payload kinds the runtime cannot decode (compressed formats, video)
-fall back to a deterministic hash-derived stand-in — or raise in strict
-mode. Swapping in a richer decoder (PIL, torchaudio, pyav) changes only
-the inner per-payload function, not the plan: the operator is already
+  RMS, peak);
+- video: YUV4MPEG2 (`decode_y4m`: stream-header parse + planar C420/
+  C444 frame walk) — features derive from actual luma planes (dims,
+  frame count, fps, luma mean/std).
+Payload kinds the runtime cannot decode (compressed formats) fall back
+to a deterministic hash-derived stand-in — or raise in strict mode.
+Swapping in a richer decoder (PIL, torchaudio, pyav) changes only the
+inner per-payload function, not the plan: the operator is already
 shaped for 100 TB (mapInPandas streams Arrow batches, memory bounded by
 batch size, not partition size; no shuffle introduced).
 """
@@ -187,6 +190,92 @@ def decode_wav(payload: bytes | None) -> dict | None:
     }
 
 
+def decode_y4m(payload: bytes | None) -> dict | None:
+    """Pure-Python decoder for YUV4MPEG2 (y4m) — the uncompressed video
+    container (ffmpeg's raw interchange format): ASCII stream header
+    `YUV4MPEG2 W<w> H<h> F<n>:<d> [C<space>]`, then per frame a `FRAME`
+    line followed by planar YUV bytes. Supports C420 (and its jpeg/
+    mpeg2/paldv siblings; even dimensions) and C444; C420 is the
+    default when no C tag is present, per spec. Returns {"width",
+    "height", "fps", "n_frames", "y_mean", "y_std"} with luma statistics
+    over ALL frames, or None when the payload is not decodable y4m
+    (never raises on corrupt bytes).
+
+    Luma statistics are EXACT-integer sums with single IEEE divisions
+    (sum/n, sqrt(sumsq/n − mean²)) — the WAV/PPM portability discipline,
+    so features are engine-checkable from the generative formula."""
+    if payload is None:
+        return None
+    b = bytes(payload)
+    magic = b"YUV4MPEG2"
+    if not b.startswith(magic):
+        return None
+    eol = b.find(b"\n")
+    if eol < 0:
+        return None
+    width = height = fps_num = None
+    fps_den = 1
+    colorspace = "C420"
+    for tok in b[len(magic):eol].split(b" "):
+        if not tok:
+            continue
+        try:
+            if tok[:1] == b"W":
+                width = int(tok[1:])
+            elif tok[:1] == b"H":
+                height = int(tok[1:])
+            elif tok[:1] == b"F":
+                num, _, den = tok[1:].partition(b":")
+                fps_num, fps_den = int(num), int(den or b"1")
+            elif tok[:1] == b"C":
+                colorspace = tok.decode("ascii")
+        except (ValueError, UnicodeDecodeError):
+            return None
+    if not width or not height or width <= 0 or height <= 0:
+        return None
+    if colorspace.startswith("C420"):
+        if width % 2 or height % 2:
+            return None
+        frame_bytes = width * height + 2 * ((width // 2) * (height // 2))
+    elif colorspace.startswith("C444"):
+        frame_bytes = 3 * width * height
+    else:
+        return None  # C422/mono/other: not supported by this decoder
+
+    luma_n = width * height
+    pos = eol + 1
+    n_frames = 0
+    s = sq = 0  # exact ints
+    while pos < len(b):
+        if b[pos : pos + 5] != b"FRAME":
+            return None
+        feol = b.find(b"\n", pos)
+        if feol < 0:
+            return None
+        pos = feol + 1
+        frame = b[pos : pos + frame_bytes]
+        if len(frame) < frame_bytes:
+            return None  # truncated frame
+        for v in frame[:luma_n]:
+            s += v
+            sq += v * v
+        n_frames += 1
+        pos += frame_bytes
+    if n_frames == 0:
+        return None
+    n = n_frames * luma_n
+    mean = s / n
+    var = sq / n - mean * mean
+    return {
+        "width": width,
+        "height": height,
+        "fps": fps_num / fps_den if fps_num else 0.0,
+        "n_frames": n_frames,
+        "y_mean": mean,
+        "y_std": math.sqrt(var if var > 0 else 0.0),
+    }
+
+
 def _fake_decode(payload: bytes, dims: int = 8) -> list[float]:
     """Deterministic stand-in for decode→embed on payload kinds this
     runtime can't decode: md5-derived floats. Replace with the real
@@ -216,10 +305,21 @@ def _feature(payload: bytes | None, strict: bool, dims: int) -> list[float] | No
             wav["rms"],
             wav["peak"],
         ]
+    vid = decode_y4m(payload)
+    if vid is not None:
+        return [
+            float(vid["width"]),
+            float(vid["height"]),
+            float(vid["n_frames"]),
+            vid["fps"],
+            vid["y_mean"],
+            vid["y_std"],
+        ]
     if strict:
         raise NotImplementedError(
-            "payload is not a decodable format (PPM image / PCM16 WAV); other "
-            "media decoders require libraries not present in this runtime"
+            "payload is not a decodable format (PPM image / PCM16 WAV / Y4M "
+            "video); compressed-media decoders require libraries not present "
+            "in this runtime"
         )
     return _fake_decode(payload, dims)
 
@@ -318,32 +418,58 @@ def synthetic_wav(media_id: int) -> bytes:
     return header + data
 
 
+def synthetic_y4m(media_id: int) -> bytes:
+    """Deterministic C420 YUV4MPEG2 clip at 25 fps: even dims
+    w = 4 + 2·((id//3)%3), h = 4 + 2·((id//3)%2), 2 + (id//3)%3 frames
+    (id//3 so dimensions VARY across video rows — media ids cycle kinds
+    with period 3, and id%3 would freeze them); luma byte j of frame f =
+    (id·31 + f·17 + j·7) mod 256, chroma byte j of frame f =
+    (id·13 + f·11 + j·5) mod 256. A REAL decodable video payload whose
+    generative formula a SQL oracle can also evaluate (bytes are binary;
+    like WAV, only the sha literal is rebuilt at oracle-build time)."""
+    k = media_id // 3
+    w, h = 4 + 2 * (k % 3), 4 + 2 * (k % 2)
+    n_frames = 2 + k % 3
+    chroma_n = 2 * ((w // 2) * (h // 2))
+    out = [f"YUV4MPEG2 W{w} H{h} F25:1 C420\n".encode()]
+    for f in range(n_frames):
+        out.append(b"FRAME\n")
+        out.append(bytes((media_id * 31 + f * 17 + j * 7) % 256 for j in range(w * h)))
+        out.append(bytes((media_id * 13 + f * 11 + j * 5) % 256 for j in range(chroma_n)))
+    return b"".join(out)
+
+
 def synthetic_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic fake media table for tests. Image rows carry REAL
-    P3 PPM payloads (ASCII — decodable by decode_ppm AND reconstructible
-    by a DuckDB oracle as the same string, so sha/pixel-feature checks
-    run engine-to-engine); audio rows carry REAL PCM16 WAV payloads
-    (decode_wav). Video rows are ASCII-hex stand-ins (md5 hex ×5 =
-    160 bytes) exercising the declared hash path; the Spark column is
-    BINARY either way and the Arrow plumbing is exactly what raw media
-    bytes would traverse."""
+    """Deterministic fake media table for tests. ALL THREE kinds carry
+    REAL decodable payloads: image rows P3 PPM (ASCII — decodable by
+    decode_ppm AND reconstructible by a DuckDB oracle as the same
+    string, so sha/pixel-feature checks run engine-to-engine), audio
+    rows PCM16 WAV (decode_wav), video rows C420 YUV4MPEG2
+    (decode_y4m). WAV/Y4M bytes are binary, so their oracles compute
+    features from the generative formulas and reconstruct only the sha
+    at build time. The Spark column is BINARY either way and the Arrow
+    plumbing is exactly what raw media bytes would traverse; the hash
+    stand-in path keeps covering payloads no decoder accepts (see
+    extract_features strict)."""
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
         kind = kinds[i % 3]
-        duration = (i + 1) * 1500 if kind == "video" else None
         if kind == "image":
             payload = synthetic_ppm(i)
             decoded = decode_ppm(payload)  # metadata derives from the
             w, h = decoded["width"], decoded["height"]  # actual payload
+            duration = None
         elif kind == "audio":
             payload = synthetic_wav(i)
             wav = decode_wav(payload)
             w = h = None
             duration = int(wav["duration_ms"])
         else:
-            payload = (hashlib.md5(f"media_{i}".encode()).hexdigest() * 5).encode()
-            w = h = None
+            payload = synthetic_y4m(i)
+            vid = decode_y4m(payload)
+            w, h = vid["width"], vid["height"]
+            duration = int(vid["n_frames"] * 1000 / vid["fps"])
         rows.append(
             (
                 i,

@@ -157,21 +157,39 @@ def test_multimodal_features(spark):
     assert len(feats) == 12
     by_id = {r["media_id"]: r for r in feats}
     # media_id 0 is an image → real P3 payload; 1 is audio → real WAV;
-    # 2 is video → 160-byte hex stand-in
+    # 2 is video → real C420 Y4M
     assert by_id[0]["n_bytes"] == len(MM.synthetic_ppm(0))
     assert by_id[1]["n_bytes"] == len(MM.synthetic_wav(1))
-    assert by_id[2]["n_bytes"] == 160
+    assert by_id[2]["n_bytes"] == len(MM.synthetic_y4m(2))
     assert len(by_id[0]["feature"]) == 8
     assert len(by_id[1]["feature"]) == 6
+    assert len(by_id[2]["feature"]) == 6
+    # video features come from the actual luma plane
+    vid = MM.decode_y4m(MM.synthetic_y4m(2))
+    assert by_id[2]["feature"][:4] == [
+        float(vid["width"]), float(vid["height"]), float(vid["n_frames"]), 25.0
+    ]
+    assert by_id[2]["feature"][4] == pytest.approx(vid["y_mean"], rel=1e-6)
     # deterministic: same payload → same feature
     feats2 = {r["media_id"]: r["feature"] for r in MM.extract_features(media).collect()}
     assert feats2[3] == by_id[3]["feature"]
 
 
 def test_multimodal_strict_raises(spark):
-    media = MM.synthetic_media(spark, 3)
+    # synthetic_media is now fully decodable (PPM/WAV/Y4M) — strict mode
+    # must still refuse payloads NO decoder accepts (e.g. compressed)
+    media = spark.createDataFrame(
+        [(0, "video", bytearray(b"\x00\x00\x00\x18ftypmp42 not decodable"),
+          "video/mp4", None, None, 1000)],
+        MM.MEDIA_SCHEMA,
+    )
     with pytest.raises(Exception):  # NotImplementedError surfaces as Py4J error
         MM.extract_features(media, strict=True).collect()
+
+
+def test_multimodal_strict_succeeds_on_decodable_trio(spark):
+    media = MM.synthetic_media(spark, 9)
+    assert MM.extract_features(media, strict=True).count() == 9
 
 
 def test_resize_and_frame_plans(spark):

@@ -1,9 +1,9 @@
-"""Real media decode paths: pure-Python PPM (P3 ASCII / P6 binary) and
-RIFF/WAVE PCM16 decoders inside the mapInPandas kernel — features
-derive from ACTUAL pixels/samples, not payload hashes (VERDICT r2
-missing #2 / next #4). The hash path remains for kinds the runtime
-can't decode (video), and strict mode succeeds on decodable payloads
-and raises only on undecodable ones.
+"""Real media decode paths: pure-Python PPM (P3 ASCII / P6 binary),
+RIFF/WAVE PCM16, and YUV4MPEG2 decoders inside the mapInPandas kernel —
+features derive from ACTUAL pixels/samples/luma planes, not payload
+hashes (VERDICT r2 missing #2 / next #4). The hash path remains for
+kinds the runtime can't decode (compressed formats), and strict mode
+succeeds on decodable payloads and raises only on undecodable ones.
 """
 
 import hashlib
@@ -82,24 +82,33 @@ def test_extract_features_real_pixels(spark):
         assert feat[5] == wav["peak"]
         assert out[i]["payload_sha"] == hashlib.sha256(payload).hexdigest()
         assert out[i]["n_bytes"] == len(payload)
-    # video rows keep the declared hash-derived stand-in
+    # video rows (media_id % 3 == 2) carry C420 Y4M → decoded luma features
     for i in range(2, 48, 3):
         payload = bytes(src[i]["payload"])
-        assert out[i]["feature"] == pytest.approx(
-            [b / 255.0 for b in hashlib.md5(payload).digest()[:8]], rel=1e-6
-        )
+        assert payload.startswith(b"YUV4MPEG2")
+        vid = MM.decode_y4m(payload)
+        feat = out[i]["feature"]
+        assert feat[0] == float(vid["width"]) and feat[1] == float(vid["height"])
+        assert feat[2] == float(vid["n_frames"]) and feat[3] == 25.0
+        assert feat[4] == pytest.approx(vid["y_mean"], rel=1e-6)
+        assert feat[5] == pytest.approx(vid["y_std"], rel=1e-6)
+        assert out[i]["payload_sha"] == hashlib.sha256(payload).hexdigest()
+        assert out[i]["n_bytes"] == len(payload)
 
 
-def test_strict_mode_decodes_ppm_wav_raises_on_rest(spark):
+def test_strict_mode_decodes_trio_raises_on_rest(spark):
     media = MM.synthetic_media(spark, 9)
-    decodable = media.filter("kind != 'video'")
-    video = media.filter("kind = 'video'")
-    # strict over decodable payloads: succeeds via the REAL decoders
-    rows = MM.extract_features(decodable, strict=True).collect()
-    assert len(rows) == 6 and all(r["feature"] is not None for r in rows)
-    # strict over undecodable payloads: loud failure
+    # strict over the full trio: succeeds via the REAL decoders
+    rows = MM.extract_features(media, strict=True).collect()
+    assert len(rows) == 9 and all(r["feature"] is not None for r in rows)
+    # strict over a payload no decoder accepts: loud failure
+    garbage = spark.createDataFrame(
+        [(0, "video", bytearray(b"\x00\x00\x00\x18ftypmp42 compressed"),
+          "video/mp4", None, None, 1000)],
+        MM.MEDIA_SCHEMA,
+    )
     with pytest.raises(Exception):
-        MM.extract_features(video, strict=True).collect()
+        MM.extract_features(garbage, strict=True).collect()
 
 
 # --- property tests (no Spark session needed: pure decoder) ---
@@ -232,4 +241,56 @@ def test_synthetic_wav_roundtrip():
 def test_wav_decoder_never_crashes_on_garbage(payload):
     for prefix in (b"", b"RIFF", b"RIFF\x10\x00\x00\x00WAVE"):
         out = MM.decode_wav(prefix + payload)
+        assert out is None or isinstance(out, dict)
+
+
+# --- y4m video decoder ---
+
+
+def test_decode_y4m_reference():
+    """Hand-built 2×2 C444 clip, luma values pinned."""
+    y = [10, 20, 30, 40]
+    frame = bytes(y) + bytes(4) + bytes(4)  # Y, U, V planes
+    clip = b"YUV4MPEG2 W2 H2 F30:1 C444\n" + (b"FRAME\n" + frame) * 2
+    d = MM.decode_y4m(clip)
+    assert d["width"] == 2 and d["height"] == 2
+    assert d["n_frames"] == 2 and d["fps"] == 30.0
+    assert d["y_mean"] == sum(y) / 4
+    var = sum(v * v for v in y) / 4 - (sum(y) / 4) ** 2
+    assert d["y_std"] == pytest.approx(var ** 0.5)
+
+
+def test_decode_y4m_c420_default_and_odd_dims():
+    # no C tag → C420 per spec; odd dims are invalid for C420
+    frame420 = bytes(4) + bytes(1) + bytes(1)
+    assert MM.decode_y4m(b"YUV4MPEG2 W2 H2 F25:1\n" + b"FRAME\n" + frame420) is not None
+    assert MM.decode_y4m(b"YUV4MPEG2 W3 H2 F25:1\n" + b"FRAME\n" + bytes(9)) is None
+
+
+def test_decode_y4m_rejects_truncation_and_foreign():
+    good = MM.synthetic_y4m(5)
+    assert MM.decode_y4m(good) is not None
+    assert MM.decode_y4m(good[:-1]) is None  # truncated last frame
+    assert MM.decode_y4m(b"YUV4MPEG2 W2 H2 F25:1 C422\n" + bytes(64)) is None
+    assert MM.decode_y4m(b"\x00\x00\x00\x18ftypmp42") is None
+    assert MM.decode_y4m(None) is None
+
+
+def test_synthetic_y4m_roundtrip():
+    for i in (2, 5, 44, 95):
+        d = MM.decode_y4m(MM.synthetic_y4m(i))
+        k = i // 3
+        w, h, nf = 4 + 2 * (k % 3), 4 + 2 * (k % 2), 2 + k % 3
+        assert (d["width"], d["height"], d["n_frames"]) == (w, h, nf)
+        luma = [
+            (i * 31 + f * 17 + j * 7) % 256 for f in range(nf) for j in range(w * h)
+        ]
+        assert d["y_mean"] == sum(luma) / len(luma)
+
+
+@settings(deadline=None, max_examples=40)
+@given(payload=st.binary(min_size=0, max_size=96))
+def test_y4m_decoder_never_crashes_on_garbage(payload):
+    for prefix in (b"", b"YUV4MPEG2", b"YUV4MPEG2 W2 H2 F25:1\n"):
+        out = MM.decode_y4m(prefix + payload)
         assert out is None or isinstance(out, dict)
