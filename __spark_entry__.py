@@ -3116,42 +3116,39 @@ def bf_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     hist = bf_histogram_buckets(spark, sf_dir)
     w = Window.partitionBy("tenant_id", "metric_name", "slot_ms").orderBy("le")
-    target = F.lit(_HQ_Q) * F.col("n_total")
     rows = (
         hist.withColumn("cum_lo", F.coalesce(F.lag("cum_count").over(w), F.lit(0)))
         .withColumn("lo", F.coalesce(F.lag("le").over(w), F.lit(0.0)))
-        .withColumn("target", target)
+        .withColumn("target", F.lit(_HQ_Q) * F.col("n_total"))
     )
-    hit = rows.filter(
-        (F.col("cum_count") >= F.col("target")) & (F.col("cum_lo") < F.col("target"))
-    ).select(
-        "tenant_id",
-        "metric_name",
-        "slot_ms",
-        "n_total",
-        (
-            F.col("lo")
-            + (F.col("le") - F.col("lo"))
-            * (F.col("target") - F.col("cum_lo"))
-            / (F.col("cum_count") - F.col("cum_lo"))
-        ).alias("p_est"),
-        F.lit(False).alias("saturated"),
-    )
-    top = rows.groupBy("tenant_id", "metric_name", "slot_ms").agg(
+    # ONE pass: the minimal-le bucket with cum ≥ target automatically has
+    # cum_lo < target (its predecessor failed the test), so a struct-min
+    # conditional aggregate replaces the hit∪saturated union — the plan
+    # scans the histogram once instead of twice
+    hit = F.min(
+        F.when(
+            F.col("cum_count") >= F.col("target"),
+            F.struct("le", "lo", "cum_lo", "cum_count"),
+        )
+    ).alias("hit")
+    agg = rows.groupBy("tenant_id", "metric_name", "slot_ms").agg(
+        hit,
         F.max("le").alias("max_le"),
-        F.max("cum_count").alias("max_cum"),
-        F.first("target").alias("t"),
+        F.first("target").alias("target"),
         F.first("n_total").alias("n_total"),
     )
-    sat = top.filter(F.col("max_cum") < F.col("t")).select(
+    h = F.col("hit")
+    interp = h["lo"] + (h["le"] - h["lo"]) * (F.col("target") - h["cum_lo"]) / (
+        h["cum_count"] - h["cum_lo"]
+    )
+    return agg.select(
         "tenant_id",
         "metric_name",
         "slot_ms",
         "n_total",
-        F.col("max_le").alias("p_est"),
-        F.lit(True).alias("saturated"),
+        F.when(h.isNull(), F.col("max_le")).otherwise(interp).alias("p_est"),
+        h.isNull().alias("saturated"),
     )
-    return hit.unionByName(sat)
 
 
 _BF_HIST_QUANTILE_SQL = f"""
@@ -3177,21 +3174,23 @@ rows_ AS (
   FROM hist
   WINDOW w AS (PARTITION BY tenant_id, metric_name, slot_ms ORDER BY le)
 ),
-hit AS (
-  SELECT tenant_id, metric_name, slot_ms, n_total,
-         lo + (le - lo) * (target - cum_lo) / (cum_count - cum_lo) AS p_est,
-         FALSE AS saturated
-  FROM rows_
-  WHERE cum_count >= target AND cum_lo < target
-),
-sat AS (
-  SELECT tenant_id, metric_name, slot_ms, any_value(n_total) AS n_total,
-         max(le) AS p_est, TRUE AS saturated
+agg AS (
+  SELECT tenant_id, metric_name, slot_ms,
+         any_value(n_total) AS n_total,
+         any_value(target) AS target,
+         max(le) AS max_le,
+         min(CASE WHEN cum_count >= target
+                  THEN struct_pack(le := le, lo := lo, cum_lo := cum_lo,
+                                   cum_count := cum_count) END) AS hit
   FROM rows_
   GROUP BY 1, 2, 3
-  HAVING max(cum_count) < any_value(target)
 )
-SELECT * FROM hit UNION ALL SELECT * FROM sat
+SELECT tenant_id, metric_name, slot_ms, n_total,
+       CASE WHEN hit IS NULL THEN max_le
+            ELSE hit.lo + (hit.le - hit.lo) * (target - hit.cum_lo)
+                 / (hit.cum_count - hit.cum_lo) END AS p_est,
+       hit IS NULL AS saturated
+FROM agg
 """
 
 

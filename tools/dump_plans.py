@@ -58,6 +58,8 @@ CASES = {
     "bf_m4_downsample": "M4 pixel downsample: one map-side-combinable groupBy — same shuffle shape as a basic rollup, 4 doubles per pixel out",
     "bf_topk_movers": "recent-vs-prior movers: ONE conditional-agg pass (no self-join of the halves) + TakeOrderedAndProject",
     "bf_winsorize": "winsorize: per-series percentile agg + bounds joined back with NO forced broadcast (AQE promotes at bench scale)",
+    "bf_histogram_quantile": "histogram_quantile: bucket agg shuffle + one bounded window over each slot's 7 bucket rows — no global sort",
+    "bf_sustained_breach": "sustained breach: islands ranked over BREACHING slots only (filter precedes the window); per-island agg",
 }
 
 
