@@ -3464,6 +3464,15 @@ def llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.incremental_dedup(docs, F.col("doc_id") % 10 == 7)
 
 
+def llm_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH tuning report (operators/dedup.py minhash_estimate_report):
+    minhash-estimated vs exact Jaccard for every shingle-sharing pair
+    above 0.1, with the banded index's candidate verdict — the table
+    that justifies a num_perm/bands choice for a corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.minhash_estimate_report(docs)
+
+
 def llm_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking (operators/text.py cdc_chunks): chunk
     boundaries from per-token md5 buckets, so edits shift only the
@@ -3735,6 +3744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_dsir_weights": llm_dsir_weights,
         "llm_incremental_dedup": llm_incremental_dedup,
         "llm_cdc_chunks": llm_cdc_chunks,
+        "llm_minhash_estimate": llm_minhash_estimate,
         "llm_lang_id": llm_lang_id,
         "llm_token_counts": llm_token_counts,
         "llm_quality_score": llm_quality_score,
@@ -3922,4 +3932,5 @@ def oracle_sql() -> dict[str, str]:
         ),
         "llm_incremental_dedup": D.incremental_dedup_sql("doc_id % 10 = 7"),
         "llm_cdc_chunks": TX.cdc_chunks_sql(),
+        "llm_minhash_estimate": D.minhash_estimate_report_sql(),
     }

@@ -946,3 +946,102 @@ def incremental_dedup_frames(
         back("near_match_id").alias("near_match_id"),
         "best_jaccard",
     )
+
+
+def minhash_estimate_report(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_perm: int = NUM_PERM,
+    bands: int = BANDS,
+    min_jaccard: float = 0.1,
+) -> DataFrame:
+    """LSH tuning report: for every pair sharing ≥1 shingle with exact
+    Jaccard ≥ `min_jaccard`, the minhash ESTIMATE (matching signature
+    components / num_perm) next to the exact value, plus whether the
+    banded index would have surfaced the pair as a candidate — the table
+    you read before choosing num_perm/bands for a corpus ("how biased is
+    the estimator at my similarity range, and what recall does this
+    banding buy"). The abs error column makes the estimator's ±1/√k
+    envelope directly visible.
+
+    Scale shape: pairs come from the shingle inverted index (bounded by
+    docs-per-shingle², never corpus²); signatures attach via two
+    doc-key joins; the candidate flag is a left join against the band
+    pairs. All arithmetic is integer counts and exactly-rounded
+    divisions — engine-portable."""
+    inter = _shingle_intersections(docs, text_col)
+    exact_j = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    pairs = inter.withColumn("exact_jaccard", exact_j).filter(
+        F.col("exact_jaccard") >= min_jaccard
+    )
+    sig = minhash_signatures(docs, text_col, num_perm).localCheckpoint(eager=False)
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(num_perm)]
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(num_perm)]
+    )
+    matching = sum(
+        F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0) for i in range(num_perm)
+    )
+    cand = minhash_lsh_pairs(docs, text_col, num_perm, bands).withColumn(
+        "is_candidate", F.lit(True)
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_matching", matching.cast("int"))
+        .withColumn("est_jaccard", F.col("n_matching") / F.lit(float(num_perm)))
+        .join(cand, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            "exact_jaccard",
+            "n_matching",
+            "est_jaccard",
+            F.abs(F.col("est_jaccard") - F.col("exact_jaccard")).alias("abs_err"),
+            F.coalesce(F.col("is_candidate"), F.lit(False)).alias("is_candidate"),
+        )
+    )
+
+
+def minhash_estimate_report_sql(
+    num_perm: int = NUM_PERM, bands: int = BANDS, min_jaccard: float = 0.1
+) -> str:
+    mh_cols = _mh_sql_cols(num_perm)
+    matching = " + ".join(
+        f"CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END" for i in range(num_perm)
+    )
+    return f"""
+WITH sh0 AS ({_shingle_sql()}),
+sh AS (SELECT doc_id, hash(shingle) AS sh_key FROM sh0),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.sh_key = b.sh_key AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT doc_a, doc_b,
+         CAST(inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - inter) AS exact_jaccard
+  FROM pairs
+  JOIN sizes sa ON pairs.doc_a = sa.doc_id
+  JOIN sizes sb ON pairs.doc_b = sb.doc_id
+  WHERE CAST(inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - inter) >= {min_jaccard}
+),
+sig AS (
+  SELECT doc_id,
+         {mh_cols}
+  FROM sh0 GROUP BY doc_id
+),
+cand AS ({minhash_lsh_pairs_sql(num_perm, bands)})
+SELECT s.doc_a, s.doc_b, s.exact_jaccard,
+       CAST({matching} AS INT) AS n_matching,
+       CAST({matching} AS DOUBLE) / {num_perm} AS est_jaccard,
+       abs(CAST({matching} AS DOUBLE) / {num_perm} - s.exact_jaccard) AS abs_err,
+       c.doc_a IS NOT NULL AS is_candidate
+FROM scored s
+JOIN sig sa ON sa.doc_id = s.doc_a
+JOIN sig sb ON sb.doc_id = s.doc_b
+LEFT JOIN cand c ON c.doc_a = s.doc_a AND c.doc_b = s.doc_b
+"""

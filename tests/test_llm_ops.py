@@ -655,3 +655,23 @@ def test_cdc_chunks_edit_locality(spark):
     base_digests = [c["chunk_md5"] for c in by_doc[0]]
     edit_digests = [c["chunk_md5"] for c in by_doc[1]]
     assert edit_digests[: len(base_digests) - 1] == base_digests[:-1]
+
+
+def test_minhash_estimate_report_properties(spark, docs):
+    """Estimator sanity on the fixture: exact dups estimate 1.0 and are
+    always candidates; every estimate is a multiple of 1/num_perm; the
+    abs error is consistent with its two inputs."""
+    rows = D.minhash_estimate_report(docs, min_jaccard=0.05).collect()
+    assert rows
+    by_pair = {(r["doc_a"], r["doc_b"]): r for r in rows}
+    exact_pair = by_pair[(0, 2)]  # identical docs
+    assert exact_pair["exact_jaccard"] == 1.0
+    assert exact_pair["n_matching"] == D.NUM_PERM
+    assert exact_pair["est_jaccard"] == 1.0 and exact_pair["is_candidate"]
+    for r in rows:
+        assert 0 <= r["n_matching"] <= D.NUM_PERM
+        assert r["est_jaccard"] == r["n_matching"] / D.NUM_PERM
+        assert r["abs_err"] == abs(r["est_jaccard"] - r["exact_jaccard"])
+        if r["is_candidate"]:
+            # a candidate requires at least one fully-matching band
+            assert r["n_matching"] >= D.NUM_PERM // D.BANDS
