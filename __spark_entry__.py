@@ -3524,6 +3524,47 @@ def _rollup_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def api_sql_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate navigation exposed as plain SQL (SURVEY §4's 'SQL over a
+    logical metrics view' item): the user writes `SELECT … FROM
+    metrics_rollups WHERE …` against the resolution-tagged ladder; the
+    points-budget planner (O3) supplies only the `resolution` literal —
+    points=500 over 7 days selects 20m. Catalyst constant-folds that
+    literal against each union branch's lit() tag and prunes the
+    unselected resolutions AT PLAN TIME (PLANS.md api_get_view_frame),
+    so the SQL surface costs exactly one rollup scan — the behavior a
+    resolution-partitioned production table gets from partition pruning,
+    with zero custom Catalyst rules."""
+    rollups = _rollup_ladder(spark, sf_dir)
+    gran = G.from_points_in_interval(_API_FROM_MS, _API_TO_MS, 500)
+    rollups.createOrReplaceTempView("metrics_rollups")
+    return spark.sql(
+        f"""
+        SELECT tenant_id, metric_name, window_start, num_points,
+               avg AS avg_val, sum AS sum_val
+        FROM metrics_rollups
+        WHERE resolution = '{gran.name}'
+          AND window_start >= {_API_FROM_MS} AND window_start < {_API_TO_MS}
+          AND tenant_id = 't1'
+        """
+    )
+
+
+_API_SQL_NAV_SQL = _RAW_CTE + f"""
+SELECT * FROM (
+  SELECT tenant_id, metric_name,
+         (ts // 1200000) * 1200000 AS window_start,
+         count(*) AS num_points,
+         avg(value) AS avg_val,
+         sum(value) AS sum_val
+  FROM raw
+  WHERE tenant_id = 't1'
+  GROUP BY 1, 2, 3
+)
+WHERE window_start >= {_API_FROM_MS} AND window_start < {_API_TO_MS}
+"""
+
+
 def api_get_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GET /v2.0/:tenantId/views/:metricName END-TO-END through the API
     layer (plans/query_api.py: parse_params → from_points_in_interval →
@@ -3745,6 +3786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_incremental_dedup": llm_incremental_dedup,
         "llm_cdc_chunks": llm_cdc_chunks,
         "llm_minhash_estimate": llm_minhash_estimate,
+        "api_sql_navigation": api_sql_navigation,
         "llm_lang_id": llm_lang_id,
         "llm_token_counts": llm_token_counts,
         "llm_quality_score": llm_quality_score,
@@ -3933,4 +3975,5 @@ def oracle_sql() -> dict[str, str]:
         "llm_incremental_dedup": D.incremental_dedup_sql("doc_id % 10 = 7"),
         "llm_cdc_chunks": TX.cdc_chunks_sql(),
         "llm_minhash_estimate": D.minhash_estimate_report_sql(),
+        "api_sql_navigation": _API_SQL_NAV_SQL,
     }
