@@ -3095,6 +3095,56 @@ HAVING count(*) >= {_BREACH_MIN_SLOTS}
 """
 
 
+_WEEK_MS = 604_800_000
+
+
+def bf_seasonal_naive_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast check: each 240m slot's actual rollup avg
+    next to the same series' avg exactly one week earlier — the
+    capacity-planning baseline every fancier forecaster is measured
+    against, and the residual input for week-over-week anomaly rules.
+    Both means are emitted side by side, not subtracted (the checked-
+    output cancellation discipline); slots without a week-ago partner
+    are excluded — a missing slot has no naive forecast.
+
+    Plan: one rollup aggregation, then an equi self-join on
+    (series, slot − 1 week). Both sides carry the same series-key
+    partitioning, and at production layout the join is slot-partition
+    co-located; no window over the full history is needed."""
+    raw = _raw_metrics(spark, sf_dir)
+    r240 = R.basic_from_raw(raw, G.MIN_240).select(
+        "tenant_id", "metric_name", "window_start",
+        F.col("num_points").alias("n"), F.col("avg").alias("avg_val"),
+    ).localCheckpoint(eager=False)  # consumed as both join sides
+    prior = r240.select(
+        "tenant_id",
+        "metric_name",
+        (F.col("window_start") + F.lit(_WEEK_MS)).alias("window_start"),
+        F.col("n").alias("n_prior"),
+        F.col("avg_val").alias("forecast_avg"),
+    )
+    return r240.join(prior, ["tenant_id", "metric_name", "window_start"]).select(
+        "tenant_id", "metric_name", "window_start",
+        "n", "avg_val", "n_prior", "forecast_avg",
+    )
+
+
+_BF_SEASONAL_FC_SQL = _RAW_CTE + f"""
+, r240 AS (
+  SELECT tenant_id, metric_name,
+         (ts // 14400000) * 14400000 AS window_start,
+         count(*) AS n, avg(value) AS avg_val
+  FROM raw GROUP BY 1, 2, 3
+)
+SELECT a.tenant_id, a.metric_name, a.window_start,
+       a.n, a.avg_val,
+       p.n AS n_prior, p.avg_val AS forecast_avg
+FROM r240 a
+JOIN r240 p ON p.tenant_id = a.tenant_id AND p.metric_name = a.metric_name
+           AND p.window_start = a.window_start - {_WEEK_MS}
+"""
+
+
 _HQ_Q = 0.95
 
 
@@ -3787,6 +3837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_cdc_chunks": llm_cdc_chunks,
         "llm_minhash_estimate": llm_minhash_estimate,
         "api_sql_navigation": api_sql_navigation,
+        "bf_seasonal_naive_forecast": bf_seasonal_naive_forecast,
         "llm_lang_id": llm_lang_id,
         "llm_token_counts": llm_token_counts,
         "llm_quality_score": llm_quality_score,
@@ -3976,4 +4027,5 @@ def oracle_sql() -> dict[str, str]:
         "llm_cdc_chunks": TX.cdc_chunks_sql(),
         "llm_minhash_estimate": D.minhash_estimate_report_sql(),
         "api_sql_navigation": _API_SQL_NAV_SQL,
+        "bf_seasonal_naive_forecast": _BF_SEASONAL_FC_SQL,
     }

@@ -318,3 +318,25 @@ def test_sustained_breach_runs_are_consecutive(spark):
         for edge in (b["breach_start"] - slot, b["breach_end"] + slot):
             v = r240.get((*k, edge))
             assert v is None or v <= E._BREACH_THRESHOLD
+
+
+def test_seasonal_naive_forecast_is_week_shifted_self(spark):
+    rows = E.bf_seasonal_naive_forecast(spark, SF0001).collect()
+    assert rows
+    from blueflood_spark.operators import granularity as G
+    from blueflood_spark.operators import rollup as R
+
+    r240 = {
+        (r["tenant_id"], r["metric_name"], r["window_start"]): r
+        for r in R.basic_from_raw(E._raw_metrics(spark, SF0001), G.MIN_240).collect()
+    }
+    for r in rows:
+        k = (r["tenant_id"], r["metric_name"])
+        prior = r240[(*k, r["window_start"] - E._WEEK_MS)]
+        assert r["forecast_avg"] == prior["avg"] and r["n_prior"] == prior["num_points"]
+        assert r["avg_val"] == r240[(*k, r["window_start"])]["avg"]
+    # slots lacking a week-ago partner are excluded
+    have = {(r["tenant_id"], r["metric_name"], r["window_start"]) for r in rows}
+    for key in r240:
+        t, m, ws = key
+        assert (key in have) == ((t, m, ws - E._WEEK_MS) in r240)
