@@ -60,6 +60,8 @@ CASES = {
     "bf_winsorize": "winsorize: per-series percentile agg + bounds joined back with NO forced broadcast (AQE promotes at bench scale)",
     "bf_histogram_quantile": "histogram_quantile: bucket agg shuffle + one bounded window over each slot's 7 bucket rows — no global sort",
     "bf_sustained_breach": "sustained breach: islands ranked over BREACHING slots only (filter precedes the window); per-island agg",
+    "bf_seasonal_naive_forecast": "seasonal-naive forecast: rollup agg + week-shifted equi self-join on the series/slot key (no history-wide window)",
+    "api_sql_navigation": "SQL over the logical rollup ladder: the planner's resolution literal constant-folds — ONE pruned scan, zero custom rules",
 }
 
 
