@@ -3514,6 +3514,51 @@ def llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.incremental_dedup(docs, F.col("doc_id") % 10 == 7)
 
 
+def llm_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best near-dup resolution (operators/dedup.py
+    dedup_keep_best): LSH clusters resolved by KEEPING each cluster's
+    highest-quality member (n_chars, ties to smallest id) — the
+    drop-the-worst-copy policy real pipelines use instead of an
+    arbitrary canonical."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.dedup_keep_best(docs)
+
+
+def bf_tenant_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tenant cardinality report: distinct metrics, sample count,
+    samples-per-series, and the active time span — the first dashboard
+    an operator of a multi-tenant metrics system builds, because series
+    cardinality explosions are the canonical failure mode the
+    reference's locator throttles (P6, DiscoveryWriter.java:51-139)
+    exist to contain. One map-side-combinable aggregation."""
+    raw = _raw_metrics(spark, sf_dir)
+    return (
+        raw.groupBy("tenant_id")
+        .agg(
+            F.countDistinct("metric_name").alias("n_metrics"),
+            F.count(F.lit(1)).alias("n_samples"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .withColumn(
+            "samples_per_metric",
+            F.col("n_samples").cast("double") / F.col("n_metrics"),
+        )
+    )
+
+
+_BF_TENANT_CARD_SQL = _RAW_CTE + """
+SELECT tenant_id,
+       count(DISTINCT metric_name) AS n_metrics,
+       count(*) AS n_samples,
+       min(ts) AS first_ts,
+       max(ts) AS last_ts,
+       CAST(count(*) AS DOUBLE) / count(DISTINCT metric_name) AS samples_per_metric
+FROM raw
+GROUP BY tenant_id
+"""
+
+
 def llm_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH tuning report (operators/dedup.py minhash_estimate_report):
     minhash-estimated vs exact Jaccard for every shingle-sharing pair
@@ -3838,6 +3883,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_minhash_estimate": llm_minhash_estimate,
         "api_sql_navigation": api_sql_navigation,
         "bf_seasonal_naive_forecast": bf_seasonal_naive_forecast,
+        "llm_dedup_keep_best": llm_dedup_keep_best,
+        "bf_tenant_cardinality": bf_tenant_cardinality,
         "llm_lang_id": llm_lang_id,
         "llm_token_counts": llm_token_counts,
         "llm_quality_score": llm_quality_score,
@@ -4028,4 +4075,6 @@ def oracle_sql() -> dict[str, str]:
         "llm_minhash_estimate": D.minhash_estimate_report_sql(),
         "api_sql_navigation": _API_SQL_NAV_SQL,
         "bf_seasonal_naive_forecast": _BF_SEASONAL_FC_SQL,
+        "llm_dedup_keep_best": D.dedup_keep_best_sql(),
+        "bf_tenant_cardinality": _BF_TENANT_CARD_SQL,
     }

@@ -1045,3 +1045,65 @@ JOIN sig sa ON sa.doc_id = s.doc_a
 JOIN sig sb ON sb.doc_id = s.doc_b
 LEFT JOIN cand c ON c.doc_a = s.doc_a AND c.doc_b = s.doc_b
 """
+
+
+def dedup_keep_best(
+    docs: DataFrame,
+    quality_col: str = "n_chars",
+    num_perm: int = NUM_PERM,
+    bands: int = BANDS,
+) -> DataFrame:
+    """Near-dup resolution the way production pipelines actually do it:
+    cluster LSH near-duplicates, then KEEP the highest-quality member of
+    each cluster (here `quality_col`, ties to the smallest doc_id)
+    instead of the arbitrary lowest-id canonical — dropping the worst
+    copy of a boilerplate family, not a random one. Emits every doc with
+    its cluster, quality, and the keep verdict so the caller can filter
+    or audit.
+
+    Scale shape: LSH pairs (banded equi-joins) → connected components →
+    one per-cluster struct-max aggregate joined back on cluster_id. The
+    struct-max is (quality, −doc_id), so the argmax is deterministic
+    across engines and partitionings."""
+    pairs = minhash_lsh_pairs(docs, num_perm=num_perm, bands=bands)
+    clusters = connected_components(pairs, docs.select("doc_id"))
+    labeled = clusters.join(docs.select("doc_id", quality_col), "doc_id")
+    best = (
+        labeled.groupBy("cluster_id")
+        .agg(
+            F.max(
+                F.struct(F.col(quality_col).alias("q"), (-F.col("doc_id")).alias("neg_id"))
+            ).alias("best")
+        )
+        .select("cluster_id", (-F.col("best.neg_id")).alias("best_doc_id"))
+    )
+    return (
+        labeled.join(best, "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            F.col(quality_col),
+            (F.col("doc_id") == F.col("best_doc_id")).alias("kept"),
+        )
+    )
+
+
+def dedup_keep_best_sql(
+    quality_col: str = "n_chars", num_perm: int = NUM_PERM, bands: int = BANDS
+) -> str:
+    clusters = minhash_clusters_sql(num_perm, bands)
+    return f"""
+WITH clusters AS ({clusters}),
+labeled AS (
+  SELECT c.doc_id, c.cluster_id, d.{quality_col}
+  FROM clusters c JOIN documents d USING (doc_id)
+),
+best AS (
+  SELECT cluster_id,
+         -max(struct_pack(q := {quality_col}, neg_id := -doc_id)).neg_id AS best_doc_id
+  FROM labeled GROUP BY cluster_id
+)
+SELECT l.doc_id, l.cluster_id, l.{quality_col},
+       l.doc_id = b.best_doc_id AS kept
+FROM labeled l JOIN best b USING (cluster_id)
+"""

@@ -675,3 +675,35 @@ def test_minhash_estimate_report_properties(spark, docs):
         if r["is_candidate"]:
             # a candidate requires at least one fully-matching band
             assert r["n_matching"] >= D.NUM_PERM // D.BANDS
+
+
+def test_dedup_keep_best_keeps_highest_quality(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", 44),
+        (1, "the quick brown fox jumps over the lazy dog", 44),   # exact dup, same len
+        (2, "the quick brown fox jumps over the lazy dog and more", 53),  # longer dup
+        (5, "completely unrelated text with its own vocabulary here", 54),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+    out = {r["doc_id"]: r for r in D.dedup_keep_best(docs).collect()}
+    assert set(out) == {0, 1, 2, 5}
+    cluster = {out[i]["cluster_id"] for i in (0, 1, 2)}
+    assert cluster == {0}  # one component, min-id label
+    # doc 2 has the most chars → kept; 0 and 1 dropped (0 loses despite lower id)
+    assert out[2]["kept"] and not out[0]["kept"] and not out[1]["kept"]
+    assert out[5]["kept"]  # singleton cluster keeps itself
+    # exactly one kept per cluster
+    from collections import Counter
+
+    kept_per_cluster = Counter(r["cluster_id"] for r in out.values() if r["kept"])
+    assert all(v == 1 for v in kept_per_cluster.values())
+
+
+def test_dedup_keep_best_tie_breaks_to_lowest_id(spark):
+    rows = [
+        (7, "alpha beta gamma delta epsilon zeta", 35),
+        (9, "alpha beta gamma delta epsilon zeta", 35),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+    out = {r["doc_id"]: r["kept"] for r in D.dedup_keep_best(docs).collect()}
+    assert out == {7: True, 9: False}
