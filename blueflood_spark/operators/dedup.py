@@ -911,6 +911,158 @@ LEFT JOIN near r ON r.doc_id = n.doc_id
 """
 
 
+def _band_entries(num_perm: int, bands: int):
+    """(band, bk) struct array over a signature row — bk is xxhash64 of
+    the band's signature components (equality proxy; see
+    minhash_lsh_pairs on why the oracle may hash differently)."""
+    rows = num_perm // bands
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[F.col(f"mh_{b * rows + r}") for r in range(rows)]).alias("bk"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+class DedupIndex:
+    """The persisted face of incremental dedup — 'index the corpus once,
+    probe every delivery': four corpus-derived frames, each keyed by
+    `corpus_id`, that `probe_dedup_index` joins incoming batches
+    against. In production these are parquet tables maintained by the
+    corpus build (write_dedup_index / read_dedup_index); the corpus
+    TEXT is never needed at probe time — probes touch only the index.
+
+    - hashes:   (corpus_id, th)          exact-identity md5
+    - bands:    (corpus_id, band, bk)    minhash-LSH band keys
+    - shingles: (corpus_id, sh_key)      shingle hash sets (verify join)
+    - sizes:    (corpus_id, n_shingles)  Jaccard denominators
+    """
+
+    PARTS = ("hashes", "bands", "shingles", "sizes")
+
+    def __init__(self, hashes, bands, shingles, sizes, num_perm=NUM_PERM, n_bands=BANDS):
+        self.hashes, self.bands = hashes, bands
+        self.shingles, self.sizes = shingles, sizes
+        self.num_perm, self.n_bands = num_perm, n_bands
+
+    def cache(self) -> "DedupIndex":
+        for part in self.PARTS:
+            setattr(self, part, getattr(self, part).cache())
+        return self
+
+    def materialize(self) -> "DedupIndex":
+        for part in self.PARTS:
+            getattr(self, part).count()
+        return self
+
+
+def build_dedup_index(
+    corpus: DataFrame,
+    text_col: str = "text",
+    num_perm: int = NUM_PERM,
+    bands: int = BANDS,
+    id_col: str = "doc_id",
+) -> DedupIndex:
+    """Derive the four index frames from corpus text — one signature
+    pass, one shingle pass; at 100 TB this runs once per corpus build
+    and the results are written with write_dedup_index."""
+    cid = F.col(id_col).alias("corpus_id")
+    hashes = corpus.select(cid, F.md5(F.col(text_col)).alias("th"))
+    sig = minhash_signatures(corpus.select(F.col(id_col).alias("doc_id"), text_col),
+                             text_col, num_perm)
+    banded = sig.select(
+        F.col("doc_id").alias("corpus_id"), F.explode(_band_entries(num_perm, bands)).alias("e")
+    ).select("corpus_id", F.col("e.band").alias("band"), F.col("e.bk").alias("bk"))
+    sh = corpus.select(cid, F.explode(shingles_expr(text_col)).alias("shingle")).select(
+        "corpus_id", F.xxhash64("shingle").alias("sh_key")
+    )
+    sizes = sh.groupBy("corpus_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    return DedupIndex(hashes, banded, sh, sizes, num_perm, bands)
+
+
+def write_dedup_index(index: DedupIndex, path: str) -> None:
+    for part in DedupIndex.PARTS:
+        getattr(index, part).write.mode("overwrite").parquet(f"{path}/{part}")
+
+
+def read_dedup_index(
+    spark, path: str, num_perm: int = NUM_PERM, bands: int = BANDS
+) -> DedupIndex:
+    frames = [spark.read.parquet(f"{path}/{part}") for part in DedupIndex.PARTS]
+    return DedupIndex(*frames, num_perm=num_perm, n_bands=bands)
+
+
+def probe_dedup_index(
+    incoming: DataFrame,
+    index: DedupIndex,
+    text_col: str = "text",
+    threshold: float = 0.12,
+) -> DataFrame:
+    """Check an incoming batch against a prebuilt DedupIndex: exact
+    md5-identity join, then minhash-LSH band candidates verified with
+    true shingle Jaccard — the same semantics as `incremental_dedup`,
+    but the corpus side never recomputes anything (the probe cost is
+    the incoming batch's own signatures plus index equi-joins). Incoming
+    and corpus id spaces are independent — overlapping ids are fine."""
+    inc_h = incoming.select("doc_id", F.md5(F.col(text_col)).alias("th"))
+    exact = (
+        inc_h.join(index.hashes, "th")
+        .groupBy("doc_id")
+        .agg(F.min("corpus_id").alias("exact_match_id"))
+    )
+
+    sig = minhash_signatures(incoming, text_col, index.num_perm)
+    b_inc = sig.select(
+        "doc_id", F.explode(_band_entries(index.num_perm, index.n_bands)).alias("e")
+    ).select("doc_id", F.col("e.band").alias("band"), F.col("e.bk").alias("bk"))
+    cands = (
+        b_inc.join(index.bands, ["band", "bk"]).select("doc_id", "corpus_id").distinct()
+    )
+
+    sh_inc = incoming.select(
+        "doc_id", F.explode(shingles_expr(text_col)).alias("shingle")
+    ).select("doc_id", F.xxhash64("shingle").alias("sh_key"))
+    sh_inc = sh_inc.localCheckpoint(eager=False)  # verify join + sizes
+    sizes_inc = sh_inc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_a"))
+    sh_corp = index.shingles.join(cands.select("corpus_id").distinct(), "corpus_id")
+    inter = (
+        sh_inc.join(cands.select("doc_id").distinct(), "doc_id")
+        .join(sh_corp, "sh_key")
+        .groupBy("doc_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .join(cands, ["doc_id", "corpus_id"])
+    )
+    jac = F.col("inter") / (F.col("n_a") + F.col("n_shingles") - F.col("inter"))
+    near = (
+        inter.join(sizes_inc, "doc_id")
+        .join(index.sizes, "corpus_id")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .groupBy("doc_id")
+        .agg(
+            F.min("corpus_id").alias("near_match_id"),
+            F.max("jaccard").alias("best_jaccard"),
+        )
+    )
+
+    return (
+        incoming.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("exact_match_id").isNotNull().alias("exact_dup"),
+            "exact_match_id",
+            F.col("near_match_id").isNotNull().alias("near_dup"),
+            "near_match_id",
+            "best_jaccard",
+        )
+    )
+
+
 def incremental_dedup_frames(
     incoming: DataFrame,
     corpus: DataFrame,
@@ -920,32 +1072,12 @@ def incremental_dedup_frames(
     threshold: float = 0.12,
 ) -> DataFrame:
     """Two-frame face of `incremental_dedup` for callers whose incoming
-    batch and corpus live in separate tables (the streaming corpus
-    guard) and may even share doc_id values — a re-ingest of an existing
-    id is precisely the interesting case. Ids are remapped onto disjoint
-    odd/even keys (uid = 2·id + side) for the unified pass and mapped
-    back on output; requires non-negative doc_ids (the repo-wide id
-    convention)."""
-    uid = (F.col("doc_id") * 2).cast("long")
-    inc = incoming.select((uid + 1).alias("doc_id"), F.col(text_col).alias(text_col))
-    corp = corpus.select(uid.alias("doc_id"), F.col(text_col).alias(text_col))
-    out = incremental_dedup(
-        inc.unionByName(corp),
-        F.col("doc_id") % 2 == 1,
-        text_col=text_col,
-        num_perm=num_perm,
-        bands=bands,
-        threshold=threshold,
-    )
-    back = lambda c: F.when(F.col(c).isNotNull(), (F.col(c) / 2).cast("long"))  # noqa: E731
-    return out.select(
-        ((F.col("doc_id") - 1) / 2).cast("long").alias("doc_id"),
-        "exact_dup",
-        back("exact_match_id").alias("exact_match_id"),
-        "near_dup",
-        back("near_match_id").alias("near_match_id"),
-        "best_jaccard",
-    )
+    batch and corpus live in separate tables; id spaces are independent
+    (a re-ingest of an existing corpus id is precisely the interesting
+    case). Implemented as build-index + probe, so the one-shot and
+    persisted-index paths cannot drift."""
+    index = build_dedup_index(corpus, text_col, num_perm, bands)
+    return probe_dedup_index(incoming, index, text_col, threshold)
 
 
 def minhash_estimate_report(

@@ -569,12 +569,15 @@ def start_corpus_guard(
     Contract notes: the guard checks batch-vs-corpus only; intra-batch
     and intra-stream duplicates are start_doc_ingest's
     dropDuplicatesWithinWatermark's job (compose the two streams for
-    both guarantees). doc_ids must be non-negative (the two-frame
-    remap's convention)."""
-    from blueflood_spark.operators.dedup import incremental_dedup_frames
+    both guarantees). The corpus index (hashes/bands/shingles/sizes) is
+    built ONCE at stream start and cached — per-batch work is the
+    batch's own signatures plus index equi-joins, never a corpus
+    recompute; in production the index is the persisted output of
+    write_dedup_index and stream start just reads it."""
+    from blueflood_spark.operators.dedup import build_dedup_index, probe_dedup_index
 
-    corpus = spark.read.parquet(corpus_path).select("doc_id", "text").cache()
-    corpus.count()  # materialize once, before the first batch
+    corpus = spark.read.parquet(corpus_path).select("doc_id", "text")
+    index = build_dedup_index(corpus).cache().materialize()
 
     stream = (
         spark.readStream.schema(DOC_INGEST_SCHEMA)
@@ -586,7 +589,7 @@ def start_corpus_guard(
         if batch.isEmpty():
             return
         batch = batch.cache()
-        flags = incremental_dedup_frames(batch, corpus, threshold=threshold)
+        flags = probe_dedup_index(batch, index, threshold=threshold)
         joined = batch.join(flags, "doc_id", "left").cache()
         dup = F.coalesce(F.col("exact_dup"), F.lit(False)) | F.coalesce(
             F.col("near_dup"), F.lit(False)

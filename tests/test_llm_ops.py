@@ -707,3 +707,36 @@ def test_dedup_keep_best_tie_breaks_to_lowest_id(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
     out = {r["doc_id"]: r["kept"] for r in D.dedup_keep_best(docs).collect()}
     assert out == {7: True, 9: False}
+
+
+def test_dedup_index_roundtrip_matches_direct_probe(spark, tmp_path):
+    """write_dedup_index → read_dedup_index → probe must equal the
+    direct build+probe, including on an incoming batch that reuses a
+    corpus doc_id with different text (independent id spaces)."""
+    base = ("the quick brown fox jumps over the lazy dog every day"
+            " in the green field near the old mill")
+    corpus = spark.createDataFrame(
+        [(0, base), (1, "metrics rollups aggregate time series data in windows")],
+        "doc_id long, text string",
+    )
+    incoming = spark.createDataFrame(
+        [
+            (100, base),                                     # exact dup of 0
+            (101, base.replace("old mill", "old barn")),     # all-band near-dup of 0
+            (1, "totally fresh content reusing a corpus id"),
+        ],
+        "doc_id long, text string",
+    )
+    direct = D.probe_dedup_index(incoming, D.build_dedup_index(corpus)).collect()
+    path = str(tmp_path / "dedup_index")
+    D.write_dedup_index(D.build_dedup_index(corpus), path)
+    loaded = D.probe_dedup_index(incoming, D.read_dedup_index(spark, path)).collect()
+
+    def key(rows):
+        return sorted(tuple(r) for r in rows)
+
+    assert key(direct) == key(loaded)
+    out = {r["doc_id"]: r for r in loaded}
+    assert out[100]["exact_dup"] and out[100]["exact_match_id"] == 0
+    assert out[101]["near_dup"] and out[101]["near_match_id"] == 0
+    assert not out[1]["exact_dup"] and not out[1]["near_dup"]
