@@ -3043,7 +3043,11 @@ def bf_sustained_breach(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     raw = _raw_metrics(spark, sf_dir)
     r240 = R.basic_from_raw(raw, G.MIN_240)
-    breaches = r240.filter(F.col("avg") > _BREACH_THRESHOLD).select(
+    # breach decision on the 6-decimal-ROUNDED mean: the raw avg is an
+    # order-dependent double, and a slot AT the threshold within float
+    # noise would breach in one engine and not the other — one flipped
+    # slot restructures whole islands (a boolean has no tolerance)
+    breaches = r240.filter(F.round(F.col("avg"), 6) > _BREACH_THRESHOLD).select(
         "tenant_id",
         "metric_name",
         "window_start",
@@ -3077,7 +3081,7 @@ _BF_BREACH_SQL = _RAW_CTE + f"""
 breaches AS (
   SELECT tenant_id, metric_name, window_start,
          window_start // {_BREACH_SLOT_MS} AS slot_num, avg_val
-  FROM r240 WHERE avg_val > {_BREACH_THRESHOLD}
+  FROM r240 WHERE round(avg_val, 6) > {_BREACH_THRESHOLD}
 ),
 islands AS (
   SELECT *, slot_num - row_number() OVER (
@@ -3319,9 +3323,14 @@ def bf_topk_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("avg_recent", F.col("sum_recent") / F.col("n_recent"))
         .withColumn("avg_prior", F.col("sum_prior") / F.col("n_prior"))
     )
+    # rank on the 6-decimal-ROUNDED delta: the raw difference of two
+    # order-dependent double means is noisy in the last ulps, and a
+    # near-tie at the rank-10 boundary would make top-10 MEMBERSHIP
+    # engine-dependent; after rounding, near-ties become exact ties and
+    # the series-key tiebreak decides identically in both engines
     return (
         agg.orderBy(
-            F.abs(F.col("avg_recent") - F.col("avg_prior")).desc(),
+            F.round(F.abs(F.col("avg_recent") - F.col("avg_prior")), 6).desc(),
             "tenant_id",
             "metric_name",
         )
@@ -3356,7 +3365,7 @@ SELECT tenant_id, metric_name, n_recent, n_prior,
        sum_prior / n_prior AS avg_prior
 FROM agg
 WHERE n_recent > 0 AND n_prior > 0
-ORDER BY abs(sum_recent / n_recent - sum_prior / n_prior) DESC, tenant_id, metric_name
+ORDER BY round(abs(sum_recent / n_recent - sum_prior / n_prior), 6) DESC, tenant_id, metric_name
 LIMIT 10
 """
 
@@ -3584,15 +3593,17 @@ def llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     importance weight = target log-likelihood − raw log-likelihood.
     Two corpus passes, O(buckets) model state, broadcast ratio table.
 
-    The checked projection carries the two SAME-SIGN log-likelihood sums
-    and the selection bit, not their raw difference: `log_weight`
-    subtracts two ~1e3-magnitude sums, so reassociation noise in the
-    last ulps is amplified to ~1e-11 relative on near-zero weights —
-    the exact cancellation class the pooled-variance rule (NOTES) bans
-    from checked outputs. Consumers derive the weight from the sums."""
+    The checked projection carries ONLY the two SAME-SIGN
+    log-likelihood sums: `log_weight` subtracts two ~1e3-magnitude
+    sums, so reassociation noise in the last ulps is amplified to
+    ~1e-11 relative on near-zero weights — the exact cancellation class
+    the pooled-variance rule (NOTES) bans from checked outputs — and
+    `selected` is that same subtraction's SIGN, which the oracle
+    compares exactly (a doc equidistant from both models could flip it
+    across engines). Consumers derive both from the sums."""
     docs = _t(spark, sf_dir, "documents")
     return TX.dsir_weights(docs, F.col("lang") == "en").select(
-        "doc_id", "n_feats", "target_ll", "raw_ll", "selected"
+        "doc_id", "n_feats", "target_ll", "raw_ll"
     )
 
 
@@ -4066,7 +4077,7 @@ def oracle_sql() -> dict[str, str]:
         "bf_seasonal_baseline": _BF_SEASONAL_SQL,
         "bf_winsorize": _BF_WINSORIZE_SQL,
         "llm_dsir_weights": (
-            "SELECT doc_id, n_feats, target_ll, raw_ll, selected FROM ("
+            "SELECT doc_id, n_feats, target_ll, raw_ll FROM ("
             + TX.dsir_weights_sql("lang = 'en'")
             + ")"
         ),

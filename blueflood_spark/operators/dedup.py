@@ -125,18 +125,8 @@ def minhash_lsh_pairs(
     only on key equality, so the oracle may hash differently; both are
     collision-free at these cardinalities. distinct() dedups pairs found
     by multiple bands."""
-    rows = num_perm // bands
     sig = minhash_signatures(docs, text_col, num_perm)
-    band_entries = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(*[F.col(f"mh_{b * rows + r}") for r in range(rows)]).alias("bk"),
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = sig.select("doc_id", F.explode(band_entries).alias("e")).select(
+    banded = sig.select("doc_id", F.explode(_band_entries(num_perm, bands)).alias("e")).select(
         "doc_id", F.col("e.band").alias("band"), F.col("e.bk").alias("bk")
     ).localCheckpoint(eager=False)  # signature subtree computed once, not per join side
     p = _join_parallelism(docs)
@@ -738,101 +728,22 @@ def incremental_dedup(
     band candidates — the corpus side is only ever touched via its band
     index and its candidate shingle sets).
 
-    Scale shape (asymmetric by design): the corpus appears as (a) a
-    band-key index — in production a persisted signature table, here
-    derived in the same job — and (b) shingle sets for CANDIDATE ids
-    only (semi-join pruned before the verify join). Candidates are
-    banded equi-joins, never cross joins; all verification arithmetic is
-    integer counts and one exactly-rounded division, so the output is
-    engine-portable (NOTES discipline). Reference analogue: the
-    locator-cache "have we seen this" filter (cache/LocatorCache.java)
-    lifted to content identity.
+    ONE implementation for all three faces: this predicate face, the
+    two-frame face (incremental_dedup_frames), and the persisted-index
+    face (build_dedup_index/probe_dedup_index) all run the same
+    build+probe dataflow, so a semantics fix cannot drift between them.
+    All verification arithmetic is integer counts and one
+    exactly-rounded division — engine-portable (NOTES discipline).
+    Reference analogue: the locator-cache "have we seen this" filter
+    (cache/LocatorCache.java) lifted to content identity.
     """
-    inc_ids = docs.filter(incoming_pred).select("doc_id")
-    texts = docs.select("doc_id", F.md5(F.col(text_col)).alias("th"))
-    inc_h = texts.join(inc_ids, "doc_id")
-    corp_h = texts.join(inc_ids, "doc_id", "left_anti").select(
-        F.col("doc_id").alias("corpus_id"), "th"
-    )
-    exact = (
-        inc_h.join(corp_h, "th")
-        .groupBy("doc_id")
-        .agg(F.min("corpus_id").alias("exact_match_id"))
-    )
-
-    # band index over the whole table (one signature pass), split by side
-    rows = num_perm // bands
-    sig = minhash_signatures(docs, text_col, num_perm)
-    band_entries = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(*[F.col(f"mh_{b * rows + r}") for r in range(rows)]).alias("bk"),
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = (
-        sig.select("doc_id", F.explode(band_entries).alias("e"))
-        .select("doc_id", F.col("e.band").alias("band"), F.col("e.bk").alias("bk"))
-        .localCheckpoint(eager=False)  # signature subtree computed once
-    )
-    p = _join_parallelism(docs)
-    b_inc = banded.join(inc_ids, "doc_id").repartition(p, "band", "bk")
-    b_corp = (
-        banded.join(inc_ids, "doc_id", "left_anti")
-        .select(F.col("doc_id").alias("corpus_id"), "band", "bk")
-        .repartition(p, "band", "bk")
-    )
-    cands = (
-        b_inc.join(b_corp, ["band", "bk"]).select("doc_id", "corpus_id").distinct()
-    )
-
-    # verify candidates with exact shingle Jaccard; shingle sets pruned
-    # to candidate ids BEFORE the shingle equi-join
-    sh = docs.select(
-        "doc_id", F.explode(shingles_expr(text_col)).alias("shingle")
-    ).select("doc_id", F.xxhash64("shingle").alias("sh_key"))
-    sh = sh.localCheckpoint(eager=False)  # read for both sides + sizes
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    sh_inc = sh.join(cands.select("doc_id").distinct(), "doc_id")
-    sh_corp = sh.withColumnRenamed("doc_id", "corpus_id").join(
-        cands.select("corpus_id").distinct(), "corpus_id"
-    )
-    inter = (
-        sh_inc.join(sh_corp, "sh_key")
-        .groupBy("doc_id", "corpus_id")
-        .agg(F.count(F.lit(1)).alias("inter"))
-        .join(cands, ["doc_id", "corpus_id"])  # candidate pairs only
-    )
-    sa = sizes.select(F.col("doc_id"), F.col("n_shingles").alias("n_a"))
-    sb = sizes.select(
-        F.col("doc_id").alias("corpus_id"), F.col("n_shingles").alias("n_b")
-    )
-    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
-    near = (
-        inter.join(sa, "doc_id")
-        .join(sb, "corpus_id")
-        .withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= threshold)
-        .groupBy("doc_id")
-        .agg(
-            F.min("corpus_id").alias("near_match_id"),
-            F.max("jaccard").alias("best_jaccard"),
-        )
-    )
-
-    return (
-        inc_ids.join(exact, "doc_id", "left")
-        .join(near, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.col("exact_match_id").isNotNull().alias("exact_dup"),
-            "exact_match_id",
-            F.col("near_match_id").isNotNull().alias("near_dup"),
-            "near_match_id",
-            "best_jaccard",
-        )
+    return incremental_dedup_frames(
+        docs.filter(incoming_pred),
+        docs.filter(~incoming_pred),
+        text_col=text_col,
+        num_perm=num_perm,
+        bands=bands,
+        threshold=threshold,
     )
 
 
@@ -1098,9 +1009,10 @@ def minhash_estimate_report(
 
     Scale shape: pairs come from the shingle inverted index (bounded by
     docs-per-shingle², never corpus²); signatures attach via two
-    doc-key joins; the candidate flag is a left join against the band
-    pairs. All arithmetic is integer counts and exactly-rounded
-    divisions — engine-portable."""
+    doc-key joins; the candidate flag is a PROJECTION over the joined
+    signature columns (some band fully agrees) — no second LSH pass,
+    and no band-key hash in the way. All arithmetic is integer counts
+    and exactly-rounded divisions — engine-portable."""
     inter = _shingle_intersections(docs, text_col)
     exact_j = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
     pairs = inter.withColumn("exact_jaccard", exact_j).filter(
@@ -1116,15 +1028,23 @@ def minhash_estimate_report(
     matching = sum(
         F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0) for i in range(num_perm)
     )
-    cand = minhash_lsh_pairs(docs, text_col, num_perm, bands).withColumn(
-        "is_candidate", F.lit(True)
-    )
+    # the candidate verdict needs no second LSH pass: both docs' full
+    # signatures are already on the row, and "some band fully agrees" is
+    # a pure projection over them — also TRUE band agreement, with no
+    # band-key hash in the way
+    rows = num_perm // bands
+    band_hit = None
+    for b in range(bands):
+        this = None
+        for r in range(rows):
+            eq = F.col(f"a_{b * rows + r}") == F.col(f"b_{b * rows + r}")
+            this = eq if this is None else (this & eq)
+        band_hit = this if band_hit is None else (band_hit | this)
     return (
         pairs.join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn("n_matching", matching.cast("int"))
         .withColumn("est_jaccard", F.col("n_matching") / F.lit(float(num_perm)))
-        .join(cand, ["doc_a", "doc_b"], "left")
         .select(
             "doc_a",
             "doc_b",
@@ -1132,7 +1052,7 @@ def minhash_estimate_report(
             "n_matching",
             "est_jaccard",
             F.abs(F.col("est_jaccard") - F.col("exact_jaccard")).alias("abs_err"),
-            F.coalesce(F.col("is_candidate"), F.lit(False)).alias("is_candidate"),
+            band_hit.alias("is_candidate"),
         )
     )
 
@@ -1143,6 +1063,13 @@ def minhash_estimate_report_sql(
     mh_cols = _mh_sql_cols(num_perm)
     matching = " + ".join(
         f"CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END" for i in range(num_perm)
+    )
+    rows = num_perm // bands
+    band_hit = " OR ".join(
+        "(" + " AND ".join(
+            f"sa.mh_{b * rows + r} = sb.mh_{b * rows + r}" for r in range(rows)
+        ) + ")"
+        for b in range(bands)
     )
     return f"""
 WITH sh0 AS ({_shingle_sql()}),
@@ -1165,17 +1092,15 @@ sig AS (
   SELECT doc_id,
          {mh_cols}
   FROM sh0 GROUP BY doc_id
-),
-cand AS ({minhash_lsh_pairs_sql(num_perm, bands)})
+)
 SELECT s.doc_a, s.doc_b, s.exact_jaccard,
        CAST({matching} AS INT) AS n_matching,
        CAST({matching} AS DOUBLE) / {num_perm} AS est_jaccard,
        abs(CAST({matching} AS DOUBLE) / {num_perm} - s.exact_jaccard) AS abs_err,
-       c.doc_a IS NOT NULL AS is_candidate
+       ({band_hit}) AS is_candidate
 FROM scored s
 JOIN sig sa ON sa.doc_id = s.doc_a
 JOIN sig sb ON sb.doc_id = s.doc_b
-LEFT JOIN cand c ON c.doc_a = s.doc_a AND c.doc_b = s.doc_b
 """
 
 

@@ -233,6 +233,8 @@ def decode_y4m(payload: bytes | None) -> dict | None:
             return None
     if not width or not height or width <= 0 or height <= 0:
         return None
+    if fps_den == 0 or (fps_num is not None and fps_num < 0):
+        return None  # corrupt rate header — never raise (ZeroDivision)
     if colorspace.startswith("C420"):
         if width % 2 or height % 2:
             return None
@@ -475,7 +477,8 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
                 i,
                 kind,
                 bytearray(payload),
-                {"image": "image/x-portable-pixmap", "audio": "audio/wav", "video": "video/mp4"}[kind],
+                {"image": "image/x-portable-pixmap", "audio": "audio/wav",
+                 "video": "video/x-yuv4mpeg"}[kind],  # payloads ARE y4m now
                 w,
                 h,
                 duration,

@@ -588,7 +588,17 @@ def start_corpus_guard(
     def process(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        batch = batch.cache()
+        # doc_id is the join-back key: two rows sharing an id in one
+        # micro-batch would cross-multiply through the flags join and a
+        # fresh text could inherit the other's dup verdict (same guard,
+        # same reason as start_doc_ingest's). Keep one deterministically.
+        w = Window.partitionBy("doc_id").orderBy(F.md5(F.col("text")))
+        batch = (
+            batch.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .cache()
+        )
         flags = probe_dedup_index(batch, index, threshold=threshold)
         joined = batch.join(flags, "doc_id", "left").cache()
         dup = F.coalesce(F.col("exact_dup"), F.lit(False)) | F.coalesce(

@@ -294,3 +294,9 @@ def test_y4m_decoder_never_crashes_on_garbage(payload):
     for prefix in (b"", b"YUV4MPEG2", b"YUV4MPEG2 W2 H2 F25:1\n"):
         out = MM.decode_y4m(prefix + payload)
         assert out is None or isinstance(out, dict)
+
+
+def test_decode_y4m_zero_fps_denominator_returns_none():
+    # F25:0 must be rejected as corrupt, not raise ZeroDivisionError
+    frame420 = bytes(4) + bytes(1) + bytes(1)
+    assert MM.decode_y4m(b"YUV4MPEG2 W2 H2 F25:0\n" + b"FRAME\n" + frame420) is None

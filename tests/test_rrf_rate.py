@@ -313,11 +313,11 @@ def test_sustained_breach_runs_are_consecutive(spark):
         n_span = (b["breach_end"] - b["breach_start"]) // slot + 1
         assert b["n_slots"] == n_span >= E._BREACH_MIN_SLOTS
         covered = [r240[(*k, b["breach_start"] + i * slot)] for i in range(n_span)]
-        assert all(v > E._BREACH_THRESHOLD for v in covered)
+        assert all(round(v, 6) > E._BREACH_THRESHOLD for v in covered)
         assert b["peak_avg"] == max(covered)
         for edge in (b["breach_start"] - slot, b["breach_end"] + slot):
             v = r240.get((*k, edge))
-            assert v is None or v <= E._BREACH_THRESHOLD
+            assert v is None or round(v, 6) <= E._BREACH_THRESHOLD
 
 
 def test_seasonal_naive_forecast_is_week_shifted_self(spark):
