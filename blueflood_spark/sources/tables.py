@@ -212,3 +212,25 @@ def expired_partitions(spark: SparkSession, path: str, now_ms: int) -> list[tupl
         if date_end_ms < cutoff_ms:
             out.append((r["resolution"], str(r["date"])))
     return out
+
+
+def drop_expired(spark: SparkSession, path: str, now_ms: int) -> list[tuple[str, str]]:
+    """Maintenance: DROP every (resolution, date) partition entirely past
+    its resolution's retention — the metadata-only deletion that replaces
+    the reference's per-row Cassandra TTLs at 100 TB (expiring a day of
+    a granularity is one directory remove, not a scan). Uses
+    expired_partitions for the candidate list (whole-day-past-cutoff
+    check, UTC calendar), removes each partition directory, and returns
+    what it dropped. Rows inside a not-yet-droppable partition are
+    already invisible through retention_predicate — the drop is space
+    reclamation, never the correctness mechanism."""
+    import os
+    import shutil
+
+    dropped = []
+    for res, date in expired_partitions(spark, path, now_ms):
+        part_dir = os.path.join(path, f"resolution={res}", f"date={date}")
+        if os.path.isdir(part_dir):
+            shutil.rmtree(part_dir)
+            dropped.append((res, date))
+    return dropped

@@ -123,6 +123,13 @@ def test_tables_roundtrip_and_retention(spark, tmp_path):
     expired = TBL.expired_partitions(spark, path, now)
     assert any(res == "5m" for res, _ in expired)
     assert not any(res == "60m" for res, _ in expired)
+    # the drop job removes exactly those partitions; surviving data intact
+    dropped = TBL.drop_expired(spark, path, now)
+    assert sorted(dropped) == sorted(expired)
+    left = spark.read.parquet(path)
+    assert left.filter("resolution = '60m'").count() == 1
+    assert left.filter("resolution = '5m'").count() == 1  # recent 5m row only
+    assert TBL.expired_partitions(spark, path, now) == []  # idempotent
 
 
 def test_slot_tracker_stateful(spark, dirs, tmp_path):
