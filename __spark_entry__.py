@@ -3577,6 +3577,15 @@ def llm_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_estimate_report(docs)
 
 
+def llm_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing document embeddings (operators/text.py
+    hash_embed): model-free 64-dim L2-normalized vectors from md5 token
+    buckets/signs — bit-identical across engines, one aggregation pass.
+    Feeds the ANN/clustering family without a trained model."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.hash_embed(docs)
+
+
 def llm_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking (operators/text.py cdc_chunks): chunk
     boundaries from per-token md5 buckets, so edits shift only the
@@ -3896,6 +3905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bf_seasonal_naive_forecast": bf_seasonal_naive_forecast,
         "llm_dedup_keep_best": llm_dedup_keep_best,
         "bf_tenant_cardinality": bf_tenant_cardinality,
+        "llm_hash_embed": llm_hash_embed,
         "llm_lang_id": llm_lang_id,
         "llm_token_counts": llm_token_counts,
         "llm_quality_score": llm_quality_score,
@@ -4088,4 +4098,5 @@ def oracle_sql() -> dict[str, str]:
         "bf_seasonal_naive_forecast": _BF_SEASONAL_FC_SQL,
         "llm_dedup_keep_best": D.dedup_keep_best_sql(),
         "bf_tenant_cardinality": _BF_TENANT_CARD_SQL,
+        "llm_hash_embed": TX.hash_embed_sql(),
     }

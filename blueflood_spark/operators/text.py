@@ -1500,3 +1500,76 @@ SELECT s.doc_id,
        md5(array_to_string(t.toks[s.start0 + 1 : s.start0 + s.n_tokens], ' ')) AS chunk_md5
 FROM spans s JOIN toks t USING (doc_id)
 """
+
+
+def hash_embed(
+    docs: DataFrame,
+    text_col: str = "text",
+    dims: int = 64,
+) -> DataFrame:
+    """Feature-hashing document embeddings (the hashing trick,
+    Weinberger et al. 2009): v[j] = Σ_{tokens t: bucket(t)=j} sign(t),
+    L2-normalized — a model-free dense representation good enough for
+    cheap clustering / near-dup blocking / ANN warm-starts, computable
+    at 100 TB with zero trained artifacts. Bucket and sign both derive
+    from md5 (portability rule), so vectors are bit-identical across
+    engines: components are exact integer sums; the only IEEE ops are
+    one sqrt and one division per component.
+
+    Plan shape: explode tokens → ONE groupBy(doc) with `dims`
+    conditional integer sums (map-side combinable; the wide-agg
+    branchless lesson from simhash applies — these are sums of ±1/0,
+    no nested CASE trees) → normalize in the projection. No joins, no
+    second pass."""
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("t")
+    ).select(
+        "doc_id",
+        md5_bucket(F.col("t"), "hemb", dims).alias("b"),
+        # sign bit: an independent md5 draw, ±1
+        (md5_bucket(F.col("t"), "hsign", 2) * 2 - 1).alias("s"),
+    )
+    sums = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        *[
+            F.sum(F.when(F.col("b") == j, F.col("s")).otherwise(0)).alias(f"v_{j}")
+            for j in range(dims)
+        ],
+    )
+    norm = F.sqrt(
+        sum(F.col(f"v_{j}") * F.col(f"v_{j}") for j in range(dims)).cast("double")
+    )
+    vec = F.array(
+        *[
+            F.when(norm > 0, F.col(f"v_{j}") / norm).otherwise(F.lit(0.0)).cast("float")
+            for j in range(dims)
+        ]
+    )
+    return sums.select("doc_id", "n_tokens", norm.alias("norm"), vec.alias("embedding"))
+
+
+def hash_embed_sql(dims: int = 64) -> str:
+    bucket = md5_bucket_sql("t", "hemb", dims)
+    sign = f"({md5_bucket_sql('t', 'hsign', 2)} * 2 - 1)"
+    comps = ",\n         ".join(
+        f"sum(CASE WHEN b = {j} THEN s ELSE 0 END) AS v_{j}" for j in range(dims)
+    )
+    normsq = " + ".join(f"v_{j} * v_{j}" for j in range(dims))
+    vec = ", ".join(
+        f"CAST(CASE WHEN norm > 0 THEN v_{j} / norm ELSE 0.0 END AS FLOAT)"
+        for j in range(dims)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {bucket} AS b, {sign} AS s
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+),
+sums AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         {comps}
+  FROM toks GROUP BY doc_id
+),
+normed AS (SELECT *, sqrt(CAST({normsq} AS DOUBLE)) AS norm FROM sums)
+SELECT doc_id, n_tokens, norm, [{vec}] AS embedding
+FROM normed
+"""

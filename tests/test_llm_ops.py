@@ -740,3 +740,24 @@ def test_dedup_index_roundtrip_matches_direct_probe(spark, tmp_path):
     assert out[100]["exact_dup"] and out[100]["exact_match_id"] == 0
     assert out[101]["near_dup"] and out[101]["near_match_id"] == 0
     assert not out[1]["exact_dup"] and not out[1]["near_dup"]
+
+
+def test_hash_embed_properties(spark, docs):
+    """Unit norm, determinism, and similarity ordering: identical docs
+    get identical vectors; the near-dup pair is closer in cosine than an
+    unrelated pair."""
+    import math as m
+
+    out = {r["doc_id"]: r for r in TX.hash_embed(docs).collect()}
+    assert len(out) == 6
+    for r in out.values():
+        if r["norm"] > 0:
+            assert m.isclose(sum(v * v for v in r["embedding"]), 1.0, rel_tol=1e-5)
+
+    def cos(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    assert out[0]["embedding"] == out[2]["embedding"]  # identical text
+    near = cos(out[0]["embedding"], out[1]["embedding"])
+    far = cos(out[0]["embedding"], out[3]["embedding"])
+    assert near > far
