@@ -1521,13 +1521,16 @@ def hash_embed(
     branchless lesson from simhash applies — these are sums of ±1/0,
     no nested CASE trees) → normalize in the projection. No joins, no
     second pass."""
+    # ONE md5 per token: bucket from hex chars 1-8, sign from the parity
+    # of char 9 — independent bits of the same digest (a second salted
+    # digest measured ~2× the md5 cost for zero statistical gain)
+    md5h = F.md5(F.concat(F.lit("hemb"), F.col("t")))
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("t")
     ).select(
         "doc_id",
-        md5_bucket(F.col("t"), "hemb", dims).alias("b"),
-        # sign bit: an independent md5 draw, ±1
-        (md5_bucket(F.col("t"), "hsign", 2) * 2 - 1).alias("s"),
+        F.pmod(F.conv(F.substring(md5h, 1, 8), 16, 10).cast("long"), F.lit(dims)).alias("b"),
+        (F.pmod(F.conv(F.substring(md5h, 9, 1), 16, 10).cast("long"), F.lit(2)) * 2 - 1).alias("s"),
     )
     sums = toks.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
@@ -1549,8 +1552,8 @@ def hash_embed(
 
 
 def hash_embed_sql(dims: int = 64) -> str:
-    bucket = md5_bucket_sql("t", "hemb", dims)
-    sign = f"({md5_bucket_sql('t', 'hsign', 2)} * 2 - 1)"
+    bucket = f"CAST(('0x' || substr(md5('hemb' || t), 1, 8)) AS BIGINT) % {dims}"
+    sign = "(CAST(('0x' || substr(md5('hemb' || t), 9, 1)) AS BIGINT) % 2 * 2 - 1)"
     comps = ",\n         ".join(
         f"sum(CASE WHEN b = {j} THEN s ELSE 0 END) AS v_{j}" for j in range(dims)
     )
