@@ -3099,6 +3099,51 @@ HAVING count(*) >= {_BREACH_MIN_SLOTS}
 """
 
 
+_GAP_MS = 21_600_000  # report silences longer than 6 hours
+
+
+def bf_downtime_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence/downtime report per series: every inter-sample gap longer
+    than the threshold, as (gap_start, gap_end, gap_ms) rows — the
+    'did this metric stop reporting' question behind dead-man alerts
+    and SLA evidence, which no windowed aggregate answers (an empty
+    window produces no row to alert on; the LAG form materializes the
+    silence itself). Pure integer timestamp arithmetic — engine-exact.
+
+    Plan: one window exchange on the series key (lag), filter — the
+    same single-shuffle shape as the rate operator."""
+    from pyspark.sql.window import Window
+
+    raw = _raw_metrics(spark, sf_dir)
+    w = Window.partitionBy("tenant_id", "metric_name").orderBy("ts", "user_id", "value")
+    prev_t = F.lag("ts").over(w)
+    return (
+        raw.select("tenant_id", "metric_name", "ts", prev_t.alias("prev_ts"))
+        .filter(F.col("prev_ts").isNotNull() & (F.col("ts") - F.col("prev_ts") > _GAP_MS))
+        .select(
+            "tenant_id",
+            "metric_name",
+            F.col("prev_ts").alias("gap_start"),
+            F.col("ts").alias("gap_end"),
+            (F.col("ts") - F.col("prev_ts")).alias("gap_ms"),
+        )
+    )
+
+
+_BF_DOWNTIME_SQL = _RAW_CTE + f"""
+, lagged AS (
+  SELECT tenant_id, metric_name, ts,
+         lag(ts) OVER (PARTITION BY tenant_id, metric_name
+                       ORDER BY ts, user_id, value) AS prev_ts
+  FROM raw
+)
+SELECT tenant_id, metric_name,
+       prev_ts AS gap_start, ts AS gap_end, ts - prev_ts AS gap_ms
+FROM lagged
+WHERE prev_ts IS NOT NULL AND ts - prev_ts > {_GAP_MS}
+"""
+
+
 _WEEK_MS = 604_800_000
 
 
@@ -3906,6 +3951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_dedup_keep_best": llm_dedup_keep_best,
         "bf_tenant_cardinality": bf_tenant_cardinality,
         "llm_hash_embed": llm_hash_embed,
+        "bf_downtime_report": bf_downtime_report,
         "llm_lang_id": llm_lang_id,
         "llm_token_counts": llm_token_counts,
         "llm_quality_score": llm_quality_score,
@@ -4099,4 +4145,5 @@ def oracle_sql() -> dict[str, str]:
         "llm_dedup_keep_best": D.dedup_keep_best_sql(),
         "bf_tenant_cardinality": _BF_TENANT_CARD_SQL,
         "llm_hash_embed": TX.hash_embed_sql(),
+        "bf_downtime_report": _BF_DOWNTIME_SQL,
     }

@@ -761,3 +761,45 @@ def test_hash_embed_properties(spark, docs):
     near = cos(out[0]["embedding"], out[1]["embedding"])
     far = cos(out[0]["embedding"], out[3]["embedding"])
     assert near > far
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(deadline=None, max_examples=12)
+@given(
+    data=st.data(),
+)
+def test_cdc_chunks_tiling_property(spark, data):
+    """For ANY document, CDC chunks must tile the token stream exactly:
+    contiguous starts, token counts summing to the doc length, digests
+    matching a Python recomputation of the same boundary rule."""
+    import hashlib as hl
+
+    words = data.draw(
+        st.lists(st.sampled_from("alpha beta gamma delta x7 zz q".split()),
+                 min_size=1, max_size=60)
+    )
+    text = " ".join(words)
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    rows = sorted(TX.cdc_chunks(docs).collect(), key=lambda r: r["chunk_idx"])
+
+    def bucket(tok):
+        return int(hl.md5(("cdc" + tok).encode()).hexdigest()[:8], 16) % 32
+
+    # python reference: boundary AFTER token i when bucket==0
+    chunks, cur = [], []
+    for w in words:
+        cur.append(w)
+        if bucket(w) == 0:
+            chunks.append(cur)
+            cur = []
+    if cur:
+        chunks.append(cur)
+    assert len(rows) == len(chunks)
+    pos = 1
+    for r, want in zip(rows, chunks):
+        assert r["start_pos"] == pos and r["n_tokens"] == len(want)
+        assert r["chunk_md5"] == hl.md5(" ".join(want).encode()).hexdigest()
+        pos += len(want)

@@ -340,3 +340,27 @@ def test_seasonal_naive_forecast_is_week_shifted_self(spark):
     for key in r240:
         t, m, ws = key
         assert (key in have) == ((t, m, ws - E._WEEK_MS) in r240)
+
+
+def test_downtime_report_gaps_are_real_silences(spark):
+    rows = E.bf_downtime_report(spark, SF0001).collect()
+    assert rows
+    samples = {}
+    for r in E._raw_metrics(spark, SF0001).collect():
+        samples.setdefault((r["tenant_id"], r["metric_name"]), []).append(r["ts"])
+    for r in rows:
+        assert r["gap_ms"] == r["gap_end"] - r["gap_start"] > E._GAP_MS
+        series_ts = samples[(r["tenant_id"], r["metric_name"])]
+        # no sample strictly inside the reported silence
+        assert not any(r["gap_start"] < t < r["gap_end"] for t in series_ts)
+    # every true >threshold gap is reported: recompute one series fully
+    key = (rows[0]["tenant_id"], rows[0]["metric_name"])
+    ts_sorted = sorted(samples[key])
+    want = [
+        (a, b) for a, b in zip(ts_sorted, ts_sorted[1:]) if b - a > E._GAP_MS
+    ]
+    got = sorted(
+        (r["gap_start"], r["gap_end"]) for r in rows
+        if (r["tenant_id"], r["metric_name"]) == key
+    )
+    assert got == sorted(want)
