@@ -3043,11 +3043,14 @@ def bf_sustained_breach(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     raw = _raw_metrics(spark, sf_dir)
     r240 = R.basic_from_raw(raw, G.MIN_240)
-    # breach decision on the 6-decimal-ROUNDED mean: the raw avg is an
-    # order-dependent double, and a slot AT the threshold within float
-    # noise would breach in one engine and not the other — one flipped
-    # slot restructures whole islands (a boolean has no tolerance)
-    breaches = r240.filter(F.round(F.col("avg"), 6) > _BREACH_THRESHOLD).select(
+    # breach decision on the FLOOR-QUANTIZED mean (floor(avg·1e6) as an
+    # integer — one exactly-rounded multiply + floor, engine-identical;
+    # round(x,6) is NOT: Spark HALF_UP vs DuckDB's scaled std::round
+    # disagree on adversarial doubles): the raw avg is order-dependent
+    # in its last ulps, and one flipped slot restructures whole islands
+    breaches = r240.filter(
+        F.floor(F.col("avg") * 1e6) > int(_BREACH_THRESHOLD * 1e6)
+    ).select(
         "tenant_id",
         "metric_name",
         "window_start",
@@ -3081,7 +3084,7 @@ _BF_BREACH_SQL = _RAW_CTE + f"""
 breaches AS (
   SELECT tenant_id, metric_name, window_start,
          window_start // {_BREACH_SLOT_MS} AS slot_num, avg_val
-  FROM r240 WHERE round(avg_val, 6) > {_BREACH_THRESHOLD}
+  FROM r240 WHERE floor(avg_val * 1000000.0) > {int(_BREACH_THRESHOLD * 1e6)}
 ),
 islands AS (
   SELECT *, slot_num - row_number() OVER (
@@ -3368,14 +3371,18 @@ def bf_topk_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("avg_recent", F.col("sum_recent") / F.col("n_recent"))
         .withColumn("avg_prior", F.col("sum_prior") / F.col("n_prior"))
     )
-    # rank on the 6-decimal-ROUNDED delta: the raw difference of two
-    # order-dependent double means is noisy in the last ulps, and a
-    # near-tie at the rank-10 boundary would make top-10 MEMBERSHIP
-    # engine-dependent; after rounding, near-ties become exact ties and
-    # the series-key tiebreak decides identically in both engines
+    # rank on the FLOOR-QUANTIZED delta (floor(x·1e6) — one
+    # exactly-rounded IEEE multiply + floor, the same two ops in both
+    # engines): the raw difference of two order-dependent double means
+    # is noisy in the last ulps, and a near-tie at the rank-10 boundary
+    # would make top-10 MEMBERSHIP engine-dependent. Quantizing turns
+    # near-ties into exact ties for the series-key tiebreak. (Not
+    # round(x, 6): Spark rounds HALF_UP on the shortest decimal repr,
+    # DuckDB computes std::round(x·1e6)/1e6 — they provably disagree on
+    # doubles like 55.000015499999996.)
     return (
         agg.orderBy(
-            F.round(F.abs(F.col("avg_recent") - F.col("avg_prior")), 6).desc(),
+            F.floor(F.abs(F.col("avg_recent") - F.col("avg_prior")) * 1e6).desc(),
             "tenant_id",
             "metric_name",
         )
@@ -3410,7 +3417,7 @@ SELECT tenant_id, metric_name, n_recent, n_prior,
        sum_prior / n_prior AS avg_prior
 FROM agg
 WHERE n_recent > 0 AND n_prior > 0
-ORDER BY round(abs(sum_recent / n_recent - sum_prior / n_prior), 6) DESC, tenant_id, metric_name
+ORDER BY floor(abs(sum_recent / n_recent - sum_prior / n_prior) * 1000000.0) DESC, tenant_id, metric_name
 LIMIT 10
 """
 

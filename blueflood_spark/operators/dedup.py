@@ -737,9 +737,12 @@ def incremental_dedup(
     Reference analogue: the locator-cache "have we seen this" filter
     (cache/LocatorCache.java) lifted to content identity.
     """
+    # NULL-predicate rows belong to the CORPUS (the left_anti semantics
+    # of the original split and of the SQL twin's NOT IN): a bare
+    # ~incoming_pred would drop them from BOTH sides
     return incremental_dedup_frames(
         docs.filter(incoming_pred),
-        docs.filter(~incoming_pred),
+        docs.filter(~F.coalesce(incoming_pred, F.lit(False))),
         text_col=text_col,
         num_perm=num_perm,
         bands=bands,
@@ -897,13 +900,21 @@ def build_dedup_index(
 def write_dedup_index(index: DedupIndex, path: str) -> None:
     for part in DedupIndex.PARTS:
         getattr(index, part).write.mode("overwrite").parquet(f"{path}/{part}")
+    # persist the signature parameters: probing with mismatched
+    # num_perm/bands silently loses near-dup recall (band keys from a
+    # 16/4 probe never match an index built 32/8)
+    spark = index.bands.sparkSession
+    spark.createDataFrame(
+        [(index.num_perm, index.n_bands)], "num_perm int, n_bands int"
+    ).write.mode("overwrite").parquet(f"{path}/meta")
 
 
-def read_dedup_index(
-    spark, path: str, num_perm: int = NUM_PERM, bands: int = BANDS
-) -> DedupIndex:
+def read_dedup_index(spark, path: str) -> DedupIndex:
+    """Load a persisted index; signature parameters come from the
+    index's own meta table — callers cannot desynchronize them."""
     frames = [spark.read.parquet(f"{path}/{part}") for part in DedupIndex.PARTS]
-    return DedupIndex(*frames, num_perm=num_perm, n_bands=bands)
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    return DedupIndex(*frames, num_perm=meta["num_perm"], n_bands=meta["n_bands"])
 
 
 def probe_dedup_index(
@@ -928,9 +939,16 @@ def probe_dedup_index(
     sig = minhash_signatures(incoming, text_col, index.num_perm)
     b_inc = sig.select(
         "doc_id", F.explode(_band_entries(index.num_perm, index.n_bands)).alias("e")
-    ).select("doc_id", F.col("e.band").alias("band"), F.col("e.bk").alias("bk"))
+    ).select(
+        "doc_id", F.col("e.band").alias("band"), F.col("e.bk").alias("bk")
+    ).localCheckpoint(eager=False)  # signature subtree computed once
+    p = _join_parallelism(incoming)
     cands = (
-        b_inc.join(index.bands, ["band", "bk"]).select("doc_id", "corpus_id").distinct()
+        b_inc.repartition(p, "band", "bk")
+        .join(index.bands.repartition(p, "band", "bk"), ["band", "bk"])
+        .select("doc_id", "corpus_id")
+        .distinct()
+        .localCheckpoint(eager=False)  # consumed 3×: two prunes + pair join
     )
 
     sh_inc = incoming.select(

@@ -233,8 +233,8 @@ def decode_y4m(payload: bytes | None) -> dict | None:
             return None
     if not width or not height or width <= 0 or height <= 0:
         return None
-    if fps_den == 0 or (fps_num is not None and fps_num < 0):
-        return None  # corrupt rate header — never raise (ZeroDivision)
+    if fps_den <= 0 or (fps_num is not None and fps_num < 0):
+        return None  # corrupt rate header (zero OR negative) — never raise
     if colorspace.startswith("C420"):
         if width % 2 or height % 2:
             return None

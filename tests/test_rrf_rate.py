@@ -312,12 +312,17 @@ def test_sustained_breach_runs_are_consecutive(spark):
         k = (b["tenant_id"], b["metric_name"])
         n_span = (b["breach_end"] - b["breach_start"]) // slot + 1
         assert b["n_slots"] == n_span >= E._BREACH_MIN_SLOTS
+        import math as m
+
+        thr = int(E._BREACH_THRESHOLD * 1e6)
         covered = [r240[(*k, b["breach_start"] + i * slot)] for i in range(n_span)]
-        assert all(round(v, 6) > E._BREACH_THRESHOLD for v in covered)
+        # same floor-quantization as the engine (python round() is
+        # HALF-EVEN on the exact binary value — a third rounding rule)
+        assert all(m.floor(v * 1e6) > thr for v in covered)
         assert b["peak_avg"] == max(covered)
         for edge in (b["breach_start"] - slot, b["breach_end"] + slot):
             v = r240.get((*k, edge))
-            assert v is None or round(v, 6) <= E._BREACH_THRESHOLD
+            assert v is None or m.floor(v * 1e6) <= thr
 
 
 def test_seasonal_naive_forecast_is_week_shifted_self(spark):
