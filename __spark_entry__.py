@@ -1015,6 +1015,12 @@ def bf_statsd_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sets",
     )
     out = normalize_aggregated(shaped)
+    # checked-output contract: no top-level arrays (the driver's pandas
+    # canonicalizer cannot sort list cells — r3 red row). The sorted set
+    # flattens to a csv scalar losslessly; NULL stays NULL.
+    set_csv = F.when(
+        F.col("set_values").isNotNull(), F.concat_ws(",", F.col("set_values"))
+    ).alias("set_values_csv")
     return out.select(
         "tenant_id",
         "metric_name",
@@ -1024,7 +1030,7 @@ def bf_statsd_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "counter_rate",
         "sample_count",
         "gauge_value",
-        "set_values",
+        set_csv,
     )
 
 
@@ -1037,14 +1043,14 @@ _BF_STATSD_NORMALIZE_SQL = _RAW_CTE + """
 SELECT tenant_id, metric_name, ts, 'counter' AS rollup_type,
        value AS counter_value, value / 30.0 AS counter_rate,
        CAST(trunc((value / 30.0) * 30000 / 1000.0) AS BIGINT) AS sample_count,
-       NULL AS gauge_value, NULL AS set_values
+       NULL AS gauge_value, CAST(NULL AS VARCHAR) AS set_values_csv
 FROM tagged WHERE fam = 0
 UNION ALL
 SELECT tenant_id, metric_name, ts, 'gauge', NULL, NULL, NULL, value, NULL
 FROM tagged WHERE fam = 1
 UNION ALL
 SELECT tenant_id, metric_name, ts, 'set', NULL, NULL, NULL, NULL,
-       list_sort([CAST(user_id % 7 AS VARCHAR), CAST(user_id % 13 AS VARCHAR)])
+       array_to_string(list_sort([CAST(user_id % 7 AS VARCHAR), CAST(user_id % 13 AS VARCHAR)]), ',')
 FROM tagged WHERE fam = 2
 """
 
@@ -2428,11 +2434,21 @@ def llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     Y4M features and byte sizes are computed in-SQL from the generative
     formulas (only the payload shas are reconstructed at oracle-build
     time — DuckDB's sha256 is VARCHAR-only and those bytes are
-    binary)."""
+    binary). Checked output posexplodes the feature vector to one
+    (feat_idx, feat_value) row per element — the driver canonicalizer
+    can't sort list cells (r3 red row); the operator itself keeps the
+    typed array<float> column."""
     from blueflood_spark.operators import multimodal as MM
 
     media = MM.synthetic_media(spark, 96)
-    return MM.extract_features(media)
+    feats = MM.extract_features(media)
+    return feats.select(
+        "media_id",
+        "kind",
+        "payload_sha",
+        "n_bytes",
+        F.posexplode("feature").alias("feat_idx", "feat_value"),
+    )
 
 
 def _llm_multimodal_sql() -> str:
@@ -2538,7 +2554,15 @@ video_out AS (
     )
   ) JOIN video_sha ON sha_media_id = media_id
 )
-SELECT * FROM img_out UNION ALL SELECT * FROM audio_out UNION ALL SELECT * FROM video_out
+SELECT media_id, kind, payload_sha, n_bytes,
+       CAST(idx AS INT) AS feat_idx, val AS feat_value
+FROM (
+  SELECT media_id, kind, payload_sha, n_bytes,
+         unnest(range(len(feature))) AS idx,
+         unnest(feature) AS val
+  FROM (SELECT * FROM img_out UNION ALL SELECT * FROM audio_out
+        UNION ALL SELECT * FROM video_out)
+)
 """
 
 
@@ -2792,9 +2816,15 @@ def llm_sq8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar quantization of the embedding column with per-vector
     reconstruction-error report (operators/similarity.py sq8_quantize):
     map-only codegen expressions, no shuffle — the 4× storage-compression
-    step vector stores apply before PQ."""
+    step vector stores apply before PQ. Checked output flattens the int8
+    code vector to a csv scalar (driver canonicalizer can't sort list
+    cells — r3 red row); the operator itself keeps the typed array."""
     emb = _t(spark, sf_dir, "embeddings")
-    return SIM.sq8_quantize(emb)
+    out = SIM.sq8_quantize(emb)
+    codes_csv = F.concat_ws(
+        ",", F.expr("transform(codes, c -> CAST(c AS STRING))")
+    ).alias("codes_csv")
+    return out.select("vec_id", "scale", codes_csv, "mse", "max_abs_err")
 
 
 def llm_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3633,9 +3663,24 @@ def llm_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashing document embeddings (operators/text.py
     hash_embed): model-free 64-dim L2-normalized vectors from md5 token
     buckets/signs — bit-identical across engines, one aggregation pass.
-    Feeds the ANN/clustering family without a trained model."""
+    Feeds the ANN/clustering family without a trained model. Checked
+    output posexplodes the vector to (dim_idx, component) rows — the
+    checked-output contract bans top-level arrays; the operator itself
+    keeps the typed array<float>.
+
+    The lazy localCheckpoint between the wide aggregate and the Generate
+    is a codegen barrier, not a semantic one: fused, the 64-sum
+    HashAggregate falls out of whole-stage codegen under the Generate
+    and runs interpreted over every token row (measured 21.7s vs 0.7s
+    at sf0.1 — same lesson as the self-join subtrees in NOTES.md)."""
     docs = _t(spark, sf_dir, "documents")
-    return TX.hash_embed(docs)
+    out = TX.hash_embed(docs).localCheckpoint(eager=False)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "norm",
+        F.posexplode("embedding").alias("dim_idx", "component"),
+    )
 
 
 def llm_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4120,7 +4165,10 @@ def oracle_sql() -> dict[str, str]:
         "bf_preagg_ladder": _BF_PREAGG_LADDER_SQL,
         "bf_granularity_select": _BF_GRANULARITY_SELECT_SQL,
         "llm_multimodal_features": _llm_multimodal_sql(),
-        "llm_sq8_quantize": SIM.sq8_quantize_sql(),
+        "llm_sq8_quantize": (
+            "SELECT vec_id, scale, array_to_string(codes, ',') AS codes_csv,"
+            f" mse, max_abs_err FROM ({SIM.sq8_quantize_sql()}) sq8"
+        ),
         "llm_token_budget_mix": TX.token_budget_mix_sql(_MIX_BUDGETS, default_budget=6_000),
         "llm_bm25_topk": TX.bm25_topk_sql(_BM25_TERMS, k=25),
         "llm_label_centroids": SIM.label_centroids_sql(),
@@ -4151,6 +4199,11 @@ def oracle_sql() -> dict[str, str]:
         "bf_seasonal_naive_forecast": _BF_SEASONAL_FC_SQL,
         "llm_dedup_keep_best": D.dedup_keep_best_sql(),
         "bf_tenant_cardinality": _BF_TENANT_CARD_SQL,
-        "llm_hash_embed": TX.hash_embed_sql(),
+        "llm_hash_embed": (
+            "SELECT doc_id, n_tokens, norm, CAST(idx AS INT) AS dim_idx,"
+            " val AS component FROM (SELECT doc_id, n_tokens, norm,"
+            " unnest(range(len(embedding))) AS idx, unnest(embedding) AS val"
+            f" FROM ({TX.hash_embed_sql()}) he)"
+        ),
         "bf_downtime_report": _BF_DOWNTIME_SQL,
     }

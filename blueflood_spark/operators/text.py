@@ -463,10 +463,13 @@ def source_stats(docs: DataFrame) -> DataFrame:
     agg = docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
-        F.avg("n_chars").alias("avg_chars"),
         F.countDistinct("lang").alias("n_langs"),
     )
-    return agg.join(top, "source")
+    # avg derived from the exact integer sums with ONE IEEE division —
+    # engine-pair avg() accumulators diverge in the last ulps (the r3
+    # driver hash failure); identical bigint operands cannot
+    avg = (F.col("total_chars").cast("double") / F.col("n_docs")).alias("avg_chars")
+    return agg.withColumn("avg_chars", avg).join(top, "source")
 
 
 def source_stats_sql() -> str:
@@ -480,9 +483,11 @@ top AS (
         FROM per_lang)
   WHERE rn = 1
 )
-SELECT a.source, a.n_docs, a.total_chars, a.avg_chars, a.n_langs, t.top_lang
+SELECT a.source, a.n_docs, a.total_chars,
+       CAST(a.total_chars AS DOUBLE) / a.n_docs AS avg_chars,
+       a.n_langs, t.top_lang
 FROM (SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars,
-             avg(n_chars) AS avg_chars, count(DISTINCT lang) AS n_langs
+             count(DISTINCT lang) AS n_langs
       FROM documents GROUP BY 1) a
 JOIN top t ON a.source = t.source
 """
@@ -1542,13 +1547,24 @@ def hash_embed(
     norm = F.sqrt(
         sum(F.col(f"v_{j}") * F.col(f"v_{j}") for j in range(dims)).cast("double")
     )
+    # norm MUST be materialized as its own attribute before the element
+    # expressions reference it: inlining the Column object builds 2·dims
+    # copies of the 64-term sum+sqrt into the projection (Python-level
+    # duplication Catalyst never deduplicates), which blows past codegen
+    # limits the moment a Generate sits above it (measured 4.4s → 26.9s
+    # at sf0.1 when the checked output added posexplode). As a separate
+    # non-cheap alias used 65×, CollapseProject keeps the two-projection
+    # shape and norm is computed once per row.
+    normed = sums.withColumn("norm", norm)
     vec = F.array(
         *[
-            F.when(norm > 0, F.col(f"v_{j}") / norm).otherwise(F.lit(0.0)).cast("float")
+            F.when(F.col("norm") > 0, F.col(f"v_{j}") / F.col("norm"))
+            .otherwise(F.lit(0.0))
+            .cast("float")
             for j in range(dims)
         ]
     )
-    return sums.select("doc_id", "n_tokens", norm.alias("norm"), vec.alias("embedding"))
+    return normed.select("doc_id", "n_tokens", "norm", vec.alias("embedding"))
 
 
 def hash_embed_sql(dims: int = 64) -> str:

@@ -24,3 +24,24 @@ def test_all_queries_run_smoke(spark):
         df = fn(spark, SF)
         n = df.count()
         assert n >= 0, name
+
+
+def test_checked_output_contract_no_complex_toplevel_types(spark):
+    """Driver-canonicalizer contract: the correctness gate sorts checked
+    outputs with pandas, which cannot hash/sort list or dict cells and
+    renders timestamps tz-dependently. NOTES.md bans maps and raw
+    timestamps; r3 proved top-level arrays crash the gate too
+    (bf_statsd_normalize / llm_sq8_quantize / llm_multimodal_features
+    red rows). Every registered query must emit scalars only — flatten
+    arrays to csv/json or posexplode to (idx, value) rows at the
+    registration layer."""
+    from pyspark.sql import types as T
+
+    banned = (T.ArrayType, T.MapType, T.TimestampType, T.TimestampNTZType)
+    offenders = []
+    for name, fn in E.queries().items():
+        df = fn(spark, SF)
+        for field in df.schema.fields:
+            if isinstance(field.dataType, banned):
+                offenders.append(f"{name}.{field.name}: {field.dataType.simpleString()}")
+    assert not offenders, f"complex top-level types in checked outputs: {offenders}"
