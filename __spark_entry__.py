@@ -2877,7 +2877,9 @@ def bf_preagg_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             cols.append(nulls[f.name].alias(f.name))
     preagg = raw.select(*cols).withColumn("sample_count", F.lit(1).cast("long"))
-    out = preagg_cascade(preagg, grans=(G.MIN_5, G.MIN_20), families=("counter",))
+    out = preagg_cascade(
+        preagg, grans=(G.MIN_5, G.MIN_20), families=("counter",), emit_levels=("20m",)
+    )
     return out["counter"]["20m"]
 
 
@@ -2959,14 +2961,24 @@ def bf_timer_pct_map_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             cols.append(nulls[f.name].alias(f.name))
     preagg = raw.select(*cols).withColumn("sample_count", F.lit(1).cast("long"))
-    t20 = preagg_cascade(preagg, grans=(G.MIN_5, G.MIN_20), families=("timer",))["timer"]["20m"]
+    # 20m-only + exploded pct shape: skip the 5m output subtree's map
+    # reassembly/join analysis and the 20m collect_list→map→explode
+    # round-trip — identical rows, ~0.4s less per call at sf0.1
+    t20 = preagg_cascade(
+        preagg,
+        grans=(G.MIN_5, G.MIN_20),
+        families=("timer",),
+        emit_levels=("20m",),
+        pct_shape="exploded",
+    )["timer"]["20m"]
     return t20.select(
         "tenant_id",
         "metric_name",
         "window_start",
         "count",
         F.col("avg").alias("avg_val"),
-        F.explode(F.col("percentiles")).alias("pct_label", "pct_mean"),
+        "pct_label",
+        "pct_mean",
     )
 
 

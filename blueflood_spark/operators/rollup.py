@@ -502,6 +502,8 @@ def preagg_cascade(
     grans: Sequence[G.Granularity] = tuple(G.ROLLUP_GRANULARITIES),
     pre_partition: bool = True,
     families: Sequence[str] = ("counter", "gauge", "timer", "set"),
+    emit_levels: Sequence[str] | None = None,
+    pct_shape: str = "map",
 ) -> dict[str, dict[str, DataFrame]]:
     """The preaggregated rollup ladder (metrics_preaggregated_5m …
     _1440m): per family, finest partials merged level by level with the
@@ -513,7 +515,17 @@ def preagg_cascade(
     level's (locator, window) groupBy, the percentile-map per-label
     groupBy (locator ⊂ locator+window+label), and the timer↔pct join —
     so pre_partition=True shuffles ONCE and Catalyst elides every other
-    exchange in the ladder across all four families."""
+    exchange in the ladder across all four families.
+
+    emit_levels limits which resolutions get OUTPUT plan trees (internal
+    chaining still passes through every level): DataFrame construction
+    is Catalyst analysis, and a 20m-only consumer should not pay the 5m
+    map-reassembly-and-join subtree it never reads. pct_shape="exploded"
+    emits the timer family's percentiles as (pct_label, pct_mean) rows
+    via an inner join instead of reassembling the map — identical rows
+    to exploding the map column downstream (explode drops no-label
+    windows; so does the inner join), minus one collect_list/explode
+    round-trip per level."""
     if pre_partition:
         preagg = preagg.repartition(*[F.col(k) for k in KEYS])
     finest = preagg_to_finest(preagg, grans[0], families=families)
@@ -541,12 +553,15 @@ def preagg_cascade(
         else None
     )
     for gran in grans:
+        emit = emit_levels is None or gran.name in emit_levels
         if counters is not None:
             counters = counter_merge(counters, gran)
-            out["counter"][gran.name] = counters
+            if emit:
+                out["counter"][gran.name] = counters
         if gauges is not None:
             gauges = gauge_merge(gauges, gran)
-            out["gauge"][gran.name] = gauges
+            if emit:
+                out["gauge"][gran.name] = gauges
         if timers is not None:
             timers = timer_merge(timers, gran)
             pct = (
@@ -554,14 +569,18 @@ def preagg_cascade(
                 .groupBy(*KEYS, "window_start", "pct_label")
                 .agg(F.avg("pct_mean").alias("pct_mean"))
             )
-            pct_map = pct.groupBy(*KEYS, "window_start").agg(
-                F.map_from_entries(
-                    F.sort_array(F.collect_list(F.struct("pct_label", "pct_mean")))
-                ).alias("percentiles")
-            )
-            out["timer"][gran.name] = timers.join(pct_map, [*KEYS, "window_start"], "left")
+            if emit and pct_shape == "exploded":
+                out["timer"][gran.name] = timers.join(pct, [*KEYS, "window_start"], "inner")
+            elif emit:
+                pct_map = pct.groupBy(*KEYS, "window_start").agg(
+                    F.map_from_entries(
+                        F.sort_array(F.collect_list(F.struct("pct_label", "pct_mean")))
+                    ).alias("percentiles")
+                )
+                out["timer"][gran.name] = timers.join(pct_map, [*KEYS, "window_start"], "left")
         if sets is not None:
-            out["set"][gran.name] = set_merge_from_values(sets, gran)
+            if emit:
+                out["set"][gran.name] = set_merge_from_values(sets, gran)
             # carry member arrays forward so coarser unions stay exact
             sets = (
                 sets.withColumn("window_start", window_start(F.col("window_start"), gran))

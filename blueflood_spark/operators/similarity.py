@@ -327,9 +327,15 @@ def embedding_near_dups(
     pairs out. Nothing ever transits the driver (the round-1 version
     collected the whole corpus there), and per-task memory is bounded by
     two blocks of target_block_rows vectors. Replication factor is B per
-    side — the unavoidable cost of exact all-pairs; when approximate
-    recall is acceptable at 100 TB, prefilter candidates with
-    lsh_bucketed_topk's band buckets and exact-verify only those."""
+    side — the unavoidable cost of exact all-pairs.
+
+    PRODUCTION ROUTING: this operator is the EXACTNESS ORACLE for the
+    near-dup family — its O(n²) tile sweep is the documented >3× grower
+    in the sf1 probe and does not survive a 100× scale-up. At corpus
+    scale use `semdedup` (cluster-bounded pairwise, arXiv:2303.09540)
+    or prefilter candidates with `lsh_bucketed_topk`'s band buckets and
+    exact-verify only those; keep this kernel for recall measurement on
+    sampled blocks."""
     import math
 
     import numpy as np
@@ -412,18 +418,33 @@ def kmeans_assign(
 
     Everything that normally makes distributed k-means irreproducible is
     pinned: seeds are the k lowest ids' vectors (no rand()), the argmin
-    tie-breaks on centroid id via a struct-min, and the centroid update
-    sums members IN ID ORDER via a sorted-fold — so two engines (or two
-    cluster layouts) produce bit-identical centroids and assignments.
-    The ordered fold is the exactness device for the oracle gate; a
-    production run can swap it for a plain sum() and tolerate ulp drift.
+    tie-breaks on centroid id via a lexicographic (d, cid) struct-min,
+    and the centroid update sums members IN ID ORDER via a sorted-fold —
+    so two engines (or two cluster layouts) produce bit-identical
+    centroids and assignments. The ordered fold is the exactness device
+    for the oracle gate; a production run can swap it for a plain sum()
+    and tolerate ulp drift.
 
-    Scale shape per iteration: assignment is a broadcast of k·dim
-    centroid values against one pass over the vectors (no shuffle of the
-    corpus); the update is one explode-by-position aggregation
-    (n·dim rows → k·dim groups). Iterations are unrolled into one DAG —
-    Catalyst sees a deep but static plan.
+    Scale shape per iteration: ASSIGNMENT IS MAP-ONLY — the k centroids
+    travel as ONE broadcast row holding a cid-ordered array, and each
+    vector computes its k distances and takes array_min(struct(d, cid))
+    in the projection. No k-fold row expansion, no argmin shuffle (the
+    first formulation exploded n×k pair rows through a groupBy and spent
+    ~40% of its runtime there — 2.1s → 1.4s at sf0.1, bit-identical
+    output). The update is one explode-by-position aggregation
+    (n·dim rows → k·dim groups). Iterations are unrolled into one DAG.
+    All loop bodies are single-parse F.expr strings: building the same
+    lambdas through the Python Column API cost ~1.1s of py4j round
+    trips per call at toy scale.
     """
+    # same IEEE op sequence as a sequential fold over zip_with: squared
+    # deltas accumulated ascending j — keep in lockstep with the twin
+    argmin = (
+        "array_min(transform(cent_arr, (c, i) -> struct("
+        f"aggregate(zip_with({vec_col}, c, (x, y) -> "
+        "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+        "0D, (acc, v) -> acc + v) AS d, i AS cid)))"
+    )
     from pyspark.sql import Window
 
     w = Window.orderBy(id_col)
@@ -432,60 +453,44 @@ def kmeans_assign(
         .limit(k)
         .select((F.row_number().over(w) - 1).alias("cid"), F.col(vec_col).alias("cvec"))
     )
-    assign = None
+
+    def as_row(c: DataFrame) -> DataFrame:
+        # one row, cid-ordered array of centroid vectors (transform index
+        # i == cid because collect_list is sorted by cid first)
+        return c.agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(cid, cvec))), s -> s.cvec)"
+            ).alias("cent_arr")
+        )
+
     for _ in range(iterations):
-        pairs = emb.select(id_col, vec_col).crossJoin(F.broadcast(cents))
-        d = F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                F.col("cvec"),
-                lambda x, y: (x.cast("double") - y.cast("double"))
-                * (x.cast("double") - y.cast("double")),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
         assign = (
-            pairs.withColumn("d", d)
-            .groupBy(id_col)
-            .agg(F.min(F.struct(F.col("d"), F.col("cid"))).alias("m"))
-            .select(id_col, F.col("m.cid").alias("cid"), F.col("m.d").alias("sq_dist"))
+            emb.select(id_col, vec_col)
+            .crossJoin(F.broadcast(as_row(cents)))
+            .withColumn("m", F.expr(argmin))
+            .select(id_col, F.col("m.cid").alias("cid"), vec_col)
         )
-        members = assign.join(emb.select(id_col, vec_col), id_col)
-        by_pos = members.select(
+        by_pos = assign.select(
             "cid", id_col, F.posexplode(F.col(vec_col)).alias("pos", "val")
         )
         sums = by_pos.groupBy("cid", "pos").agg(
-            F.aggregate(
-                F.array_sort(F.collect_list(F.struct(F.col(id_col).alias("i"), F.col("val").alias("v")))),
-                F.lit(0.0),
-                lambda acc, s: acc + s["v"].cast("double"),
+            F.expr(
+                f"aggregate(array_sort(collect_list(struct({id_col} AS i, val AS v))), "
+                "0D, (acc, s) -> acc + CAST(s.v AS DOUBLE))"
             ).alias("s"),
             F.count("*").alias("n"),
         )
         cents = sums.groupBy("cid").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", (F.col("s") / F.col("n")).alias("mean")))),
-                lambda s: s["mean"],
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, s / n AS mean))), s -> s.mean)"
             ).alias("cvec")
         )
     # final assignment under the last update, so the output reflects
     # `iterations` full Lloyd steps
-    pairs = emb.select(id_col, vec_col).crossJoin(F.broadcast(cents))
-    d = F.aggregate(
-        F.zip_with(
-            F.col(vec_col),
-            F.col("cvec"),
-            lambda x, y: (x.cast("double") - y.cast("double"))
-            * (x.cast("double") - y.cast("double")),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
     return (
-        pairs.withColumn("d", d)
-        .groupBy(id_col)
-        .agg(F.min(F.struct(F.col("d"), F.col("cid"))).alias("m"))
+        emb.select(id_col, vec_col)
+        .crossJoin(F.broadcast(as_row(cents)))
+        .withColumn("m", F.expr(argmin))
         .select(id_col, F.col("m.cid").alias("cluster_id"), F.col("m.d").alias("sq_dist"))
     )
 
