@@ -737,6 +737,190 @@ FROM r20 GROUP BY 1, 2, 3
 """
 
 
+def bf_rollup_cascade_1440m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 cascade over the FULL five-level ladder: raw → 5m → 20m → 60m →
+    240m → 1440m (Granularity.java:46-51; child-before-parent,
+    RollupRunnable.java:74-135). Same one-exchange shuffle strategy as
+    bf_rollup_cascade_60m — hash-partitioning by locator satisfies every
+    level's clustering requirement, so adding two coarser levels adds
+    ZERO exchanges. Checked at the 1440m (daily) level with pooled
+    moments; avg derives from the exact sums at output."""
+    raw = _raw_metrics(spark, sf_dir)
+    levels = R.cascade(
+        raw, grans=(G.MIN_5, G.MIN_20, G.MIN_60, G.MIN_240, G.MIN_1440)
+    )
+    return levels["1440m"].select(
+        "tenant_id",
+        "metric_name",
+        "window_start",
+        "num_points",
+        F.col("avg").alias("avg_val"),
+        F.col("min").alias("min_val"),
+        F.col("max").alias("max_val"),
+        F.col("sum").alias("sum_val"),
+    )
+
+
+_BF_CASCADE_1440M_SQL = _R5_CTE + """
+, r20 AS (
+  SELECT tenant_id, metric_name,
+         (window_start // 1200000) * 1200000 AS window_start,
+         CAST(sum(num_points) AS BIGINT) AS num_points,
+         min(min_val) AS min_val, max(max_val) AS max_val, sum(sum_val) AS sum_val
+  FROM r5 GROUP BY 1, 2, 3
+),
+r60 AS (
+  SELECT tenant_id, metric_name,
+         (window_start // 3600000) * 3600000 AS window_start,
+         CAST(sum(num_points) AS BIGINT) AS num_points,
+         min(min_val) AS min_val, max(max_val) AS max_val, sum(sum_val) AS sum_val
+  FROM r20 GROUP BY 1, 2, 3
+),
+r240 AS (
+  SELECT tenant_id, metric_name,
+         (window_start // 14400000) * 14400000 AS window_start,
+         CAST(sum(num_points) AS BIGINT) AS num_points,
+         min(min_val) AS min_val, max(max_val) AS max_val, sum(sum_val) AS sum_val
+  FROM r60 GROUP BY 1, 2, 3
+)
+SELECT tenant_id, metric_name,
+       (window_start // 86400000) * 86400000 AS window_start,
+       CAST(sum(num_points) AS BIGINT) AS num_points,
+       sum(sum_val) / CAST(sum(num_points) AS DOUBLE) AS avg_val,
+       min(min_val) AS min_val, max(max_val) AS max_val, sum(sum_val) AS sum_val
+FROM r240 GROUP BY 1, 2, 3
+"""
+
+
+def bf_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRE multi-window error-budget burn rate over the metric stream
+    (beyond-the-reference series op; the alerting pattern a query
+    service's consumers run on its rollups): bad = sample over the p90
+    threshold; per (locator, 5m window) the short-window burn rate
+    joins its parent 60m window's long rate, and the alert fires only
+    when BOTH exceed their thresholds — the Google SRE workbook's
+    multiwindow guard against blips and slow burns alike.
+
+    Determinism: each burn rate is ONE division of exact counts;
+    alerting compares those exactly-rounded doubles to literals —
+    engine-identical. Plan: two windowed aggs + an equi-join on
+    (locator, 60m window); partitioning by locator serves both aggs and
+    the join."""
+    raw = _raw_metrics(spark, sf_dir)
+    bad = F.when(F.col("value") > 114.0, 1).otherwise(0)
+    flagged = raw.select(
+        "tenant_id", "metric_name", "ts", bad.alias("bad")
+    )
+    w5 = flagged.groupBy(
+        "tenant_id",
+        "metric_name",
+        R.window_start(F.col("ts"), G.MIN_5).alias("window_start"),
+    ).agg(F.count("*").alias("n5"), F.sum("bad").alias("bad5"))
+    w60 = flagged.groupBy(
+        "tenant_id",
+        "metric_name",
+        R.window_start(F.col("ts"), G.MIN_60).alias("w60"),
+    ).agg(F.count("*").alias("n60"), F.sum("bad").alias("bad60"))
+    joined = w5.withColumn(
+        "w60", R.window_start(F.col("window_start"), G.MIN_60)
+    ).join(w60, ["tenant_id", "metric_name", "w60"])
+    burn5 = F.col("bad5").cast("double") / F.col("n5")
+    burn60 = F.col("bad60").cast("double") / F.col("n60")
+    return joined.select(
+        "tenant_id",
+        "metric_name",
+        "window_start",
+        "n5",
+        "bad5",
+        burn5.alias("burn5"),
+        burn60.alias("burn60"),
+        ((burn5 > 0.2) & (burn60 > 0.15)).alias("alerting"),
+    )
+
+
+_BF_BURN_RATE_SQL = _RAW_CTE + """
+, flagged AS (
+  SELECT tenant_id, metric_name, ts,
+         CASE WHEN value > 114.0 THEN 1 ELSE 0 END AS bad
+  FROM raw
+),
+w5 AS (
+  SELECT tenant_id, metric_name, (ts // 300000) * 300000 AS window_start,
+         count(*) AS n5, CAST(sum(bad) AS BIGINT) AS bad5
+  FROM flagged GROUP BY 1, 2, 3
+),
+w60 AS (
+  SELECT tenant_id, metric_name, (ts // 3600000) * 3600000 AS w60,
+         count(*) AS n60, CAST(sum(bad) AS BIGINT) AS bad60
+  FROM flagged GROUP BY 1, 2, 3
+)
+SELECT w5.tenant_id, w5.metric_name, w5.window_start, w5.n5, w5.bad5,
+       CAST(bad5 AS DOUBLE) / n5 AS burn5,
+       CAST(bad60 AS DOUBLE) / n60 AS burn60,
+       (CAST(bad5 AS DOUBLE) / n5 > 0.2) AND (CAST(bad60 AS DOUBLE) / n60 > 0.15) AS alerting
+FROM w5 JOIN w60
+  ON w5.tenant_id = w60.tenant_id AND w5.metric_name = w60.metric_name
+ AND (w5.window_start // 3600000) * 3600000 = w60.w60
+"""
+
+
+def llm_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup after canonicalization (operators/dedup.py
+    canonical_url/url_dedup): the crawl-corpus first pass — the same
+    page fetched under scheme/case/www/tracking-param/fragment aliases
+    collapses to one canonical key before any content hashing runs.
+    URLs are synthesized deterministically from (source, doc_id) with
+    five alias classes so every canonicalization rule fires; doc_id%40
+    collisions create multi-doc groups."""
+    docs = _t(spark, sf_dir, "documents")
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    path = F.concat(F.lit("/doc/"), (F.col("doc_id") % 40).cast("string"))
+    u = F.col("doc_id") % 5
+    url = (
+        F.when(u == 0, F.concat(F.lit("https://"), host, path))
+        .when(u == 1, F.upper(F.concat(F.lit("https://www."), host, path)))
+        .when(u == 2, F.concat(F.lit("http://"), host, path, F.lit("/")))
+        .when(
+            u == 3,
+            F.concat(host, path, F.lit("?utm_source=feed&utm_campaign=x")),
+        )
+        .otherwise(F.concat(F.lit("https://"), host, path, F.lit("#section-2")))
+    )
+    return D.url_dedup(docs.select("doc_id", url.alias("url")))
+
+
+def _llm_url_dedup_sql() -> str:
+    canon = D.canonical_url_sql("url")
+    return f"""
+WITH urls AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 5 AS INT)
+           WHEN 0 THEN 'https://' || source || '.example.com/doc/' || CAST(doc_id % 40 AS VARCHAR)
+           WHEN 1 THEN upper('https://www.' || source || '.example.com/doc/' || CAST(doc_id % 40 AS VARCHAR))
+           WHEN 2 THEN 'http://' || source || '.example.com/doc/' || CAST(doc_id % 40 AS VARCHAR) || '/'
+           WHEN 3 THEN source || '.example.com/doc/' || CAST(doc_id % 40 AS VARCHAR) || '?utm_source=feed&utm_campaign=x'
+           ELSE 'https://' || source || '.example.com/doc/' || CAST(doc_id % 40 AS VARCHAR) || '#section-2'
+         END AS url
+  FROM documents
+)
+SELECT {canon} AS canonical_url,
+       count(*) AS n_docs,
+       min(doc_id) AS keep_doc_id
+FROM urls
+GROUP BY 1
+HAVING count(*) >= 2
+"""
+
+
+def llm_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram LM quality score per document
+    (operators/text.py bigram_lm_score — the CCNet LM-perplexity filter
+    self-trained on the corpus). Checked output carries n_bigrams and
+    the same-sign log-likelihood sum."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.bigram_lm_score(docs)
+
+
 def _typed_raw_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw samples with F5 long/double polymorphism: a row is long-typed iff
     its metric family has an even-length event_type (whole series long) OR
@@ -4189,6 +4373,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bf_delayed_locators": bf_delayed_locators,
         "bf_reroll_diff": bf_reroll_diff,
         "bf_unit_changes": bf_unit_changes,
+        # -- new this round: full-ladder cascade, burn rate, URL dedup,
+        #    bigram-LM quality --
+        "bf_rollup_cascade_1440m": bf_rollup_cascade_1440m,
+        "bf_burn_rate": bf_burn_rate,
+        "llm_url_dedup": llm_url_dedup,
+        "llm_bigram_lm_score": llm_bigram_lm_score,
         # -- sentinels: previously-green critical paths --
         "bf_basic_merge_20m": bf_basic_merge_20m,
         "ev_retention_cohorts": ev_retention_cohorts,
@@ -4199,13 +4389,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_embedding_dup_clusters": llm_embedding_dup_clusters,
         "bf_preagg_ladder": bf_preagg_ladder,
         "bf_ingest_validate": bf_ingest_validate,
+        "bf_timer_pct_map_merge": bf_timer_pct_map_merge,
+        "llm_kmeans_clusters": llm_kmeans_clusters,
+        # ---- entry 51+ (green driver rows in earlier rounds) ----
         "llm_minhash_lsh": llm_minhash_lsh,
         "llm_decontaminate": llm_decontaminate,
         "bf_rollup_cascade_60m": bf_rollup_cascade_60m,
         "q01_pricing_summary": q01_pricing_summary,
-        "bf_timer_pct_map_merge": bf_timer_pct_map_merge,
-        "llm_kmeans_clusters": llm_kmeans_clusters,
-        # ---- entry 51+ (green driver rows in earlier rounds) ----
         "llm_source_overlap": llm_source_overlap,
         "llm_chunk_windows": llm_chunk_windows,
         "llm_unigram_surprisal": llm_unigram_surprisal,
@@ -4392,6 +4582,10 @@ def oracle_sql() -> dict[str, str]:
         "bf_delayed_locators": _BF_DELAYED_LOCATORS_SQL,
         "bf_reroll_diff": _BF_REROLL_DIFF_SQL,
         "bf_unit_changes": _BF_UNIT_CHANGES_SQL,
+        "bf_rollup_cascade_1440m": _BF_CASCADE_1440M_SQL,
+        "bf_burn_rate": _BF_BURN_RATE_SQL,
+        "llm_url_dedup": _llm_url_dedup_sql(),
+        "llm_bigram_lm_score": TX.bigram_lm_score_sql(),
         "bf_ttl_retention": _BF_TTL_RETENTION_SQL,
         "bf_preagg_ladder": _BF_PREAGG_LADDER_SQL,
         "bf_granularity_select": _BF_GRANULARITY_SELECT_SQL,

@@ -18,7 +18,7 @@ from the SAME parameters, so the oracle can't drift from the Spark plan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 NUM_PERM = 16  # minhash permutations
@@ -1182,3 +1182,63 @@ SELECT l.doc_id, l.cluster_id, l.{quality_col},
        l.doc_id = b.best_doc_id AS kept
 FROM labeled l JOIN best b USING (cluster_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + URL-level dedup (crawl-corpus pattern)
+# ---------------------------------------------------------------------------
+
+# (pattern, replacement, why) — applied IN ORDER on the lowercased URL.
+# Kept in lockstep with url_dedup_sql (DuckDB needs the 'g' flag; Spark's
+# regexp_replace is global by default).
+_URL_CANON_STEPS = [
+    (r"#.*$", "", "fragment never reaches the server"),
+    (r"utm_[a-z]+=[^&#]*&?", "", "tracking params (utm_*) don't change content"),
+    (r"[?&]+$", "", "dangling separators left by param stripping"),
+    (r"^https?://", "", "scheme is not identity"),
+    (r"^www\.", "", "www. host alias"),
+    (r"/+$", "", "trailing slashes"),
+]
+
+
+def canonical_url(col: Column) -> Column:
+    """Canonicalize a URL column for dedup keys: lowercase, strip
+    fragment / utm_* tracking params / scheme / www. / trailing
+    slashes. The crawl-dedup step that runs BEFORE any text hashing —
+    at 100 TB most exact dups are the same page fetched under URL
+    aliases, and a string-normalize groupBy is ~free next to content
+    hashing."""
+    out = F.lower(col)
+    for pat, rep, _ in _URL_CANON_STEPS:
+        out = F.regexp_replace(out, pat, rep)
+    return out
+
+
+def canonical_url_sql(expr: str) -> str:
+    out = f"lower({expr})"
+    for pat, rep, _ in _URL_CANON_STEPS:
+        out = f"regexp_replace({out}, '{pat}', '{rep}', 'g')"
+    return out
+
+
+def url_dedup(
+    docs: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """URL-level duplicate groups: canonicalize, group, keep the lowest
+    id as canonical (deterministic tie-break), report group size. Only
+    groups with ≥2 members are emitted — singletons are not dups.
+
+    Plan shape: map-side canonicalization (pure string expressions in
+    codegen) + ONE groupBy on the canonical key. No joins; the shuffle
+    carries (canonical_url, id) pairs only."""
+    return (
+        docs.select(
+            canonical_url(F.col(url_col)).alias("canonical_url"), F.col(id_col)
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(id_col).alias("keep_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

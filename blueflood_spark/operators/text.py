@@ -1592,3 +1592,80 @@ normed AS (SELECT *, sqrt(CAST({normsq} AS DOUBLE)) AS norm FROM sums)
 SELECT doc_id, n_tokens, norm, [{vec}] AS embedding
 FROM normed
 """
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model quality scoring (CCNet-style LM filter)
+# ---------------------------------------------------------------------------
+
+def bigram_lm_score(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: float = 0.5
+) -> DataFrame:
+    """Per-document corpus-trained bigram LM log-likelihood — the
+    KenLM-perplexity quality signal of CCNet (Wenzek et al. 2020),
+    self-trained so it needs no external model: documents whose word
+    transitions are unusual under the corpus's own bigram statistics
+    (boilerplate, tag soup, wrong-language fragments) score low.
+
+    P(w2|w1) = (c(w1,w2) + k) / (c(w1→) + k·V) with add-k smoothing over
+    the bigram-context vocabulary; the checked output carries n_bigrams
+    and the SAME-SIGN log-likelihood sum (never a difference or a
+    rank on it — the dsir/ln lessons in NOTES.md: same-sign sums are
+    forward-stable and libm last-ulp noise stays ~1e-15 relative).
+
+    Plan shape: one explode for bigram extraction feeding (a) the corpus
+    count tables via map-side-combined groupBys and (b) the per-doc
+    join; the count tables join on their natural keys (equi-joins that
+    AQE may broadcast while small). The context total c(w1→) reuses the
+    bigram table (sum over w2), so text is tokenized exactly once."""
+    toks = F.split(F.col(text_col), " ")
+    grams = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(split({text_col}, ' ')) < 2 THEN array()"
+                f" ELSE transform(sequence(0, size(split({text_col}, ' ')) - 2),"
+                f" i -> struct(split({text_col}, ' ')[i] AS w1,"
+                f" split({text_col}, ' ')[i + 1] AS w2)) END"
+            )
+        ).alias("g"),
+    ).select(id_col, F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+    c2 = grams.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    vocab = c2.select("w2").distinct().count()
+    scored = (
+        grams.join(c2, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .withColumn(
+            "logp",
+            F.log(
+                (F.col("c2") + F.lit(k)) / (F.col("c1") + F.lit(k) * F.lit(float(vocab)))
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum("logp").alias("sum_logp"),
+    )
+
+
+def bigram_lm_score_sql(k: float = 0.5) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, t[i + 1] AS w1, t[i + 2] AS w2
+  FROM toks, LATERAL unnest(range(len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2
+),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM grams GROUP BY 1, 2),
+c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY 1),
+v AS (SELECT count(DISTINCT w2) AS vocab FROM c2)
+SELECT g.doc_id,
+       count(*) AS n_bigrams,
+       sum(ln((c2.c2 + {k}) / (c1.c1 + {k} * (SELECT CAST(vocab AS DOUBLE) FROM v)))) AS sum_logp
+FROM grams g JOIN c2 ON g.w1 = c2.w1 AND g.w2 = c2.w2
+JOIN c1 ON g.w1 = c1.w1
+GROUP BY 1
+"""

@@ -1,0 +1,170 @@
+"""Round-4 operators: URL canonicalization dedup, bigram LM scoring,
+multi-window burn rate, full five-level cascade, and the delayed-metric
+parity family (delayed locators / reroll diff / unit changes)."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from blueflood_spark.operators import granularity as G
+from blueflood_spark.operators import rollup as R
+from blueflood_spark.operators.dedup import canonical_url, url_dedup
+from blueflood_spark.operators.text import bigram_lm_score
+
+
+def _canon(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return [r["c"] for r in df.select(canonical_url(F.col("url")).alias("c")).collect()]
+
+
+def test_canonical_url_aliases_collapse(spark):
+    aliases = [
+        "https://foo.example.com/doc/3",
+        "HTTPS://WWW.FOO.EXAMPLE.COM/doc/3",
+        "http://foo.example.com/doc/3/",
+        "foo.example.com/doc/3?utm_source=feed&utm_campaign=x",
+        "https://foo.example.com/doc/3#section-2",
+    ]
+    got = set(_canon(spark, aliases))
+    assert got == {"foo.example.com/doc/3"}, got
+
+
+def test_canonical_url_preserves_content_params(spark):
+    # a real query param is identity; only utm_* tracking is stripped
+    keep, mixed = _canon(
+        spark,
+        [
+            "https://foo.example.com/search?q=spark&page=2",
+            "https://foo.example.com/search?utm_source=x&q=spark&page=2",
+        ],
+    )
+    assert keep == "foo.example.com/search?q=spark&page=2"
+    assert mixed == "foo.example.com/search?q=spark&page=2"
+
+
+def test_canonical_url_idempotent(spark):
+    urls = [
+        "https://www.a.example.com/x/?utm_source=1#f",
+        "HTTP://B.example.com//",
+        "c.example.com/p?q=1",
+    ]
+    once = _canon(spark, urls)
+    twice = _canon(spark, once)
+    assert once == twice
+
+
+def test_url_dedup_groups_and_keep(spark):
+    rows = [
+        (1, "https://a.example.com/p"),
+        (2, "HTTP://WWW.A.EXAMPLE.COM/p/"),
+        (3, "https://a.example.com/p#frag"),
+        (4, "https://b.example.com/only"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, url string")
+    out = url_dedup(docs).collect()
+    assert len(out) == 1  # singleton b.example.com/only not emitted
+    assert out[0]["canonical_url"] == "a.example.com/p"
+    assert out[0]["n_docs"] == 3
+    assert out[0]["keep_doc_id"] == 1
+
+
+def test_bigram_lm_score_matches_reference_python(spark):
+    corpus = [
+        (0, "the cat sat on the mat"),
+        (1, "the cat sat on the hat"),
+        (2, "colorless green ideas sleep furiously"),
+        (3, "single"),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in bigram_lm_score(docs).collect()}
+    # reference implementation
+    from collections import Counter
+
+    c2, c1 = Counter(), Counter()
+    grams_by_doc = {}
+    for did, text in corpus:
+        toks = text.split(" ")
+        grams = list(zip(toks, toks[1:]))
+        grams_by_doc[did] = grams
+        for g in grams:
+            c2[g] += 1
+            c1[g[0]] += 1
+    vocab = len({w2 for (_, w2) in c2})
+    k = 0.5
+    for did, grams in grams_by_doc.items():
+        if not grams:
+            assert did not in out  # single-token doc emits nothing
+            continue
+        expected = sum(math.log((c2[g] + k) / (c1[g[0]] + k * vocab)) for g in grams)
+        assert out[did]["n_bigrams"] == len(grams)
+        assert math.isclose(out[did]["sum_logp"], expected, rel_tol=1e-12)
+    # the formulaic docs share mass; the rare-transition doc scores lower
+    # per bigram than the repeated-pattern docs
+    avg = lambda d: out[d]["sum_logp"] / out[d]["n_bigrams"]
+    assert avg(2) < avg(0)
+
+
+def test_burn_rate_requires_both_windows(spark):
+    # construct directly: 5m spike inside a quiet hour -> no alert;
+    # sustained bad hour -> alert
+    H = 3_600_000
+    rows = []
+    # series A: one bad 5m window (5/5 bad), rest of hour good (55 samples)
+    rows += [("t1", "a", i * 60_000, 200.0) for i in range(5)]  # bad
+    rows += [("t1", "a", 300_000 + i * 60_000, 1.0) for i in range(55)]
+    # series B: the whole hour bad
+    rows += [("t1", "b", i * 60_000, 200.0) for i in range(60)]
+    raw = spark.createDataFrame(
+        rows, "tenant_id string, metric_name string, ts long, value double"
+    )
+    bad = F.when(F.col("value") > 114.0, 1).otherwise(0)
+    flagged = raw.select("tenant_id", "metric_name", "ts", bad.alias("bad"))
+    w5 = flagged.groupBy(
+        "tenant_id", "metric_name", R.window_start(F.col("ts"), G.MIN_5).alias("window_start")
+    ).agg(F.count("*").alias("n5"), F.sum("bad").alias("bad5"))
+    w60 = flagged.groupBy(
+        "tenant_id", "metric_name", R.window_start(F.col("ts"), G.MIN_60).alias("w60")
+    ).agg(F.count("*").alias("n60"), F.sum("bad").alias("bad60"))
+    joined = w5.withColumn("w60", R.window_start(F.col("window_start"), G.MIN_60)).join(
+        w60, ["tenant_id", "metric_name", "w60"]
+    )
+    burn5 = F.col("bad5").cast("double") / F.col("n5")
+    burn60 = F.col("bad60").cast("double") / F.col("n60")
+    out = joined.select(
+        "metric_name", "window_start", ((burn5 > 0.2) & (burn60 > 0.15)).alias("alerting")
+    ).collect()
+    a_alerts = [r["alerting"] for r in out if r["metric_name"] == "a"]
+    b_alerts = [r["alerting"] for r in out if r["metric_name"] == "b"]
+    assert not any(a_alerts)  # spike suppressed by the long window
+    assert all(b_alerts)  # sustained burn fires in every 5m window
+
+
+def test_cascade_1440m_single_exchange(spark):
+    rows = [
+        ("t1", "m1", i * 600_000, float(i % 7)) for i in range(288 * 3)
+    ]  # 2 days at 10min
+    raw = spark.createDataFrame(
+        rows, "tenant_id string, metric_name string, ts long, value double"
+    )
+    levels = R.cascade(
+        raw, grans=(G.MIN_5, G.MIN_20, G.MIN_60, G.MIN_240, G.MIN_1440)
+    )
+    day = levels["1440m"]
+    plan = day._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    n_exchanges = len(re.findall(r"Exchange (?:hash|range|SinglePartition|RoundRobin)", plan))
+    assert n_exchanges == 1, plan  # the whole 5-level ladder shuffles once
+    got = {r["window_start"]: r for r in day.collect()}
+    # exact day totals
+    import collections
+
+    expect = collections.defaultdict(lambda: [0, 0.0])
+    for _, _, ts, v in rows:
+        d = ts // 86_400_000 * 86_400_000
+        expect[d][0] += 1
+        expect[d][1] += v
+    assert set(got) == set(expect)
+    for d, (n, s) in expect.items():
+        assert got[d]["num_points"] == n
+        assert math.isclose(got[d]["sum"], s, rel_tol=1e-12)
