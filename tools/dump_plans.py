@@ -58,6 +58,12 @@ CASES = {
     "bf_m4_downsample": "M4 pixel downsample: one map-side-combinable groupBy — same shuffle shape as a basic rollup, 4 doubles per pixel out",
     "bf_topk_movers": "recent-vs-prior movers: ONE conditional-agg pass (no self-join of the halves) + TakeOrderedAndProject",
     "bf_winsorize": "winsorize: per-series percentile agg + bounds joined back with NO forced broadcast (AQE promotes at bench scale)",
+    "bf_rollup_cascade_1440m": "full 5-level rollup ladder 5m→20m→60m→240m→1440m: still ONE exchange — locator pre-partitioning satisfies every level's clustering requirement",
+    "bf_burn_rate": "SRE multiwindow burn rate: two windowed aggs + equi-join aligned on the locator partitioning; alert predicate is pure codegen",
+    "llm_url_dedup": "URL dedup: canonicalization is map-side regexp codegen; ONE exchange on the canonical key (plus fixture fan-out)",
+    "llm_bigram_lm_score": "bigram LM: per-doc distinct-gram counts join the pre-built vocabulary-sized model ONCE; corpus text tokenized exactly once",
+    "bf_reroll_diff": "T4 re-roll: broadcast semi-join prunes the raw scan to straggler slots BEFORE re-aggregation; both diff sides are straggler-sized",
+    "bf_delayed_locators": "delayed-locator registry: delay filter + slot/shard projection map-side, one groupBy on (slot, shard, locator)",
     "bf_histogram_quantile": "histogram_quantile: bucket agg shuffle + one bounded window over each slot's 7 bucket rows — no global sort",
     "bf_sustained_breach": "sustained breach: islands ranked over BREACHING slots only (filter precedes the window); per-island agg",
     "bf_seasonal_naive_forecast": "seasonal-naive forecast: rollup agg + week-shifted equi self-join on the series/slot key (no history-wide window)",
