@@ -921,6 +921,92 @@ def llm_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.bigram_lm_score(docs)
 
 
+def llm_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster embedding outlier flagging — the prototypicality-
+    pruning step of data-curation pipelines (Sorscher et al. 2022,
+    "Beyond neural scaling laws": rank examples by distance to their
+    cluster centroid; the far tail is noise or off-distribution):
+    k-means assignment (operators/similarity.py kmeans_assign), then
+    rank each vector within its cluster by (sq_dist, vec_id) and flag
+    the top decile by distance.
+
+    Determinism: NO percentile interpolation anywhere — the cutoff is a
+    pure RANK comparison (r > floor(0.9·n)), so only exactly-computed
+    distances and integer arithmetic decide the flag. Plan: kmeans DAG +
+    one window exchange on cluster_id."""
+    from pyspark.sql.window import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assign = SIM.kmeans_assign(emb, k=8, iterations=2)
+    w = Window.partitionBy("cluster_id").orderBy("sq_dist", "vec_id")
+    n = Window.partitionBy("cluster_id")
+    ranked = assign.withColumn("r", F.row_number().over(w)).withColumn(
+        "n_in_cluster", F.count("*").over(n)
+    )
+    return ranked.select(
+        "vec_id",
+        "cluster_id",
+        "sq_dist",
+        (
+            F.col("r")
+            > F.greatest(F.floor(F.col("n_in_cluster") * 0.9), F.lit(1))
+        ).alias("is_outlier"),
+    )
+
+
+def _llm_embedding_outliers_sql() -> str:
+    kmeans = SIM.kmeans_assign_sql(k=8, iterations=2)
+    return f"""
+WITH assign AS ({kmeans}),
+ranked AS (
+  SELECT vec_id, cluster_id, sq_dist,
+         row_number() OVER (PARTITION BY cluster_id ORDER BY sq_dist, vec_id) AS r,
+         count(*) OVER (PARTITION BY cluster_id) AS n_in_cluster
+  FROM assign
+)
+SELECT vec_id, cluster_id, sq_dist,
+       r > greatest(CAST(floor(n_in_cluster * 0.9) AS BIGINT), 1) AS is_outlier
+FROM ranked
+"""
+
+
+def bf_glob_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-series aggregation over a glob selection (the Graphite
+    sumSeries/avgSeries pattern layered on F1's glob→regex — the query
+    the reference's Graphite-compatible consumers run against its
+    rollups): series matching `events.*.value` for one tenant are
+    summed per 5m window, with the contributing-series count as
+    evidence. Selection is a pushed regexp filter; aggregation is one
+    map-side-combined groupBy — no per-series plans, no unions."""
+    rx = anchored(glob_to_regex("events.*.value"))
+    raw = _raw_metrics(spark, sf_dir)
+    sel = raw.filter(
+        (F.col("tenant_id") == "t1") & F.col("metric_name").rlike(rx)
+    )
+    return sel.groupBy(
+        "tenant_id", R.window_start(F.col("ts"), G.MIN_5).alias("window_start")
+    ).agg(
+        F.countDistinct("metric_name").alias("n_series"),
+        F.count("*").alias("n_points"),
+        F.sum("value").alias("sum_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+def _bf_glob_aggregate_sql() -> str:
+    rx = anchored(glob_to_regex("events.*.value"))
+    return _RAW_CTE + f"""
+SELECT tenant_id, (ts // 300000) * 300000 AS window_start,
+       count(DISTINCT metric_name) AS n_series,
+       count(*) AS n_points,
+       sum(value) AS sum_value,
+       max(value) AS max_value
+FROM raw
+WHERE tenant_id = 't1' AND regexp_matches(metric_name, '{rx}')
+GROUP BY 1, 2
+"""
+
+
 def _typed_raw_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw samples with F5 long/double polymorphism: a row is long-typed iff
     its metric family has an even-length event_type (whole series long) OR
@@ -4379,6 +4465,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bf_burn_rate": bf_burn_rate,
         "llm_url_dedup": llm_url_dedup,
         "llm_bigram_lm_score": llm_bigram_lm_score,
+        "llm_embedding_outliers": llm_embedding_outliers,
+        "bf_glob_aggregate": bf_glob_aggregate,
         # -- sentinels: previously-green critical paths --
         "bf_basic_merge_20m": bf_basic_merge_20m,
         "ev_retention_cohorts": ev_retention_cohorts,
@@ -4386,12 +4474,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "api_get_views_multi": api_get_views_multi,
         "api_events_query": api_events_query,
         "llm_pipeline_output": llm_pipeline_output,
-        "llm_embedding_dup_clusters": llm_embedding_dup_clusters,
-        "bf_preagg_ladder": bf_preagg_ladder,
         "bf_ingest_validate": bf_ingest_validate,
         "bf_timer_pct_map_merge": bf_timer_pct_map_merge,
         "llm_kmeans_clusters": llm_kmeans_clusters,
         # ---- entry 51+ (green driver rows in earlier rounds) ----
+        "llm_embedding_dup_clusters": llm_embedding_dup_clusters,
+        "bf_preagg_ladder": bf_preagg_ladder,
         "llm_minhash_lsh": llm_minhash_lsh,
         "llm_decontaminate": llm_decontaminate,
         "bf_rollup_cascade_60m": bf_rollup_cascade_60m,
@@ -4586,6 +4674,8 @@ def oracle_sql() -> dict[str, str]:
         "bf_burn_rate": _BF_BURN_RATE_SQL,
         "llm_url_dedup": _llm_url_dedup_sql(),
         "llm_bigram_lm_score": TX.bigram_lm_score_sql(),
+        "llm_embedding_outliers": _llm_embedding_outliers_sql(),
+        "bf_glob_aggregate": _bf_glob_aggregate_sql(),
         "bf_ttl_retention": _BF_TTL_RETENTION_SQL,
         "bf_preagg_ladder": _BF_PREAGG_LADDER_SQL,
         "bf_granularity_select": _BF_GRANULARITY_SELECT_SQL,

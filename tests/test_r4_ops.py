@@ -168,3 +168,50 @@ def test_cascade_1440m_single_exchange(spark):
     for d, (n, s) in expect.items():
         assert got[d]["num_points"] == n
         assert math.isclose(got[d]["sum"], s, rel_tol=1e-12)
+
+
+def test_embedding_outliers_rank_semantics(spark):
+    # one tight cluster + one obvious outlier far away, k=1 so assignment
+    # is trivial and the decile cutoff is pure rank arithmetic
+    import __spark_entry__  # noqa: F401  (ensures package import path)
+    from blueflood_spark.operators.similarity import kmeans_assign
+    from pyspark.sql.window import Window
+
+    rows = [(i, [float(i % 3) * 0.01] * 4) for i in range(19)]
+    rows.append((99, [50.0] * 4))  # the far point
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    assign = kmeans_assign(emb, k=1, iterations=1)
+    w = Window.partitionBy("cluster_id").orderBy("sq_dist", "vec_id")
+    n = Window.partitionBy("cluster_id")
+    ranked = assign.withColumn("r", F.row_number().over(w)).withColumn(
+        "nc", F.count("*").over(n)
+    )
+    out = {
+        r["vec_id"]: r["out"]
+        for r in ranked.select(
+            "vec_id",
+            (F.col("r") > F.greatest(F.floor(F.col("nc") * 0.9), F.lit(1))).alias("out"),
+        ).collect()
+    }
+    assert out[99] is True  # the far point is flagged
+    assert sum(out.values()) == 2  # 20 points -> ranks 19,20 flagged (top decile)
+
+
+def test_glob_aggregate_selects_and_sums(spark):
+    from blueflood_spark.functions.glob import anchored, glob_to_regex
+
+    rx = anchored(glob_to_regex("events.*.value"))
+    rows = [
+        ("t1", "events.click.value", 0, 1.0),
+        ("t1", "events.view.value", 0, 2.0),
+        ("t1", "events.click.count", 0, 100.0),  # glob excludes .count
+        ("t2", "events.click.value", 0, 100.0),  # other tenant excluded
+    ]
+    raw = spark.createDataFrame(
+        rows, "tenant_id string, metric_name string, ts long, value double"
+    )
+    sel = raw.filter((F.col("tenant_id") == "t1") & F.col("metric_name").rlike(rx))
+    got = sel.groupBy("tenant_id").agg(
+        F.countDistinct("metric_name").alias("n_series"), F.sum("value").alias("s")
+    ).collect()[0]
+    assert got["n_series"] == 2 and got["s"] == 3.0
