@@ -1636,13 +1636,22 @@ def bigram_lm_score(
     per_doc = grams.groupBy(id_col, "w1", "w2").agg(F.count("*").alias("n"))
     c2 = per_doc.groupBy("w1", "w2").agg(F.sum("n").alias("c2"))
     c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
-    vocab = c2.select("w2").distinct().count()
-    model = c2.join(c1, "w1").select(
-        "w1",
-        "w2",
-        F.log(
-            (F.col("c2") + F.lit(k)) / (F.col("c1") + F.lit(k) * F.lit(float(vocab)))
-        ).alias("logp"),
+    # vocab stays IN the DAG as a broadcast 1-row frame: a driver-side
+    # count() here would eagerly evaluate the whole bigram pipeline a
+    # second time (tokenize twice, one extra job per call)
+    vocab = c2.agg(
+        F.count_distinct(F.col("w2")).cast("double").alias("vocab")
+    )
+    model = (
+        c2.join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            F.log(
+                (F.col("c2") + F.lit(k)) / (F.col("c1") + F.lit(k) * F.col("vocab"))
+            ).alias("logp"),
+        )
     )
     return (
         per_doc.join(model, ["w1", "w2"])
