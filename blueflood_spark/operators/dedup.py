@@ -1190,7 +1190,13 @@ FROM labeled l JOIN best b USING (cluster_id)
 
 # (pattern, replacement, why) — applied IN ORDER on the lowercased URL.
 # Kept in lockstep with url_dedup_sql (DuckDB needs the 'g' flag; Spark's
-# regexp_replace is global by default).
+# regexp_replace is global by default). The utm pattern is deliberately
+# UNANCHORED to a [?&] separator: anchoring breaks consecutive utm params
+# (the separator is consumed by the previous match in a single
+# regexp_replace pass), and the portable alternative — lookbehind — does
+# not exist in DuckDB's RE2. Tradeoff: a literal "utm_x=" inside a PATH
+# segment would also be stripped; acceptable for a dedup KEY (over-merge
+# requires both docs to carry the same path oddity).
 _URL_CANON_STEPS = [
     (r"#.*$", "", "fragment never reaches the server"),
     (r"utm_[a-z]+=[^&#]*&?", "", "tracking params (utm_*) don't change content"),
@@ -1211,6 +1217,18 @@ def canonical_url(col: Column) -> Column:
     out = F.lower(col)
     for pat, rep, _ in _URL_CANON_STEPS:
         out = F.regexp_replace(out, pat, rep)
+    return out
+
+
+def canonical_url_py(url: str) -> str:
+    """Pure-Python rendition (the hashing.py triplet pattern: Column /
+    SQL / Python must agree) — used by the hypothesis property suite;
+    Java, RE2, and Python re agree on these pattern constructs."""
+    import re
+
+    out = url.lower()
+    for pat, rep, _ in _URL_CANON_STEPS:
+        out = re.sub(pat, rep, out)
     return out
 
 

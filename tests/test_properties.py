@@ -166,3 +166,44 @@ def test_typed_winner_min_max(rows):
     out_d = None if long_wins else min_d
     true_min = min([*longs, *doubles])
     assert (out_l if out_l is not None else out_d) == true_min
+
+
+# -- URL canonicalization (round 4): pure-python triplet rendition --
+
+_URL_CHARS = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789-._~/?&=#",
+    max_size=80,
+)
+
+
+@given(_URL_CHARS)
+def test_canonical_url_idempotent_property(u):
+    from blueflood_spark.operators.dedup import canonical_url_py
+
+    once = canonical_url_py(u)
+    assert canonical_url_py(once) == once
+
+
+@given(_URL_CHARS)
+def test_canonical_url_invariants(u):
+    import re
+
+    from blueflood_spark.operators.dedup import canonical_url_py
+
+    c = canonical_url_py("https://www." + u)
+    assert c == c.lower()
+    assert not c.startswith("http://") and not c.startswith("https://")
+    assert not c.startswith("www.")
+    assert "#" not in c
+    assert not c.endswith("/")
+    assert not re.search(r"utm_[a-z]+=", c)
+
+
+@given(st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=4))
+def test_canonical_url_consecutive_utm_params(parts):
+    # any run of consecutive utm params must strip completely
+    from blueflood_spark.operators.dedup import canonical_url_py
+
+    qs = "&".join(f"utm_{p}={p}1" for p in parts)
+    url = "https://x.example.com/p" + ("?" + qs if qs else "")
+    assert canonical_url_py(url) == "x.example.com/p"

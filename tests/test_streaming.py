@@ -490,3 +490,43 @@ def test_corpus_guard_stream(spark, tmp_path):
     assert dups[100]["exact_dup"] and dups[100]["exact_match_id"] == 0
     assert dups[101]["near_dup"] and dups[101]["near_match_id"] == 0
     assert not dups[101]["exact_dup"]
+
+
+def test_delayed_sink_matches_batch_locator_registry(spark, dirs):
+    """S8 differential: the STREAMING delayed side-channel and the batch
+    bf_delayed_locators derivation must register the same (slot,
+    locator) set. The stream records slot_window_start (epoch ms); the
+    batch registry keys by the reference's 20m slot INDEX — related by
+    Granularity.slot/millisToSlot ((ws % 14d) / 300000 / 4)."""
+    from blueflood_spark.functions.hashing import shard_of
+
+    now = int(time.time() * 1000)
+    base = (now // (20 * MIN)) * 20 * MIN - 80 * MIN
+    rows = []
+    for s in range(3):  # three distinct 20m slots, two locators
+        rows.append(sample("t1", "svc.cpu", base + s * 20 * MIN, 1.0))
+        rows.append(sample("t1", "svc.mem", base + s * 20 * MIN + MIN, 2.0))
+    rows.append(sample("t1", "svc.cpu", now - MIN, 3.0))  # on time: excluded
+    write_payload(f"{dirs['input']}/batch1.json", rows)
+    q = P.start_ingest(
+        spark, dirs["input"], dirs["raw"], dirs["rejected"], dirs["delayed"], dirs["ckpt_ingest"]
+    )
+    q.awaitTermination(120)
+
+    streamed = spark.read.parquet(dirs["delayed"]).select(
+        F.expr(
+            "CAST(((slot_window_start % 1209600000) DIV 300000) DIV 4 AS INT)"
+        ).alias("slot"),
+        "tenant_id",
+        "metric_name",
+    )
+    got = {(r["slot"], r["tenant_id"], r["metric_name"]) for r in streamed.collect()}
+    # batch derivation from the same inputs (python twin of the query)
+    expect = set()
+    for r in rows[:-1]:  # the on-time row must not appear
+        slot = ((r["collectionTime"] % 1_209_600_000) // 300_000) // 4
+        expect.add((slot, r["tenantId"], r["metricName"]))
+    assert got == expect
+    # shard parity spot-check: the registry's shard column (batch path)
+    # uses the same md5 hash as the reference's Util.computeShard
+    assert 0 <= shard_of("t1,svc.cpu") < 128
