@@ -439,11 +439,15 @@ def kmeans_assign(
     """
     # same IEEE op sequence as a sequential fold over zip_with: squared
     # deltas accumulated ascending j — keep in lockstep with the twin
+    # cid travels INSIDE the struct, never as the transform index: if a
+    # cluster empties during an iteration (e.g. duplicate seed vectors —
+    # the lower cid wins every tie and the higher one loses all members),
+    # cent_arr shrinks and positions no longer equal cluster ids
     argmin = (
-        "array_min(transform(cent_arr, (c, i) -> struct("
-        f"aggregate(zip_with({vec_col}, c, (x, y) -> "
+        "array_min(transform(cent_arr, c -> struct("
+        f"aggregate(zip_with({vec_col}, c.cvec, (x, y) -> "
         "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
-        "0D, (acc, v) -> acc + v) AS d, i AS cid)))"
+        "0D, (acc, v) -> acc + v) AS d, c.cid AS cid)))"
     )
     from pyspark.sql import Window
 
@@ -455,12 +459,9 @@ def kmeans_assign(
     )
 
     def as_row(c: DataFrame) -> DataFrame:
-        # one row, cid-ordered array of centroid vectors (transform index
-        # i == cid because collect_list is sorted by cid first)
+        # one row, cid-ordered array of (cid, cvec) structs
         return c.agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(cid, cvec))), s -> s.cvec)"
-            ).alias("cent_arr")
+            F.expr("array_sort(collect_list(struct(cid, cvec)))").alias("cent_arr")
         )
 
     for _ in range(iterations):

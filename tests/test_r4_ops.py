@@ -215,3 +215,22 @@ def test_glob_aggregate_selects_and_sums(spark):
         F.countDistinct("metric_name").alias("n_series"), F.sum("value").alias("s")
     ).collect()[0]
     assert got["n_series"] == 2 and got["s"] == 3.0
+
+
+def test_kmeans_survives_empty_cluster(spark):
+    # duplicate seed vectors: cid 0 wins every tie, cluster 1 loses all
+    # members after the first assignment — labels must stay correct
+    from blueflood_spark.operators.similarity import kmeans_assign
+
+    rows = [
+        (0, [0.0, 0.0]),
+        (1, [0.0, 0.0]),  # seed of cluster 1, identical to seed 0
+        (2, [0.1, 0.0]),
+        (3, [10.0, 10.0]),
+        (4, [10.1, 10.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r["cluster_id"] for r in kmeans_assign(emb, k=2, iterations=2).collect()}
+    # all points collapse into the surviving cluster 0; crucially NO
+    # vector may carry a position-shifted wrong id
+    assert set(out.values()) == {0}
