@@ -3052,6 +3052,73 @@ FROM (
 """
 
 
+def llm_multimodal_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal preprocessing PLANS (operators/multimodal.py
+    resize_plan / frame_sample_plan): the metadata-only half of the
+    decode pipeline — image rows get aspect-preserving resize targets
+    (max 8×8 so the fixture actually triggers downscale), video rows
+    get one row per planned frame timestamp at 30 fps. Pure JVM
+    arithmetic over the media table's typed metadata; the pixel/frame
+    work itself stays behind the mapInPandas boundary
+    (llm_multimodal_features). Output is the union of both plan kinds
+    flattened to one scalar schema."""
+    from blueflood_spark.operators import multimodal as MM
+
+    media = MM.synthetic_media(spark, 96)
+    rs = MM.resize_plan(media.filter(F.col("kind") == "image"), max_w=8, max_h=8)
+    fs = MM.frame_sample_plan(media, fps=30.0)
+    resize_part = rs.select(
+        "media_id",
+        F.lit("resize").alias("plan"),
+        F.col("target_w"),
+        F.col("target_h"),
+        F.col("needs_resize"),
+        F.lit(None).cast("long").alias("frame_ts_ms"),
+    )
+    frame_part = fs.select(
+        "media_id",
+        F.lit("frame").alias("plan"),
+        F.lit(None).cast("int").alias("target_w"),
+        F.lit(None).cast("int").alias("target_h"),
+        F.lit(None).cast("boolean").alias("needs_resize"),
+        "frame_ts_ms",
+    )
+    return resize_part.unionByName(frame_part)
+
+
+_LLM_MULTIMODAL_PLAN_SQL = """
+WITH m AS (
+  SELECT i AS media_id,
+         CASE CAST(i % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         CASE CAST(i % 3 AS INT) WHEN 0 THEN CAST(8 + i % 5 AS INT)
+              WHEN 2 THEN CAST(4 + 2 * ((i // 3) % 3) AS INT) END AS w,
+         CASE CAST(i % 3 AS INT) WHEN 0 THEN CAST(6 + i % 4 AS INT)
+              WHEN 2 THEN CAST(4 + 2 * ((i // 3) % 2) AS INT) END AS h,
+         CASE CAST(i % 3 AS INT)
+              WHEN 2 THEN CAST(trunc((2 + (i // 3) % 3) * 1000.0 / 25.0) AS BIGINT) END AS duration_ms
+  FROM range(96) t(i)
+),
+resize_part AS (
+  SELECT media_id, 'resize' AS plan,
+         CAST(ceil(w * least(8.0 / w, 8.0 / h, 1.0)) AS INT) AS target_w,
+         CAST(ceil(h * least(8.0 / w, 8.0 / h, 1.0)) AS INT) AS target_h,
+         w * h > 64 AS needs_resize,
+         CAST(NULL AS BIGINT) AS frame_ts_ms
+  FROM m WHERE kind = 'image'
+),
+frame_part AS (
+  SELECT media_id, 'frame' AS plan,
+         CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS BOOLEAN),
+         CAST(trunc(j * (1000.0 / 30.0)) AS BIGINT) AS frame_ts_ms
+  FROM (SELECT media_id,
+               greatest(CAST(trunc(duration_ms / 1000.0 * 30.0) AS INT), 1) AS nf
+        FROM m WHERE kind = 'video'),
+       UNNEST(range(nf)) AS u(j)
+)
+SELECT * FROM resize_part UNION ALL SELECT * FROM frame_part
+"""
+
+
 def bf_granularity_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O3 points-budget granularity selection over a grid of (span,
     points) cases — the aggregate-navigation planner as a table."""
@@ -4467,6 +4534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_bigram_lm_score": llm_bigram_lm_score,
         "llm_embedding_outliers": llm_embedding_outliers,
         "bf_glob_aggregate": bf_glob_aggregate,
+        "llm_multimodal_plan": llm_multimodal_plan,
         # -- sentinels: previously-green critical paths --
         "bf_basic_merge_20m": bf_basic_merge_20m,
         "ev_retention_cohorts": ev_retention_cohorts,
@@ -4474,10 +4542,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "api_get_views_multi": api_get_views_multi,
         "api_events_query": api_events_query,
         "llm_pipeline_output": llm_pipeline_output,
-        "bf_ingest_validate": bf_ingest_validate,
         "bf_timer_pct_map_merge": bf_timer_pct_map_merge,
         "llm_kmeans_clusters": llm_kmeans_clusters,
         # ---- entry 51+ (green driver rows in earlier rounds) ----
+        "bf_ingest_validate": bf_ingest_validate,
         "llm_embedding_dup_clusters": llm_embedding_dup_clusters,
         "bf_preagg_ladder": bf_preagg_ladder,
         "llm_minhash_lsh": llm_minhash_lsh,
@@ -4676,6 +4744,7 @@ def oracle_sql() -> dict[str, str]:
         "llm_bigram_lm_score": TX.bigram_lm_score_sql(),
         "llm_embedding_outliers": _llm_embedding_outliers_sql(),
         "bf_glob_aggregate": _bf_glob_aggregate_sql(),
+        "llm_multimodal_plan": _LLM_MULTIMODAL_PLAN_SQL,
         "bf_ttl_retention": _BF_TTL_RETENTION_SQL,
         "bf_preagg_ladder": _BF_PREAGG_LADDER_SQL,
         "bf_granularity_select": _BF_GRANULARITY_SELECT_SQL,
