@@ -4480,12 +4480,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries. Union of CORRECTNESS_r01..r03 covers 102 of the r3
     # registry's 126; this round's first 50 = the 4 r3 red rows (output
     # shapes fixed this round) + the 24 never-stamped entries + the 4
-    # entries whose only driver row is r1 + 3 new parity queries
-    # (bf_reroll_diff/bf_delayed_locators/bf_unit_changes) + 15
-    # sentinels re-confirming previously-green critical paths (incl.
-    # the two perf-trimmed ladder queries). When editing: anything
-    # moved past 50 must already have a green driver row in some
-    # round's CORRECTNESS file, or coverage regresses.
+    # entries whose only driver row is r1 + 10 new r4 queries
+    # (delayed_locators/reroll_diff/unit_changes/cascade_1440m/
+    # burn_rate/url_dedup/bigram_lm/embedding_outliers/glob_aggregate/
+    # multimodal_plan) + 8 sentinels re-confirming previously-green
+    # critical paths (incl. the two perf-trimmed ladder queries). When
+    # editing: anything moved past 50 must already have a green driver
+    # row in some round's CORRECTNESS file, or coverage regresses.
     return {
         # -- r3 red rows, checked-output shapes fixed --
         "bf_statsd_normalize": bf_statsd_normalize,
