@@ -1007,6 +1007,64 @@ GROUP BY 1, 2
 """
 
 
+def llm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy hitters over the corpus vocabulary
+    (operators/sketches.py): the d×w counter table is built with
+    md5-deterministic hash rows, so the SKETCH ITSELF — not just a
+    summary — is engine-reproducible and this query checks every
+    estimate against the exact count (CMS guarantees est ≥ true; the
+    overcount column is the collision mass). Mergeability (cells add)
+    is what makes it the 100 TB path: per-partition sketches combine
+    map-side, and a day's sketch folds into history in O(d·w) memory.
+    Output filtered to frequent tokens to keep the row count sane; the
+    estimates still reflect ALL keys through their collisions."""
+    from blueflood_spark.operators import sketches as SK
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    out = SK.cms_estimates(toks, "tok", depth=4, width=128)
+    return out.filter(F.col("true_n") >= 50)
+
+
+def _llm_heavy_hitters_sql() -> str:
+    from blueflood_spark.operators import sketches as SK
+
+    inner = SK.cms_estimates_sql(
+        "(SELECT unnest(string_split(text, ' ')) AS tok FROM documents) toks",
+        "tok",
+        depth=4,
+        width=128,
+    )
+    return f"SELECT * FROM ({inner}) est WHERE true_n >= 50"
+
+
+def _bf_hll_cardinality_sql() -> str:
+    from blueflood_spark.operators import sketches as SK
+
+    return SK.hll_estimate_sql(
+        "(SELECT 't' || CAST(user_id % 4 AS VARCHAR) AS tenant_id, user_id FROM events) src",
+        "user_id",
+        ["tenant_id"],
+        p=8,
+    )
+
+
+def bf_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog per-tenant distinct-user cardinality
+    (operators/sketches.py): md5-derived 60-bit hashes, register index
+    from the top 8 bits, rho from length(bin(w)) — EXACT integer string
+    math, no float log anywhere in the sketch. The estimate sits next
+    to the exact countDistinct so the driver checks both. This is the
+    100 TB generalization of the Set rollup's member-hash union
+    (BluefloodSetRollup.java:30-43): registers max-merge, so per-window
+    sketches roll up the same ladder the exact sets do, at constant
+    memory per (locator, window)."""
+    from blueflood_spark.operators import sketches as SK
+
+    raw = _raw_metrics(spark, sf_dir)
+    return SK.hll_estimate(raw, "user_id", ["tenant_id"], p=8)
+
+
 def _typed_raw_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw samples with F5 long/double polymorphism: a row is long-typed iff
     its metric family has an even-length event_type (whole series long) OR
@@ -4536,16 +4594,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_embedding_outliers": llm_embedding_outliers,
         "bf_glob_aggregate": bf_glob_aggregate,
         "llm_multimodal_plan": llm_multimodal_plan,
+        "llm_heavy_hitters": llm_heavy_hitters,
+        "bf_hll_cardinality": bf_hll_cardinality,
         # -- sentinels: previously-green critical paths --
         "bf_basic_merge_20m": bf_basic_merge_20m,
         "ev_retention_cohorts": ev_retention_cohorts,
         "api_get_view": api_get_view,
-        "api_get_views_multi": api_get_views_multi,
-        "api_events_query": api_events_query,
         "llm_pipeline_output": llm_pipeline_output,
         "bf_timer_pct_map_merge": bf_timer_pct_map_merge,
         "llm_kmeans_clusters": llm_kmeans_clusters,
         # ---- entry 51+ (green driver rows in earlier rounds) ----
+        "api_get_views_multi": api_get_views_multi,
+        "api_events_query": api_events_query,
         "bf_ingest_validate": bf_ingest_validate,
         "llm_embedding_dup_clusters": llm_embedding_dup_clusters,
         "bf_preagg_ladder": bf_preagg_ladder,
@@ -4746,6 +4806,8 @@ def oracle_sql() -> dict[str, str]:
         "llm_embedding_outliers": _llm_embedding_outliers_sql(),
         "bf_glob_aggregate": _bf_glob_aggregate_sql(),
         "llm_multimodal_plan": _LLM_MULTIMODAL_PLAN_SQL,
+        "llm_heavy_hitters": _llm_heavy_hitters_sql(),
+        "bf_hll_cardinality": _bf_hll_cardinality_sql(),
         "bf_ttl_retention": _BF_TTL_RETENTION_SQL,
         "bf_preagg_ladder": _BF_PREAGG_LADDER_SQL,
         "bf_granularity_select": _BF_GRANULARITY_SELECT_SQL,

@@ -1,0 +1,243 @@
+"""Deterministic mergeable sketches: Count-Min (heavy hitters) and
+HyperLogLog (distinct cardinality).
+
+Why hand-rolled when Spark has approx_count_distinct: Spark's HLL++ and
+any engine's native sketch are implementation-defined — their registers
+and estimates cannot be checked against another engine. These sketches
+derive every hash from md5 (the repo's portability rule), so the FULL
+register/counter tables AND the estimates are bit-reproducible across
+Spark, DuckDB, and a Python reference — the sketch itself becomes an
+oracle-checkable table.
+
+Why sketches at all: at 100 TB, exact heavy-hitters and exact distinct
+counts per group either shuffle the full key stream or hold unbounded
+state. Both sketches here are MERGEABLE aggregates (CMS cells add;
+HLL registers max), so partial sketches combine map-side exactly like
+sum() partials, and a day's sketch unions with history in O(sketch)
+memory — the property tests assert mergeability, which is the whole
+scale story.
+
+Reference context: the closest reference operator is the Set rollup's
+member-hash union (BluefloodSetRollup.java:30-43) whose 100 TB
+generalization is exactly HLL; heavy hitters generalize the token
+doc-count aggregation (A10).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from blueflood_spark.functions.hashing import md5_bucket, md5_bucket_sql
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+def count_min_sketch(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str | None = None,
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """The CMS table itself: depth × width counters, cell(j, b) =
+    Σ weight over keys with md5_bucket(key, salt=j) == b. Built from the
+    per-key exact counts (one groupBy — keys are far fewer than rows),
+    then d tiny explode rows per distinct key. Pure integer arithmetic.
+    """
+    w = F.col(weight_col) if weight_col else F.lit(1).cast("long")
+    per_key = df.groupBy(key_col).agg(F.sum(w).alias("n"))
+    rows = per_key.select(
+        key_col,
+        "n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        md5_bucket(F.col(key_col), f"cms{j}", width).alias("b"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("e"),
+    )
+    return (
+        rows.select("n", F.col("e.j").alias("j"), F.col("e.b").alias("b"))
+        .groupBy("j", "b")
+        .agg(F.sum("n").alias("cell"))
+    )
+
+
+def cms_estimates(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str | None = None,
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """Per-key CMS estimate next to the exact count: est = min over the
+    d cells the key hashes into; CMS guarantees est ≥ true (counters
+    only ever overcount collisions). Join shape: the sketch is d·w rows
+    — broadcast — and each distinct key probes d cells."""
+    w = F.col(weight_col) if weight_col else F.lit(1).cast("long")
+    sketch = count_min_sketch(df, key_col, weight_col, depth, width)
+    per_key = df.groupBy(key_col).agg(F.sum(w).alias("true_n"))
+    probes = per_key.select(
+        key_col,
+        "true_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        md5_bucket(F.col(key_col), f"cms{j}", width).alias("b"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("e"),
+    ).select(key_col, "true_n", F.col("e.j").alias("j"), F.col("e.b").alias("b"))
+    return (
+        probes.join(F.broadcast(sketch), ["j", "b"])
+        .groupBy(key_col, "true_n")
+        .agg(F.min("cell").alias("est_n"))
+        .withColumn("overcount", F.col("est_n") - F.col("true_n"))
+    )
+
+
+def cms_estimates_sql(
+    table: str,
+    key_col: str,
+    weight_expr: str = "1",
+    depth: int = 4,
+    width: int = 64,
+) -> str:
+    probes = " UNION ALL ".join(
+        f"SELECT {key_col}, true_n, {j} AS j, "
+        f"{md5_bucket_sql(key_col, f'cms{j}', width)} AS b FROM per_key"
+        for j in range(depth)
+    )
+    return f"""
+WITH per_key AS (
+  SELECT {key_col}, CAST(sum({weight_expr}) AS BIGINT) AS true_n
+  FROM {table} GROUP BY 1
+),
+probes AS ({probes}),
+sketch AS (
+  SELECT j, b, CAST(sum(true_n) AS BIGINT) AS cell
+  FROM probes GROUP BY 1, 2
+)
+SELECT p.{key_col}, p.true_n, CAST(min(s.cell) AS BIGINT) AS est_n,
+       CAST(min(s.cell) - p.true_n AS BIGINT) AS overcount
+FROM probes p JOIN sketch s ON p.j = s.j AND p.b = s.b
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+def hll_registers(
+    df: DataFrame, value_col: str, keys: list[str], p: int = 8
+) -> DataFrame:
+    """The HLL register table per key group: m = 2^p rows at most, each
+    the MAX rho seen — the mergeable state (union of sketches = element-
+    wise max), constant memory per group at any cardinality."""
+    h = F.conv(F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    tail_bits = 60 - p
+    # integer DIV, never `/`: h spans 60 bits and double division loses
+    # exactness above 2^53
+    base = df.select(*keys, h.alias("h")).select(
+        *keys,
+        F.expr(f"h DIV {2**tail_bits}").alias("reg"),
+        F.expr(f"h % {2**tail_bits}").alias("w"),
+    ).withColumn(
+        "rho",
+        F.when(F.col("w") == 0, F.lit(tail_bits + 1)).otherwise(
+            F.lit(tail_bits) - F.length(F.expr("bin(w)")) + 1
+        ),
+    )
+    return base.groupBy(*keys, "reg").agg(F.max("rho").alias("max_rho"))
+
+
+def hll_estimate(
+    df: DataFrame, value_col: str, keys: list[str], p: int = 8
+) -> DataFrame:
+    """HLL cardinality estimate next to the exact distinct count.
+    raw = α_m · m² / (Σ 2^−M_j), zero registers contributing 2^0 = 1;
+    the small-range correction m·ln(m/V) applies when raw ≤ 2.5m and
+    zero registers exist (Flajolet et al. 2007). Every 2^−rho term is an
+    EXACT double (powers of two), so the same-sign sum is stable to the
+    last ulps across engines; ln enters only the correction branch."""
+    m = 2**p
+    alpha = 0.7213 / (1 + 1.079 / m)  # p >= 7
+    regs = hll_registers(df, value_col, keys, p)
+    agg = regs.groupBy(*keys).agg(
+        F.count("*").alias("n_used"),
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("sum_used"),
+    )
+    zeros = F.lit(m) - F.col("n_used")
+    denom = F.col("sum_used") + zeros.cast("double")
+    raw = F.lit(alpha * m * m) / denom
+    est = F.when(
+        (raw <= 2.5 * m) & (zeros > 0), F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
+    ).otherwise(raw)
+    exact = df.groupBy(*keys).agg(F.countDistinct(value_col).alias("true_distinct"))
+    return (
+        agg.select(*keys, "n_used", zeros.alias("n_zero"), est.alias("est_distinct"))
+        .join(exact, keys)
+    )
+
+
+def hll_estimate_sql(
+    table: str, value_expr: str, keys: list[str], p: int = 8
+) -> str:
+    m = 2**p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    tail = 60 - p
+    keys_csv = ", ".join(keys)
+    return f"""
+WITH hashed AS (
+  SELECT {keys_csv},
+         CAST(('0x' || substr(md5(CAST({value_expr} AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM {table}
+),
+split AS (
+  SELECT {keys_csv}, h // {2**tail} AS reg, h % {2**tail} AS w
+  FROM hashed
+),
+rho AS (
+  SELECT {keys_csv}, reg,
+         CASE WHEN w = 0 THEN {tail + 1}
+              ELSE {tail} - length(bin(w)) + 1 END AS rho
+  FROM split
+),
+regs AS (
+  SELECT {keys_csv}, reg, max(rho) AS max_rho FROM rho GROUP BY {keys_csv}, reg
+),
+agg AS (
+  SELECT {keys_csv}, count(*) AS n_used,
+         sum(pow(2.0, -max_rho)) AS sum_used
+  FROM regs GROUP BY {keys_csv}
+),
+est AS (
+  SELECT {keys_csv}, n_used, {m} - n_used AS n_zero,
+         CASE WHEN {alpha * m * m} / (sum_used + ({m} - n_used)) <= {2.5 * m}
+                   AND {m} - n_used > 0
+              THEN {float(m)} * ln({float(m)} / ({m} - n_used))
+              ELSE {alpha * m * m} / (sum_used + ({m} - n_used)) END AS est_distinct
+  FROM agg
+)
+SELECT {keys_csv}, n_used, CAST(n_zero AS BIGINT) AS n_zero,
+       est_distinct, true_distinct
+FROM est JOIN (
+  SELECT {keys_csv}, count(DISTINCT {value_expr}) AS true_distinct
+  FROM {table} GROUP BY {keys_csv}
+) x USING ({keys_csv})
+"""

@@ -234,3 +234,41 @@ def test_kmeans_survives_empty_cluster(spark):
     # all points collapse into the surviving cluster 0; crucially NO
     # vector may carry a position-shifted wrong id
     assert set(out.values()) == {0}
+
+
+def test_cms_overestimates_and_merges(spark):
+    from blueflood_spark.operators import sketches as SK
+
+    rows = [(f"k{i % 37}",) for i in range(2000)] + [("hot",)] * 500
+    df = spark.createDataFrame(rows, "tok string")
+    est = SK.cms_estimates(df, "tok", depth=4, width=32).collect()
+    assert all(r["est_n"] >= r["true_n"] for r in est)  # CMS never undercounts
+    hot = [r for r in est if r["tok"] == "hot"][0]
+    assert hot["est_n"] >= 500
+    # MERGEABILITY: sketch(A ∪ B) == cellwise sum of sketch(A), sketch(B)
+    a = spark.createDataFrame(rows[:1000], "tok string")
+    b = spark.createDataFrame(rows[1000:], "tok string")
+    whole = {(r["j"], r["b"]): r["cell"] for r in SK.count_min_sketch(df, "tok", width=32).collect()}
+    sa = {(r["j"], r["b"]): r["cell"] for r in SK.count_min_sketch(a, "tok", width=32).collect()}
+    sb = {(r["j"], r["b"]): r["cell"] for r in SK.count_min_sketch(b, "tok", width=32).collect()}
+    merged = {k: sa.get(k, 0) + sb.get(k, 0) for k in set(sa) | set(sb)}
+    assert merged == whole
+
+
+def test_hll_registers_merge_and_estimate_bound(spark):
+    from blueflood_spark.operators import sketches as SK
+
+    rows = [(1, i) for i in range(3000)]
+    df = spark.createDataFrame(rows, "g int, v long")
+    # MERGEABILITY: registers(A ∪ B) == elementwise max
+    a, b = df.filter("v < 1500"), df.filter("v >= 1500")
+    whole = {r["reg"]: r["max_rho"] for r in SK.hll_registers(df, "v", ["g"]).collect()}
+    ra = {r["reg"]: r["max_rho"] for r in SK.hll_registers(a, "v", ["g"]).collect()}
+    rb = {r["reg"]: r["max_rho"] for r in SK.hll_registers(b, "v", ["g"]).collect()}
+    merged = {k: max(ra.get(k, 0), rb.get(k, 0)) for k in set(ra) | set(rb)}
+    assert merged == whole
+    # estimate within the ~3σ HLL error envelope (σ ≈ 1.04/√m, m=256)
+    est = SK.hll_estimate(df, "v", ["g"], p=8).collect()[0]
+    assert est["true_distinct"] == 3000
+    rel = abs(est["est_distinct"] - 3000) / 3000
+    assert rel < 3 * 1.04 / (256 ** 0.5), rel
