@@ -25,17 +25,21 @@ from blueflood_spark.session import get_spark  # noqa: E402
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    # 16 shuffle partitions: plenty of parallelism at bench scale, half the
-    # task-scheduling latency of one-per-core; clusters size this to cores
-    # FAIR scheduling so the concurrent pass shares cores across in-flight
-    # queries the way a multi-tenant query service does.
+    # 8 shuffle partitions: at sf0.1 task-scheduling latency dominates
+    # shuffle work, and the r4 A/B (16 vs 12 vs 8 on both the light and
+    # the heavy subsets) had 8 fastest everywhere — heavy subset 24.4s →
+    # 19.8s. The concurrent pass runs 4 queries × 8 partitions = one
+    # task per core. Clusters size this to cores/data, not to this
+    # constant. FAIR scheduling so the concurrent pass shares cores
+    # across in-flight queries the way a multi-tenant query service
+    # does.
     # AQE stays ON — measured A/B at sf0.1: with the analyzed-reader
     # memoization in _t() the trivial-query constant is AQE-insensitive
     # (~15 ms), while the heavy multi-stage queries (LSH band joins,
     # shingle joins) are 10-30% FASTER with AQE's partition coalescing.
     # Same config as production, where AQE also earns skew handling.
     spark = get_spark(
-        "bench", shuffle_partitions=16, **{"spark.scheduler.mode": "FAIR"}
+        "bench", shuffle_partitions=8, **{"spark.scheduler.mode": "FAIR"}
     )
 
     # warm up the JVM + parquet footer caches with the flagship query, and
