@@ -1632,29 +1632,43 @@ def bigram_lm_score(
                 f" split({text_col}, ' ')[i + 1] AS w2)) END"
             )
         ).alias("g"),
-    ).select(id_col, F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
-    per_doc = grams.groupBy(id_col, "w1", "w2").agg(F.count("*").alias("n"))
-    c2 = per_doc.groupBy("w1", "w2").agg(F.sum("n").alias("c2"))
-    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    ).select(
+        id_col,
+        F.xxhash64(F.col("g.w1"), F.col("g.w2")).alias("gk"),
+        F.xxhash64(F.col("g.w1")).alias("ck"),
+        F.xxhash64(F.col("g.w2")).alias("wk"),
+    )
+    # join keys are xxhash64 of the words, never the words — the oracle-
+    # portability pattern (b): the checked output depends only on key
+    # EQUALITY (no keys are emitted), so each engine hashes its own way
+    # and the shuffles carry fixed 8-byte keys instead of arbitrary-
+    # length text at corpus scale. wk is functionally dependent on gk
+    # (same w2 within a gram group), so min() is a constant pick.
+    per_doc = grams.groupBy(id_col, "gk", "ck").agg(
+        F.count("*").alias("n"), F.min("wk").alias("wk")
+    )
+    c2 = per_doc.groupBy("gk", "ck").agg(
+        F.sum("n").alias("c2"), F.min("wk").alias("wk")
+    )
+    c1 = c2.groupBy("ck").agg(F.sum("c2").alias("c1"))
     # vocab stays IN the DAG as a broadcast 1-row frame: a driver-side
     # count() here would eagerly evaluate the whole bigram pipeline a
-    # second time (tokenize twice, one extra job per call)
-    vocab = c2.agg(
-        F.count_distinct(F.col("w2")).cast("double").alias("vocab")
-    )
+    # second time (tokenize twice, one extra job per call).
+    # countDistinct(hash(w2)) == countDistinct(w2) under the same
+    # collision-free assumption every hash join already makes.
+    vocab = c2.agg(F.count_distinct(F.col("wk")).cast("double").alias("vocab"))
     model = (
-        c2.join(c1, "w1")
+        c2.join(c1, "ck")
         .crossJoin(F.broadcast(vocab))
         .select(
-            "w1",
-            "w2",
+            "gk",
             F.log(
                 (F.col("c2") + F.lit(k)) / (F.col("c1") + F.lit(k) * F.col("vocab"))
             ).alias("logp"),
         )
     )
     return (
-        per_doc.join(model, ["w1", "w2"])
+        per_doc.join(model, ["gk"])
         .groupBy(id_col)
         .agg(
             F.sum("n").alias("n_bigrams"),
