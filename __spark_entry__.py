@@ -921,6 +921,25 @@ def llm_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.bigram_lm_score(docs)
 
 
+def llm_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate removal (operators/text.py boilerplate_strip) — the
+    strip pass `llm_chunk_dedup` only reports on: chunks shared by ≥2
+    docs are removed and each doc re-emitted as scalar evidence
+    (n_chunks, n_removed, cleaned_chars, md5 of the reassembled text)."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.boilerplate_strip(docs)
+
+
+def llm_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse random projection (operators/similarity.py
+    random_projection — Achlioptas 2003 JL transform): 64-dim float
+    vectors → 8 scalar columns via a deterministic md5-derived ±1/0
+    sign matrix, map-only, bit-identical to the oracle because both
+    engines spell the same IEEE op sequence."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.random_projection(emb)
+
+
 def llm_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster embedding outlier flagging — the prototypicality-
     pruning step of data-curation pipelines (Sorscher et al. 2022,
@@ -1063,6 +1082,67 @@ def bf_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     raw = _raw_metrics(spark, sf_dir)
     return SK.hll_estimate(raw, "user_id", ["tenant_id"], p=8)
+
+
+def bf_sampled_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series p95 over a DETERMINISTIC hash sample, reported against
+    the exact percentile (operators/sketches.py sampled_quantile). The
+    bounded-memory replacement for exact per-group percentiles at
+    100 TB: the md5-uniform draw over row identity is a true
+    Bernoulli(25%) sample that is also a pure function of the data —
+    stable across retries/partitionings/engines and mergeable across
+    days, none of which rand()/reservoir sampling gives you. One
+    groupBy; both percentiles ride it as FILTER aggregates."""
+    from blueflood_spark.operators import sketches as SK
+
+    raw = _raw_metrics(spark, sf_dir)
+    return SK.sampled_quantile(raw)
+
+
+def _bf_sampled_quantile_sql() -> str:
+    from blueflood_spark.operators import sketches as SK
+
+    return _RAW_CTE + SK.sampled_quantile_sql("raw")
+
+
+def bf_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout evidence (operators/layout.py): interleave the
+    md5 shard (Util.java:47-48 computeShard parity, 7 bits) with the
+    low 8 bits of the 5m slot index and report each 64-cell tile's
+    (shard, slot) bounding box. Tiles are what z-ordered files would
+    contain — their tight boxes are exactly why footer-stat skipping
+    prunes BOTH shard- and time-scoped scans, where the reference's
+    single (locator, ts) clustering order prunes only one
+    (io/CassandraModel.java wide rows). Pure integer math from ONE
+    expression string evaluated verbatim by both engines."""
+    from blueflood_spark.operators import layout as L
+
+    raw = _raw_metrics(spark, sf_dir)
+    keyed = raw.select(
+        shard_expr(
+            F.concat_ws(",", F.col("tenant_id"), F.col("metric_name"))
+        ).alias("shard"),
+        F.expr("(ts DIV 300000) & 255").alias("slot_lo"),
+    )
+    return L.zorder_tiles(keyed, "shard", "slot_lo", bits=8, tile_shift=6)
+
+
+def _bf_zorder_layout_sql() -> str:
+    from blueflood_spark.operators import layout as L
+
+    shard = shard_sql("tenant_id || ',' || metric_name")
+    z = L.morton_sql("shard", "slot_lo", bits=8)
+    return _RAW_CTE + f"""
+, keyed AS (
+  SELECT {shard} AS shard, (ts // 300000) & 255 AS slot_lo FROM raw
+)
+SELECT ({z} >> 6) AS tile,
+       count(*) AS n_rows,
+       min(shard) AS min_shard, max(shard) AS max_shard,
+       min(slot_lo) AS min_slot_lo, max(slot_lo) AS max_slot_lo
+FROM keyed
+GROUP BY 1
+"""
 
 
 def _typed_raw_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4596,14 +4676,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_multimodal_plan": llm_multimodal_plan,
         "llm_heavy_hitters": llm_heavy_hitters,
         "bf_hll_cardinality": bf_hll_cardinality,
+        # -- late r4: boilerplate strip + random projection join the
+        #    stamp window (displaced sentinels keep their earlier rows) --
+        "llm_boilerplate_strip": llm_boilerplate_strip,
+        "llm_random_projection": llm_random_projection,
+        "bf_sampled_quantile": bf_sampled_quantile,
+        "bf_zorder_layout": bf_zorder_layout,
         # -- sentinels: previously-green critical paths --
         "bf_basic_merge_20m": bf_basic_merge_20m,
-        "ev_retention_cohorts": ev_retention_cohorts,
         "api_get_view": api_get_view,
-        "llm_pipeline_output": llm_pipeline_output,
         "bf_timer_pct_map_merge": bf_timer_pct_map_merge,
-        "llm_kmeans_clusters": llm_kmeans_clusters,
         # ---- entry 51+ (green driver rows in earlier rounds) ----
+        "llm_pipeline_output": llm_pipeline_output,
+        "llm_kmeans_clusters": llm_kmeans_clusters,
+        "ev_retention_cohorts": ev_retention_cohorts,
         "api_get_views_multi": api_get_views_multi,
         "api_events_query": api_events_query,
         "bf_ingest_validate": bf_ingest_validate,
@@ -4802,6 +4888,10 @@ def oracle_sql() -> dict[str, str]:
         "bf_rollup_cascade_1440m": _BF_CASCADE_1440M_SQL,
         "bf_burn_rate": _BF_BURN_RATE_SQL,
         "llm_url_dedup": _llm_url_dedup_sql(),
+        "llm_boilerplate_strip": TX.boilerplate_strip_sql(),
+        "llm_random_projection": SIM.random_projection_sql(),
+        "bf_sampled_quantile": _bf_sampled_quantile_sql(),
+        "bf_zorder_layout": _bf_zorder_layout_sql(),
         "llm_bigram_lm_score": TX.bigram_lm_score_sql(),
         "llm_embedding_outliers": _llm_embedding_outliers_sql(),
         "bf_glob_aggregate": _bf_glob_aggregate_sql(),

@@ -1476,3 +1476,96 @@ def rrf_fuse(
     top = fused.orderBy(F.col("rrf_score").desc(), F.col(id_col)).limit(k)
     w = Window.orderBy(F.col("rrf_score").desc(), F.col(id_col))
     return top.withColumn("fused_rank", F.row_number().over(w))
+
+
+# ---------------------------------------------------------------------------
+# Sparse random projection (Achlioptas 2003) — JL dimensionality reduction
+# ---------------------------------------------------------------------------
+# The standard pre-step before LSH/IVF when the input dimensionality is
+# high: project d dims onto d' << d with a sparse ±1 matrix, preserving
+# pairwise distances to (1±ε) w.h.p. (Johnson-Lindenstrauss). The matrix
+# entry R[j][i] is +1 w.p. 1/6, -1 w.p. 1/6, 0 w.p. 2/3, scaled by
+# sqrt(3/d') — so only ~d/3 of the input components contribute to each
+# output, and the whole projection is a MAP-ONLY codegen projection: no
+# shuffle, no UDF, no matrix to ship (signs derive from md5 so every
+# engine and every retry sees the same constants).
+
+
+def rp_signs(out_dims: int = 8, dims: int = DIMS, salt: str = "rp") -> list[list[int]]:
+    """Deterministic sparse sign matrix: md5(salt:j:i) % 6 → {+1,-1,0}
+    with Achlioptas probabilities {1/6, 1/6, 2/3}. Pure-Python constants
+    embedded as literals in BOTH engines (oracle-portability pattern a)."""
+    import hashlib
+
+    signs: list[list[int]] = []
+    for j in range(out_dims):
+        row = []
+        for i in range(dims):
+            r = int(hashlib.md5(f"{salt}:{j}:{i}".encode()).hexdigest()[:8], 16) % 6
+            row.append(1 if r == 0 else (-1 if r == 1 else 0))
+        signs.append(row)
+    return signs
+
+
+def _rp_body(row: list[int], emb_col: str, base: int) -> str:
+    """One output dim's sum as a SQL string: left-associated adds in
+    ascending input-dim order. `base` is the engine's array origin (0 for
+    Spark SQL, 1 for DuckDB); everything else is shared verbatim, so
+    both engines execute the identical IEEE op sequence — subtraction is
+    bitwise a + (-b), so ` - x` spells the same op as adding a negated
+    term."""
+    parts: list[str] = []
+    for i, s in enumerate(row):
+        if s == 0:
+            continue
+        term = f"CAST({emb_col}[{i + base}] AS DOUBLE)"
+        if not parts:
+            parts.append(f"-{term}" if s < 0 else term)
+        else:
+            parts.append(f" - {term}" if s < 0 else f" + {term}")
+    return "".join(parts) if parts else "0.0"
+
+
+def random_projection(
+    emb: DataFrame,
+    out_dims: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    salt: str = "rp",
+) -> DataFrame:
+    """Project each vector to `out_dims` scalar columns p0..p{d'-1}.
+
+    Each output column is ONE `F.expr` string (single parse — building
+    ~170 terms through the py4j Column API costs a round trip per node;
+    the expr-string rule from the kmeans lambda trap). Output is scalar
+    columns only (checked-output contract: no arrays)."""
+    import math
+
+    signs = rp_signs(out_dims, salt=salt)
+    # D suffix: a bare decimal literal parses as DECIMAL in Spark SQL;
+    # the DuckDB twin's bare literal promotes decimal→double to the same
+    # bits (repr is shortest-round-trip), but here we say double outright
+    scale = repr(math.sqrt(3.0 / out_dims)) + "D"
+    cols = [F.col(id_col)] + [
+        F.expr(f"({_rp_body(row, emb_col, 0)}) * {scale}").alias(f"p{j}")
+        for j, row in enumerate(signs)
+    ]
+    return emb.select(*cols)
+
+
+def random_projection_sql(
+    out_dims: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    salt: str = "rp",
+    table: str = "embeddings",
+) -> str:
+    import math
+
+    signs = rp_signs(out_dims, salt=salt)
+    scale = repr(math.sqrt(3.0 / out_dims))
+    sel = [id_col] + [
+        f"({_rp_body(row, emb_col, 1)}) * {scale} AS p{j}"
+        for j, row in enumerate(signs)
+    ]
+    return "SELECT " + ", ".join(sel) + f" FROM {table}"

@@ -241,3 +241,68 @@ FROM est JOIN (
   FROM {table} GROUP BY {keys_csv}
 ) x USING ({keys_csv})
 """
+
+
+# ---------------------------------------------------------------------------
+# Hash-sampled quantile estimation
+# ---------------------------------------------------------------------------
+
+def sampled_quantile(
+    df: DataFrame,
+    value_col: str = "value",
+    group_cols: tuple[str, ...] = ("tenant_id", "metric_name"),
+    key_cols: tuple[str, ...] = ("tenant_id", "metric_name", "ts"),
+    p: float = 0.95,
+    rate: float = 0.25,
+    salt: str = "sq",
+) -> DataFrame:
+    """Quantile estimation over a DETERMINISTIC hash sample, reported
+    against the exact quantile (the estimator-vs-exact tuning-report
+    shape, like the MinHash estimate report).
+
+    Why not exact at 100 TB: an exact per-group percentile materializes
+    each group's full value list in one task — unbounded state for hot
+    groups. Why not rand()/reservoir: row-level RNG is not stable across
+    retries, partitionings, or engines, so a retried task changes the
+    answer. The md5-uniform draw over the row's identity is both: a true
+    Bernoulli(rate) sample AND a pure function of the data, mergeable
+    across days (day-2's sample unions with day-1's; no sampler state).
+    Memory per group drops to ~rate·|group| with relative rank error
+    O(1/sqrt(rate·n)).
+
+    One shuffle: the sample flag is a map-side projection; exact and
+    sampled percentiles ride the same groupBy via FILTER aggregates."""
+    from blueflood_spark.functions.hashing import md5_uniform
+
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    flagged = df.withColumn("_in_sample", md5_uniform(key, salt) < F.lit(rate))
+    return flagged.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("_in_sample").cast("long")).alias("n_sampled"),
+        F.expr(f"percentile({value_col}, {p}D)").alias("exact_q"),
+        F.expr(f"percentile({value_col}, {p}D) FILTER (WHERE _in_sample)").alias("est_q"),
+    )
+
+
+def sampled_quantile_sql(
+    source: str,
+    value_col: str = "value",
+    group_cols: tuple[str, ...] = ("tenant_id", "metric_name"),
+    key_expr: str = "tenant_id || '|' || metric_name || '|' || CAST(ts AS VARCHAR)",
+    p: float = 0.95,
+    rate: float = 0.25,
+    salt: str = "sq",
+) -> str:
+    from blueflood_spark.functions.hashing import md5_uniform_sql
+
+    gc = ", ".join(group_cols)
+    flag = f"({md5_uniform_sql(key_expr, salt)} < {rate})"
+    return f"""
+SELECT {gc},
+       count(*) AS n,
+       CAST(count(*) FILTER (WHERE {flag}) AS BIGINT) AS n_sampled,
+       quantile_cont({value_col}, {p}) AS exact_q,
+       quantile_cont({value_col}, {p}) FILTER (WHERE {flag}) AS est_q
+FROM {source}
+GROUP BY {gc}
+"""

@@ -1702,3 +1702,108 @@ SELECT p.doc_id,
 FROM per_doc p JOIN model m ON p.w1 = m.w1 AND p.w2 = m.w2
 GROUP BY 1
 """
+
+
+def boilerplate_strip(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Boilerplate removal — the REMOVAL pass that `chunk_dedup` only
+    reports on (CCNet's per-shard duplicated-paragraph strip, Dolma's
+    paragraph dedup): segment each document into `width`-word chunks,
+    find chunks shared by ≥ `min_docs` distinct documents (headers,
+    footers, nav text — corpus-frequent segments), and emit each doc
+    with those segments removed. Checked output is scalar-only:
+    (n_chunks, n_removed, cleaned_chars, md5(cleaned_text)) — the md5
+    pins the full reassembled string without emitting it.
+
+    Scale shape: explode → map-side-combinable doc-frequency agg →
+    LEFT ANTI join back on xxhash64(chunk) (fixed 8-byte shuffle keys;
+    keys are compared, never emitted, so each engine hashes its own
+    way) → per-doc reassembly agg. The boilerplate relation is bounded
+    by duplicated-chunk cardinality, not corpus size, and broadcasts
+    when small. The chunk subtree feeds both sides of the anti-join, so
+    it is lazily materialized (the self-join-subtree rule) instead of
+    exploding the corpus twice."""
+    toks = F.split(F.col(text_col), " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(width)).cast("long")
+    chunk_structs = F.transform(
+        F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.concat_ws(" ", F.slice(toks, i * width + 1, width)).alias("chunk"),
+        ),
+    )
+    ch = (
+        docs.select(id_col, F.explode(chunk_structs).alias("c"))
+        .select(
+            id_col,
+            F.col("c.pos").alias("pos"),
+            F.col("c.chunk").alias("chunk"),
+            F.xxhash64(F.col("c.chunk")).alias("ck"),
+        )
+        .localCheckpoint(eager=False)  # feeds freq agg AND anti-join probe
+    )
+    bp = (
+        ch.groupBy("ck")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("ck")
+    )
+    kept = ch.join(bp, "ck", "left_anti")
+    per_doc = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+        ).alias("cleaned"),
+    )
+    totals = docs.select(id_col, n_chunks.alias("n_chunks"))
+    cleaned = F.coalesce(F.col("cleaned"), F.lit(""))
+    return totals.join(per_doc, id_col, "left").select(
+        id_col,
+        "n_chunks",
+        (F.col("n_chunks") - F.coalesce(F.col("n_kept"), F.lit(0))).alias("n_removed"),
+        F.length(cleaned).cast("long").alias("cleaned_chars"),
+        F.md5(cleaned).alias("cleaned_md5"),
+    )
+
+
+def boilerplate_strip_sql(width: int = 8, min_docs: int = 2) -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+chunks AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(l[(i * {width}) + 1 : (i + 1) * {width}], ' ') AS chunk
+  FROM toks, UNNEST(range(0, CAST(ceil(len(l) / {width}.0) AS BIGINT))) AS t(i)
+),
+bp AS (
+  SELECT chunk FROM chunks GROUP BY 1
+  HAVING count(DISTINCT doc_id) >= {min_docs}
+),
+kept AS (
+  SELECT c.doc_id, c.pos, c.chunk FROM chunks c
+  WHERE NOT EXISTS (SELECT 1 FROM bp WHERE bp.chunk = c.chunk)
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(chunk, ' ' ORDER BY pos) AS cleaned
+  FROM kept GROUP BY 1
+),
+totals AS (
+  SELECT doc_id,
+         CAST(ceil(len(string_split(text, ' ')) / {width}.0) AS BIGINT) AS n_chunks
+  FROM documents
+)
+SELECT t.doc_id, t.n_chunks,
+       t.n_chunks - coalesce(p.n_kept, 0) AS n_removed,
+       CAST(length(coalesce(p.cleaned, '')) AS BIGINT) AS cleaned_chars,
+       md5(coalesce(p.cleaned, '')) AS cleaned_md5
+FROM totals t LEFT JOIN per_doc p USING (doc_id)
+"""

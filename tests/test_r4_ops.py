@@ -272,3 +272,186 @@ def test_hll_registers_merge_and_estimate_bound(spark):
     assert est["true_distinct"] == 3000
     rel = abs(est["est_distinct"] - 3000) / 3000
     assert rel < 3 * 1.04 / (256 ** 0.5), rel
+
+
+def test_boilerplate_strip_removes_shared_chunks(spark):
+    from blueflood_spark.operators.text import boilerplate_strip
+
+    # width=2 chunks; "nav bar" opens docs 1 and 2 (shared → boilerplate);
+    # every other chunk is unique. doc 3 is entirely boilerplate-free.
+    docs = spark.createDataFrame(
+        [
+            (1, "nav bar alpha beta gamma delta"),
+            (2, "nav bar epsilon zeta"),
+            (3, "eta theta iota"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in boilerplate_strip(docs, width=2, min_docs=2).collect()
+    }
+    assert out[1]["n_chunks"] == 3 and out[1]["n_removed"] == 1
+    assert out[1]["cleaned_chars"] == len("alpha beta gamma delta")
+    assert out[2]["n_chunks"] == 2 and out[2]["n_removed"] == 1
+    assert out[3]["n_chunks"] == 2 and out[3]["n_removed"] == 0
+    # reassembly preserves original order (md5 over the exact string)
+    import hashlib
+
+    assert (
+        out[1]["cleaned_md5"]
+        == hashlib.md5(b"alpha beta gamma delta").hexdigest()
+    )
+
+
+def test_boilerplate_strip_fully_boilerplate_doc(spark):
+    from blueflood_spark.operators.text import boilerplate_strip
+
+    import hashlib
+
+    docs = spark.createDataFrame(
+        [(1, "same same"), (2, "same same")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in boilerplate_strip(docs, width=2, min_docs=2).collect()}
+    for d in (1, 2):
+        assert rows[d]["n_removed"] == rows[d]["n_chunks"] == 1
+        assert rows[d]["cleaned_chars"] == 0
+        assert rows[d]["cleaned_md5"] == hashlib.md5(b"").hexdigest()
+
+
+def test_random_projection_matches_numpy(spark):
+    import numpy as np
+
+    from blueflood_spark.operators.similarity import random_projection, rp_signs
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(40, 64)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in random_projection(df, out_dims=8).collect()}
+    R = np.array(rp_signs(8), dtype=np.float64)  # (8, 64)
+    expected = (vecs.astype(np.float64) @ R.T) * math.sqrt(3.0 / 8)
+    for i in range(40):
+        got = np.array([out[i][f"p{j}"] for j in range(8)])
+        assert np.allclose(got, expected[i], rtol=1e-9), i
+
+
+def test_random_projection_preserves_distances(spark):
+    # JL sanity: with d'=16 the *average* pairwise sq-distance ratio is
+    # near 1 (individual pairs vary); catches sign/scale errors without
+    # flaking on the concentration bound.
+    import numpy as np
+
+    from blueflood_spark.operators.similarity import random_projection
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(30, 64)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r["vec_id"]: r for r in random_projection(df, out_dims=16).collect()}
+    proj = np.array([[rows[i][f"p{j}"] for j in range(16)] for i in range(30)])
+    full = vecs.astype(np.float64)
+    ratios = []
+    for a in range(0, 30, 3):
+        for b in range(a + 1, 30, 7):
+            d_full = float(((full[a] - full[b]) ** 2).sum())
+            d_proj = float(((proj[a] - proj[b]) ** 2).sum())
+            ratios.append(d_proj / d_full)
+    m = sum(ratios) / len(ratios)
+    assert 0.7 < m < 1.3, m
+
+
+def test_rp_signs_sparse_and_balanced():
+    from blueflood_spark.operators.similarity import rp_signs
+
+    flat = [s for row in rp_signs(16, dims=64) for s in row]
+    n = len(flat)
+    nz = sum(1 for s in flat if s != 0)
+    pos = sum(1 for s in flat if s > 0)
+    neg = sum(1 for s in flat if s < 0)
+    # expectation: 1/3 nonzero, split evenly (loose binomial bounds)
+    assert 0.25 * n < nz < 0.42 * n, nz / n
+    assert 0.35 * nz < pos < 0.65 * nz, (pos, neg)
+
+
+def test_morton_matches_python_reference(spark):
+    from blueflood_spark.operators.layout import with_zorder_key
+
+    def py_morton(x, y, bits=8):
+        z = 0
+        for b in range(bits):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    pts = [(x, y) for x in (0, 1, 5, 127, 255) for y in (0, 2, 9, 128, 255)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    rows = with_zorder_key(df, "x", "y", bits=8).collect()
+    for r in rows:
+        assert r["z"] == py_morton(r["x"], r["y"]), (r["x"], r["y"])
+
+
+def test_zorder_write_bounds_both_dims(spark, tmp_path):
+    # z-ordered files must cover small (x, y) rectangles; a y-sorted
+    # layout bounds y only. Compare the total bounding-box area across
+    # files — the quantity footer-stat skipping actually depends on.
+    from blueflood_spark.operators.layout import write_zordered
+
+    rows = [(x, y) for x in range(64) for y in range(64)]
+    df = spark.createDataFrame(rows, "x long, y long")
+
+    zpath = str(tmp_path / "zorder")
+    spath = str(tmp_path / "ysort")
+    write_zordered(df, zpath, "x", "y", bits=6, n_files=16)
+    df.repartitionByRange(16, F.col("y")).sortWithinPartitions("y").write.parquet(spath)
+
+    def files_touched(path):
+        """Avg #files whose min/max box admits a point predicate on x
+        alone, and on y alone — the footer-stat skipping cost."""
+        per_file = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(F.min("x"), F.max("x"), F.min("y"), F.max("y"))
+            .collect()
+        )
+        assert len(per_file) >= 8
+        tx = sum(
+            sum(1 for r in per_file if r["min(x)"] <= c <= r["max(x)"])
+            for c in range(64)
+        ) / 64
+        ty = sum(
+            sum(1 for r in per_file if r["min(y)"] <= c <= r["max(y)"])
+            for c in range(64)
+        ) / 64
+        return tx, ty
+
+    zx, zy = files_touched(zpath)
+    yx, yy = files_touched(spath)
+    # y-sorted: an x predicate admits EVERY file (~16); y predicates are
+    # tight (~1). z-order: BOTH dimensions prune to ~sqrt(files).
+    assert yx > 12, yx
+    assert zx < yx / 2, (zx, yx)
+    assert zy < 8, (zy, yy)
+
+
+def test_sampled_quantile_deterministic_and_close(spark):
+    from blueflood_spark.operators.sketches import sampled_quantile
+
+    n = 4000
+    df = spark.createDataFrame(
+        [("t0", "m", i, float(i % 1000)) for i in range(n)],
+        "tenant_id string, metric_name string, ts long, value double",
+    )
+    r1 = sampled_quantile(df, p=0.9, rate=0.25).collect()[0]
+    r2 = sampled_quantile(df, p=0.9, rate=0.25).collect()[0]
+    assert r1 == r2  # pure function of the data — no RNG state anywhere
+    assert r1["n"] == n
+    # Bernoulli(0.25): ~1000 ± 5σ
+    assert abs(r1["n_sampled"] - 1000) < 5 * (n * 0.25 * 0.75) ** 0.5
+    # relative rank error O(1/sqrt(rate n)) → value error small on uniform
+    assert abs(r1["est_q"] - r1["exact_q"]) < 25.0, (r1["est_q"], r1["exact_q"])
