@@ -68,6 +68,10 @@ CASES = {
     "bf_sustained_breach": "sustained breach: islands ranked over BREACHING slots only (filter precedes the window); per-island agg",
     "bf_seasonal_naive_forecast": "seasonal-naive forecast: rollup agg + week-shifted equi self-join on the series/slot key (no history-wide window)",
     "api_sql_navigation": "SQL over the logical rollup ladder: the planner's resolution literal constant-folds — ONE pruned scan, zero custom rules",
+    "llm_boilerplate_strip": "boilerplate strip: chunk subtree materialized once (lazy checkpoint), anti-join on 8-byte xxhash64 chunk keys, per-doc reassembly agg — removal input bounded by duplicated-chunk mass",
+    "llm_random_projection": "sparse JL projection: map-only codegen projection (8 chained-add expressions over the float array) — zero joins, zero semantic exchanges",
+    "bf_sampled_quantile": "hash-sampled quantile: ONE groupBy carries exact + sampled percentiles as FILTER aggregates; the sample flag is a map-side md5 projection",
+    "bf_zorder_layout": "z-order tiles: Morton interleave is pure integer codegen; one map-side-combined tile agg — the layout claim costs one shuffle of (tile, partials)",
 }
 
 
