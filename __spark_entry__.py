@@ -2935,6 +2935,16 @@ def llm_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.chunk_dedup(docs)
 
 
+def llm_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-substring spans (Lee et al., arXiv:2107.06499):
+    maximal per-document token extents covered by 12-gram substrings
+    shared across ≥2 documents — the substring-granular removal report
+    chunk_dedup's fixed tiling misses at chunk boundaries
+    (operators/dedup.py duplicate_spans)."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.duplicate_spans(docs, k=12, min_docs=2)
+
+
 def llm_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite C4/Gopher-style keep/drop verdict with a deterministic
     first-failing-rule drop_reason (operators/text.py quality_gate)."""
@@ -4682,11 +4692,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_random_projection": llm_random_projection,
         "bf_sampled_quantile": bf_sampled_quantile,
         "bf_zorder_layout": bf_zorder_layout,
+        "llm_dup_spans": llm_dup_spans,
         # -- sentinels: previously-green critical paths --
         "bf_basic_merge_20m": bf_basic_merge_20m,
         "api_get_view": api_get_view,
-        "bf_timer_pct_map_merge": bf_timer_pct_map_merge,
         # ---- entry 51+ (green driver rows in earlier rounds) ----
+        "bf_timer_pct_map_merge": bf_timer_pct_map_merge,
         "llm_pipeline_output": llm_pipeline_output,
         "llm_kmeans_clusters": llm_kmeans_clusters,
         "ev_retention_cohorts": ev_retention_cohorts,
@@ -4869,6 +4880,7 @@ def oracle_sql() -> dict[str, str]:
         "llm_source_stats": TX.source_stats_sql(),
         "llm_ngram_stats": TX.ngram_stats_sql(),
         "llm_chunk_dedup": TX.chunk_dedup_sql(),
+        "llm_dup_spans": D.duplicate_spans_sql(k=12, min_docs=2),
         "llm_containment": D.ngram_containment_pairs_sql(threshold=0.5),
         "llm_quality_gate": TX.quality_gate_sql(),
         "llm_pack_sequences": TX.pack_sequences_sql(budget=256),

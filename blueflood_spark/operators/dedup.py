@@ -1260,3 +1260,103 @@ def url_dedup(
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 12,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact duplicate-substring spans (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", arXiv:2107.06499):
+    every maximal token span that is part of some `k`-token substring
+    appearing in ≥ `min_docs` distinct documents. Where `chunk_dedup`
+    tiles documents into fixed non-overlapping chunks (and so misses
+    duplicates that straddle a chunk boundary), this slides a k-token
+    window over EVERY position, then merges overlapping/contiguous hits
+    into maximal (span_start, span_tokens) extents per document — the
+    substring-granular removal report the suffix-array pass of the paper
+    produces, re-expressed as a linear scan + one equi-join.
+
+    Scale shape: posexplode emits one (doc_id, pos, xxhash64(gram)) row
+    per token position — linear in corpus tokens, fixed-width 8-byte keys
+    (the gram text never leaves the map side; hashes are compared, never
+    emitted, so each engine hashes its own way). The duplicated-gram
+    relation is bounded by duplicated-substring cardinality, not corpus
+    size, and broadcasts when small. The gram subtree feeds both the
+    frequency agg and the semi-join probe, so it is lazily materialized
+    (the self-join-subtree rule). The island merge windows per doc_id —
+    the same partitioning the semi-join output already has."""
+    from pyspark.sql import Window
+
+    toks = F.split(F.col(text_col), " ")
+    gram_structs = F.transform(
+        F.sequence(F.lit(0), (F.size(toks) - k).cast("int")),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, k))).alias("g"),
+        ),
+    )
+    pg = (
+        docs.filter(F.size(toks) >= k)
+        .select(id_col, F.explode(gram_structs).alias("s"))
+        .select(id_col, F.col("s.pos").alias("pos"), F.col("s.g").alias("g"))
+        .localCheckpoint(eager=False)  # feeds freq agg AND semi-join probe
+    )
+    dup = (
+        pg.groupBy("g")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("g")
+    )
+    hits = pg.join(dup, "g", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    brk = F.when(
+        F.lag("pos").over(w).isNull() | (F.col("pos") - F.lag("pos").over(w) > k),
+        1,
+    ).otherwise(0)
+    islands = hits.select(
+        id_col,
+        "pos",
+        F.sum(brk).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("island"),
+    )
+    return islands.groupBy(id_col, "island").agg(
+        F.min("pos").cast("int").alias("span_start"),
+        (F.max("pos") + k - F.min("pos")).cast("int").alias("span_tokens"),
+    ).drop("island")
+
+
+def duplicate_spans_sql(k: int = 12, min_docs: int = 2) -> str:
+    """DuckDB twin: groups on the raw gram string (each engine hashes —
+    or doesn't — its own way; only equality semantics must agree)."""
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+grams AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+         array_to_string(l[i + 1 : i + {k}], ' ') AS g
+  FROM toks, UNNEST(range(0, len(l) - {k} + 1)) AS t(i)
+  WHERE len(l) >= {k}
+),
+dup AS (SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= {min_docs}),
+hits AS (SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dup)),
+flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > {k}
+              THEN 1 ELSE 0 END AS brk
+  FROM hits
+),
+isl AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+)
+SELECT doc_id, CAST(MIN(pos) AS INT) AS span_start,
+       CAST(MAX(pos) + {k} - MIN(pos) AS INT) AS span_tokens
+FROM isl GROUP BY doc_id, island
+"""

@@ -455,3 +455,50 @@ def test_sampled_quantile_deterministic_and_close(spark):
     assert abs(r1["n_sampled"] - 1000) < 5 * (n * 0.25 * 0.75) ** 0.5
     # relative rank error O(1/sqrt(rate n)) → value error small on uniform
     assert abs(r1["est_q"] - r1["exact_q"]) < 25.0, (r1["est_q"], r1["exact_q"])
+
+
+def test_duplicate_spans_merges_overlaps_and_crosses_chunk_boundaries(spark):
+    from blueflood_spark.operators.dedup import duplicate_spans
+
+    # w0..w19 unique filler; docs 1 and 2 share tokens 4..11 of doc 1
+    # (an 8-token run) placed at a DIFFERENT offset in doc 2, so fixed
+    # 8-token tiling (chunk_dedup) would never align on it. k=4 grams
+    # at positions 4..8 of doc 1 all hit → one maximal span [4, 11].
+    shared = "s0 s1 s2 s3 s4 s5 s6 s7"
+    d1 = "a0 a1 a2 a3 " + shared + " a4 a5 a6"
+    d2 = "b0 b1 b2 b3 b4 b5 b6 " + shared + " b7"
+    d3 = "c0 c1 c2 c3 c4 c5 c6 c7 c8 c9"  # no duplication
+    docs = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3)], "doc_id long, text string"
+    )
+    out = duplicate_spans(docs, k=4, min_docs=2)
+    rows = {(r.doc_id, r.span_start, r.span_tokens) for r in out.collect()}
+    assert rows == {(1, 4, 8), (2, 7, 8)}, rows
+
+
+def test_duplicate_spans_distinct_islands_stay_separate(spark):
+    from blueflood_spark.operators.dedup import duplicate_spans
+
+    # two shared runs in the same doc separated by >k unique tokens →
+    # two islands, not one merged span
+    run1, run2 = "x0 x1 x2 x3", "y0 y1 y2 y3"
+    d1 = run1 + " f0 f1 f2 f3 f4 f5 " + run2
+    d2 = run1 + " g0 g1 g2 g3 g4 g5 " + run2
+    docs = spark.createDataFrame(
+        [(1, d1), (2, d2)], "doc_id long, text string"
+    )
+    out = duplicate_spans(docs, k=4, min_docs=2)
+    rows = sorted(
+        (r.doc_id, r.span_start, r.span_tokens) for r in out.collect()
+    )
+    assert rows == [(1, 0, 4), (1, 10, 4), (2, 0, 4), (2, 10, 4)], rows
+
+
+def test_duplicate_spans_within_doc_repeat_not_counted_without_second_doc(spark):
+    from blueflood_spark.operators.dedup import duplicate_spans
+
+    # the same 4-gram twice inside ONE doc: min_docs=2 counts DISTINCT
+    # docs, so no span is emitted (cross-doc semantics, like chunk_dedup)
+    d1 = "r0 r1 r2 r3 m0 m1 m2 r0 r1 r2 r3"
+    docs = spark.createDataFrame([(1, d1)], "doc_id long, text string")
+    assert duplicate_spans(docs, k=4, min_docs=2).count() == 0
