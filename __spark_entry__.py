@@ -2945,6 +2945,42 @@ def llm_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.duplicate_spans(docs, k=12, min_docs=2)
 
 
+def llm_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point integer PageRank (operators/graph.py) over the
+    symmetrized SimHash near-dup graph (hamming ≤ 8 on 60-bit prints) —
+    the graph's own authority vote for canonical-copy selection,
+    complementing dedup_keep_best's per-doc heuristics. All-BIGINT
+    arithmetic (scale 1e9, damping 17/20) so 5 iterations compare
+    bit-for-bit against the oracle's unrolled-CTE twin."""
+    from blueflood_spark.operators import graph as GR
+
+    docs = _t(spark, sf_dir, "documents")
+    # the pair subtree feeds both directions of the symmetrize union —
+    # materialize once (self-join-subtree rule)
+    pairs = D.simhash_near_pairs(docs, max_hamming=8, bits=60).localCheckpoint(
+        eager=False
+    )
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    return GR.pagerank(edges, nodes, n_iter=5).select(
+        F.col("id").alias("doc_id"), "rank"
+    )
+
+
+def _llm_dup_pagerank_sql() -> str:
+    from blueflood_spark.operators import graph as GR
+
+    pairs = (
+        "SELECT doc_a, doc_b FROM ("
+        + D.simhash_near_pairs_sql(max_hamming=8, bits=60)
+        + ")"
+    )
+    inner = GR.pagerank_sql(pairs, "SELECT doc_id FROM documents", n_iter=5)
+    return f"SELECT id AS doc_id, rank FROM ({inner})"
+
+
 def llm_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite C4/Gopher-style keep/drop verdict with a deterministic
     first-failing-rule drop_reason (operators/text.py quality_gate)."""
@@ -4789,6 +4825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_doc_fingerprint": llm_doc_fingerprint,
         "llm_ann_cosine_topk": llm_ann_cosine_topk,
         "llm_ngram_jaccard": llm_ngram_jaccard,
+        "llm_dup_pagerank": llm_dup_pagerank,
     }
 
 
@@ -4851,6 +4888,7 @@ def oracle_sql() -> dict[str, str]:
         "llm_doc_fingerprint": _LLM_FINGERPRINT_SQL,
         "llm_ann_cosine_topk": _LLM_ANN_SQL,
         "llm_ngram_jaccard": _LLM_JACCARD_SQL,
+        "llm_dup_pagerank": _llm_dup_pagerank_sql(),
         "llm_minhash_signatures": D.minhash_signatures_sql(),
         "llm_minhash_lsh": D.minhash_lsh_pairs_sql(),
         "llm_dedup_clusters": _llm_dedup_clusters_sql(),

@@ -1,0 +1,129 @@
+"""Graph analytics over the near-duplicate pair graph.
+
+The reference engine has no graph operators; these are the shapes a
+curation pipeline runs on the dup graph that `minhash_lsh_pairs` /
+`simhash_near_pairs` produce: `connected_components` (operators/dedup.py)
+answers "which docs are the same", and `pagerank` here answers "which
+copy is the authority" — the centrality signal a keep-best canonical
+pick can weight (dedup.py dedup_keep_best uses per-doc heuristics; rank
+adds the graph's own vote).
+
+Exactness design — FIXED-POINT INTEGER PageRank: ranks are BIGINTs in
+units of 1e-9 (scale = 1_000_000_000 per node), the damping factor is
+the exact rational 17/20 = 0.85, and every step is integer arithmetic
+(`rank DIV deg`, `sum`, `* 17 DIV 20`) — so Spark and any oracle engine
+agree BIT-FOR-BIT regardless of summation order, which float PageRank
+never does (order-dependent double sums diverge in the last ulps and
+amplify across iterations). The float rank is `rank / scale`.
+
+Semantics: teleport base = scale * 3 DIV 20 per node each iteration;
+NO dangling-mass redistribution (on a symmetrized near-dup graph every
+non-isolated node has out-degree ≥ 1, and isolated nodes just hold the
+teleport base — their initial mass leaves the system, the standard
+"pagerank without dangling patch" variant, identical on both engines).
+
+Scale shape: each iteration is ONE join of the edge list with the
+node-sized rank frame (both hash-partitioned on the node key) plus ONE
+map-side-combinable sum — the textbook distributed PageRank step. The
+edge list is joined with out-degrees once and lazily materialized
+(`localCheckpoint`) so iterations don't re-shuffle the raw pairs; each
+iteration's rank frame is also lazily checkpointed, which truncates the
+lineage and keeps Catalyst's analysis cost flat in the iteration count
+(an un-truncated 5-deep self-referential plan re-optimizes the whole
+chain every pass). Overflow headroom: sum(rank) ≤ n·scale must stay
+under 2^63/17 ≈ 5.4e17 — at n beyond ~5e8 nodes drop scale to 1e6 (the
+keyword arg) or move to DECIMAL(38,0).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 1_000_000_000
+DAMP_NUM = 17
+DAMP_DEN = 20
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame,
+    n_iter: int = 5,
+    scale: int = SCALE,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    id_col: str = "id",
+) -> DataFrame:
+    """Fixed-point integer PageRank; returns (id, rank) with rank in
+    units of 1/scale. `edges` is DIRECTED — symmetrize before calling
+    for an undirected dup graph."""
+    base = scale * (DAMP_DEN - DAMP_NUM) // DAMP_DEN
+    ids = nodes.select(F.col(id_col).cast("long").alias("id"))
+    deg = edges.groupBy(src_col).agg(F.count(F.lit(1)).alias("deg"))
+    ed = (
+        edges.join(deg, src_col)
+        .select(
+            F.col(src_col).cast("long").alias("src"),
+            F.col(dst_col).cast("long").alias("dst"),
+            "deg",
+        )
+        .localCheckpoint(eager=False)
+    )
+    ranks = ids.select("id", F.lit(scale).cast("long").alias("rank"))
+    for _ in range(n_iter):
+        inbound = (
+            ed.join(ranks, ed["src"] == ranks["id"])
+            .select(F.col("dst").alias("id"), F.expr("rank DIV deg").alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            ids.join(inbound, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.expr(f"COALESCE(s, 0L) * {DAMP_NUM} DIV {DAMP_DEN}")
+                ).cast("long").alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks
+
+
+def pagerank_sql(
+    pairs_sql: str,
+    nodes_sql: str,
+    n_iter: int = 5,
+    scale: int = SCALE,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    node_id: str = "doc_id",
+) -> str:
+    """DuckDB twin: the same fixed-point iteration unrolled into chained
+    CTEs. `pairs_sql` yields undirected pairs (a_col, b_col) — the CTE
+    symmetrizes; `nodes_sql` yields the full node universe (node_id)."""
+    base = scale * (DAMP_DEN - DAMP_NUM) // DAMP_DEN
+    ctes = [
+        f"pairs AS ({pairs_sql})",
+        f"edges AS (SELECT {a_col} AS src, {b_col} AS dst FROM pairs"
+        f" UNION ALL SELECT {b_col}, {a_col} FROM pairs)",
+        f"ids AS (SELECT CAST({node_id} AS BIGINT) AS id FROM ({nodes_sql}))",
+        "deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)",
+        f"r0 AS (SELECT id, CAST({scale} AS BIGINT) AS rank FROM ids)",
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f"""r{i} AS (
+  SELECT n.id,
+         CAST({base} + COALESCE(s.s, 0) * {DAMP_NUM} // {DAMP_DEN} AS BIGINT) AS rank
+  FROM ids n LEFT JOIN (
+    SELECT e.dst AS id, SUM(r.rank // d.deg) AS s
+    FROM edges e JOIN r{i - 1} r ON e.src = r.id JOIN deg d ON e.src = d.src
+    GROUP BY e.dst
+  ) s ON n.id = s.id
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT id, rank FROM r{n_iter}"
+    )

@@ -1,0 +1,82 @@
+"""Round-4b additions: graph centrality and curation scoring operators."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+
+def _py_pagerank(edges, node_ids, n_iter, scale=1_000_000_000):
+    """Independent pure-Python fixed-point reference."""
+    base = scale * 3 // 20
+    out = {}
+    for s, d in edges:
+        out.setdefault(s, []).append(d)
+    rank = {n: scale for n in node_ids}
+    for _ in range(n_iter):
+        s = {n: 0 for n in node_ids}
+        for src, dsts in out.items():
+            c = rank[src] // len(dsts)
+            for d in dsts:
+                s[d] += c
+        rank = {n: base + s[n] * 17 // 20 for n in node_ids}
+    return rank
+
+
+def test_pagerank_matches_python_reference(spark):
+    from blueflood_spark.operators.graph import pagerank
+
+    # path graph 0-1-2 (symmetrized) plus isolated node 3
+    pairs = [(0, 1), (1, 2)]
+    edges_list = pairs + [(b, a) for a, b in pairs]
+    edges = spark.createDataFrame(edges_list, "src long, dst long")
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "id long")
+    for n_iter in (1, 3):
+        got = {
+            r.id: r.rank
+            for r in pagerank(edges, nodes, n_iter=n_iter).collect()
+        }
+        assert got == _py_pagerank(edges_list, range(4), n_iter), n_iter
+
+
+def test_pagerank_hub_outranks_leaves(spark):
+    from blueflood_spark.operators.graph import pagerank
+
+    # star: hub 0 connected to 1..4 — hub must outrank every leaf,
+    # leaves must tie exactly (fixed-point arithmetic is symmetric)
+    pairs = [(0, i) for i in range(1, 5)]
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    got = {r.id: r.rank for r in pagerank(edges, nodes, n_iter=5).collect()}
+    assert got[0] > got[1]
+    assert len({got[i] for i in range(1, 5)}) == 1
+
+
+def test_pagerank_sql_twin_bit_identical(spark):
+    from blueflood_spark.operators.graph import pagerank, pagerank_sql
+
+    # deterministic pseudo-random graph, 30 nodes / 60 undirected pairs
+    pairs = [((i * 7 + 3) % 30, (i * i + 5 * i) % 30) for i in range(60)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(30)], "id long")
+    got = {r.id: r.rank for r in pagerank(edges, nodes, n_iter=4).collect()}
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE p AS SELECT * FROM (VALUES "
+        + ", ".join(f"({a}, {b})" for a, b in pairs)
+        + ") t(doc_a, doc_b)"
+    )
+    sql = pagerank_sql(
+        "SELECT doc_a, doc_b FROM p",
+        "SELECT UNNEST(range(0, 30)) AS doc_id",
+        n_iter=4,
+    )
+    want = dict(con.execute(sql).fetchall())
+    assert got == want
