@@ -2981,6 +2981,15 @@ def _llm_dup_pagerank_sql() -> str:
     return f"SELECT id AS doc_id, rank FROM ({inner})"
 
 
+def llm_word_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary fuzzy matching via FastSS deletion-neighborhood
+    equi-join + exact levenshtein verify (operators/text.py
+    fuzzy_word_pairs); the oracle is the exhaustive |V|² join, so the
+    neighborhood scheme's recall is verified, not mirrored."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.fuzzy_word_pairs(docs, max_dist=2, min_len=3)
+
+
 def llm_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite C4/Gopher-style keep/drop verdict with a deterministic
     first-failing-rule drop_reason (operators/text.py quality_gate)."""
@@ -4826,6 +4835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_ann_cosine_topk": llm_ann_cosine_topk,
         "llm_ngram_jaccard": llm_ngram_jaccard,
         "llm_dup_pagerank": llm_dup_pagerank,
+        "llm_word_fuzzy_pairs": llm_word_fuzzy_pairs,
     }
 
 
@@ -4889,6 +4899,7 @@ def oracle_sql() -> dict[str, str]:
         "llm_ann_cosine_topk": _LLM_ANN_SQL,
         "llm_ngram_jaccard": _LLM_JACCARD_SQL,
         "llm_dup_pagerank": _llm_dup_pagerank_sql(),
+        "llm_word_fuzzy_pairs": TX.fuzzy_word_pairs_sql(max_dist=2, min_len=3),
         "llm_minhash_signatures": D.minhash_signatures_sql(),
         "llm_minhash_lsh": D.minhash_lsh_pairs_sql(),
         "llm_dedup_clusters": _llm_dedup_clusters_sql(),

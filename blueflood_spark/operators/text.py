@@ -1807,3 +1807,71 @@ SELECT t.doc_id, t.n_chunks,
        md5(coalesce(p.cleaned, '')) AS cleaned_md5
 FROM totals t LEFT JOIN per_doc p USING (doc_id)
 """
+
+
+def fuzzy_word_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_dist: int = 2,
+    min_len: int = 3,
+) -> DataFrame:
+    """Vocabulary-level fuzzy matching — every pair of corpus words
+    within Levenshtein distance `max_dist` (1 or 2), the candidate
+    generator behind spelling-variant normalization and fuzzy-key joins.
+
+    Scale path: FastSS deletion neighborhoods (Bocek et al. 2007,
+    "Fast Similarity Search in Large Dictionaries") — lev(a, b) ≤ k
+    implies a's and b's ≤k-deletion neighborhoods intersect, so
+    candidates come from an EQUI-join on deletion variants (≤ 1 + L +
+    L² variants per word of length L) and `levenshtein()` verifies
+    exactly; the vocabulary never cross-joins. The oracle twin IS the
+    exhaustive O(|V|²) join, so the neighborhood scheme's recall is
+    verified, not assumed (same stance as simhash_near_pairs).
+
+    Exactness: strings and integer distances only."""
+    if max_dist not in (1, 2):
+        raise ValueError("fuzzy_word_pairs supports max_dist 1 or 2")
+    vocab = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .filter(F.length("w") >= min_len)
+        .distinct()
+    )
+    # one-deletion variants of x (empty array for the empty string)
+    d1 = (
+        "CASE WHEN length({x}) >= 1 THEN transform(sequence(1, length({x})),"
+        " i -> concat(substring({x}, 1, i - 1), substring({x}, i + 1, 1000000)))"
+        " ELSE array() END"
+    )
+    variants = f"array_distinct(concat(array(w), {d1.format(x='w')}"
+    if max_dist == 2:
+        variants += f", flatten(transform({d1.format(x='w')}, u -> {d1.format(x='u')}))"
+    variants += "))"
+    wv = vocab.select("w", F.explode(F.expr(variants)).alias("v")).localCheckpoint(
+        eager=False  # both sides of the candidate self-join
+    )
+    a, b = wv.alias("a"), wv.alias("b")
+    cands = (
+        a.join(b, (F.col("a.v") == F.col("b.v")) & (F.col("a.w") < F.col("b.w")))
+        .select(F.col("a.w").alias("w1"), F.col("b.w").alias("w2"))
+        .distinct()
+    )
+    return cands.select(
+        "w1", "w2", F.levenshtein("w1", "w2").alias("dist")
+    ).filter(F.col("dist") <= max_dist)
+
+
+def fuzzy_word_pairs_sql(max_dist: int = 2, min_len: int = 3) -> str:
+    """Exhaustive oracle: length-banded |V|² levenshtein join —
+    deliberately NOT the deletion-neighborhood scheme, so Spark's
+    candidate generation is recall-checked against ground truth."""
+    return f"""
+WITH words AS (
+  SELECT DISTINCT UNNEST(string_split(text, ' ')) AS w FROM documents
+),
+vocab AS (SELECT w FROM words WHERE len(w) >= {int(min_len)})
+SELECT a.w AS w1, b.w AS w2,
+       CAST(levenshtein(a.w, b.w) AS INTEGER) AS dist
+FROM vocab a JOIN vocab b
+  ON a.w < b.w AND abs(len(a.w) - len(b.w)) <= {int(max_dist)}
+WHERE levenshtein(a.w, b.w) <= {int(max_dist)}
+"""

@@ -80,3 +80,54 @@ def test_pagerank_sql_twin_bit_identical(spark):
     )
     want = dict(con.execute(sql).fetchall())
     assert got == want
+
+
+def _brute_lev_pairs(words, k):
+    def lev(a, b):
+        if abs(len(a) - len(b)) > k:
+            return k + 1
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    import itertools
+
+    return {
+        (a, b, lev(a, b))
+        for a, b in itertools.combinations(sorted(set(words)), 2)
+        if lev(a, b) <= k
+    }
+
+
+def test_fuzzy_word_pairs_complete_vs_bruteforce(spark):
+    from blueflood_spark.operators.text import fuzzy_word_pairs
+
+    # substitutions, insertions, deletions, transposition (=2 ops),
+    # and far-apart words; one doc carries the whole vocabulary
+    words = [
+        "spark", "spar", "sparc", "stark", "sparky", "shark",
+        "table", "cable", "tables", "tbale", "merge", "purge",
+        "filter", "filler", "fitter", "window", "widow", "xylophone",
+    ]
+    docs = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    got = {
+        (r.w1, r.w2, r.dist)
+        for r in fuzzy_word_pairs(docs, max_dist=2, min_len=3).collect()
+    }
+    assert got == _brute_lev_pairs(words, 2)
+
+
+def test_fuzzy_word_pairs_dist1_only(spark):
+    from blueflood_spark.operators.text import fuzzy_word_pairs
+
+    words = ["spark", "stark", "sharp", "spork", "sparks"]
+    docs = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    got = {
+        (r.w1, r.w2, r.dist)
+        for r in fuzzy_word_pairs(docs, max_dist=1, min_len=3).collect()
+    }
+    assert got == _brute_lev_pairs(words, 1)
