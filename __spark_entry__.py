@@ -2990,6 +2990,14 @@ def llm_word_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.fuzzy_word_pairs(docs, max_dist=2, min_len=3)
 
 
+def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc novelty: fraction of distinct 8-grams first seen (min
+    doc_id) in this doc — source-ordering/weighting signal, the per-doc
+    complement of llm_dup_spans (operators/text.py ngram_novelty)."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.ngram_novelty(docs, n=8)
+
+
 def llm_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite C4/Gopher-style keep/drop verdict with a deterministic
     first-failing-rule drop_reason (operators/text.py quality_gate)."""
@@ -4836,6 +4844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_ngram_jaccard": llm_ngram_jaccard,
         "llm_dup_pagerank": llm_dup_pagerank,
         "llm_word_fuzzy_pairs": llm_word_fuzzy_pairs,
+        "llm_ngram_novelty": llm_ngram_novelty,
     }
 
 
@@ -4900,6 +4909,7 @@ def oracle_sql() -> dict[str, str]:
         "llm_ngram_jaccard": _LLM_JACCARD_SQL,
         "llm_dup_pagerank": _llm_dup_pagerank_sql(),
         "llm_word_fuzzy_pairs": TX.fuzzy_word_pairs_sql(max_dist=2, min_len=3),
+        "llm_ngram_novelty": TX.ngram_novelty_sql(n=8),
         "llm_minhash_signatures": D.minhash_signatures_sql(),
         "llm_minhash_lsh": D.minhash_lsh_pairs_sql(),
         "llm_dedup_clusters": _llm_dedup_clusters_sql(),

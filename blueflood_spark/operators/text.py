@@ -1875,3 +1875,85 @@ FROM vocab a JOIN vocab b
   ON a.w < b.w AND abs(len(a.w) - len(b.w)) <= {int(max_dist)}
 WHERE levenshtein(a.w, b.w) <= {int(max_dist)}
 """
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Per-document novelty score: the fraction of a doc's DISTINCT word
+    n-grams whose first corpus occurrence (min doc_id) is this doc —
+    the curation signal for ordering/weighting sources by how much new
+    material each contributes (high duplication ⇒ low novelty), the
+    per-doc complement of dup_spans' extent report.
+
+    Scale shape: posexplode n-grams hashed to fixed-width xxhash64 keys
+    (equality-only semantics — each engine hashes its own way), dedup to
+    (doc, gram) grain, one min-agg on the gram key, one equi-join back,
+    one per-doc count agg. Everything shuffles 8-byte keys; gram text
+    never leaves the map side. Docs with fewer than n tokens keep a row
+    (0 grams, novelty 0.0). novelty_pct is a single IEEE division of two
+    exact integers — bit-identical cross-engine."""
+    toks = F.split(F.col(text_col), " ")
+    # sequence(0, -1) DESCENDS in Spark — short docs must filter out
+    # before the sequence, not rely on an empty range
+    grams = F.transform(
+        F.sequence(F.lit(0), (F.size(toks) - n).cast("int")),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, n))),
+    )
+    pg = (
+        docs.filter(F.size(toks) >= n)
+        .select(F.col(id_col), F.explode(grams).alias("g"))
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds the min-agg AND the join back
+    )
+    first = pg.groupBy("g").agg(F.min(id_col).alias("first_doc"))
+    per_doc = (
+        pg.join(first, "g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col(id_col), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    novelty = F.when(
+        F.col("n_grams") > 0,
+        F.col("n_novel").cast("double") / F.col("n_grams"),
+    ).otherwise(F.lit(0.0))
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+            novelty.alias("novelty_pct"),
+        )
+    )
+
+
+def ngram_novelty_sql(n: int = 8) -> str:
+    """DuckDB twin on raw gram strings (equality-only; no shared hash)."""
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+pg AS (
+  SELECT DISTINCT doc_id, array_to_string(l[i + 1 : i + {n}], ' ') AS g
+  FROM toks, UNNEST(range(0, greatest(len(l) - {n} + 1, 0))) AS t(i)
+),
+first AS (SELECT g, min(doc_id) AS first_doc FROM pg GROUP BY g),
+per_doc AS (
+  SELECT pg.doc_id, count(*) AS n_grams,
+         sum(CASE WHEN f.first_doc = pg.doc_id THEN 1 ELSE 0 END) AS n_novel
+  FROM pg JOIN first f USING (g) GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(p.n_grams, 0) AS n_grams,
+       coalesce(p.n_novel, 0) AS n_novel,
+       CASE WHEN coalesce(p.n_grams, 0) > 0
+            THEN CAST(p.n_novel AS DOUBLE) / p.n_grams ELSE 0.0 END AS novelty_pct
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""

@@ -131,3 +131,36 @@ def test_fuzzy_word_pairs_dist1_only(spark):
         for r in fuzzy_word_pairs(docs, max_dist=1, min_len=3).collect()
     }
     assert got == _brute_lev_pairs(words, 1)
+
+
+def test_ngram_novelty_first_doc_wins_and_short_docs_kept(spark):
+    from blueflood_spark.operators.text import ngram_novelty
+
+    # doc 1: 5 tokens → 2 distinct 4-grams, both first-seen here.
+    # doc 2: copies doc 1's first 4-gram inside otherwise-new text →
+    #        3 grams, 2 novel. doc 3: too short → 0 grams, kept.
+    d1 = "a b c d e"
+    d2 = "a b c d x y"          # grams: abcd (seen), bcdx, cdxy
+    d3 = "q r"
+    docs = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3)], "doc_id long, text string"
+    )
+    rows = {
+        r.doc_id: (r.n_grams, r.n_novel, r.novelty_pct)
+        for r in ngram_novelty(docs, n=4).collect()
+    }
+    assert rows[1] == (2, 2, 1.0)
+    assert rows[2] == (3, 2, 2 / 3)
+    assert rows[3] == (0, 0, 0.0)
+
+
+def test_ngram_novelty_distinct_grains_not_occurrences(spark):
+    from blueflood_spark.operators.text import ngram_novelty
+
+    # the same 4-gram repeated inside one doc counts ONCE (distinct grain)
+    docs = spark.createDataFrame(
+        [(1, "a b c d a b c d")], "doc_id long, text string"
+    )
+    r = ngram_novelty(docs, n=4).collect()[0]
+    # grams at pos 0..4: abcd, bcda, cdab, dabc, abcd → 4 distinct
+    assert (r.n_grams, r.n_novel, r.novelty_pct) == (4, 4, 1.0)
