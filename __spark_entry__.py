@@ -2981,6 +2981,15 @@ def _llm_dup_pagerank_sql() -> str:
     return f"SELECT id AS doc_id, rank FROM ({inner})"
 
 
+def llm_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid) silhouette per vector over the k=8 k-means
+    clustering — grades cluster separation before SemDeDup trusts the
+    clusters to bound dedup comparisons (operators/similarity.py
+    silhouette; map-only scoring against one broadcast centroid row)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.silhouette(emb, k=8, iterations=2)
+
+
 def llm_word_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary fuzzy matching via FastSS deletion-neighborhood
     equi-join + exact levenshtein verify (operators/text.py
@@ -4845,6 +4854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_dup_pagerank": llm_dup_pagerank,
         "llm_word_fuzzy_pairs": llm_word_fuzzy_pairs,
         "llm_ngram_novelty": llm_ngram_novelty,
+        "llm_silhouette": llm_silhouette,
     }
 
 
@@ -4910,6 +4920,7 @@ def oracle_sql() -> dict[str, str]:
         "llm_dup_pagerank": _llm_dup_pagerank_sql(),
         "llm_word_fuzzy_pairs": TX.fuzzy_word_pairs_sql(max_dist=2, min_len=3),
         "llm_ngram_novelty": TX.ngram_novelty_sql(n=8),
+        "llm_silhouette": SIM.silhouette_sql(k=8, iterations=2),
         "llm_minhash_signatures": D.minhash_signatures_sql(),
         "llm_minhash_lsh": D.minhash_lsh_pairs_sql(),
         "llm_dedup_clusters": _llm_dedup_clusters_sql(),

@@ -1569,3 +1569,129 @@ def random_projection_sql(
         for j, row in enumerate(signs)
     ]
     return "SELECT " + ", ".join(sel) + f" FROM {table}"
+
+
+# ---------------------------------------------------------------------------
+# cluster quality: simplified silhouette (centroid-based)
+# ---------------------------------------------------------------------------
+
+def silhouette(
+    emb: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector SIMPLIFIED silhouette (Hruschka et al.'s centroid
+    variant): a = distance to the vector's own cluster mean, b = min
+    distance to any other cluster mean, score = (b - a) / max(a, b).
+    The full silhouette's per-pair mean distances are O(n²) within
+    clusters; the centroid form is the published linear-cost proxy and
+    the one a curation pipeline can afford at corpus scale — it grades
+    how cleanly SemDeDup/k-means clusters separate before trusting them
+    to bound dedup comparisons.
+
+    Centroids are RECOMPUTED from the final k-means assignment (the
+    cluster means actually being judged), with the same id-ordered fold
+    discipline as kmeans_assign, so both engines agree bit-for-bit.
+    Scale shape: one explode-by-position agg for the k·dim means, then a
+    MAP-ONLY scoring pass — all k centroids travel as one broadcast row
+    and every distance is an in-projection ordered fold (no n×k row
+    expansion). Empty-b edge (k = 1) and a = b = 0 both score 0.0."""
+    assign = kmeans_assign(emb, k, iterations, id_col, vec_col)
+    j = (
+        emb.select(id_col, vec_col)
+        .join(assign.select(id_col, "cluster_id"), id_col)
+        .localCheckpoint(eager=False)  # feeds centroid agg AND scoring
+    )
+    by_pos = j.select(
+        "cluster_id", id_col, F.posexplode(F.col(vec_col)).alias("pos", "val")
+    )
+    sums = by_pos.groupBy("cluster_id", "pos").agg(
+        F.expr(
+            f"aggregate(array_sort(collect_list(struct({id_col} AS i, val AS v))), "
+            "0D, (acc, s) -> acc + CAST(s.v AS DOUBLE))"
+        ).alias("s"),
+        F.count("*").alias("n"),
+    )
+    cents = sums.groupBy("cluster_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, s / n AS mean))), s -> s.mean)"
+        ).alias("cvec")
+    )
+    cent_row = cents.agg(
+        F.expr("array_sort(collect_list(struct(cluster_id AS cid, cvec)))").alias(
+            "cent_arr"
+        )
+    )
+    dist = (
+        f"transform(cent_arr, c -> struct(sqrt(aggregate(zip_with({vec_col}, c.cvec, "
+        "(x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+        "0D, (acc, v) -> acc + v)) AS d, c.cid AS cid))"
+    )
+    scored = (
+        j.crossJoin(F.broadcast(cent_row))
+        .withColumn("ds", F.expr(dist))
+        .withColumn(
+            "own_dist", F.expr("filter(ds, x -> x.cid = cluster_id)[0].d")
+        )
+        .withColumn(
+            "next_dist", F.expr("array_min(filter(ds, x -> x.cid != cluster_id)).d")
+        )
+    )
+    sil = F.expr(
+        "CASE WHEN next_dist IS NULL THEN 0.0D "
+        "WHEN greatest(own_dist, next_dist) > 0D "
+        "THEN (next_dist - own_dist) / greatest(own_dist, next_dist) "
+        "ELSE 0.0D END"
+    )
+    return scored.select(
+        id_col, "cluster_id", "own_dist",
+        F.coalesce("next_dist", F.lit(0.0)).alias("next_dist"),
+        sil.alias("silhouette"),
+    )
+
+
+def silhouette_sql(k: int = 8, iterations: int = 2) -> str:
+    """DuckDB twin: the unrolled k-means twin as a nested CTE, then the
+    same recomputed-centroid ordered folds and min-distance scoring."""
+    kms = kmeans_assign_sql(k, iterations)
+    return f"""
+WITH assign AS ({kms}),
+j AS (
+  SELECT e.vec_id, e.embedding, a.cluster_id
+  FROM embeddings e JOIN assign a USING (vec_id)
+),
+bp AS (
+  SELECT cluster_id, vec_id, generate_subscripts(embedding, 1) AS pos,
+         unnest(embedding) AS val
+  FROM j
+),
+s AS (
+  SELECT cluster_id, pos,
+         list_sum(list_transform(list(CAST(val AS DOUBLE) ORDER BY vec_id), x -> x)) AS s,
+         count(*) AS n
+  FROM bp GROUP BY 1, 2
+),
+c AS (SELECT cluster_id AS cid, list(s / n ORDER BY pos) AS cvec FROM s GROUP BY 1),
+d AS (
+  SELECT j.vec_id, j.cluster_id, c.cid,
+         sqrt(list_sum(list_transform(list_zip(j.embedding, c.cvec),
+           p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+              * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))) AS dist
+  FROM j CROSS JOIN c
+),
+ab AS (
+  SELECT vec_id, cluster_id,
+         max(CASE WHEN cid = cluster_id THEN dist END) AS own_dist,
+         min(CASE WHEN cid <> cluster_id THEN dist END) AS next_dist
+  FROM d GROUP BY 1, 2
+)
+SELECT vec_id, cluster_id, own_dist,
+       coalesce(next_dist, 0.0) AS next_dist,
+       CASE WHEN next_dist IS NULL THEN 0.0
+            WHEN greatest(own_dist, next_dist) > 0
+            THEN (next_dist - own_dist) / greatest(own_dist, next_dist)
+            ELSE 0.0 END AS silhouette
+FROM ab
+"""

@@ -164,3 +164,35 @@ def test_ngram_novelty_distinct_grains_not_occurrences(spark):
     r = ngram_novelty(docs, n=4).collect()[0]
     # grams at pos 0..4: abcd, bcda, cdab, dabc, abcd → 4 distinct
     assert (r.n_grams, r.n_novel, r.novelty_pct) == (4, 4, 1.0)
+
+
+def test_silhouette_separated_blobs_score_high(spark):
+    from blueflood_spark.operators.similarity import silhouette
+
+    # two tight blobs far apart in 4-d; k=2 seeds are ids 0 and 1 which
+    # land in different blobs (id 0 in blob A, id 1 in blob B)
+    blob_a = [[0.0, 0.0, 0.0, float(i) / 100] for i in range(5)]
+    blob_b = [[10.0, 10.0, 10.0, float(i) / 100] for i in range(5)]
+    rows = []
+    for i in range(5):
+        rows.append((2 * i, blob_a[i]))      # even ids: blob A
+        rows.append((2 * i + 1, blob_b[i]))  # odd ids: blob B
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = silhouette(emb, k=2, iterations=2).collect()
+    assert len(out) == 10
+    clusters = {r.vec_id % 2: r.cluster_id for r in out}
+    assert clusters[0] != clusters[1]  # blobs get distinct clusters
+    for r in out:
+        assert r.silhouette > 0.9, (r.vec_id, r.silhouette)
+        assert r.next_dist > r.own_dist
+
+
+def test_silhouette_single_cluster_scores_zero(spark):
+    from blueflood_spark.operators.similarity import silhouette
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(4)],
+        "vec_id long, embedding array<float>",
+    )
+    out = silhouette(emb, k=1, iterations=1).collect()
+    assert all(r.silhouette == 0.0 and r.next_dist == 0.0 for r in out)
