@@ -2981,6 +2981,14 @@ def _llm_dup_pagerank_sql() -> str:
     return f"SELECT id AS doc_id, rank FROM ({inner})"
 
 
+def llm_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy per doc, floor-quantized
+    to micro-bits (operators/text.py char_entropy) — the gibberish /
+    encoding-junk quality signal beside the heuristic gates."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.char_entropy(docs)
+
+
 def llm_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Simplified (centroid) silhouette per vector over the k=8 k-means
     clustering — grades cluster separation before SemDeDup trusts the
@@ -4855,6 +4863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_word_fuzzy_pairs": llm_word_fuzzy_pairs,
         "llm_ngram_novelty": llm_ngram_novelty,
         "llm_silhouette": llm_silhouette,
+        "llm_char_entropy": llm_char_entropy,
     }
 
 
@@ -4921,6 +4930,7 @@ def oracle_sql() -> dict[str, str]:
         "llm_word_fuzzy_pairs": TX.fuzzy_word_pairs_sql(max_dist=2, min_len=3),
         "llm_ngram_novelty": TX.ngram_novelty_sql(n=8),
         "llm_silhouette": SIM.silhouette_sql(k=8, iterations=2),
+        "llm_char_entropy": TX.char_entropy_sql(),
         "llm_minhash_signatures": D.minhash_signatures_sql(),
         "llm_minhash_lsh": D.minhash_lsh_pairs_sql(),
         "llm_dedup_clusters": _llm_dedup_clusters_sql(),

@@ -1957,3 +1957,65 @@ SELECT d.doc_id,
             THEN CAST(p.n_novel AS DOUBLE) / p.n_grams ELSE 0.0 END AS novelty_pct
 FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
+
+
+def char_entropy(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document character-distribution Shannon entropy — the
+    gibberish/encoding-junk detector quality pipelines run beside
+    length/stopword heuristics (low entropy ⇒ repeated filler, high ⇒
+    random bytes; natural text sits in a stable band).
+
+    H = log2(n) − (Σ c·log2(c))/n over per-char counts c — counts are
+    exact integers, the Σ is an ORDERED fold (by char), and the output
+    is floor-quantized to micro-bits (the repo's NOTES rule for any
+    float that isn't a single division of shared integers), so the
+    check is robust to last-ulp log/accumulation differences between
+    engines. Scale shape: one explode (linear in corpus chars, ≤ ~100
+    distinct groups per doc), two map-side-combinable aggs on the doc
+    key — no joins."""
+    chars = docs.select(
+        id_col, F.explode(F.split(F.col(text_col), "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    counts = chars.groupBy(id_col, "ch").agg(F.count(F.lit(1)).alias("c"))
+    per = counts.groupBy(id_col).agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("n_distinct_chars"),
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(ch, c))), 0D, "
+            "(acc, s) -> acc + CAST(s.c AS DOUBLE) * log2(CAST(s.c AS DOUBLE)))"
+        ).alias("clog"),
+    )
+    h = F.expr("log2(CAST(n AS DOUBLE)) - clog / CAST(n AS DOUBLE)")
+    return per.select(
+        id_col,
+        F.col("n").alias("n_chars_total"),
+        "n_distinct_chars",
+        F.floor(h * 1_000_000).cast("long").alias("entropy_micro"),
+    )
+
+
+def char_entropy_sql() -> str:
+    return """
+WITH chars AS (
+  SELECT doc_id, UNNEST(string_split(text, '')) AS ch FROM documents
+),
+counts AS (
+  SELECT doc_id, ch, count(*) AS c FROM chars WHERE ch <> '' GROUP BY 1, 2
+),
+per AS (
+  SELECT doc_id, sum(c) AS n, count(*) AS n_distinct_chars,
+         list_sum(list_transform(list(CAST(c AS DOUBLE) ORDER BY ch),
+                                 x -> x * log2(x))) AS clog
+  FROM counts GROUP BY 1
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_chars_total,
+       CAST(n_distinct_chars AS BIGINT) AS n_distinct_chars,
+       CAST(floor((log2(CAST(n AS DOUBLE)) - clog / CAST(n AS DOUBLE)) * 1000000) AS BIGINT)
+         AS entropy_micro
+FROM per
+"""

@@ -196,3 +196,30 @@ def test_silhouette_single_cluster_scores_zero(spark):
     )
     out = silhouette(emb, k=1, iterations=1).collect()
     assert all(r.silhouette == 0.0 and r.next_dist == 0.0 for r in out)
+
+
+def test_char_entropy_known_values(spark):
+    import math
+
+    from blueflood_spark.operators.text import char_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in char_entropy(docs).collect()}
+    # uniform single char: H = 0; two chars 50/50: H = 1; four: H = 2
+    assert rows[1].entropy_micro == 0 and rows[1].n_distinct_chars == 1
+    assert rows[2].entropy_micro == 1_000_000
+    assert rows[3].entropy_micro == 2_000_000
+    # a skewed case against the float formula
+    txt = "aab"
+    h = -sum(
+        (c / 3) * math.log2(c / 3) for c in (2, 1)
+    )
+    got = char_entropy(
+        spark.createDataFrame([(9, txt)], "doc_id long, text string")
+    ).collect()[0]
+    assert got.entropy_micro == math.floor(h * 1e6) or abs(
+        got.entropy_micro - math.floor(h * 1e6)
+    ) <= 1
+    assert got.n_chars_total == 3
