@@ -2981,6 +2981,37 @@ def _llm_dup_pagerank_sql() -> str:
     return f"SELECT id AS doc_id, rank FROM ({inner})"
 
 
+def bf_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction manifest (operators/layout.py
+    compaction_manifest): per-tenant 5m rollup "files" (bytes ≈ 64 ×
+    points) sequential-filled into 4 KB bins in window order — the
+    OPTIMIZE-job planning step a parquet lakehouse needs where the
+    reference leans on Cassandra's own SSTable compaction. Planning
+    cost is linear in file COUNT (metadata), never data."""
+    from blueflood_spark.operators import layout as L
+
+    raw = _raw_metrics(spark, sf_dir)
+    files = raw.groupBy(
+        "tenant_id", F.expr("(ts DIV 300000) * 300000").alias("window_start")
+    ).agg((F.count(F.lit(1)) * 64).alias("n_bytes"))
+    return L.compaction_manifest(
+        files, "tenant_id", "window_start", "n_bytes", target_bytes=4096
+    )
+
+
+def _bf_compaction_plan_sql() -> str:
+    from blueflood_spark.operators.layout import compaction_manifest_sql
+
+    files_sql = _RAW_CTE + """
+SELECT tenant_id, (ts // 300000) * 300000 AS window_start,
+       count(*) * 64 AS n_bytes
+FROM raw GROUP BY 1, 2
+"""
+    return compaction_manifest_sql(
+        files_sql, "tenant_id", "window_start", "n_bytes", target_bytes=4096
+    )
+
+
 def llm_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-distribution Shannon entropy per doc, floor-quantized
     to micro-bits (operators/text.py char_entropy) — the gibberish /
@@ -4864,6 +4895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_ngram_novelty": llm_ngram_novelty,
         "llm_silhouette": llm_silhouette,
         "llm_char_entropy": llm_char_entropy,
+        "bf_compaction_plan": bf_compaction_plan,
     }
 
 
@@ -4931,6 +4963,7 @@ def oracle_sql() -> dict[str, str]:
         "llm_ngram_novelty": TX.ngram_novelty_sql(n=8),
         "llm_silhouette": SIM.silhouette_sql(k=8, iterations=2),
         "llm_char_entropy": TX.char_entropy_sql(),
+        "bf_compaction_plan": _bf_compaction_plan_sql(),
         "llm_minhash_signatures": D.minhash_signatures_sql(),
         "llm_minhash_lsh": D.minhash_lsh_pairs_sql(),
         "llm_dedup_clusters": _llm_dedup_clusters_sql(),

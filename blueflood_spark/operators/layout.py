@@ -101,3 +101,86 @@ def zorder_tiles(
             F.max(y_col).alias(f"max_{y_col}"),
         )
     )
+
+
+def compaction_plan(
+    files: DataFrame,
+    partition_col: str,
+    order_col: str,
+    bytes_col: str,
+    target_bytes: int,
+) -> DataFrame:
+    """Small-file compaction planner — the manifest an OPTIMIZE job works
+    from. The reference never needs this (Cassandra compacts its own
+    SSTables in the background); a parquet lakehouse at 100 TB does:
+    streaming micro-batches leave thousands of KB-scale files per
+    partition, and scan throughput dies on file-open overhead until a
+    maintenance pass rewrites them to ~128 MB-1 GB.
+
+    Semantics: SEQUENTIAL FILL in `order_col` order (Delta/Iceberg
+    OPTIMIZE's bin strategy — keeps time-adjacent files in the same
+    output so the rewrite preserves clustering): a file joins bin k when
+    the cumulative bytes BEFORE it lie in [k·target, (k+1)·target). All
+    integer math — the plan compares exactly on any engine.
+
+    Scale shape: one shuffle on the table partition key, a running-sum
+    window, and a map-side-combinable manifest agg — the planning cost
+    is linear in the FILE COUNT (metadata-sized), never the data."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_before = (F.sum(bytes_col).over(w) - F.col(bytes_col)).cast("long")
+    # integer DIV, not float /: cumulative bytes at 100 TB overflow the
+    # 2^53 double mantissa long before they overflow a BIGINT
+    return files.withColumn("_cb", cum_before).withColumn(
+        "bin_idx", F.expr(f"_cb DIV {int(target_bytes)}")
+    ).drop("_cb")
+
+
+def compaction_manifest(
+    files: DataFrame,
+    partition_col: str,
+    order_col: str,
+    bytes_col: str,
+    target_bytes: int,
+) -> DataFrame:
+    """One row per planned output file: file count, byte total, and the
+    `order_col` range each bin covers — what the rewrite job executes
+    and what an operator reviews. Exact integers only."""
+    plan = compaction_plan(files, partition_col, order_col, bytes_col, target_bytes)
+    return plan.groupBy(partition_col, "bin_idx").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum(bytes_col).cast("long").alias("total_bytes"),
+        F.min(order_col).alias("first_key"),
+        F.max(order_col).alias("last_key"),
+    )
+
+
+def compaction_manifest_sql(
+    files_sql: str,
+    partition_col: str,
+    order_col: str,
+    bytes_col: str,
+    target_bytes: int,
+) -> str:
+    """DuckDB twin over any `files_sql` relation with the same columns."""
+    t = int(target_bytes)
+    return f"""
+WITH files AS ({files_sql}),
+assigned AS (
+  SELECT *,
+         (SUM({bytes_col}) OVER (PARTITION BY {partition_col} ORDER BY {order_col}
+            ROWS UNBOUNDED PRECEDING) - {bytes_col}) // {t} AS bin_idx
+  FROM files
+)
+SELECT {partition_col}, CAST(bin_idx AS BIGINT) AS bin_idx,
+       count(*) AS n_files,
+       CAST(sum({bytes_col}) AS BIGINT) AS total_bytes,
+       min({order_col}) AS first_key,
+       max({order_col}) AS last_key
+FROM assigned GROUP BY 1, 2
+"""

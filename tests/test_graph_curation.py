@@ -223,3 +223,28 @@ def test_char_entropy_known_values(spark):
         got.entropy_micro - math.floor(h * 1e6)
     ) <= 1
     assert got.n_chars_total == 3
+
+
+def test_compaction_sequential_fill_semantics(spark):
+    from blueflood_spark.operators.layout import compaction_manifest, compaction_plan
+
+    # partition p: files of 60, 60, 60, 100, 40 bytes in key order with
+    # target 100 → cum_before 0,60,120,180,280 → bins 0,0,1,1,2
+    rows = [("p", i, b) for i, b in enumerate([60, 60, 60, 100, 40])]
+    rows += [("q", 0, 250), ("q", 1, 10)]  # oversize file alone: bins 0, 2
+    files = spark.createDataFrame(rows, "part string, key long, n_bytes long")
+    plan = {
+        (r.part, r.key): r.bin_idx
+        for r in compaction_plan(files, "part", "key", "n_bytes", 100).collect()
+    }
+    assert plan == {
+        ("p", 0): 0, ("p", 1): 0, ("p", 2): 1, ("p", 3): 1, ("p", 4): 2,
+        ("q", 0): 0, ("q", 1): 2,
+    }
+    man = {
+        (r.part, r.bin_idx): (r.n_files, r.total_bytes, r.first_key, r.last_key)
+        for r in compaction_manifest(files, "part", "key", "n_bytes", 100).collect()
+    }
+    assert man[("p", 0)] == (2, 120, 0, 1)
+    assert man[("p", 1)] == (2, 160, 2, 3)
+    assert man[("q", 2)] == (1, 10, 1, 1)
