@@ -2840,6 +2840,18 @@ def llm_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk(emb, F.col("vec_id") < 5, k=10)
 
 
+def llm_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search: IVF top-k with a candidate-side metadata
+    predicate (even label) applied as a PRE-filter on the inverted lists
+    — each query still gets its full k from surviving candidates, where
+    post-filtering the unfiltered top-k silently under-fills
+    (operators/similarity.py ivf_topk cand_filter)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.ivf_topk(
+        emb, F.col("vec_id") < 5, k=10, cand_filter=F.col("label") % 2 == 0
+    )
+
+
 def llm_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization encode: 64-dim float vectors → 8 subspace
     codes against a fixed 16-centroid codebook (operators/similarity.py
@@ -4896,6 +4908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_silhouette": llm_silhouette,
         "llm_char_entropy": llm_char_entropy,
         "bf_compaction_plan": bf_compaction_plan,
+        "llm_ann_filtered_topk": llm_ann_filtered_topk,
     }
 
 
@@ -4985,6 +4998,9 @@ def oracle_sql() -> dict[str, str]:
         "llm_pii_redact": _LLM_PII_SQL,
         "llm_ann_lsh_topk": SIM.lsh_bucketed_topk_sql("vec_id < 5", k=10, planes_n=48, bands=12),
         "llm_ann_ivf_topk": SIM.ivf_topk_sql("vec_id < 5", k=10),
+        "llm_ann_filtered_topk": SIM.ivf_topk_sql(
+            "vec_id < 5", k=10, cand_pred_sql="label % 2 = 0"
+        ),
         "llm_pq_codes": SIM.pq_encode_sql(),
         "llm_ann_pq_topk": SIM.pq_ann_topk_sql("vec_id < 5", k=10),
         "llm_ann_pq_rerank": SIM.pq_ann_rerank_sql("vec_id < 5", k=10, shortlist=50),

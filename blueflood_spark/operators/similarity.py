@@ -222,6 +222,7 @@ def ivf_topk(
     n_probe: int = 2,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    cand_filter=None,
 ) -> DataFrame:
     """IVF-flat ANN: corpus partitioned into inverted lists by nearest
     centroid; queries probe only their n_probe closest lists, then exact
@@ -232,7 +233,14 @@ def ivf_topk(
     shipped as a broadcast artifact). At 100 TB the corpus would be
     WRITTEN bucketed by list_id so a probe reads only its lists'
     partitions; here the assignment join plays that role.
-    """
+
+    `cand_filter` (optional Column) is FILTERED vector search with
+    PRE-filter semantics: the metadata predicate prunes the inverted
+    lists BEFORE the probe join, so every query still receives its full
+    k from the surviving candidates — post-filtering the top-k instead
+    silently under-fills when the predicate is selective. On a bucketed
+    on-disk layout the predicate reaches the parquet list scan as an
+    ordinary pushed filter."""
     cents = emb.filter(F.col(id_col) < n_lists).select(
         F.col(id_col).alias("cent_id"), F.col(emb_col).alias("cent_emb")
     )
@@ -247,7 +255,10 @@ def ivf_topk(
     ranked = scored.withColumn("cent_rank", F.row_number().over(w_assign)).localCheckpoint(
         eager=False
     )
-    lists = ranked.filter(F.col("cent_rank") == 1).select(
+    members = ranked.filter(F.col("cent_rank") == 1)
+    if cand_filter is not None:
+        members = members.filter(cand_filter)
+    lists = members.select(
         F.col(id_col).alias("c_id"), F.col(emb_col).alias("c_emb"), F.col("cent_id").alias("list_id")
     )
     probes = (
@@ -269,8 +280,15 @@ def ivf_topk(
     )
 
 
-def ivf_topk_sql(query_pred_sql: str, k: int = 10, n_lists: int = 8, n_probe: int = 2) -> str:
-    """DuckDB twin of ivf_topk (same fixed codebook and probe discipline)."""
+def ivf_topk_sql(
+    query_pred_sql: str,
+    k: int = 10,
+    n_lists: int = 8,
+    n_probe: int = 2,
+    cand_pred_sql: str = "TRUE",
+) -> str:
+    """DuckDB twin of ivf_topk (same fixed codebook and probe discipline;
+    `cand_pred_sql` mirrors the pre-filter on the inverted lists)."""
     cos = (
         "list_sum(list_transform(list_zip({a}, {b}), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
         " / (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
@@ -281,13 +299,14 @@ WITH cents AS (
   SELECT vec_id AS cent_id, embedding AS cent_emb FROM embeddings WHERE vec_id < {n_lists}
 ),
 ranked AS (
-  SELECT e.vec_id, e.embedding, c.cent_id,
+  SELECT e.vec_id, e.embedding, e.label, c.cent_id,
          row_number() OVER (PARTITION BY e.vec_id
                             ORDER BY {cos.format(a="e.embedding", b="c.cent_emb")} DESC, c.cent_id) AS cent_rank
   FROM embeddings e CROSS JOIN cents c
 ),
 lists AS (
-  SELECT vec_id AS c_id, embedding AS c_emb, cent_id AS list_id FROM ranked WHERE cent_rank = 1
+  SELECT vec_id AS c_id, embedding AS c_emb, cent_id AS list_id
+  FROM ranked WHERE cent_rank = 1 AND ({cand_pred_sql})
 ),
 probes AS (
   SELECT vec_id AS q_id, embedding AS q_emb, cent_id AS list_id

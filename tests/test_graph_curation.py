@@ -248,3 +248,33 @@ def test_compaction_sequential_fill_semantics(spark):
     assert man[("p", 0)] == (2, 120, 0, 1)
     assert man[("p", 1)] == (2, 160, 2, 3)
     assert man[("q", 2)] == (1, 10, 1, 1)
+
+
+def test_ivf_prefilter_fills_k_where_postfilter_cannot(spark):
+    from pyspark.sql import functions as F
+
+    from blueflood_spark.operators.similarity import ivf_topk
+
+    # 20 vectors on a ring; labels alternate. With cand_filter on even
+    # labels, pre-filter semantics still yield candidates for the query,
+    # and every returned candidate satisfies the predicate.
+    import math
+
+    rows = [
+        (i, [math.cos(i / 3.0), math.sin(i / 3.0), 1.0, 0.5], i % 2)
+        for i in range(20)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = ivf_topk(
+        emb,
+        F.col("vec_id") == 7,
+        k=5,
+        n_lists=4,
+        n_probe=4,  # probe everything: isolates the filter semantics
+        cand_filter=F.col("label") % 2 == 0,
+    ).collect()
+    assert len(out) == 5
+    assert all(r.c_id % 2 == 0 for r in out)          # predicate holds
+    unfiltered = ivf_topk(emb, F.col("vec_id") == 7, k=5, n_lists=4, n_probe=4).collect()
+    # post-filtering the unfiltered top-5 would keep fewer than 5
+    assert sum(1 for r in unfiltered if r.c_id % 2 == 0) < 5
