@@ -278,3 +278,32 @@ def test_ivf_prefilter_fills_k_where_postfilter_cannot(spark):
     unfiltered = ivf_topk(emb, F.col("vec_id") == 7, k=5, n_lists=4, n_probe=4).collect()
     # post-filtering the unfiltered top-5 would keep fewer than 5
     assert sum(1 for r in unfiltered if r.c_id % 2 == 0) < 5
+
+
+def test_pagerank_mass_and_base_bounds(spark):
+    """Invariants: every rank ≥ teleport base; total rank ≤ total input
+    mass (integer floors only ever LOSE mass, never create it)."""
+    from blueflood_spark.operators.graph import pagerank
+
+    pairs = [(i, (i * 13 + 1) % 12) for i in range(24)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(12)], "id long")
+    ranks = [r.rank for r in pagerank(edges, nodes, n_iter=6).collect()]
+    base = 1_000_000_000 * 3 // 20
+    assert len(ranks) == 12
+    assert all(r >= base for r in ranks)
+    assert sum(ranks) <= 12 * 1_000_000_000
+
+
+def test_fuzzy_pairs_vocab_is_deduped_across_docs(spark):
+    from blueflood_spark.operators.text import fuzzy_word_pairs
+
+    # the same word in many docs must not produce self-pairs or dups
+    docs = spark.createDataFrame(
+        [(i, "merge marge") for i in range(5)], "doc_id long, text string"
+    )
+    out = fuzzy_word_pairs(docs, max_dist=1, min_len=3).collect()
+    assert [(r.w1, r.w2, r.dist) for r in out] == [("marge", "merge", 1)]
