@@ -53,10 +53,18 @@ def pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     id_col: str = "id",
+    checkpoint_every: int = 4,
 ) -> DataFrame:
     """Fixed-point integer PageRank; returns (id, rank) with rank in
     units of 1/scale. `edges` is DIRECTED — symmetrize before calling
-    for an undirected dup graph."""
+    for an undirected dup graph.
+
+    `checkpoint_every` is the lineage-truncation cadence: each
+    localCheckpoint is a real materialization job (~27% of wall at toy
+    scale when done EVERY iteration — measured 5.2s → 3.8s at sf0.1
+    without), but an untruncated k-deep self-referential plan grows
+    linearly in analysis cost and breaks down for large k. Every 4th
+    iteration keeps both costs negligible."""
     base = scale * (DAMP_DEN - DAMP_NUM) // DAMP_DEN
     ids = nodes.select(F.col(id_col).cast("long").alias("id"))
     deg = edges.groupBy(src_col).agg(F.count(F.lit(1)).alias("deg"))
@@ -70,24 +78,22 @@ def pagerank(
         .localCheckpoint(eager=False)
     )
     ranks = ids.select("id", F.lit(scale).cast("long").alias("rank"))
-    for _ in range(n_iter):
+    for i in range(n_iter):
         inbound = (
             ed.join(ranks, ed["src"] == ranks["id"])
             .select(F.col("dst").alias("id"), F.expr("rank DIV deg").alias("c"))
             .groupBy("id")
             .agg(F.sum("c").alias("s"))
         )
-        ranks = (
-            ids.join(inbound, "id", "left")
-            .select(
-                "id",
-                (
-                    F.lit(base)
-                    + F.expr(f"COALESCE(s, 0L) * {DAMP_NUM} DIV {DAMP_DEN}")
-                ).cast("long").alias("rank"),
-            )
-            .localCheckpoint(eager=False)
+        ranks = ids.join(inbound, "id", "left").select(
+            "id",
+            (
+                F.lit(base)
+                + F.expr(f"COALESCE(s, 0L) * {DAMP_NUM} DIV {DAMP_DEN}")
+            ).cast("long").alias("rank"),
         )
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < n_iter:
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks
 
 
