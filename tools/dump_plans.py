@@ -72,6 +72,14 @@ CASES = {
     "llm_random_projection": "sparse JL projection: map-only codegen projection (8 chained-add expressions over the float array) — zero joins, zero semantic exchanges",
     "bf_sampled_quantile": "hash-sampled quantile: ONE groupBy carries exact + sampled percentiles as FILTER aggregates; the sample flag is a map-side md5 projection",
     "bf_zorder_layout": "z-order tiles: Morton interleave is pure integer codegen; one map-side-combined tile agg — the layout claim costs one shuffle of (tile, partials)",
+    "llm_dup_spans": "duplicate spans: position-gram subtree materialized once (lazy checkpoint), 8-byte xxhash64 gram keys through agg + semi-join, island merge windows on the doc key the semi-join output already carries",
+    "llm_dup_pagerank": "fixed-point PageRank: per iteration ONE edge⋈rank join + ONE partial-combined sum on the node key; edge list w/ degrees materialized once; lineage truncated every 4th iteration",
+    "llm_word_fuzzy_pairs": "FastSS fuzzy pairs: deletion-variant explode → single equi self-join (no |V|² anywhere) → exact levenshtein verify in the projection",
+    "llm_ngram_novelty": "n-gram novelty: hashed-gram dedup + min-agg + join back + per-doc count — all shuffles on 8-byte keys; gram text never leaves the map side",
+    "llm_silhouette": "silhouette: k·dim centroid agg, then MAP-ONLY scoring against one broadcast centroid row — no n×k row expansion",
+    "llm_char_entropy": "char entropy: one explode + two map-side-combinable aggs on the doc key; ordered fold inside the projection, zero joins",
+    "bf_compaction_plan": "compaction manifest: one exchange on the table partition key, running-sum window + manifest agg — planning cost linear in FILE COUNT (metadata), never data",
+    "llm_ann_filtered_topk": "filtered ANN: the metadata predicate pre-filters the inverted LISTS before the probe equi-join — pushed to the list scan on a bucketed layout; k stays filled",
 }
 
 
