@@ -1726,6 +1726,101 @@ GROUP BY 1, 2
 """
 
 
+def bf_unit_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 analyzer, SCD2 form: the unit-change stream of bf_unit_changes
+    materialized as a slowly-changing-dimension INTERVAL table — one row
+    per (locator, unit run) with [valid_from_ms, valid_to_ms) and the
+    run's sample count; valid_to_ms is NULL on the current run. This is
+    the metadata-history table a warehouse keeps where the reference's
+    metadata cache only holds last-writer-wins state
+    (IncomingMetricMetadataAnalyzer.java:98-119).
+
+    Gaps-and-islands on the locator-partitioned window (unit mutates at
+    day boundaries, so same-ts ties always share a unit and the run
+    segmentation is order-deterministic); ONE exchange on the series
+    key serves both windows and the run agg."""
+    from pyspark.sql.window import Window
+
+    raw = _raw_metrics(spark, sf_dir)
+    unit = F.element_at(
+        F.array(F.lit("seconds"), F.lit("bytes"), F.lit("milliseconds")),
+        ((F.col("user_id") % 4 + F.expr("ts DIV 86400000")) % 3 + 1).cast("int"),
+    )
+    u = raw.select("tenant_id", "metric_name", "ts", unit.alias("unit"))
+    w = Window.partitionBy("tenant_id", "metric_name").orderBy("ts")
+    brk = F.when(
+        F.lag("unit").over(w).isNull() | (F.col("unit") != F.lag("unit").over(w)), 1
+    ).otherwise(0)
+    runs = u.withColumn(
+        "run_id",
+        F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    hist = runs.groupBy("tenant_id", "metric_name", "run_id").agg(
+        F.min(F.struct("ts", "unit"))["unit"].alias("unit"),
+        F.min("ts").alias("valid_from_ms"),
+        F.count(F.lit(1)).alias("n_samples"),
+    )
+    w_run = Window.partitionBy("tenant_id", "metric_name").orderBy("valid_from_ms")
+    return hist.select(
+        "tenant_id",
+        "metric_name",
+        F.col("run_id").cast("long").alias("run_id"),
+        "unit",
+        "valid_from_ms",
+        F.lead("valid_from_ms").over(w_run).alias("valid_to_ms"),
+        "n_samples",
+    )
+
+
+_BF_UNIT_HISTORY_SQL = _RAW_CTE + """
+, u AS (
+  SELECT tenant_id, metric_name, ts,
+         ['seconds','bytes','milliseconds'][CAST((user_id % 4 + ts // 86400000) % 3 AS INT) + 1] AS unit
+  FROM raw
+),
+flagged AS (
+  SELECT *, CASE WHEN lag(unit) OVER w IS NULL
+                   OR unit <> lag(unit) OVER w THEN 1 ELSE 0 END AS brk
+  FROM u WINDOW w AS (PARTITION BY tenant_id, metric_name ORDER BY ts)
+),
+runs AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY tenant_id, metric_name ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM flagged
+),
+hist AS (
+  SELECT tenant_id, metric_name, CAST(run_id AS BIGINT) AS run_id,
+         arg_min(unit, ts) AS unit,
+         min(ts) AS valid_from_ms,
+         count(*) AS n_samples
+  FROM runs GROUP BY 1, 2, 3
+)
+SELECT tenant_id, metric_name, run_id, unit, valid_from_ms,
+       lead(valid_from_ms) OVER (PARTITION BY tenant_id, metric_name
+                                 ORDER BY valid_from_ms) AS valid_to_ms,
+       n_samples
+FROM hist
+"""
+
+
+from blueflood_spark.operators.events import (  # noqa: E402
+    type_cooccurrence_lift_sql as _ev_lift_sql,
+)
+
+_EV_TYPE_LIFT_SQL = _ev_lift_sql()
+
+
+def ev_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket lift over event-type pairs at user grain
+    (operators/events.py type_cooccurrence_lift): exact integer counts,
+    lift as one IEEE division of exact products — pair fan-out bounded
+    by the type vocabulary, never event volume."""
+    from blueflood_spark.operators import events as EV
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type")
+    return EV.type_cooccurrence_lift(ev)
+
+
 def bf_counter_rollup_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 CounterFromRaw (rate = count / (maxTs − minTs), safeDiv)."""
     raw = _raw_metrics(spark, sf_dir)
@@ -4909,6 +5004,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_char_entropy": llm_char_entropy,
         "bf_compaction_plan": bf_compaction_plan,
         "llm_ann_filtered_topk": llm_ann_filtered_topk,
+        "bf_unit_history": bf_unit_history,
+        "ev_type_lift": ev_type_lift,
     }
 
 
@@ -4977,6 +5074,8 @@ def oracle_sql() -> dict[str, str]:
         "llm_silhouette": SIM.silhouette_sql(k=8, iterations=2),
         "llm_char_entropy": TX.char_entropy_sql(),
         "bf_compaction_plan": _bf_compaction_plan_sql(),
+        "bf_unit_history": _BF_UNIT_HISTORY_SQL,
+        "ev_type_lift": _EV_TYPE_LIFT_SQL,
         "llm_minhash_signatures": D.minhash_signatures_sql(),
         "llm_minhash_lsh": D.minhash_lsh_pairs_sql(),
         "llm_dedup_clusters": _llm_dedup_clusters_sql(),

@@ -318,3 +318,75 @@ FROM per_user GROUP BY path
 ORDER BY n_users DESC, path
 LIMIT {k}
 """
+
+
+def type_cooccurrence_lift(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Market-basket lift over event types: for each unordered type pair,
+    lift = P(a,b) / (P(a)·P(b)) with user-level presence probabilities —
+    the association signal behind "users who error also purchase?"
+    questions. Exact arithmetic: all counts are integers and lift is ONE
+    IEEE division of two exact integer products, so engines agree
+    bit-for-bit.
+
+    Scale shape: dedup to (user, type) grain first (the smallest correct
+    intermediate — per-user pair fan-out is then bounded by the type
+    VOCABULARY k as k²/2, never by event volume), one self-equi-join on
+    the user key, broadcast-sized totals joined back."""
+    ue = events.select(user_col, type_col).distinct().localCheckpoint(
+        eager=False  # feeds pair join (twice), totals, and the user count
+    )
+    a, b = ue.alias("a"), ue.alias("b")
+    n_ab = (
+        a.join(
+            b,
+            (F.col(f"a.{user_col}") == F.col(f"b.{user_col}"))
+            & (F.col(f"a.{type_col}") < F.col(f"b.{type_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{type_col}").alias("et_a"), F.col(f"b.{type_col}").alias("et_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    totals = ue.groupBy(type_col).agg(F.count(F.lit(1)).alias("n"))
+    n_users = ue.select(user_col).distinct().agg(F.count(F.lit(1)).alias("n_users"))
+    return (
+        n_ab.join(
+            F.broadcast(totals.select(F.col(type_col).alias("et_a"), F.col("n").alias("n_a"))),
+            "et_a",
+        )
+        .join(
+            F.broadcast(totals.select(F.col(type_col).alias("et_b"), F.col("n").alias("n_b"))),
+            "et_b",
+        )
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "et_a", "et_b", "n_a", "n_b", "n_ab", "n_users",
+            (
+                (F.col("n_ab") * F.col("n_users")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("lift"),
+        )
+    )
+
+
+def type_cooccurrence_lift_sql() -> str:
+    return """
+WITH ue AS (SELECT DISTINCT user_id, event_type FROM events),
+n_ab AS (
+  SELECT a.event_type AS et_a, b.event_type AS et_b, count(*) AS n_ab
+  FROM ue a JOIN ue b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+),
+totals AS (SELECT event_type, count(*) AS n FROM ue GROUP BY 1),
+nu AS (SELECT count(DISTINCT user_id) AS n_users FROM ue)
+SELECT p.et_a, p.et_b, ta.n AS n_a, tb.n AS n_b, p.n_ab, nu.n_users,
+       CAST(p.n_ab * nu.n_users AS DOUBLE) / CAST(ta.n * tb.n AS DOUBLE) AS lift
+FROM n_ab p
+JOIN totals ta ON ta.event_type = p.et_a
+JOIN totals tb ON tb.event_type = p.et_b
+CROSS JOIN nu
+"""

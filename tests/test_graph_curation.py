@@ -307,3 +307,39 @@ def test_fuzzy_pairs_vocab_is_deduped_across_docs(spark):
     )
     out = fuzzy_word_pairs(docs, max_dist=1, min_len=3).collect()
     assert [(r.w1, r.w2, r.dist) for r in out] == [("marge", "merge", 1)]
+
+
+def test_type_lift_exact_counts(spark):
+    from blueflood_spark.operators.events import type_cooccurrence_lift
+
+    # users: 1 {a,b}, 2 {a,b}, 3 {a}, 4 {b,c} → n_users=4
+    rows = [(1, "a"), (1, "b"), (1, "b"), (2, "a"), (2, "b"),
+            (3, "a"), (4, "b"), (4, "c")]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string")
+    out = {(r.et_a, r.et_b): r for r in type_cooccurrence_lift(ev).collect()}
+    ab = out[("a", "b")]
+    assert (ab.n_a, ab.n_b, ab.n_ab, ab.n_users) == (3, 3, 2, 4)
+    assert ab.lift == (2 * 4) / (3 * 3)
+    bc = out[("b", "c")]
+    assert (bc.n_ab, bc.lift) == (1, (1 * 4) / (3 * 1))
+    assert ("a", "c") not in out  # never co-occur
+
+
+def test_unit_history_scd2_intervals(spark):
+    import __spark_entry__ as E
+
+    out = E.bf_unit_history(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    by_loc = {}
+    for r in rows:
+        by_loc.setdefault((r.tenant_id, r.metric_name), []).append(r)
+    for loc, rs in by_loc.items():
+        rs.sort(key=lambda r: r.valid_from_ms)
+        # intervals chain: valid_to of run i == valid_from of run i+1;
+        # only the last run is open-ended
+        for i, r in enumerate(rs):
+            if i + 1 < len(rs):
+                assert r.valid_to_ms == rs[i + 1].valid_from_ms, loc
+                assert rs[i].unit != rs[i + 1].unit, loc  # real changes
+            else:
+                assert r.valid_to_ms is None
