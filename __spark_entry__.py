@@ -2935,6 +2935,15 @@ def llm_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk(emb, F.col("vec_id") < 5, k=10)
 
 
+def llm_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid drift between the even-id (reference) and
+    odd-id (current) halves of the corpus — the distribution-shift
+    monitor run before trusting stale ANN indexes
+    (operators/similarity.py embedding_drift)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.embedding_drift(emb)
+
+
 def llm_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FILTERED vector search: IVF top-k with a candidate-side metadata
     predicate (even label) applied as a PRE-filter on the inverted lists
@@ -5006,6 +5015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_ann_filtered_topk": llm_ann_filtered_topk,
         "bf_unit_history": bf_unit_history,
         "ev_type_lift": ev_type_lift,
+        "llm_embedding_drift": llm_embedding_drift,
     }
 
 
@@ -5076,6 +5086,7 @@ def oracle_sql() -> dict[str, str]:
         "bf_compaction_plan": _bf_compaction_plan_sql(),
         "bf_unit_history": _BF_UNIT_HISTORY_SQL,
         "ev_type_lift": _EV_TYPE_LIFT_SQL,
+        "llm_embedding_drift": SIM.embedding_drift_sql(),
         "llm_minhash_signatures": D.minhash_signatures_sql(),
         "llm_minhash_lsh": D.minhash_lsh_pairs_sql(),
         "llm_dedup_clusters": _llm_dedup_clusters_sql(),

@@ -1714,3 +1714,84 @@ SELECT vec_id, cluster_id, own_dist,
             ELSE 0.0 END AS silhouette
 FROM ab
 """
+
+
+def embedding_drift(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label embedding drift between two deterministic corpus halves
+    (even ids = reference window, odd ids = current) — the
+    distribution-shift monitor an embedding pipeline runs before trusting
+    ANN indexes / cluster assignments trained on yesterday's corpus:
+    drift = L2 distance between the halves' per-label mean vectors.
+
+    Exactness: per-half centroids use the same id-ordered fold as
+    kmeans_assign, the distance is a fixed-dimension-order fold, sqrt is
+    correctly rounded — bit-identical cross-engine. Scale shape: one
+    explode-by-position agg (n·dim rows → label·2·dim groups) and a
+    label-sized join; the corpus never self-joins."""
+    halves = emb.select(
+        F.col(label_col).alias("label"),
+        (F.col(id_col) % 2).cast("int").alias("half"),
+        F.col(id_col).alias("i"),
+        F.col(vec_col).alias("v"),
+    )
+    by_pos = halves.select(
+        "label", "half", "i", F.posexplode(F.col("v")).alias("pos", "val")
+    )
+    sums = by_pos.groupBy("label", "half", "pos").agg(
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(i, val AS v))), "
+            "0D, (acc, s) -> acc + CAST(s.v AS DOUBLE))"
+        ).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    cents = sums.groupBy("label", "half").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, s / n AS mean))), x -> x.mean)"
+        ).alias("cvec"),
+        F.max("n").alias("n_vecs"),
+    )
+    old = cents.filter(F.col("half") == 0).select(
+        "label", F.col("cvec").alias("c_old"), F.col("n_vecs").alias("n_old")
+    )
+    new = cents.filter(F.col("half") == 1).select(
+        "label", F.col("cvec").alias("c_new"), F.col("n_vecs").alias("n_new")
+    )
+    drift = F.expr(
+        "sqrt(aggregate(zip_with(c_old, c_new, (x, y) -> (x - y) * (x - y)), "
+        "0D, (acc, v) -> acc + v))"
+    )
+    return old.join(new, "label").select(
+        "label", "n_old", "n_new", drift.alias("drift_l2")
+    )
+
+
+def embedding_drift_sql() -> str:
+    return """
+WITH halves AS (
+  SELECT label, CAST(vec_id % 2 AS INT) AS half, vec_id AS i, embedding AS v
+  FROM embeddings
+),
+bp AS (
+  SELECT label, half, i, generate_subscripts(v, 1) AS pos, unnest(v) AS val
+  FROM halves
+),
+s AS (
+  SELECT label, half, pos,
+         list_sum(list_transform(list(CAST(val AS DOUBLE) ORDER BY i), x -> x)) AS s,
+         count(*) AS n
+  FROM bp GROUP BY 1, 2, 3
+),
+c AS (
+  SELECT label, half, list(s / n ORDER BY pos) AS cvec, max(n) AS n_vecs
+  FROM s GROUP BY 1, 2
+)
+SELECT o.label, o.n_vecs AS n_old, n.n_vecs AS n_new,
+       sqrt(list_sum(list_transform(list_zip(o.cvec, n.cvec),
+         p -> (p[1] - p[2]) * (p[1] - p[2])))) AS drift_l2
+FROM c o JOIN c n ON o.label = n.label AND o.half = 0 AND n.half = 1
+"""

@@ -343,3 +343,20 @@ def test_unit_history_scd2_intervals(spark):
                 assert rs[i].unit != rs[i + 1].unit, loc  # real changes
             else:
                 assert r.valid_to_ms is None
+
+
+def test_embedding_drift_zero_and_known_shift(spark):
+    from blueflood_spark.operators.similarity import embedding_drift
+
+    # label 0: both halves identical → drift 0. label 1: odd half
+    # shifted by (3, 4) → drift 5 exactly.
+    rows = []
+    for i in range(4):
+        rows.append((2 * i, [1.0, 2.0], 0))
+        rows.append((2 * i + 1, [1.0, 2.0], 0))
+        rows.append((100 + 2 * i, [0.0, 0.0], 1))
+        rows.append((101 + 2 * i, [3.0, 4.0], 1))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r.label: r for r in embedding_drift(emb).collect()}
+    assert out[0].drift_l2 == 0.0 and out[0].n_old == out[0].n_new == 4
+    assert out[1].drift_l2 == 5.0
