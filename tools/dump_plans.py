@@ -80,6 +80,9 @@ CASES = {
     "llm_char_entropy": "char entropy: one explode + two map-side-combinable aggs on the doc key; ordered fold inside the projection, zero joins",
     "bf_compaction_plan": "compaction manifest: one exchange on the table partition key, running-sum window + manifest agg — planning cost linear in FILE COUNT (metadata), never data",
     "llm_ann_filtered_topk": "filtered ANN: the metadata predicate pre-filters the inverted LISTS before the probe equi-join — pushed to the list scan on a bucketed layout; k stays filled",
+    "bf_unit_history": "SCD2 unit history: ONE exchange on the series key serves the change window, the run agg, and the interval lead",
+    "ev_type_lift": "type-pair lift: dedup to (user, type) grain FIRST, one self-equi-join on the user key; totals and user count broadcast back",
+    "llm_embedding_drift": "embedding drift: one explode-by-position agg (label·2·dim groups) + a label-sized join — the corpus never self-joins",
 }
 
 
