@@ -1732,7 +1732,10 @@ def embedding_drift(
     kmeans_assign, the distance is a fixed-dimension-order fold, sqrt is
     correctly rounded — bit-identical cross-engine. Scale shape: one
     explode-by-position agg (n·dim rows → label·2·dim groups) and a
-    label-sized join; the corpus never self-joins."""
+    label-sized join; the corpus never self-joins. Labels present in
+    only ONE half have no drift to measure and drop out (inner join) —
+    a monitor wanting appear/disappear alerts should diff the label
+    sets separately."""
     halves = emb.select(
         F.col(label_col).alias("label"),
         (F.col(id_col) % 2).cast("int").alias("half"),
