@@ -1806,8 +1806,28 @@ FROM hist
 from blueflood_spark.operators.events import (  # noqa: E402
     type_cooccurrence_lift_sql as _ev_lift_sql,
 )
+from blueflood_spark.operators.events import (  # noqa: E402
+    last_touch_attribution_sql as _ev_attr_sql,
+)
 
 _EV_TYPE_LIFT_SQL = _ev_lift_sql()
+_EV_ATTRIBUTION_SQL = _ev_attr_sql("purchase", within_ms=86_400_000)
+
+
+def ev_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution for purchase events (24h window):
+    operators/events.py last_touch_attribution — one user-key shuffle,
+    credit via a preceding-frame last-non-null window, no per-conversion
+    self-join."""
+    from blueflood_spark.operators import events as EV
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr("CAST(ts DIV 1000000 AS BIGINT)").alias("ts_ms"),
+        "event_type",
+    )
+    return EV.last_touch_attribution(ev, "purchase", within_ms=86_400_000)
 
 
 def ev_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5016,6 +5036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bf_unit_history": bf_unit_history,
         "ev_type_lift": ev_type_lift,
         "llm_embedding_drift": llm_embedding_drift,
+        "ev_attribution": ev_attribution,
     }
 
 
@@ -5087,6 +5108,7 @@ def oracle_sql() -> dict[str, str]:
         "bf_unit_history": _BF_UNIT_HISTORY_SQL,
         "ev_type_lift": _EV_TYPE_LIFT_SQL,
         "llm_embedding_drift": SIM.embedding_drift_sql(),
+        "ev_attribution": _EV_ATTRIBUTION_SQL,
         "llm_minhash_signatures": D.minhash_signatures_sql(),
         "llm_minhash_lsh": D.minhash_lsh_pairs_sql(),
         "llm_dedup_clusters": _llm_dedup_clusters_sql(),

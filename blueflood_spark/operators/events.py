@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 MS_PER_DAY = 86_400_000
@@ -389,4 +389,76 @@ FROM n_ab p
 JOIN totals ta ON ta.event_type = p.et_a
 JOIN totals tb ON tb.event_type = p.et_b
 CROSS JOIN nu
+"""
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    conversion_type: str,
+    within_ms: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts_ms",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Marketing-style last-touch attribution: for every conversion
+    event, the most recent PRECEDING non-conversion event of the same
+    user within `within_ms` — which touch gets the credit. The funnel
+    answers "did the ordered steps happen"; attribution answers "what
+    immediately drove each conversion".
+
+    ONE shuffle on the user key; the credit assignment is a
+    last-non-null window over the preceding frame (no per-conversion
+    self-join — a join formulation re-shuffles the fact table per
+    conversion type). Ordering is pinned by (ts, event id), so a touch
+    sharing the conversion's exact timestamp attributes when its id
+    sorts earlier — deterministic on both engines. Conversions with no
+    qualifying touch keep NULL attribution (count them; don't drop)."""
+    _check_steps([conversion_type])
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(
+        F.col(type_col) != conversion_type,
+        F.struct(F.col(ts_col).alias("t"), F.col(type_col).alias("et")),
+    )
+    flagged = events.withColumn(
+        "_touch", F.last(touch, ignorenulls=True).over(w)
+    )
+    conv = flagged.filter(F.col(type_col) == conversion_type)
+    ok = F.col("_touch").isNotNull() & (
+        (F.col(ts_col) - F.col("_touch.t")) <= within_ms
+    )
+    return conv.select(
+        id_col,
+        user_col,
+        ts_col,
+        F.when(ok, F.col("_touch.et")).alias("attributed_type"),
+        F.when(ok, F.col(ts_col) - F.col("_touch.t")).alias("wait_ms"),
+    )
+
+
+def last_touch_attribution_sql(conversion_type: str, within_ms: int) -> str:
+    _check_steps([conversion_type])
+    return f"""
+WITH e AS (
+  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, event_type FROM events
+),
+flagged AS (
+  SELECT *,
+         last_value(CASE WHEN event_type <> '{conversion_type}'
+                         THEN struct_pack(t := ts_ms, et := event_type) END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+  FROM e
+)
+SELECT event_id, user_id, ts_ms,
+       CASE WHEN touch IS NOT NULL AND ts_ms - touch.t <= {int(within_ms)}
+            THEN touch.et END AS attributed_type,
+       CASE WHEN touch IS NOT NULL AND ts_ms - touch.t <= {int(within_ms)}
+            THEN ts_ms - touch.t END AS wait_ms
+FROM flagged WHERE event_type = '{conversion_type}'
 """

@@ -360,3 +360,31 @@ def test_embedding_drift_zero_and_known_shift(spark):
     out = {r.label: r for r in embedding_drift(emb).collect()}
     assert out[0].drift_l2 == 0.0 and out[0].n_old == out[0].n_new == 4
     assert out[1].drift_l2 == 5.0
+
+
+def test_last_touch_attribution_semantics(spark):
+    from blueflood_spark.operators.events import last_touch_attribution
+
+    # user 1: view@10, click@20, purchase@25 → click attributed, wait 5
+    #         purchase@100 with window 50 → click@20 too old → NULL
+    # user 2: purchase@5 with no prior touch → NULL
+    # user 3: purchase@30 right after another purchase@20 and a view@10
+    #         → purchases never attribute to purchases → view, wait 20
+    rows = [
+        (1, 1, 10, "view"), (2, 1, 20, "click"), (3, 1, 25, "purchase"),
+        (4, 1, 100, "purchase"),
+        (5, 2, 5, "purchase"),
+        (6, 3, 10, "view"), (7, 3, 20, "purchase"), (8, 3, 30, "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_ms long, event_type string"
+    )
+    out = {
+        r.event_id: (r.attributed_type, r.wait_ms)
+        for r in last_touch_attribution(ev, "purchase", within_ms=50).collect()
+    }
+    assert out[3] == ("click", 5)
+    assert out[4] == (None, None)
+    assert out[5] == (None, None)
+    assert out[7] == ("view", 10)
+    assert out[8] == ("view", 20)
