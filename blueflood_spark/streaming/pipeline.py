@@ -615,3 +615,84 @@ def start_corpus_guard(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_touch_join_stream(
+    spark: SparkSession,
+    touches_path: str,
+    conversions_path: str,
+    out_path: str,
+    checkpoint: str,
+    within_seconds: int = 3600,
+    watermark_seconds: int = 300,
+    available_now: bool = True,
+):
+    """Stream-stream INTERVAL join — the live primitive behind
+    attribution (the batch last_touch_attribution reduces these pairs to
+    the latest per conversion): each conversion joins every touch of the
+    same user from the preceding `within_seconds`. Watermarks on BOTH
+    input streams plus the time-bound join condition let Spark derive a
+    state TTL — a buffered touch is evicted once no future conversion
+    can reach back to it, so join state is bounded by (touch rate ×
+    interval), never by stream history. Inner-join matches emit eagerly
+    (no watermark holdback), so an availableNow pass produces output in
+    its first run, unlike the windowed aggregations (NOTES caveat).
+
+    Input parquet schema (both sides): event_id long, user_id long,
+    ts_ms long (epoch ms), event_type string. Output: one row per
+    qualifying (conversion, touch) pair with the wait."""
+    touches = (
+        spark.readStream.schema(
+            "event_id long, user_id long, ts_ms long, event_type string"
+        )
+        .parquet(touches_path)
+        .select(
+            F.col("event_id").alias("touch_id"),
+            F.col("user_id").alias("t_user"),
+            F.col("ts_ms").alias("touch_ms"),
+            F.col("event_type").alias("touch_type"),
+            F.timestamp_millis(F.col("ts_ms")).alias("t_time"),
+        )
+        .withWatermark("t_time", f"{watermark_seconds} seconds")
+    )
+    convs = (
+        spark.readStream.schema(
+            "event_id long, user_id long, ts_ms long, event_type string"
+        )
+        .parquet(conversions_path)
+        .select(
+            F.col("event_id").alias("conv_id"),
+            F.col("user_id").alias("user_id"),
+            F.col("ts_ms").alias("conv_ms"),
+            F.timestamp_millis(F.col("ts_ms")).alias("c_time"),
+        )
+        .withWatermark("c_time", f"{watermark_seconds} seconds")
+    )
+    joined = convs.join(
+        touches,
+        F.expr(
+            f"""
+            t_user = user_id AND
+            t_time >= c_time - INTERVAL {int(within_seconds)} SECONDS AND
+            t_time < c_time
+            """
+        ),
+        "inner",
+    ).select(
+        "conv_id",
+        "user_id",
+        "conv_ms",
+        "touch_id",
+        "touch_type",
+        "touch_ms",
+        (F.col("conv_ms") - F.col("touch_ms")).alias("wait_ms"),
+    )
+    writer = (
+        joined.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

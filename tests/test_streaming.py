@@ -530,3 +530,45 @@ def test_delayed_sink_matches_batch_locator_registry(spark, dirs):
     # shard parity spot-check: the registry's shard column (batch path)
     # uses the same md5 hash as the reference's Util.computeShard
     assert 0 <= shard_of("t1,svc.cpu") < 128
+
+
+def test_stream_stream_interval_join_matches_bruteforce(spark, tmp_path):
+    """Stream-stream interval join (start_touch_join_stream): every
+    (conversion, touch) pair of the same user with the touch strictly
+    inside the preceding window — verified against a brute-force pair
+    set, including the exclusive upper bound and the window cutoff."""
+    import os
+
+    t_dir, c_dir = str(tmp_path / "touch"), str(tmp_path / "conv")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    os.makedirs(t_dir), os.makedirs(c_dir)
+    base = 1_700_000_000_000
+    touches = [
+        (1, 10, base + 1_000, "view"),
+        (2, 10, base + 5_000, "click"),
+        (3, 10, base + 9_000, "view"),      # == conv ts → excluded (strict)
+        (4, 20, base + 2_000, "view"),
+        (5, 30, base + 1_000, "view"),      # 59s before conv → outside 30s
+    ]
+    convs = [
+        (100, 10, base + 9_000, "purchase"),
+        (101, 20, base + 4_000, "purchase"),
+        (102, 30, base + 60_000, "purchase"),
+    ]
+    schema = "event_id long, user_id long, ts_ms long, event_type string"
+    spark.createDataFrame(touches, schema).repartition(1).write.parquet(t_dir, mode="append")
+    spark.createDataFrame(convs, schema).repartition(1).write.parquet(c_dir, mode="append")
+    P.start_touch_join_stream(
+        spark, t_dir, c_dir, out, ckpt, within_seconds=30
+    ).awaitTermination(120)
+    got = {
+        (r.conv_id, r.touch_id, r.wait_ms)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (c_id, t_id, c_ts - t_ts)
+        for (c_id, c_u, c_ts, _) in convs
+        for (t_id, t_u, t_ts, _) in touches
+        if c_u == t_u and c_ts - 30_000 <= t_ts < c_ts
+    }
+    assert got == want and len(want) == 3
