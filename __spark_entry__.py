@@ -1810,8 +1810,11 @@ from blueflood_spark.operators.events import (  # noqa: E402
     last_touch_attribution_sql as _ev_attr_sql,
 )
 
+from blueflood_spark.operators.events import cohort_ltv_sql as _ev_ltv_sql  # noqa: E402
+
 _EV_TYPE_LIFT_SQL = _ev_lift_sql()
 _EV_ATTRIBUTION_SQL = _ev_attr_sql("purchase", within_ms=86_400_000)
+_EV_COHORT_LTV_SQL = _ev_ltv_sql(max_offset_days=7)
 
 
 def ev_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1839,6 +1842,52 @@ def ev_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events").select("user_id", "event_type")
     return EV.type_cooccurrence_lift(ev)
+
+
+def bf_heatmap_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day × day-of-week activity heatmap per tenant — the
+    capacity-planning dashboard grid. Value mass rides as exact integer
+    cents (round(value·100)) so no order-dependent double sum exists;
+    all other cells are integer epoch arithmetic (epoch day 0 =
+    Thursday, hence the +4 weekday shift). One map-side-combinable
+    aggregation into a ≤ tenants×24×7 grid."""
+    raw = _raw_metrics(spark, sf_dir)
+    return (
+        raw.select(
+            "tenant_id",
+            ((F.expr("ts DIV 3600000")) % 24).cast("int").alias("hour_of_day"),
+            ((F.expr("ts DIV 86400000") + 4) % 7).cast("int").alias("day_of_week"),
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+        .groupBy("tenant_id", "hour_of_day", "day_of_week")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.sum("cents").alias("cents_sum"),
+        )
+    )
+
+
+_BF_HEATMAP_SQL = _RAW_CTE + """
+SELECT tenant_id,
+       CAST((ts // 3600000) % 24 AS INT) AS hour_of_day,
+       CAST(((ts // 86400000) + 4) % 7 AS INT) AS day_of_week,
+       count(*) AS n_samples,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents_sum
+FROM raw GROUP BY 1, 2, 3
+"""
+
+
+def ev_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curve (operators/events.py cohort_ltv):
+    retention_cohorts' value-weighted sibling — per (cohort day, offset)
+    active users, day value, and running cumulative, all in exact
+    integer cents."""
+    from blueflood_spark.operators import events as EV
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.expr("CAST(ts DIV 1000000 AS BIGINT)").alias("ts_ms"), "value"
+    )
+    return EV.cohort_ltv(ev, max_offset_days=7)
 
 
 def bf_counter_rollup_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5037,6 +5086,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_type_lift": ev_type_lift,
         "llm_embedding_drift": llm_embedding_drift,
         "ev_attribution": ev_attribution,
+        "bf_heatmap_grid": bf_heatmap_grid,
+        "ev_cohort_ltv": ev_cohort_ltv,
     }
 
 
@@ -5109,6 +5160,8 @@ def oracle_sql() -> dict[str, str]:
         "ev_type_lift": _EV_TYPE_LIFT_SQL,
         "llm_embedding_drift": SIM.embedding_drift_sql(),
         "ev_attribution": _EV_ATTRIBUTION_SQL,
+        "bf_heatmap_grid": _BF_HEATMAP_SQL,
+        "ev_cohort_ltv": _EV_COHORT_LTV_SQL,
         "llm_minhash_signatures": D.minhash_signatures_sql(),
         "llm_minhash_lsh": D.minhash_lsh_pairs_sql(),
         "llm_dedup_clusters": _llm_dedup_clusters_sql(),

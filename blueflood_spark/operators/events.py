@@ -462,3 +462,65 @@ SELECT event_id, user_id, ts_ms,
             THEN ts_ms - touch.t END AS wait_ms
 FROM flagged WHERE event_type = '{conversion_type}'
 """
+
+
+def cohort_ltv(
+    events: DataFrame,
+    max_offset_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts_ms",
+    value_col: str = "value",
+) -> DataFrame:
+    """Cohort LTV curve — retention_cohorts' value-weighted sibling: per
+    (cohort day, day offset), the cohort's event value that day and the
+    RUNNING cumulative (the curve a growth dashboard plots). Monetary
+    values ride as exact integer CENTS (round(value·100)) so the
+    order-dependent double sum that would diverge cross-engine never
+    happens; /100.0 at read time is the caller's choice.
+
+    Scale: same three user-key/cohort-grid shuffles as
+    retention_cohorts plus one tiny window over the cohort grid
+    (≤ cohorts × offsets rows)."""
+    day = F.expr(f"{ts_col} DIV {MS_PER_DAY}").alias("day")
+    cents = F.expr(f"CAST(round({value_col} * 100) AS BIGINT)").alias("cents")
+    ev = events.select(F.col(user_col).alias("u"), day, cents)
+    cohort = ev.groupBy("u").agg(F.min("day").alias("cohort_day"))
+    cells = (
+        ev.join(cohort, "u")
+        .withColumn("day_offset", (F.col("day") - F.col("cohort_day")).cast("int"))
+        .filter(F.col("day_offset") <= max_offset_days)
+        .groupBy("cohort_day", "day_offset")
+        .agg(
+            F.count_distinct(F.col("u")).alias("n_active_users"),
+            F.sum("cents").alias("cents_day"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_day")
+        .orderBy("day_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return cells.withColumn("cents_cum", F.sum("cents_day").over(w))
+
+
+def cohort_ltv_sql(max_offset_days: int = 7) -> str:
+    return f"""
+WITH ev AS (
+  SELECT user_id AS u, epoch_ms(ts) // {MS_PER_DAY} AS day,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+cohort AS (SELECT u, min(day) AS cohort_day FROM ev GROUP BY u),
+cells AS (
+  SELECT c.cohort_day, CAST(e.day - c.cohort_day AS INTEGER) AS day_offset,
+         count(DISTINCT e.u) AS n_active_users,
+         sum(e.cents) AS cents_day
+  FROM ev e JOIN cohort c USING (u)
+  WHERE e.day - c.cohort_day <= {int(max_offset_days)}
+  GROUP BY 1, 2
+)
+SELECT cohort_day, day_offset, n_active_users, cents_day,
+       CAST(SUM(cents_day) OVER (PARTITION BY cohort_day ORDER BY day_offset
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cents_cum
+FROM cells
+"""

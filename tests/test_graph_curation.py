@@ -388,3 +388,22 @@ def test_last_touch_attribution_semantics(spark):
     assert out[5] == (None, None)
     assert out[7] == ("view", 10)
     assert out[8] == ("view", 20)
+
+
+def test_cohort_ltv_cumulative_and_cents_exact(spark):
+    from blueflood_spark.operators.events import MS_PER_DAY, cohort_ltv
+
+    d = MS_PER_DAY
+    rows = [
+        (1, 0 * d + 5, 1.10), (1, 1 * d + 5, 2.05),   # user 1: cohort day 0
+        (2, 0 * d + 9, 0.25), (2, 0 * d + 10, 0.50),  # user 2: same cohort
+        (3, 1 * d + 1, 9.99),                          # user 3: cohort day 1
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts_ms long, value double")
+    out = {
+        (r.cohort_day, r.day_offset): (r.n_active_users, r.cents_day, r.cents_cum)
+        for r in cohort_ltv(ev, max_offset_days=7).collect()
+    }
+    assert out[(0, 0)] == (2, 185, 185)     # 110 + 25 + 50
+    assert out[(0, 1)] == (1, 205, 390)     # cumulative picks up day 0
+    assert out[(1, 0)] == (1, 999, 999)
