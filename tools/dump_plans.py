@@ -83,6 +83,9 @@ CASES = {
     "bf_unit_history": "SCD2 unit history: ONE exchange on the series key serves the change window, the run agg, and the interval lead",
     "ev_type_lift": "type-pair lift: dedup to (user, type) grain FIRST, one self-equi-join on the user key; totals and user count broadcast back",
     "llm_embedding_drift": "embedding drift: one explode-by-position agg (label·2·dim groups) + a label-sized join — the corpus never self-joins",
+    "ev_attribution": "last-touch attribution: ONE user-key exchange; credit = preceding-frame last-non-null window, no per-conversion self-join",
+    "ev_cohort_ltv": "cohort LTV: retention's shuffles + one window over the cohort×offset grid (≤ cohorts·offsets rows); value mass as exact cents",
+    "bf_heatmap_grid": "activity heatmap: single map-side-combinable agg into a tenants×24×7 grid — pure integer epoch arithmetic",
 }
 
 
