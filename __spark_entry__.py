@@ -2522,6 +2522,44 @@ SELECT q_id, c_id, cosine, CAST(rank AS INTEGER) AS rank FROM ranked WHERE rank 
 """
 
 
+def llm_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine ANN evaluation (operators/similarity.py
+    ann_recall_report): recall@10 per query for the LSH and IVF arms
+    against the exact brute-force top-10 — run before trusting an
+    approximate index at a new scale or tuning."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.ann_recall_report(
+        emb, F.col("vec_id") < 5, k=10, planes_n=48, bands=12, n_lists=8, n_probe=2
+    )
+
+
+def _llm_ann_recall_sql() -> str:
+    lsh = SIM.lsh_bucketed_topk_sql("vec_id < 5", k=10, planes_n=48, bands=12)
+    ivf = SIM.ivf_topk_sql("vec_id < 5", k=10, n_lists=8, n_probe=2)
+    arm = """
+h_{m} AS (
+  SELECT a.q_id, count(*) AS n_hits
+  FROM {m} a JOIN exact e ON a.q_id = e.q_id AND a.c_id = e.c_id
+  GROUP BY 1
+),
+r_{m} AS (
+  SELECT q.q_id, '{m}' AS method,
+         CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+         CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 10 AS recall
+  FROM qids q LEFT JOIN h_{m} h USING (q_id)
+)"""
+    return (
+        f"WITH exact AS ({_LLM_ANN_SQL}),\n"
+        f"lsh AS ({lsh}),\n"
+        f"ivf AS ({ivf}),\n"
+        "qids AS (SELECT DISTINCT q_id FROM exact),"
+        + arm.format(m="lsh")
+        + ","
+        + arm.format(m="ivf")
+        + "\nSELECT * FROM r_lsh UNION ALL SELECT * FROM r_ivf"
+    )
+
+
 def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram Jaccard near-dup detection: word 3-gram shingles → inverted
     index self-join on hashed keys → per-pair intersection / union
@@ -5088,6 +5126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_attribution": ev_attribution,
         "bf_heatmap_grid": bf_heatmap_grid,
         "ev_cohort_ltv": ev_cohort_ltv,
+        "llm_ann_recall_report": llm_ann_recall_report,
     }
 
 
@@ -5162,6 +5201,7 @@ def oracle_sql() -> dict[str, str]:
         "ev_attribution": _EV_ATTRIBUTION_SQL,
         "bf_heatmap_grid": _BF_HEATMAP_SQL,
         "ev_cohort_ltv": _EV_COHORT_LTV_SQL,
+        "llm_ann_recall_report": _llm_ann_recall_sql(),
         "llm_minhash_signatures": D.minhash_signatures_sql(),
         "llm_minhash_lsh": D.minhash_lsh_pairs_sql(),
         "llm_dedup_clusters": _llm_dedup_clusters_sql(),

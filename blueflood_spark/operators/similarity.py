@@ -1798,3 +1798,59 @@ SELECT o.label, o.n_vecs AS n_old, n.n_vecs AS n_new,
          p -> (p[1] - p[2]) * (p[1] - p[2])))) AS drift_l2
 FROM c o JOIN c n ON o.label = n.label AND o.half = 0 AND n.half = 1
 """
+
+
+def ann_recall_report(
+    emb: DataFrame,
+    query_filter,
+    k: int = 10,
+    planes_n: int = PLANES,
+    bands: int = BANDS,
+    n_lists: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """ANN quality evaluation IN the engine: per query and method
+    (hyperplane-LSH, IVF), recall@k against the exact brute-force top-k
+    — "measure, don't guess" applied to the index itself. This is the
+    report a pipeline runs before trusting an approximate index at a new
+    corpus scale or after re-tuning bands/lists.
+
+    Exact counts + one integer-by-constant division (n_hits / k) — no
+    order-dependent float math. Scale: the exact arm is the O(n·q)
+    baseline priced by the (small) query set, not the corpus pair
+    space; both approximate arms reuse the production kernels
+    unchanged, so the report measures what actually ships."""
+    q = emb.filter(query_filter).select(
+        F.col(id_col).alias("q_id"), F.col(emb_col).alias("q_emb")
+    )
+    c = emb.select(F.col(id_col).alias("c_id"), F.col(emb_col).alias("c_emb"))
+    exact = cosine_topk(q, c, k).select("q_id", "c_id").localCheckpoint(
+        eager=False  # semi-joined by every method arm
+    )
+    qids = exact.select("q_id").distinct()
+    arms = [
+        ("lsh", lsh_bucketed_topk(emb, query_filter, k, planes_n, bands, id_col, emb_col)),
+        ("ivf", ivf_topk(emb, query_filter, k, n_lists, n_probe, id_col, emb_col)),
+    ]
+    outs = []
+    for name, approx in arms:
+        hits = (
+            approx.select("q_id", "c_id")
+            .join(exact, ["q_id", "c_id"], "left_semi")
+            .groupBy("q_id")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+        )
+        outs.append(
+            qids.join(hits, "q_id", "left").select(
+                "q_id",
+                F.lit(name).alias("method"),
+                F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+                (F.coalesce("n_hits", F.lit(0)).cast("double") / k).alias("recall"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -407,3 +407,26 @@ def test_cohort_ltv_cumulative_and_cents_exact(spark):
     assert out[(0, 0)] == (2, 185, 185)     # 110 + 25 + 50
     assert out[(0, 1)] == (1, 205, 390)     # cumulative picks up day 0
     assert out[(1, 0)] == (1, 999, 999)
+
+
+def test_ann_recall_report_perfect_when_exhaustive(spark):
+    import math
+
+    from blueflood_spark.operators.similarity import ann_recall_report
+
+    # 20 well-separated vectors; probe EVERY list and use 1 giant band →
+    # both arms see all candidates, so recall must be exactly 1.0
+    rows = [
+        (i, [math.cos(i / 2.0), math.sin(i / 2.0), 1.0, float(i) / 10]) for i in range(20)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    from pyspark.sql import functions as F
+
+    out = ann_recall_report(
+        emb, F.col("vec_id") < 3, k=5, planes_n=4, bands=1, n_lists=2, n_probe=2
+    ).collect()
+    assert len(out) == 6  # 3 queries × 2 methods
+    ivf = [r for r in out if r.method == "ivf"]
+    assert all(r.recall == 1.0 and r.n_hits == 5 for r in ivf), ivf
+    # LSH with 1 band of 4 planes may split; recall is still bounded [0,1]
+    assert all(0.0 <= r.recall <= 1.0 for r in out)
