@@ -101,7 +101,12 @@ def main() -> None:
         _name, fn = item
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
 
-    concurrency = int(os.environ.get("SPARK_GRAFT_BENCH_CONCURRENCY", "4"))
+    # 8 concurrent clients = the measured optimum for THIS engine on 32
+    # cores at the 157-query suite (sweep: 4/6/8/12 → 43.3/29.9/28.4/38.6s
+    # wall; 12 oversubscribes 8-partition shuffles). The DuckDB oracle's
+    # own optimum is 4 clients × 8 threads (tools/bench_oracle.py keeps
+    # it); each engine serves the same suite at its best service shape.
+    concurrency = int(os.environ.get("SPARK_GRAFT_BENCH_CONCURRENCY", "8"))
     total = None
     for _pass in range(3):  # min of 3 — the concurrent wall is the headline
         gc.collect()  # number and varies ±20% with GC debris; serial stays
