@@ -1726,6 +1726,67 @@ GROUP BY 1, 2
 """
 
 
+def bf_slot_eligibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11/T2 scheduler parity as a checked BATCH query — the event-time
+    face of the stateful slot tracker (start_slot_tracker): per
+    (20m slot, md5 shard), the sample/locator volume, the last ARRIVAL
+    (ts + the shared _late_ms model), and the reference's eligibility
+    verdict 'quiet for ROLLUP_DELAY' (now − lastUpdate > 300000 —
+    ShardStateManager.java:369-409, ScheduleContext.java:234-269) at a
+    fixed NOW just past the newest arrival. This is the work queue the
+    scheduler polls, keyed exactly like the shard-state tables
+    (SlotState grain: shard × slot). One map-side-combinable agg plus a
+    broadcast 1-row NOW."""
+    raw = _raw_metrics(spark, sf_dir)
+    loc = F.concat_ws(",", F.col("tenant_id"), F.col("metric_name"))
+    g = (
+        raw.withColumn("arrival_ms", F.col("ts") + _late_ms())
+        .withColumn("slot", F.expr("CAST((ts % 1209600000) DIV 300000 DIV 4 AS INT)"))
+        .withColumn("shard", shard_expr(loc))
+        .groupBy("slot", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.countDistinct("tenant_id", "metric_name").alias("n_locators"),
+            F.max("arrival_ms").alias("last_arrival_ms"),
+        )
+    )
+    now = g.agg((F.max("last_arrival_ms") + 60_001).alias("now_ms"))
+    return (
+        g.crossJoin(F.broadcast(now))
+        .select(
+            "slot",
+            "shard",
+            "n_samples",
+            "n_locators",
+            "last_arrival_ms",
+            (F.col("now_ms") - F.col("last_arrival_ms") > 300_000)
+            .cast("int")
+            .alias("is_eligible"),
+        )
+    )
+
+
+_BF_SLOT_ELIGIBILITY_SQL = _RAW_CTE + f"""
+, arr AS (
+  SELECT tenant_id, metric_name,
+         CAST((ts % 1209600000) // 300000 // 4 AS INT) AS slot,
+         {shard_sql("tenant_id || ',' || metric_name")} AS shard,
+         ts + ({_LATE_MS_SQL}) AS arrival_ms
+  FROM raw
+),
+g AS (
+  SELECT slot, shard, count(*) AS n_samples,
+         count(DISTINCT tenant_id || ',' || metric_name) AS n_locators,
+         max(arrival_ms) AS last_arrival_ms
+  FROM arr GROUP BY 1, 2
+),
+now_ms AS (SELECT max(last_arrival_ms) + 60001 AS now_ms FROM g)
+SELECT slot, shard, n_samples, n_locators, last_arrival_ms,
+       CAST(now_ms.now_ms - last_arrival_ms > 300000 AS INT) AS is_eligible
+FROM g CROSS JOIN now_ms
+"""
+
+
 def bf_unit_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3 analyzer, SCD2 form: the unit-change stream of bf_unit_changes
     materialized as a slowly-changing-dimension INTERVAL table — one row
@@ -5127,6 +5188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bf_heatmap_grid": bf_heatmap_grid,
         "ev_cohort_ltv": ev_cohort_ltv,
         "llm_ann_recall_report": llm_ann_recall_report,
+        "bf_slot_eligibility": bf_slot_eligibility,
     }
 
 
@@ -5202,6 +5264,7 @@ def oracle_sql() -> dict[str, str]:
         "bf_heatmap_grid": _BF_HEATMAP_SQL,
         "ev_cohort_ltv": _EV_COHORT_LTV_SQL,
         "llm_ann_recall_report": _llm_ann_recall_sql(),
+        "bf_slot_eligibility": _BF_SLOT_ELIGIBILITY_SQL,
         "llm_minhash_signatures": D.minhash_signatures_sql(),
         "llm_minhash_lsh": D.minhash_lsh_pairs_sql(),
         "llm_dedup_clusters": _llm_dedup_clusters_sql(),

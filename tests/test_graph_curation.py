@@ -430,3 +430,19 @@ def test_ann_recall_report_perfect_when_exhaustive(spark):
     assert all(r.recall == 1.0 and r.n_hits == 5 for r in ivf), ivf
     # LSH with 1 band of 4 planes may split; recall is still bounded [0,1]
     assert all(0.0 <= r.recall <= 1.0 for r in out)
+
+
+def test_slot_eligibility_quiet_slots_only(spark):
+    import __spark_entry__ as E
+
+    out = E.bf_slot_eligibility(spark, "/root/testdata/sf0.001").collect()
+    assert out
+    newest = max(r.last_arrival_ms for r in out)
+    now = newest + 60_001
+    for r in out:
+        assert r.is_eligible == int(now - r.last_arrival_ms > 300_000)
+        assert 0 <= r.slot < 1008 and 0 <= r.shard < 128
+    # the slot holding the newest arrival is never eligible (quiet < delay)
+    assert all(r.is_eligible == 0 for r in out if r.last_arrival_ms == newest)
+    # 30-day fixture: old slots must be eligible
+    assert any(r.is_eligible == 1 for r in out)
