@@ -87,6 +87,7 @@ CASES = {
     "ev_cohort_ltv": "cohort LTV: retention's shuffles + one window over the cohort×offset grid (≤ cohorts·offsets rows); value mass as exact cents",
     "bf_heatmap_grid": "activity heatmap: single map-side-combinable agg into a tenants×24×7 grid — pure integer epoch arithmetic",
     "llm_ann_recall_report": "ANN recall report: exact arm priced by the query set (broadcast corpus), approximate arms reuse the production kernels; hit counting is two left-semi joins on (q, c)",
+    "bf_slot_eligibility": "slot work queue: one map-side-combinable agg to (slot, shard) grain + a broadcast 1-row NOW — scheduler state derived, never stored",
 }
 
 
