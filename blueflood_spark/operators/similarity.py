@@ -1854,3 +1854,82 @@ def ann_recall_report(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+# ---------------------------------------------------------------------------
+# persisted IVF index: the on-disk form of ivf_topk's inverted lists
+# ---------------------------------------------------------------------------
+
+def build_ivf_index(
+    emb: DataFrame,
+    path: str,
+    n_lists: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    mode: str = "overwrite",
+) -> None:
+    """Persist the corpus AS the inverted file: parquet partitioned by
+    `list_id` (nearest fixed-codebook centroid), so a probe's list
+    predicate becomes PARTITION PRUNING — the scan never opens the other
+    lists' files. This is the claim in ivf_topk's docstring made real:
+    at 100 TB the index is directories, and n_probe/n_lists of the bytes
+    are read per query batch. The codebook rides along under
+    `_codebook/` (one row per centroid) so probes rebuild nothing."""
+    cents = emb.filter(F.col(id_col) < n_lists).select(
+        F.col(id_col).alias("cent_id"), F.col(emb_col).alias("cent_emb")
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).withColumn(
+        "cent_sim", _dot(emb_col, "cent_emb") / (_norm(emb_col) * _norm("cent_emb"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("cent_sim").desc(), F.col("cent_id"))
+    lists = (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select(id_col, emb_col, F.col("cent_id").alias("list_id"))
+    )
+    lists.write.partitionBy("list_id").mode(mode).parquet(path)
+    cents.write.mode(mode).parquet(path.rstrip("/") + "/_codebook")
+
+
+def probe_ivf_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Query the persisted index: rank the codebook per query, COLLECT
+    the tiny probe-list set (bounded by queries × n_probe — the same
+    lookup a query router does), and scan ONLY those partitions via a
+    static `list_id IN (...)` predicate, which the parquet source
+    evaluates as PartitionFilters (assert-tested). Exact cosine re-ranks
+    within the probed lists — identical results to the in-memory
+    ivf_topk for the same codebook/probe discipline."""
+    cents = spark.read.parquet(path.rstrip("/") + "/_codebook")
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(emb_col).alias("q_emb"))
+    ranked = q.crossJoin(F.broadcast(cents)).withColumn(
+        "cent_sim", _dot("q_emb", "cent_emb") / (_norm("q_emb") * _norm("cent_emb"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cent_sim").desc(), F.col("cent_id"))
+    probes = (
+        ranked.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= n_probe)
+        .select("q_id", "q_emb", F.col("cent_id").alias("list_id"))
+        .localCheckpoint(eager=False)
+    )
+    probe_ids = sorted({r.list_id for r in probes.select("list_id").distinct().collect()})
+    index = spark.read.parquet(path).filter(F.col("list_id").isin(probe_ids))
+    cands = (
+        probes.join(index, "list_id")
+        .filter(F.col("q_id") != F.col(id_col))
+        .dropDuplicates(["q_id", id_col])
+        .withColumn("cosine", _dot("q_emb", emb_col) / (_norm("q_emb") * _norm(emb_col)))
+    )
+    w2 = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        cands.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("q_id", F.col(id_col).alias("c_id"), "cosine", "rank")
+    )

@@ -446,3 +446,34 @@ def test_slot_eligibility_quiet_slots_only(spark):
     assert all(r.is_eligible == 0 for r in out if r.last_arrival_ms == newest)
     # 30-day fixture: old slots must be eligible
     assert any(r.is_eligible == 1 for r in out)
+
+
+def test_ivf_index_roundtrip_prunes_partitions_and_matches_inmemory(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as E
+    from blueflood_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk,
+        probe_ivf_index,
+    )
+
+    emb = E._t(spark, "/root/testdata/sf0.001", "embeddings")
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, n_lists=8)
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = probe_ivf_index(spark, path, queries, k=10, n_probe=2)
+
+    # 1) the probed scan must read ONLY the probed lists' partitions
+    import re
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan, plan[:2000]
+    assert re.search(r"PartitionFilters: \[list_id#\d+ IN \(", plan), plan[:2000]
+
+    # 2) results identical to the in-memory kernel (same codebook/probes)
+    want = ivf_topk(emb, F.col("vec_id") < 5, k=10, n_lists=8, n_probe=2)
+    g = {(r.q_id, r.c_id, r.rank) for r in got.collect()}
+    w = {(r.q_id, r.c_id, r.rank) for r in want.collect()}
+    assert g == w and len(g) >= 40
