@@ -1787,6 +1787,64 @@ FROM g CROSS JOIN now_ms
 """
 
 
+def bf_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-series trend: the Theil–Sen estimator (median of all
+    pairwise slopes) over each series' 240m windows — the
+    outlier-immune alternative to OLS for capacity trending (one wild
+    window shifts OLS, not the pairwise median). Value mass rides as
+    exact integer cents and window positions as integer indexes, so
+    every slope is ONE IEEE division of exact integers and the median
+    interpolates an identical multiset on both engines.
+
+    Scale shape: the pair space is per-series windows² (here 180² / 2 ≈
+    16k pairs × 20 series — bounded by the CALENDAR, not data volume);
+    the self-join is an equi-join on the series key. At decade-long
+    retention, window the estimator (e.g. per quarter) to keep the pair
+    space calendar-bounded."""
+    raw = _raw_metrics(spark, sf_dir)
+    per_w = raw.groupBy(
+        "tenant_id",
+        "metric_name",
+        F.expr("CAST(ts DIV 14400000 AS BIGINT)").alias("w"),
+    ).agg(F.expr("sum(CAST(round(value * 100) AS BIGINT))").alias("cents"))
+    a, b = per_w.alias("a"), per_w.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("a.tenant_id") == F.col("b.tenant_id"))
+        & (F.col("a.metric_name") == F.col("b.metric_name"))
+        & (F.col("a.w") < F.col("b.w")),
+    ).select(
+        F.col("a.tenant_id").alias("tenant_id"),
+        F.col("a.metric_name").alias("metric_name"),
+        (
+            (F.col("b.cents") - F.col("a.cents")).cast("double")
+            / (F.col("b.w") - F.col("a.w")).cast("double")
+        ).alias("slope"),
+    )
+    return slopes.groupBy("tenant_id", "metric_name").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.expr("percentile(slope, 0.5D)").alias("ts_slope_cents_per_4h"),
+    )
+
+
+_BF_TREND_SLOPE_SQL = _RAW_CTE + """
+, per_w AS (
+  SELECT tenant_id, metric_name, ts // 14400000 AS w,
+         sum(CAST(round(value * 100) AS BIGINT)) AS cents
+  FROM raw GROUP BY 1, 2, 3
+),
+slopes AS (
+  SELECT a.tenant_id, a.metric_name,
+         CAST(b.cents - a.cents AS DOUBLE) / CAST(b.w - a.w AS DOUBLE) AS slope
+  FROM per_w a JOIN per_w b
+    ON a.tenant_id = b.tenant_id AND a.metric_name = b.metric_name AND a.w < b.w
+)
+SELECT tenant_id, metric_name, count(*) AS n_pairs,
+       quantile_cont(slope, 0.5) AS ts_slope_cents_per_4h
+FROM slopes GROUP BY 1, 2
+"""
+
+
 def bf_unit_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3 analyzer, SCD2 form: the unit-change stream of bf_unit_changes
     materialized as a slowly-changing-dimension INTERVAL table — one row
@@ -5189,6 +5247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_cohort_ltv": ev_cohort_ltv,
         "llm_ann_recall_report": llm_ann_recall_report,
         "bf_slot_eligibility": bf_slot_eligibility,
+        "bf_trend_slope": bf_trend_slope,
     }
 
 
@@ -5265,6 +5324,7 @@ def oracle_sql() -> dict[str, str]:
         "ev_cohort_ltv": _EV_COHORT_LTV_SQL,
         "llm_ann_recall_report": _llm_ann_recall_sql(),
         "bf_slot_eligibility": _BF_SLOT_ELIGIBILITY_SQL,
+        "bf_trend_slope": _BF_TREND_SLOPE_SQL,
         "llm_minhash_signatures": D.minhash_signatures_sql(),
         "llm_minhash_lsh": D.minhash_lsh_pairs_sql(),
         "llm_dedup_clusters": _llm_dedup_clusters_sql(),

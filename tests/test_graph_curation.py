@@ -477,3 +477,30 @@ def test_ivf_index_roundtrip_prunes_partitions_and_matches_inmemory(spark, tmp_p
     g = {(r.q_id, r.c_id, r.rank) for r in got.collect()}
     w = {(r.q_id, r.c_id, r.rank) for r in want.collect()}
     assert g == w and len(g) >= 40
+
+
+def test_theil_sen_outlier_immunity(spark):
+    """A clean slope of +100 cents/window with ONE wild outlier window:
+    the pairwise-slope median must stay at 100 (OLS would not)."""
+    import __spark_entry__  # noqa: F401  (ensures module import works)
+    from pyspark.sql import functions as F
+
+    rows = [("t", "m", w, 100 * w) for w in range(10)]
+    rows[5] = ("t", "m", 5, 1_000_000)  # outlier
+    per_w = spark.createDataFrame(
+        rows, "tenant_id string, metric_name string, w long, cents long"
+    )
+    a, b = per_w.alias("a"), per_w.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("a.tenant_id") == F.col("b.tenant_id"))
+        & (F.col("a.metric_name") == F.col("b.metric_name"))
+        & (F.col("a.w") < F.col("b.w")),
+    ).select(
+        (
+            (F.col("b.cents") - F.col("a.cents")).cast("double")
+            / (F.col("b.w") - F.col("a.w")).cast("double")
+        ).alias("slope")
+    )
+    med = slopes.agg(F.expr("percentile(slope, 0.5D)").alias("m")).collect()[0].m
+    assert med == 100.0, med
