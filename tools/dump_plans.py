@@ -88,6 +88,7 @@ CASES = {
     "bf_heatmap_grid": "activity heatmap: single map-side-combinable agg into a tenants×24×7 grid — pure integer epoch arithmetic",
     "llm_ann_recall_report": "ANN recall report: exact arm priced by the query set (broadcast corpus), approximate arms reuse the production kernels; hit counting is two left-semi joins on (q, c)",
     "bf_slot_eligibility": "slot work queue: one map-side-combinable agg to (slot, shard) grain + a broadcast 1-row NOW — scheduler state derived, never stored",
+    "bf_trend_slope": "Theil-Sen: per-series pair self-join bounded by calendar windows², one percentile agg — robust trend without a per-pair shuffle of raw data",
 }
 
 
