@@ -137,13 +137,32 @@ def lsh_bucketed_topk(
         F.col(emb_col).alias("c_emb"),
         *[F.col(f"band_{b}") for b in range(bands)],
     )
-    cands = None
-    for b in range(bands):
-        p = q.join(c, F.col(f"qband_{b}") == F.col(f"band_{b}")).filter(
-            F.col("q_id") != F.col("c_id")
-        ).select("q_id", "q_emb", "c_id", "c_emb")
-        cands = p if cands is None else cands.unionByName(p)
-    cands = cands.dropDuplicates(["q_id", "c_id"])
+    # ONE equi-join on (band_idx, band_value) instead of a join per band:
+    # the per-band loop launched `bands` broadcast joins over the whole
+    # signature table (bands × partitions task launches of pure overhead
+    # at any scale — 384 tasks at the bench SF). Exploding the band
+    # columns to rows keeps the corpus side map-only (the query side is
+    # tiny and broadcast), and the only shuffle is the candidate dedup.
+    q_expl = q.select(
+        "q_id",
+        "q_emb",
+        F.posexplode(F.array(*[F.col(f"qband_{b}") for b in range(bands)])).alias(
+            "band_idx", "band_val"
+        ),
+    )
+    c_expl = c.select(
+        "c_id",
+        "c_emb",
+        F.posexplode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias(
+            "band_idx", "band_val"
+        ),
+    )
+    cands = (
+        c_expl.join(F.broadcast(q_expl), ["band_idx", "band_val"])
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "q_emb", "c_id", "c_emb")
+        .dropDuplicates(["q_id", "c_id"])
+    )
     # re-rank with exact cosine; norms factored out of the per-pair work
     scored = cands.withColumn("cosine", _dot("q_emb", "c_emb") / (_norm("q_emb") * _norm("c_emb")))
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
@@ -214,6 +233,44 @@ SELECT q_id, c_id, cosine, CAST(rank AS INTEGER) AS rank FROM ranked WHERE rank 
 """
 
 
+def _ivf_ranked(
+    emb: DataFrame, n_lists: int, id_col: str, emb_col: str
+) -> DataFrame:
+    """Coarse-quantizer assignment shared by ivf_topk / ivfpq_topk, as a
+    MAP-ONLY pass (the kmeans_assign shape): all centroids travel as one
+    broadcast row holding a cid-ordered array of (cid, cvec, norm), and
+    every vector sorts its per-centroid cosines in the projection —
+    no n×k row expansion and no rank-window shuffle of embedding-
+    carrying rows. Adds a `cent_ranked ARRAY<STRUCT<s, cid>>` column
+    ordered (sim DESC, cid ASC) — exactly the window ordering it
+    replaces, with the same dot/norm/division IEEE ops, so assignments
+    are bit-equal to the row_number formulation."""
+    cents = emb.filter(F.col(id_col) < n_lists).select(
+        F.col(id_col).alias("cent_id"),
+        F.col(emb_col).alias("cent_emb"),
+        _norm(emb_col).alias("cn"),  # centroid norm computed ONCE, not per pair
+    )
+    cent_row = cents.agg(
+        F.expr("array_sort(collect_list(struct(cent_id AS cid, cent_emb AS cvec, cn)))").alias(
+            "cent_arr"
+        )
+    )
+    return (
+        emb.crossJoin(F.broadcast(cent_row))
+        .withColumn("vn", _norm(emb_col))
+        .withColumn(
+            "cent_ranked",
+            F.expr(
+                "array_sort(transform(cent_arr, c -> struct("
+                f"aggregate(zip_with({emb_col}, c.cvec, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+                " 0D, (acc, v) -> acc + v) / (vn * c.cn) AS s, c.cid AS cid)), "
+                "(l, r) -> CASE WHEN l.s > r.s THEN -1 WHEN l.s < r.s THEN 1 "
+                "WHEN l.cid < r.cid THEN -1 WHEN l.cid > r.cid THEN 1 ELSE 0 END)"
+            ),
+        )
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     query_filter,
@@ -241,21 +298,8 @@ def ivf_topk(
     silently under-fills when the predicate is selective. On a bucketed
     on-disk layout the predicate reaches the parquet list scan as an
     ordinary pushed filter."""
-    cents = emb.filter(F.col(id_col) < n_lists).select(
-        F.col(id_col).alias("cent_id"), F.col(emb_col).alias("cent_emb")
-    )
-    # assign every vector to its nearest centroid (cosine)
-    scored = (
-        emb.crossJoin(F.broadcast(cents))
-        .withColumn(
-            "cent_sim", _dot(emb_col, "cent_emb") / (_norm(emb_col) * _norm("cent_emb"))
-        )
-    )
-    w_assign = Window.partitionBy(id_col).orderBy(F.col("cent_sim").desc(), F.col("cent_id"))
-    ranked = scored.withColumn("cent_rank", F.row_number().over(w_assign)).localCheckpoint(
-        eager=False
-    )
-    members = ranked.filter(F.col("cent_rank") == 1)
+    ranked = _ivf_ranked(emb, n_lists, id_col, emb_col)
+    members = ranked.withColumn("cent_id", F.expr("cent_ranked[0].cid"))
     if cand_filter is not None:
         members = members.filter(cand_filter)
     lists = members.select(
@@ -263,13 +307,19 @@ def ivf_topk(
     )
     probes = (
         ranked.filter(query_filter)
-        .filter(F.col("cent_rank") <= n_probe)
-        .select(F.col(id_col).alias("q_id"), F.col(emb_col).alias("q_emb"), F.col("cent_id").alias("list_id"))
+        .select(
+            F.col(id_col).alias("q_id"),
+            F.col(emb_col).alias("q_emb"),
+            F.explode(F.expr(f"slice(cent_ranked, 1, {int(n_probe)})")).alias("pr"),
+        )
+        .select("q_id", "q_emb", F.col("pr.cid").alias("list_id"))
     )
+    # each corpus vector lives in exactly ONE list and each (query, list)
+    # probe is unique, so the join already yields distinct (q_id, c_id)
+    # pairs — no dedup shuffle needed (unlike LSH's overlapping bands)
     cands = (
-        probes.join(lists, "list_id")
+        lists.join(F.broadcast(probes), "list_id")
         .filter(F.col("q_id") != F.col("c_id"))
-        .dropDuplicates(["q_id", "c_id"])
         .withColumn("cosine", _dot("q_emb", "c_emb") / (_norm("q_emb") * _norm("c_emb")))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
@@ -1208,16 +1258,7 @@ def ivfpq_topk(
     role. Distance tables are a per-query broadcast of M_SUB·KS_PQ
     doubles. Output contract matches pq_ann_topk: ascending ADC
     distance, ties to the lower candidate id."""
-    cents = emb.filter(F.col(id_col) < n_lists).select(
-        F.col(id_col).alias("cent_id"), F.col(emb_col).alias("cent_emb")
-    )
-    scored = emb.crossJoin(F.broadcast(cents)).withColumn(
-        "cent_sim", _dot(emb_col, "cent_emb") / (_norm(emb_col) * _norm("cent_emb"))
-    )
-    w_assign = Window.partitionBy(id_col).orderBy(F.col("cent_sim").desc(), F.col("cent_id"))
-    ranked = scored.withColumn("cent_rank", F.row_number().over(w_assign)).localCheckpoint(
-        eager=False
-    )
+    ranked = _ivf_ranked(emb, n_lists, id_col, emb_col)
     # coded inverted lists: list routing + PQ codes in ONE projection of
     # the assignment frame (no second pass over the corpus)
     cb = _pq_codebook(emb, id_col, emb_col).agg(
@@ -1238,25 +1279,32 @@ def ivfpq_topk(
         for s in range(M_SUB)
     ]
     coded_lists = (
-        ranked.filter(F.col("cent_rank") == 1)
-        .select(F.col(id_col).alias("c_id"), F.col("cent_id").alias("list_id"), emb_col)
+        ranked.select(
+            F.col(id_col).alias("c_id"),
+            F.expr("cent_ranked[0].cid").alias("list_id"),
+            emb_col,
+        )
         .crossJoin(F.broadcast(cb))
         .select("c_id", "list_id", *code_cols)
     )
     probes = (
         ranked.filter(query_filter)
-        .filter(F.col("cent_rank") <= n_probe)
-        .select(F.col(id_col).alias("q_id"), F.col("cent_id").alias("list_id"))
+        .select(
+            F.col(id_col).alias("q_id"),
+            F.explode(F.expr(f"slice(cent_ranked, 1, {int(n_probe)})")).alias("pr"),
+        )
+        .select("q_id", F.col("pr.cid").alias("list_id"))
     )
     qtab = _pq_qtab(emb, query_filter, id_col, emb_col)
     adc = None
     for s in range(M_SUB):
         term = F.element_at(F.col(f"dtab_{s}"), F.col(f"code_{s}") + 1)
         adc = term if adc is None else adc + term
+    # pairs are already unique — each c_id lives in exactly one coded
+    # list and each (q_id, list) probe is distinct — so no dedup shuffle
     cands = (
-        coded_lists.join(probes, "list_id")
+        coded_lists.join(F.broadcast(probes), "list_id")
         .filter(F.col("q_id") != F.col("c_id"))
-        .dropDuplicates(["q_id", "c_id"])
         .join(F.broadcast(qtab), "q_id")
         .withColumn("adc_dist", adc)
     )
@@ -1875,19 +1923,13 @@ def build_ivf_index(
     at 100 TB the index is directories, and n_probe/n_lists of the bytes
     are read per query batch. The codebook rides along under
     `_codebook/` (one row per centroid) so probes rebuild nothing."""
+    lists = _ivf_ranked(emb, n_lists, id_col, emb_col).select(
+        id_col, emb_col, F.expr("cent_ranked[0].cid").alias("list_id")
+    )
+    lists.write.partitionBy("list_id").mode(mode).parquet(path)
     cents = emb.filter(F.col(id_col) < n_lists).select(
         F.col(id_col).alias("cent_id"), F.col(emb_col).alias("cent_emb")
     )
-    scored = emb.crossJoin(F.broadcast(cents)).withColumn(
-        "cent_sim", _dot(emb_col, "cent_emb") / (_norm(emb_col) * _norm("cent_emb"))
-    )
-    w = Window.partitionBy(id_col).orderBy(F.col("cent_sim").desc(), F.col("cent_id"))
-    lists = (
-        scored.withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") == 1)
-        .select(id_col, emb_col, F.col("cent_id").alias("list_id"))
-    )
-    lists.write.partitionBy("list_id").mode(mode).parquet(path)
     cents.write.mode(mode).parquet(path.rstrip("/") + "/_codebook")
 
 
