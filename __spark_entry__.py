@@ -3898,6 +3898,10 @@ def bf_timer_pct_map_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         families=("timer",),
         emit_levels=("20m",),
         pct_shape="exploded",
+        # the timer family fans out into moments + percentiles branches;
+        # materialize the partitioned finest frame so both read ONE
+        # shuffle instead of column-pruned twins (1.9s → 1.3s at sf0.1)
+        materialize=True,
     )["timer"]["20m"]
     return t20.select(
         "tenant_id",

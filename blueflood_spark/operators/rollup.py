@@ -504,6 +504,7 @@ def preagg_cascade(
     families: Sequence[str] = ("counter", "gauge", "timer", "set"),
     emit_levels: Sequence[str] | None = None,
     pct_shape: str = "map",
+    materialize: bool = False,
 ) -> dict[str, dict[str, DataFrame]]:
     """The preaggregated rollup ladder (metrics_preaggregated_5m …
     _1440m): per family, finest partials merged level by level with the
@@ -525,9 +526,44 @@ def preagg_cascade(
     via an inner join instead of reassembling the map — identical rows
     to exploding the map column downstream (explode drops no-label
     windows; so does the inner join), minus one collect_list/explode
-    round-trip per level."""
+    round-trip per level.
+
+    materialize=True localCheckpoints the (pruned, pre-partitioned)
+    finest frame. Catalyst's column pruning pushes a DIFFERENT
+    projection below the repartition for each family branch (and the
+    timer family fans out twice: moments + percentiles), so the
+    exchanges stop being plan-identical and ReusedExchange no longer
+    fires — every branch re-shuffles the input. Materializing restores
+    the shuffle-once property: one partitioned frame on executor-local
+    storage that every branch reads. Use it whenever ≥2 branches
+    consume the ladder (the timer family alone counts); leave it off
+    for single-branch callers and inside streaming foreachBatch, where
+    lineage must stay replayable."""
+    _FAMILY_COLS = {
+        "counter": ("counter_value", "counter_rate"),
+        "gauge": ("gauge_value",),
+        "timer": (
+            "timer_count", "timer_sum", "timer_avg", "timer_min",
+            "timer_max", "timer_std", "timer_rate", "timer_percentiles",
+        ),
+        "set": ("set_values",),
+    }
+    # prune to the columns the requested families read BEFORE the
+    # shuffle — a 4-family schema shuffled for a timer-only ladder
+    # carries 8 always-NULL columns otherwise
+    needed = [*KEYS, "ts", "rollup_type"]
+    for fam in families:
+        needed.extend(_FAMILY_COLS[fam])
+    if "sample_count" in preagg.columns:
+        needed.append("sample_count")
+    else:
+        # preagg_to_finest derives sample_count from rate × flush interval
+        needed.extend(("counter_rate", "flush_interval_ms"))
+    preagg = preagg.select(*[c for c in needed if c in preagg.columns])
     if pre_partition:
         preagg = preagg.repartition(*[F.col(k) for k in KEYS])
+        if materialize:
+            preagg = preagg.localCheckpoint(eager=False)
     finest = preagg_to_finest(preagg, grans[0], families=families)
     # Only build the ladders the caller asks for: DataFrame construction IS
     # Catalyst analysis, and a single-family caller (a timer-only backfill,
