@@ -219,7 +219,7 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS) -
         "doc_id",
         F.explode(F.slice(F.split(F.col(text_col), " "), 1, SIMHASH_MAX_TOKENS)).alias("tok"),
     ).withColumn(
-        "h", F.conv(F.substring(F.md5(F.col("tok")), 1, n_hex), 16, 10).cast("long")
+        "h", F.expr(f"CAST(conv(substring(md5(tok), 1, {n_hex}), 16, 10) AS BIGINT)")
     )
     # branchless bit sums: ±1 contribution sum s_b = 2*Σ((h>>b)&1) − n,
     # so only cheap shift/and expressions sit inside the aggregate
@@ -228,31 +228,31 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS) -
     # accumulator, cutting the aggregation buffer from `bits` slots to
     # bits/4 — fewer codegen update slots and a narrower shuffle row.
     # Safe while docs stay under 65k tokens (Σ of a 0/1 lane ≤ n).
+    # Every expression is a single-parse expr STRING: building the
+    # ~75 shift/and nodes through the Column API cost ~1.3s of py4j
+    # round trips PER CALL — over 2× the query's actual execution.
     lanes = 4
     groups = (bits + lanes - 1) // lanes
 
-    def _packed(g: int):
-        expr = None
-        for lane in range(lanes):
-            b = g + lane * groups
-            if b >= bits:
-                break
-            contrib = F.shiftleft(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)), 16 * lane)
-            expr = contrib if expr is None else expr + contrib
-        return F.sum(expr).alias(f"p_{g}")
+    def _packed(g: int) -> str:
+        terms = [
+            f"shiftleft(shiftright(h, {g + lane * groups}) & 1, {16 * lane})"
+            for lane in range(lanes)
+            if g + lane * groups < bits
+        ]
+        return f"sum({' + '.join(terms)}) AS p_{g}"
 
     agg = toks.groupBy("doc_id").agg(
-        F.count("*").alias("n"), *[_packed(g) for g in range(groups)]
+        F.expr("count(*) AS n"), *[F.expr(_packed(g)) for g in range(groups)]
     )
-    fp = None
+    fp_terms = []
     for b in range(bits):
         g, lane = b % groups, b // groups
-        c_b = F.shiftright(F.col(f"p_{g}"), 16 * lane).bitwiseAND(F.lit(0xFFFF))
-        bit = F.when(2 * c_b - F.col("n") > 0, F.lit(2**b).cast("long")).otherwise(
-            F.lit(0).cast("long")
+        c_b = f"(shiftright(p_{g}, {16 * lane}) & 65535)"
+        fp_terms.append(
+            f"(CASE WHEN 2 * {c_b} - n > 0 THEN CAST({2**b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
         )
-        fp = bit if fp is None else fp + bit
-    return agg.select("doc_id", fp.alias("simhash"))
+    return agg.select("doc_id", F.expr(" + ".join(fp_terms)).alias("simhash"))
 
 
 def simhash_sql(bits: int = SIMHASH_BITS, max_toks: int = SIMHASH_MAX_TOKENS) -> str:
@@ -308,14 +308,11 @@ def simhash_near_pairs(
     candidate volume); the oracle twin is an exhaustive O(n²) hamming
     join, so recall is verified, not assumed."""
     fp = simhash(docs, text_col, bits)
-    seg_entries = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("idx"),
-                F.shiftright(F.col("simhash"), shift).bitwiseAND(F.lit((1 << width) - 1)).alias("bv"),
-            )
+    seg_entries = F.expr(
+        "array(" + ", ".join(
+            f"struct({i} AS idx, shiftright(simhash, {shift}) & {(1 << width) - 1} AS bv)"
             for i, (shift, width) in enumerate(_simhash_segments(bits, max_hamming))
-        ]
+        ) + ")"
     )
     bucketed = fp.select("doc_id", "simhash", F.explode(seg_entries).alias("e")).select(
         "doc_id", "simhash", F.col("e.idx").alias("idx"), F.col("e.bv").alias("bv")
@@ -434,7 +431,15 @@ def _cc_distributed(
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=False)
-    labels = ids.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+    # Iterate over only the nodes that appear in SOME pair: every other
+    # node is a singleton whose label is itself, attached by one left
+    # join at the end. At 100 TB the dup graph's vertex set is a small
+    # fraction of the corpus — propagating labels for every corpus id
+    # each round shuffles the whole id space O(log d) times for rows
+    # that can never change.
+    labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
     converged = False
     for _ in range(max_iterations):
         neighbor_min = (
@@ -462,20 +467,26 @@ def _cc_distributed(
                     "label"
                 ),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            stepped.filter(F.col("label") != F.col("old_label")).limit(1).count()
-        )
+        # ONE job per round: the full-scan aggregate materializes the
+        # lazy checkpoint AND answers the fixpoint question (an eager
+        # checkpoint + separate count was two job launches per round)
+        changed = stepped.agg(
+            F.max((F.col("label") != F.col("old_label")).cast("int"))
+        ).first()[0]
         labels = stepped.select("node", "label")
-        if changed == 0:
+        if not changed:
             converged = True
             break
     if not converged:
         raise RuntimeError(
             f"connected components did not converge within {max_iterations} iterations"
         )
-    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+    return ids.join(labels, ids[id_col] == labels.node, "left").select(
+        ids[id_col],
+        F.coalesce(F.col("label"), ids[id_col]).alias("cluster_id"),
+    )
 
 
 def minhash_clusters_sql(num_perm: int = NUM_PERM, bands: int = BANDS) -> str:

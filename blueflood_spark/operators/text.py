@@ -1528,43 +1528,38 @@ def hash_embed(
     second pass."""
     # ONE md5 per token: bucket from hex chars 1-8, sign from the parity
     # of char 9 — independent bits of the same digest (a second salted
-    # digest measured ~2× the md5 cost for zero statistical gain)
-    md5h = F.md5(F.concat(F.lit("hemb"), F.col("t")))
+    # digest measured ~2× the md5 cost for zero statistical gain).
+    # Everything below is single-parse expr STRINGS: the 64 conditional
+    # sums + 64-term norm + 64 array elements built through the Column
+    # API cost ~2.3s of py4j round trips per call vs 0.25s of actual
+    # execution (the simhash plan-build lesson, NOTES.md).
+    md5h = "md5(concat('hemb', t))"
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("t")
     ).select(
         "doc_id",
-        F.pmod(F.conv(F.substring(md5h, 1, 8), 16, 10).cast("long"), F.lit(dims)).alias("b"),
-        (F.pmod(F.conv(F.substring(md5h, 9, 1), 16, 10).cast("long"), F.lit(2)) * 2 - 1).alias("s"),
+        F.expr(f"pmod(CAST(conv(substring({md5h}, 1, 8), 16, 10) AS BIGINT), {dims})").alias("b"),
+        F.expr(f"pmod(CAST(conv(substring({md5h}, 9, 1), 16, 10) AS BIGINT), 2) * 2 - 1").alias("s"),
     )
     sums = toks.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        *[
-            F.sum(F.when(F.col("b") == j, F.col("s")).otherwise(0)).alias(f"v_{j}")
-            for j in range(dims)
-        ],
+        F.expr("count(1) AS n_tokens"),
+        *[F.expr(f"sum(CASE WHEN b = {j} THEN s ELSE 0 END) AS v_{j}") for j in range(dims)],
     )
-    norm = F.sqrt(
-        sum(F.col(f"v_{j}") * F.col(f"v_{j}") for j in range(dims)).cast("double")
-    )
+    norm_sq = " + ".join(f"v_{j} * v_{j}" for j in range(dims))
     # norm MUST be materialized as its own attribute before the element
-    # expressions reference it: inlining the Column object builds 2·dims
-    # copies of the 64-term sum+sqrt into the projection (Python-level
-    # duplication Catalyst never deduplicates), which blows past codegen
-    # limits the moment a Generate sits above it (measured 4.4s → 26.9s
-    # at sf0.1 when the checked output added posexplode). As a separate
-    # non-cheap alias used 65×, CollapseProject keeps the two-projection
-    # shape and norm is computed once per row.
-    normed = sums.withColumn("norm", norm)
-    vec = F.array(
-        *[
-            F.when(F.col("norm") > 0, F.col(f"v_{j}") / F.col("norm"))
-            .otherwise(F.lit(0.0))
-            .cast("float")
-            for j in range(dims)
-        ]
+    # expressions reference it: inlining the expression builds 2·dims
+    # copies of the 64-term sum+sqrt into the projection (duplication
+    # Catalyst never deduplicates), which blows past codegen limits the
+    # moment a Generate sits above it (measured 4.4s → 26.9s at sf0.1
+    # when the checked output added posexplode). As a separate non-cheap
+    # alias used 65×, CollapseProject keeps the two-projection shape and
+    # norm is computed once per row.
+    normed = sums.withColumn("norm", F.expr(f"sqrt(CAST({norm_sq} AS DOUBLE))"))
+    vec = ", ".join(
+        f"CAST(CASE WHEN norm > 0 THEN v_{j} / norm ELSE 0.0D END AS FLOAT)"
+        for j in range(dims)
     )
-    return normed.select("doc_id", "n_tokens", "norm", vec.alias("embedding"))
+    return normed.select("doc_id", "n_tokens", "norm", F.expr(f"array({vec})").alias("embedding"))
 
 
 def hash_embed_sql(dims: int = 64) -> str:
