@@ -41,13 +41,13 @@ def _join_parallelism(df: DataFrame) -> int:
 # ---------------------------------------------------------------------------
 
 def shingles_expr(text_col: str = "text", k: int = SHINGLE_WORDS):
-    """Distinct word k-gram shingles, as an array column (JVM-side)."""
-    toks = F.split(F.col(text_col), " ")
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-        )
+    """Distinct word k-gram shingles, as an array column (JVM-side).
+    Single-parse expr string — the transform() lambda through the Python
+    Column API costs py4j round trips per call (NOTES.md)."""
+    toks = f"split({text_col}, ' ')"
+    return F.expr(
+        f"array_distinct(transform(sequence(1, greatest(size({toks}) - {k - 1}, 1)),"
+        f" i -> concat_ws(' ', slice({toks}, i, {k}))))"
     )
 
 
@@ -106,7 +106,7 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text", num_perm: int = 
     aggs = []
     for i in range(num_perm):
         a, b = _perm_params(i)
-        aggs.append(F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh_{i}"))
+        aggs.append(F.expr(f"min(({a} * h + {b}) % {MINHASH_P}) AS mh_{i}"))
     return sh.groupBy("doc_id").agg(*aggs)
 
 
@@ -841,14 +841,13 @@ def _band_entries(num_perm: int, bands: int):
     the band's signature components (equality proxy; see
     minhash_lsh_pairs on why the oracle may hash differently)."""
     rows = num_perm // bands
-    return F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(*[F.col(f"mh_{b * rows + r}") for r in range(rows)]).alias("bk"),
-            )
+    return F.expr(
+        "array(" + ", ".join(
+            f"struct({b} AS band, xxhash64("
+            + ", ".join(f"mh_{b * rows + r}" for r in range(rows))
+            + ") AS bk)"
             for b in range(bands)
-        ]
+        ) + ")"
     )
 
 
@@ -1048,31 +1047,30 @@ def minhash_estimate_report(
         F.col("exact_jaccard") >= min_jaccard
     )
     sig = minhash_signatures(docs, text_col, num_perm).localCheckpoint(eager=False)
-    sa = sig.select(
-        F.col("doc_id").alias("doc_a"), *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(num_perm)]
+    sa = sig.selectExpr(
+        "doc_id AS doc_a", *[f"mh_{i} AS a_{i}" for i in range(num_perm)]
     )
-    sb = sig.select(
-        F.col("doc_id").alias("doc_b"), *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(num_perm)]
+    sb = sig.selectExpr(
+        "doc_id AS doc_b", *[f"mh_{i} AS b_{i}" for i in range(num_perm)]
     )
-    matching = sum(
-        F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0) for i in range(num_perm)
+    matching = " + ".join(
+        f"(CASE WHEN a_{i} = b_{i} THEN 1 ELSE 0 END)" for i in range(num_perm)
     )
     # the candidate verdict needs no second LSH pass: both docs' full
     # signatures are already on the row, and "some band fully agrees" is
     # a pure projection over them — also TRUE band agreement, with no
-    # band-key hash in the way
+    # band-key hash in the way (single-parse expr strings throughout:
+    # these ~50 comparison nodes through the Column API are pure py4j
+    # round-trip overhead, NOTES.md)
     rows = num_perm // bands
-    band_hit = None
-    for b in range(bands):
-        this = None
-        for r in range(rows):
-            eq = F.col(f"a_{b * rows + r}") == F.col(f"b_{b * rows + r}")
-            this = eq if this is None else (this & eq)
-        band_hit = this if band_hit is None else (band_hit | this)
+    band_hit = " OR ".join(
+        "(" + " AND ".join(f"a_{b * rows + r} = b_{b * rows + r}" for r in range(rows)) + ")"
+        for b in range(bands)
+    )
     return (
         pairs.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .withColumn("n_matching", matching.cast("int"))
+        .withColumn("n_matching", F.expr(f"CAST({matching} AS INT)"))
         .withColumn("est_jaccard", F.col("n_matching") / F.lit(float(num_perm)))
         .select(
             "doc_a",
@@ -1081,7 +1079,7 @@ def minhash_estimate_report(
             "n_matching",
             "est_jaccard",
             F.abs(F.col("est_jaccard") - F.col("exact_jaccard")).alias("abs_err"),
-            band_hit.alias("is_candidate"),
+            F.expr(band_hit).alias("is_candidate"),
         )
     )
 
