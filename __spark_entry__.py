@@ -5072,16 +5072,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER CONTRACT: the driver's correctness gate stamps the FIRST 50
-    # entries. Union of CORRECTNESS_r01..r03 covers 102 of the r3
-    # registry's 126; this round's first 50 = the 4 r3 red rows (output
-    # shapes fixed this round) + the 24 never-stamped entries + the 4
-    # entries whose only driver row is r1 + 10 new r4 queries
-    # (delayed_locators/reroll_diff/unit_changes/cascade_1440m/
-    # burn_rate/url_dedup/bigram_lm/embedding_outliers/glob_aggregate/
-    # multimodal_plan) + 8 sentinels re-confirming previously-green
-    # critical paths (incl. the two perf-trimmed ladder queries). When
-    # editing: anything moved past 50 must already have a green driver
-    # row in some round's CORRECTNESS file, or coverage regresses.
+    # entries. Union of CORRECTNESS_r01..r03 covers 102 of the current
+    # 159-query registry, leaving 57 never-stamped; this round's first
+    # 50 = the 4 r3 red rows (output shapes fixed this round) + 46 of
+    # the never-stamped. The remaining 11 never-stamped lead position
+    # 51+ so the NEXT round's window stamps them first, followed by the
+    # 4 entries whose only driver row is r1 and then previously-green
+    # rows. When editing: anything moved past 50 must already have a
+    # green driver row in some round's CORRECTNESS file, or coverage
+    # regresses.
     return {
         # -- r3 red rows, checked-output shapes fixed --
         "bf_statsd_normalize": bf_statsd_normalize,
@@ -5113,11 +5112,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_hash_embed": llm_hash_embed,
         "bf_downtime_report": bf_downtime_report,
         "ev_props_extract": ev_props_extract,
-        # -- only driver row is r1 --
-        "llm_lang_id": llm_lang_id,
-        "llm_token_counts": llm_token_counts,
-        "llm_quality_score": llm_quality_score,
-        "llm_train_split": llm_train_split,
         # -- new this round: S8/T4/P3 parity as checked batch queries --
         "bf_delayed_locators": bf_delayed_locators,
         "bf_reroll_diff": bf_reroll_diff,
@@ -5140,10 +5134,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bf_sampled_quantile": bf_sampled_quantile,
         "bf_zorder_layout": bf_zorder_layout,
         "llm_dup_spans": llm_dup_spans,
-        # -- sentinels: previously-green critical paths --
+        # -- round-4b adds pulled into the window (displace sentinels;
+        #    every displaced entry already has a green driver row) --
+        "bf_slot_eligibility": bf_slot_eligibility,
+        "bf_unit_history": bf_unit_history,
+        "llm_dup_pagerank": llm_dup_pagerank,
+        "llm_ann_recall_report": llm_ann_recall_report,
+        "ev_attribution": ev_attribution,
+        # ---- entry 51+: remaining never-stamped lead so the NEXT
+        #      round's window stamps them first, then the r1-only
+        #      re-confirms, then previously-green rows ----
+        "llm_word_fuzzy_pairs": llm_word_fuzzy_pairs,
+        "llm_ngram_novelty": llm_ngram_novelty,
+        "llm_silhouette": llm_silhouette,
+        "llm_char_entropy": llm_char_entropy,
+        "bf_compaction_plan": bf_compaction_plan,
+        "llm_ann_filtered_topk": llm_ann_filtered_topk,
+        "ev_type_lift": ev_type_lift,
+        "llm_embedding_drift": llm_embedding_drift,
+        "bf_heatmap_grid": bf_heatmap_grid,
+        "ev_cohort_ltv": ev_cohort_ltv,
+        "bf_trend_slope": bf_trend_slope,
+        "llm_lang_id": llm_lang_id,
+        "llm_token_counts": llm_token_counts,
+        "llm_quality_score": llm_quality_score,
+        "llm_train_split": llm_train_split,
         "bf_basic_merge_20m": bf_basic_merge_20m,
         "api_get_view": api_get_view,
-        # ---- entry 51+ (green driver rows in earlier rounds) ----
         "bf_timer_pct_map_merge": bf_timer_pct_map_merge,
         "llm_pipeline_output": llm_pipeline_output,
         "llm_kmeans_clusters": llm_kmeans_clusters,
@@ -5236,22 +5253,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_doc_fingerprint": llm_doc_fingerprint,
         "llm_ann_cosine_topk": llm_ann_cosine_topk,
         "llm_ngram_jaccard": llm_ngram_jaccard,
-        "llm_dup_pagerank": llm_dup_pagerank,
-        "llm_word_fuzzy_pairs": llm_word_fuzzy_pairs,
-        "llm_ngram_novelty": llm_ngram_novelty,
-        "llm_silhouette": llm_silhouette,
-        "llm_char_entropy": llm_char_entropy,
-        "bf_compaction_plan": bf_compaction_plan,
-        "llm_ann_filtered_topk": llm_ann_filtered_topk,
-        "bf_unit_history": bf_unit_history,
-        "ev_type_lift": ev_type_lift,
-        "llm_embedding_drift": llm_embedding_drift,
-        "ev_attribution": ev_attribution,
-        "bf_heatmap_grid": bf_heatmap_grid,
-        "ev_cohort_ltv": ev_cohort_ltv,
-        "llm_ann_recall_report": llm_ann_recall_report,
-        "bf_slot_eligibility": bf_slot_eligibility,
-        "bf_trend_slope": bf_trend_slope,
     }
 
 
