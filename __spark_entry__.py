@@ -1845,6 +1845,254 @@ FROM slopes GROUP BY 1, 2
 """
 
 
+def bf_xcorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between metric pairs — "does queue depth
+    follow request rate 8 hours later?" Every ordered metric pair within
+    a tenant is correlated at lags 0..4 of 4h windows (Pearson over the
+    windows where both series observed samples).
+
+    Determinism: per-window mass is exact integer cents; the five
+    Pearson moments (Σx, Σy, Σxy, Σx², Σy²) are exact BIGINT sums; the
+    correlation is computed from single CASTs of those exact ints and a
+    fixed double expression tree — identical IEEE ops on both engines,
+    so the emitted double is bit-identical. NULL when either variance
+    is zero (constant series ⇒ correlation undefined).
+
+    Scale shape: one groupBy to windows, then ONE equi-join on
+    (tenant, shifted window) — per (tenant, window) the fan-out is
+    #metrics × #lags, both constants. The moment agg is map-side
+    combinable. No driver state, no collect."""
+    per_w = _raw_metrics(spark, sf_dir).groupBy(
+        "tenant_id",
+        "metric_name",
+        F.expr("CAST(ts DIV 14400000 AS BIGINT)").alias("w"),
+    ).agg(F.expr("sum(CAST(round(value * 100) AS BIGINT))").alias("cents"))
+    a = per_w.select(
+        "tenant_id",
+        F.col("metric_name").alias("metric_a"),
+        "w",
+        F.col("cents").alias("xa"),
+    ).withColumn("lag", F.explode(F.expr("sequence(0, 4)")))
+    b = per_w.select(
+        F.col("tenant_id").alias("tenant_b"),
+        F.col("metric_name").alias("metric_b"),
+        F.col("w").alias("wb"),
+        F.col("cents").alias("yb"),
+    )
+    j = a.join(
+        b,
+        (F.col("tenant_id") == F.col("tenant_b"))
+        & (F.col("wb") == F.col("w") + F.col("lag"))
+        & (F.col("metric_a") < F.col("metric_b")),
+    )
+    stats = j.groupBy("tenant_id", "metric_a", "metric_b", "lag").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum("xa").alias("sx"),
+        F.sum("yb").alias("sy"),
+        F.sum(F.col("xa") * F.col("yb")).alias("sxy"),
+        F.sum(F.col("xa") * F.col("xa")).alias("sxx"),
+        F.sum(F.col("yb") * F.col("yb")).alias("syy"),
+    )
+    corr = F.expr(
+        "CASE WHEN CAST(n_windows AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        "          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0D"
+        "      AND CAST(n_windows AS DOUBLE) * CAST(syy AS DOUBLE)"
+        "          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0D"
+        " THEN (CAST(n_windows AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        "       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        "      / (sqrt(CAST(n_windows AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        "              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+        "         * sqrt(CAST(n_windows AS DOUBLE) * CAST(syy AS DOUBLE)"
+        "                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+        " END"
+    )
+    return stats.select(
+        "tenant_id", "metric_a", "metric_b", "lag", "n_windows", corr.alias("xcorr")
+    )
+
+
+_BF_XCORR_LAG_SQL = _RAW_CTE + """
+, per_w AS (
+  SELECT tenant_id, metric_name, ts // 14400000 AS w,
+         sum(CAST(round(value * 100) AS BIGINT)) AS cents
+  FROM raw GROUP BY 1, 2, 3
+),
+lags AS (SELECT UNNEST(range(0, 5)) AS lag),
+stats AS (
+  SELECT a.tenant_id, a.metric_name AS metric_a, b.metric_name AS metric_b,
+         l.lag,
+         count(*)                AS n_windows,
+         sum(a.cents)            AS sx,
+         sum(b.cents)            AS sy,
+         sum(a.cents * b.cents)  AS sxy,
+         sum(a.cents * a.cents)  AS sxx,
+         sum(b.cents * b.cents)  AS syy
+  FROM per_w a CROSS JOIN lags l
+  JOIN per_w b
+    ON a.tenant_id = b.tenant_id AND b.w = a.w + l.lag
+   AND a.metric_name < b.metric_name
+  GROUP BY 1, 2, 3, 4
+)
+SELECT tenant_id, metric_a, metric_b, CAST(lag AS BIGINT) AS lag,
+       CAST(n_windows AS BIGINT) AS n_windows,
+       CASE WHEN CAST(n_windows AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+             AND CAST(n_windows AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+        THEN (CAST(n_windows AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(CAST(n_windows AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * sqrt(CAST(n_windows AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+       END AS xcorr
+FROM stats
+"""
+
+
+def bf_alert_hysteresis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alerting state machine with hysteresis — ALARM after K=3
+    consecutive breached windows, OK again only after M=2 consecutive
+    clear windows (the anti-flap rule every production alerter applies;
+    bf_sustained_breach is the duration form, this is the run-count
+    form with an explicit two-threshold state machine).
+
+    Semantics over OBSERVED 1h windows (missing windows don't advance
+    the machine — at these SFs the calendar is sparse). Runs come from
+    gaps-and-islands; a breach-run of length ≥ K is a candidate trigger
+    at its K-th window, a clear-run of length ≥ M a candidate resolve
+    at its M-th. The live state before each candidate is the last
+    DECISIVE run's flag (windowed last-non-null) — a candidate only
+    fires on a real OFF→ON / ON→OFF transition, so re-triggers inside
+    an active alarm are suppressed. Real transitions alternate by
+    construction, so each trigger's resolve is its lead().
+
+    All checked columns are exact integers. Scale: ONE exchange on the
+    series key serves the windows, both islands passes, and the event
+    pairing; per-run collect_list is bounded by a series' window count
+    (calendar-bounded, the bf_trend_slope argument)."""
+    from pyspark.sql.window import Window
+
+    K, M, THRESH_CENTS = 3, 2, 7000
+    per_w = _raw_metrics(spark, sf_dir).groupBy(
+        "tenant_id",
+        "metric_name",
+        F.expr("CAST(ts DIV 3600000 AS BIGINT) * 3600000").alias("window_start"),
+    ).agg(F.expr("sum(CAST(round(value * 100) AS BIGINT))").alias("cents"))
+    flagged = per_w.withColumn(
+        "breach", (F.col("cents") >= THRESH_CENTS).cast("int")
+    )
+    w = Window.partitionBy("tenant_id", "metric_name").orderBy("window_start")
+    wf = Window.partitionBy("tenant_id", "metric_name", "breach").orderBy(
+        "window_start"
+    )
+    runs = (
+        flagged.withColumn(
+            "grp", F.row_number().over(w) - F.row_number().over(wf)
+        )
+        .groupBy("tenant_id", "metric_name", "breach", "grp")
+        .agg(
+            F.count(F.lit(1)).alias("run_len"),
+            F.min("window_start").alias("first_ms"),
+            F.sort_array(F.collect_list("window_start")).alias("ws"),
+        )
+        .withColumn(
+            "event_ms",
+            F.when(
+                (F.col("breach") == 1) & (F.col("run_len") >= K),
+                F.element_at("ws", K),
+            ).when(
+                (F.col("breach") == 0) & (F.col("run_len") >= M),
+                F.element_at("ws", M),
+            ),
+        )
+        .withColumn(
+            "state", F.when(F.col("event_ms").isNotNull(), F.col("breach"))
+        )
+        .drop("ws")
+    )
+    wr = Window.partitionBy("tenant_id", "metric_name").orderBy("first_ms")
+    prev_state = F.last("state", ignorenulls=True).over(
+        wr.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    events = runs.withColumn("prev_state", prev_state).filter(
+        (
+            (F.col("state") == 1)
+            & (F.col("prev_state").isNull() | (F.col("prev_state") == 0))
+        )
+        | ((F.col("state") == 0) & (F.col("prev_state") == 1))
+    )
+    we = Window.partitionBy("tenant_id", "metric_name").orderBy("event_ms")
+    episodes = events.withColumn(
+        "resolve_ms", F.lead("event_ms").over(we)
+    ).filter(F.col("state") == 1)
+    return episodes.select(
+        "tenant_id",
+        "metric_name",
+        F.col("event_ms").alias("trigger_ms"),
+        "resolve_ms",
+        F.col("run_len").alias("n_breach_windows"),
+    )
+
+
+_BF_ALERT_HYSTERESIS_SQL = _RAW_CTE + """
+, per_w AS (
+  SELECT tenant_id, metric_name, (ts // 3600000) * 3600000 AS window_start,
+         sum(CAST(round(value * 100) AS BIGINT)) AS cents
+  FROM raw GROUP BY 1, 2, 3
+),
+flagged AS (
+  SELECT *, CASE WHEN cents >= 7000 THEN 1 ELSE 0 END AS breach FROM per_w
+),
+grouped AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY tenant_id, metric_name
+                            ORDER BY window_start)
+         - row_number() OVER (PARTITION BY tenant_id, metric_name, breach
+                              ORDER BY window_start) AS grp
+  FROM flagged
+),
+runs AS (
+  SELECT tenant_id, metric_name, breach, grp,
+         count(*) AS run_len,
+         min(window_start) AS first_ms,
+         list(window_start ORDER BY window_start) AS ws
+  FROM grouped GROUP BY 1, 2, 3, 4
+),
+decided AS (
+  SELECT tenant_id, metric_name, breach, run_len, first_ms,
+         CASE WHEN breach = 1 AND run_len >= 3 THEN ws[3]
+              WHEN breach = 0 AND run_len >= 2 THEN ws[2] END AS event_ms,
+         CASE WHEN (breach = 1 AND run_len >= 3)
+                OR (breach = 0 AND run_len >= 2) THEN breach END AS state
+  FROM runs
+),
+staged AS (
+  SELECT *,
+         last_value(state IGNORE NULLS) OVER (
+           PARTITION BY tenant_id, metric_name ORDER BY first_ms
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_state
+  FROM decided
+),
+transitions AS (
+  SELECT * FROM staged
+  WHERE (state = 1 AND (prev_state IS NULL OR prev_state = 0))
+     OR (state = 0 AND prev_state = 1)
+),
+episodes AS (
+  SELECT *,
+         lead(event_ms) OVER (PARTITION BY tenant_id, metric_name
+                              ORDER BY event_ms) AS resolve_ms
+  FROM transitions
+)
+SELECT tenant_id, metric_name,
+       CAST(event_ms AS BIGINT) AS trigger_ms,
+       CAST(resolve_ms AS BIGINT) AS resolve_ms,
+       CAST(run_len AS BIGINT) AS n_breach_windows
+FROM episodes WHERE state = 1
+"""
+
+
 def bf_unit_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3 analyzer, SCD2 form: the unit-change stream of bf_unit_changes
     materialized as a slowly-changing-dimension INTERVAL table — one row
@@ -3999,6 +4247,25 @@ def llm_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MIX_BUDGETS = {"src0": 12_000, "src1": 3_000, "src2": 8_000}
 
 
+def llm_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source re-weighting (operators/text.py
+    temperature_mix, the XLM-R/mT5 sampling rule at α=0.5): per-source
+    token shares flattened by sqrt, floor-quantized to 1e-12, budget
+    allocated by pure integer division. One map-side-combinable agg +
+    a #sources-row window."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.temperature_mix(docs, total_budget_tokens=10_000)
+
+
+def llm_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversification (operators/similarity.py mmr_diversify):
+    greedy λ=0.5 re-rank of each query's cosine top-16 down to 5
+    mutually-dissimilar picks — quantized BIGINT argmax each step, a
+    fixed 4-iteration DataFrame loop, no collect."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.mmr_diversify(emb, query_ids=(0, 7, 21), pool=16, k_out=5)
+
+
 def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (operators/similarity.py semdedup): k-means the corpus,
     compare pairs only WITHIN a cluster, prune any vector whose cosine
@@ -5155,6 +5422,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bf_heatmap_grid": bf_heatmap_grid,
         "ev_cohort_ltv": ev_cohort_ltv,
         "bf_trend_slope": bf_trend_slope,
+        "bf_xcorr_lag": bf_xcorr_lag,
+        "bf_alert_hysteresis": bf_alert_hysteresis,
+        "llm_temperature_mix": llm_temperature_mix,
+        "llm_mmr_diversify": llm_mmr_diversify,
         "llm_lang_id": llm_lang_id,
         "llm_token_counts": llm_token_counts,
         "llm_quality_score": llm_quality_score,
@@ -5330,6 +5601,12 @@ def oracle_sql() -> dict[str, str]:
         "llm_ann_recall_report": _llm_ann_recall_sql(),
         "bf_slot_eligibility": _BF_SLOT_ELIGIBILITY_SQL,
         "bf_trend_slope": _BF_TREND_SLOPE_SQL,
+        "bf_xcorr_lag": _BF_XCORR_LAG_SQL,
+        "bf_alert_hysteresis": _BF_ALERT_HYSTERESIS_SQL,
+        "llm_temperature_mix": TX.temperature_mix_sql(total_budget_tokens=10_000),
+        "llm_mmr_diversify": SIM.mmr_diversify_sql(
+            query_ids=(0, 7, 21), pool=16, k_out=5
+        ),
         "llm_minhash_signatures": D.minhash_signatures_sql(),
         "llm_minhash_lsh": D.minhash_lsh_pairs_sql(),
         "llm_dedup_clusters": _llm_dedup_clusters_sql(),

@@ -1975,3 +1975,183 @@ def probe_ivf_index(
         .filter(F.col("rank") <= k)
         .select("q_id", F.col(id_col).alias("c_id"), "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversification (Carbonell & Goldstein 1998) — re-rank a retrieval
+# pool so results are relevant AND mutually dissimilar
+# ---------------------------------------------------------------------------
+
+
+def mmr_diversify(
+    emb: DataFrame,
+    query_ids: tuple[int, ...] = (0, 7, 21),
+    pool: int = 16,
+    k_out: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking: greedily pick k_out results
+    from each query's cosine top-`pool`, where pick i maximizes
+    λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s). λ is FIXED at 0.5, so
+    the argmax objective reduces to rel_q − maxsim_q on floor-quantized
+    nano-cosines — pure BIGINT comparisons, bit-identical across engines
+    (ties to the lower candidate id).
+
+    The greedy loop runs a FIXED k_out−1 iterations of candidate-set
+    DataFrame ops (anti-join the picked set, max-sim against it, argmax)
+    — no collect, no driver values; each frame is queries × pool rows
+    regardless of corpus size, so the loop's cost is constant while the
+    retrieval stage carries the scale story (swap cosine_topk for the
+    IVF/LSH retrievers at 100 TB). The candidate pairwise-sim frame is
+    lazily checkpointed once (self-join-subtree rule) and reused by
+    every iteration."""
+    q = emb.filter(F.col(id_col).isin(*query_ids)).select(
+        F.col(id_col).alias("q_id"), F.col(emb_col).alias("q_emb")
+    )
+    c = emb.select(F.col(id_col).alias("c_id"), F.col(emb_col).alias("c_emb"))
+    cands = (
+        cosine_topk(q, c, k=pool)
+        .select(
+            "q_id",
+            "c_id",
+            F.floor(F.col("cosine") * 1_000_000_000).cast("long").alias("rel_q"),
+        )
+        .join(
+            F.broadcast(emb.select(F.col(id_col).alias("c_id"), F.col(emb_col).alias("c_emb"))),
+            "c_id",
+        )
+        .localCheckpoint(eager=False)
+    )
+    pa = cands.select("q_id", F.col("c_id").alias("a_id"), F.col("c_emb").alias("a_emb"))
+    pb = cands.select("q_id", F.col("c_id").alias("b_id"), F.col("c_emb").alias("b_emb"))
+    sims = (
+        pa.join(pb, "q_id")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select(
+            "q_id",
+            "a_id",
+            "b_id",
+            F.floor(
+                (_dot("a_emb", "b_emb") / (_norm("a_emb") * _norm("b_emb")))
+                * 1_000_000_000
+            )
+            .cast("long")
+            .alias("sim_q"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    slim = cands.select("q_id", "c_id", "rel_q")
+    w = Window.partitionBy("q_id")
+    sel = (
+        slim.withColumn(
+            "r", F.row_number().over(w.orderBy(F.col("rel_q").desc(), "c_id"))
+        )
+        .filter(F.col("r") == 1)
+        .select("q_id", "c_id", "rel_q", F.lit(1).alias("pick_order"))
+    )
+    for i in range(2, k_out + 1):
+        picked = sel.select("q_id", F.col("c_id").alias("b_id"))
+        maxsim = (
+            sims.join(picked, ["q_id", "b_id"])
+            .groupBy("q_id", "a_id")
+            .agg(F.max("sim_q").alias("maxsim_q"))
+        )
+        # left_anti drops already-picked; every remaining candidate has a
+        # maxsim row because the picked set is non-empty and sims is total
+        scored = (
+            slim.join(sel.select("q_id", "c_id"), ["q_id", "c_id"], "left_anti")
+            .join(
+                maxsim.withColumnRenamed("a_id", "c_id"), ["q_id", "c_id"]
+            )
+            .withColumn("mmr_q", F.col("rel_q") - F.col("maxsim_q"))
+        )
+        pick = (
+            scored.withColumn(
+                "r", F.row_number().over(w.orderBy(F.col("mmr_q").desc(), "c_id"))
+            )
+            .filter(F.col("r") == 1)
+            .select("q_id", "c_id", "rel_q", F.lit(i).alias("pick_order"))
+        )
+        sel = sel.unionByName(pick).localCheckpoint(eager=False)
+    return sel.select(
+        "q_id", "c_id", F.col("pick_order").cast("long").alias("pick_order"), "rel_q"
+    )
+
+
+def mmr_diversify_sql(
+    query_ids: tuple[int, ...] = (0, 7, 21),
+    pool: int = 16,
+    k_out: int = 5,
+    id_col: str = "vec_id",
+) -> str:
+    """Unrolled-CTE twin: one sel_i CTE per greedy iteration, each taking
+    the quantized argmax over the not-yet-picked pool exactly like the
+    Spark loop."""
+    ids = ", ".join(str(i) for i in query_ids)
+    cos = (
+        "list_sum(list_transform(list_zip({a}, {b}),"
+        " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+        " / (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        " * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+    )
+    parts = [
+        f"""
+WITH qs AS (
+  SELECT {id_col} AS q_id, embedding AS q_emb FROM embeddings
+  WHERE {id_col} IN ({ids})
+),
+ranked AS (
+  SELECT q_id, c_id, rel_q, row_number() OVER (
+           PARTITION BY q_id ORDER BY rel_q DESC, c_id) AS r
+  FROM (
+    SELECT qs.q_id, c.{id_col} AS c_id,
+           CAST(floor(({cos.format(a="qs.q_emb", b="c.embedding")}) * 1000000000)
+                AS BIGINT) AS rel_q
+    FROM qs CROSS JOIN embeddings c WHERE qs.q_id != c.{id_col}
+  )
+),
+cands AS (SELECT q_id, c_id, rel_q FROM ranked WHERE r <= {pool}),
+sims AS (
+  SELECT a.q_id, a.c_id AS a_id, b.c_id AS b_id,
+         CAST(floor(({cos.format(a="ea.embedding", b="eb.embedding")}) * 1000000000)
+              AS BIGINT) AS sim_q
+  FROM cands a
+  JOIN cands b ON a.q_id = b.q_id AND a.c_id != b.c_id
+  JOIN embeddings ea ON ea.{id_col} = a.c_id
+  JOIN embeddings eb ON eb.{id_col} = b.c_id
+),
+sel_1 AS (
+  SELECT q_id, c_id, rel_q, 1 AS pick_order FROM cands
+  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY rel_q DESC, c_id) = 1
+)"""
+    ]
+    prev = "sel_1"
+    for i in range(2, k_out + 1):
+        parts.append(
+            f""",
+sel_{i} AS (
+  SELECT q_id, c_id, rel_q, {i} AS pick_order FROM (
+    SELECT c.q_id, c.c_id, c.rel_q,
+           row_number() OVER (PARTITION BY c.q_id
+                              ORDER BY c.rel_q - m.maxsim_q DESC, c.c_id) AS r
+    FROM cands c
+    JOIN (SELECT s.q_id, s.a_id, max(s.sim_q) AS maxsim_q
+          FROM sims s JOIN {prev} p ON s.q_id = p.q_id AND s.b_id = p.c_id
+          GROUP BY 1, 2) m
+      ON c.q_id = m.q_id AND c.c_id = m.a_id
+    WHERE NOT EXISTS (SELECT 1 FROM {prev} p
+                      WHERE p.q_id = c.q_id AND p.c_id = c.c_id)
+  ) WHERE r = 1
+)"""
+        )
+        parts.append(
+            f""",
+sel_all_{i} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM sel_{i})"""
+        )
+        prev = f"sel_all_{i}"
+    parts.append(
+        f"""
+SELECT q_id, c_id, CAST(pick_order AS BIGINT) AS pick_order, rel_q FROM {prev}"""
+    )
+    return "".join(parts)

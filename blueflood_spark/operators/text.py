@@ -2014,3 +2014,75 @@ SELECT doc_id,
          AS entropy_micro
 FROM per
 """
+
+
+def temperature_mix(
+    docs: DataFrame,
+    total_budget_tokens: int = 10_000,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-based source re-weighting (the multilingual-corpus
+    sampling rule of XLM-R / mT5, arXiv:1911.02116 §3.1): a source's
+    sampling weight is its token share raised to alpha < 1, flattening
+    the head so low-resource sources aren't drowned. alpha is FIXED at
+    0.5 because sqrt is an IEEE-754 correctly-rounded primitive — the
+    one exponent whose per-engine pow() cannot diverge in the last ulp.
+
+    Determinism: token counts are exact integer sums; share = one IEEE
+    division of exact ints; weight = sqrt(share) (correctly rounded);
+    the weight is floor-quantized to 1e-12 BIGINT before any further
+    arithmetic, so the final allocation `budget * wq DIV sum(wq)` is
+    pure integer math — bit-identical on any engine.
+
+    Scale shape: one map-side-combinable groupBy on the source key, then
+    a window over the SOURCE TABLE (rows = #sources, a constant — the
+    single-partition WindowExec warning is about a k-row frame). No
+    joins, no doc-level shuffle beyond the agg."""
+    from pyspark.sql.window import Window
+
+    per_src = docs.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col(text_col), " "))).cast("long").alias("n_tokens"),
+    )
+    w_all = Window.partitionBy()
+    per_src = per_src.withColumn("total_tokens", F.sum("n_tokens").over(w_all))
+    wq = F.floor(
+        F.sqrt(F.col("n_tokens").cast("double") / F.col("total_tokens").cast("double"))
+        * F.lit(1_000_000_000_000)
+    ).cast("long")
+    per_src = per_src.withColumn("weight_q", wq).withColumn(
+        "sum_wq", F.sum("weight_q").over(w_all)
+    )
+    return per_src.select(
+        group_col,
+        "n_docs",
+        "n_tokens",
+        "weight_q",
+        F.expr(f"CAST({total_budget_tokens}L * weight_q DIV sum_wq AS BIGINT)").alias(
+            "alloc_tokens"
+        ),
+    )
+
+
+def temperature_mix_sql(
+    total_budget_tokens: int = 10_000,
+    group_col: str = "source",
+) -> str:
+    return f"""
+WITH per_src AS (
+  SELECT {group_col},
+         count(*) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1
+),
+weighted AS (
+  SELECT *,
+         CAST(floor(sqrt(CAST(n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER () AS DOUBLE))
+                    * 1000000000000) AS BIGINT) AS weight_q
+  FROM per_src
+)
+SELECT {group_col}, n_docs, n_tokens, weight_q,
+       CAST({total_budget_tokens} * weight_q // sum(weight_q) OVER () AS BIGINT) AS alloc_tokens
+FROM weighted
+"""
