@@ -696,3 +696,131 @@ def start_touch_join_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_alert_stream(
+    spark: SparkSession,
+    raw_path: str,
+    alerts_out_path: str,
+    checkpoint: str,
+    window_ms: int = 3_600_000,
+    k_breach: int = 3,
+    m_clear: int = 2,
+    thresh_cents: int = 7000,
+    close_delay_ms: int = 0,
+    available_now: bool = True,
+):
+    """Streaming face of bf_alert_hysteresis: the K-consecutive-breach /
+    M-consecutive-clear alert state machine as a CUSTOM STATEFUL
+    OPERATOR (applyInPandasWithState). Per series the state carries the
+    machine registers (alarm, current run flag/length), the OPEN
+    windows' partial cent sums, and the series' event-time high-water
+    mark; a window is CLOSED — and only then fed to the machine, in
+    ascending order — once the series has seen a sample at least
+    `window_ms + close_delay_ms` past its start (per-series event-time
+    closing, the same discipline the batch twin gets for free from
+    completed windows). Emits one row per OFF→ON / ON→OFF transition.
+
+    Divergence note vs the batch twin: the stream emits the transition
+    EVENTS (trigger/resolve timestamps — identical to the batch
+    episodes' boundaries on the closed-window prefix); the batch
+    episode's n_breach_windows (full triggering-run length) isn't known
+    at trigger time in a stream, so it is not emitted here. Samples for
+    a window the machine has already consumed are DROPPED (the
+    watermark rule — `close_delay_ms` is the allowed lateness), so the
+    machine never replays out of order.
+
+    Scale shape: state per series is O(open windows) — bounded by
+    out-of-orderness, not history; the machine registers are O(1). The
+    shuffle key is the series locator, exactly the rollup pipeline's
+    partitioning."""
+    import json as _json
+
+    import pandas as pd
+
+    raw = spark.readStream.schema(
+        "tenant_id string, metric_name string, ts long, value double, unit string,"
+        " ttl_seconds int, batch_id long, date date"
+    ).parquet(raw_path)
+    samples = raw.select(
+        "tenant_id",
+        "metric_name",
+        "ts",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+
+    out_schema = (
+        "tenant_id string, metric_name string, event_ms long, event string"
+    )
+    state_schema = (
+        "alarm int, run_flag int, run_len int, open_json string,"
+        " max_ts long, closed_hi long"
+    )
+
+    def machine(key, pdfs, state):
+        if state.hasTimedOut:  # pragma: no cover - NoTimeout configured
+            state.remove()
+            return
+        if state.exists:
+            alarm, run_flag, run_len, open_json, max_ts, closed_hi = state.get
+            open_w = {int(k): int(v) for k, v in _json.loads(open_json).items()}
+        else:
+            alarm, run_flag, run_len, open_w, max_ts = 0, -1, 0, {}, 0
+            closed_hi = -(2**62)
+        for pdf in pdfs:
+            ws_col = (pdf["ts"] // window_ms) * window_ms
+            for ws, cents in zip(ws_col, pdf["cents"]):
+                if int(ws) > closed_hi:  # watermark rule: too-late → drop
+                    open_w[int(ws)] = open_w.get(int(ws), 0) + int(cents)
+            if len(pdf):
+                max_ts = max(max_ts, int(pdf["ts"].max()))
+        events = []
+        for ws in sorted(w for w in open_w if w + window_ms + close_delay_ms <= max_ts):
+            closed_hi = ws
+            flag = 1 if open_w.pop(ws) >= thresh_cents else 0
+            if flag == run_flag:
+                run_len += 1
+            else:
+                run_flag, run_len = flag, 1
+            if flag == 1 and run_len == k_breach and alarm == 0:
+                alarm = 1
+                events.append((ws, "trigger"))
+            elif flag == 0 and run_len == m_clear and alarm == 1:
+                alarm = 0
+                events.append((ws, "resolve"))
+        state.update(
+            (
+                alarm,
+                run_flag,
+                run_len,
+                _json.dumps({str(k): v for k, v in open_w.items()}),
+                max_ts,
+                closed_hi,
+            )
+        )
+        if events:
+            yield pd.DataFrame(
+                {
+                    "tenant_id": [key[0]] * len(events),
+                    "metric_name": [key[1]] * len(events),
+                    "event_ms": [e[0] for e in events],
+                    "event": [e[1] for e in events],
+                }
+            )
+
+    transitions = samples.groupBy("tenant_id", "metric_name").applyInPandasWithState(
+        machine,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+    writer = (
+        transitions.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", alerts_out_path)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -572,3 +572,128 @@ def test_stream_stream_interval_join_matches_bruteforce(spark, tmp_path):
         if c_u == t_u and c_ts - 30_000 <= t_ts < c_ts
     }
     assert got == want and len(want) == 3
+
+
+def test_alert_stream_matches_sequential_machine(spark, tmp_path):
+    """The streaming hysteresis machine (applyInPandasWithState) emits
+    exactly the trigger/resolve events a sequential K=3/M=2 walk over
+    the CLOSED windows produces — across a restart, with intra-window
+    accumulation, out-of-order-but-in-horizon samples, and a too-late
+    sample that must be dropped."""
+    import os
+
+    raw_dir = str(tmp_path / "alert_raw")
+    out_dir = str(tmp_path / "alert_out")
+    ckpt = str(tmp_path / "ckpt_alerts")
+    os.makedirs(raw_dir)
+    HOUR = 3_600_000
+    base = 1_700_000_000_000 - (1_700_000_000_000 % HOUR)
+
+    def sample(w, value, off=0):
+        return ("t0", "m.cpu", base + w * HOUR + off, value, "", 0, 0, None)
+
+    schema = (
+        "tenant_id string, metric_name string, ts long, value double,"
+        " unit string, ttl_seconds int, batch_id long, date date"
+    )
+    # window flags (7000-cent threshold): 1 1 1 0 1 0 0 1 1 1 1 0 0
+    flags = [1, 1, 1, 0, 1, 0, 0, 1, 1, 1, 1, 0, 0]
+    # expected events from the sequential machine:
+    #   trigger @ w2 (3rd breach), resolve @ w6 (2nd clear after alarm),
+    #   trigger @ w9 (3rd breach of the 4-run), resolve @ w12
+    expect = [
+        (base + 2 * HOUR, "trigger"),
+        (base + 6 * HOUR, "resolve"),
+        (base + 9 * HOUR, "trigger"),
+        (base + 12 * HOUR, "resolve"),
+    ]
+    rows1 = []
+    for w, f in enumerate(flags[:8]):
+        if w == 1:
+            # intra-window accumulation: two 40.0 samples = 8000 cents
+            rows1 += [sample(w, 40.0), sample(w, 40.0, off=MIN)]
+        elif w == 5:
+            continue  # w5's sample arrives out of order in chunk 2
+        else:
+            rows1.append(sample(w, 80.0 if f else 10.0))
+    # chunk 1 advances max_ts to w7; the 2h lateness allowance keeps
+    # w5 and w6 open (closed horizon after chunk 1 = w0..w4)
+    spark.createDataFrame(rows1, schema).repartition(1).write.mode("append").parquet(raw_dir)
+    P.start_alert_stream(spark, raw_dir, out_dir, ckpt,
+                         close_delay_ms=2 * HOUR).awaitTermination(120)
+
+    rows2 = [sample(5, 10.0)]  # late but in-horizon: w5 not yet closed
+    rows2 += [sample(w, 80.0 if f else 10.0) for w, f in enumerate(flags) if w >= 8]
+    rows2.append(sample(0, 9999.0))  # too late: w0 closed — MUST be dropped
+    rows2.append(sample(20, 1.0))  # far future: closes everything ≤ w17
+    spark.createDataFrame(rows2, schema).repartition(1).write.mode("append").parquet(raw_dir)
+    P.start_alert_stream(spark, raw_dir, out_dir, ckpt,
+                         close_delay_ms=2 * HOUR).awaitTermination(120)
+
+    got = sorted(
+        (r["event_ms"], r["event"])
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    assert got == expect
+
+
+def test_alert_stream_agrees_with_batch_hysteresis_prefix(spark, tmp_path):
+    """Differential on real data: stream the sf0.001 raw samples in two
+    chunks; the emitted trigger/resolve events must equal the batch
+    bf_alert_hysteresis episodes restricted to each series' closed
+    windows."""
+    import os
+
+    import __spark_entry__ as E
+
+    raw_dir = str(tmp_path / "alert_raw2")
+    out_dir = str(tmp_path / "alert_out2")
+    ckpt = str(tmp_path / "ckpt_alerts2")
+    os.makedirs(raw_dir)
+    HOUR = 3_600_000
+    raw = (
+        E._raw_metrics(spark, "/root/testdata/sf0.001")
+        .select(
+            "tenant_id",
+            "metric_name",
+            "ts",
+            "value",
+            F.lit("").alias("unit"),
+            F.lit(0).alias("ttl_seconds"),
+            F.lit(0).cast("long").alias("batch_id"),
+            F.lit(None).cast("date").alias("date"),
+        )
+        .cache()
+    )
+    mid = raw.agg(F.expr("percentile(ts, 0.5D)")).collect()[0][0]
+    raw.filter(F.col("ts") <= mid).write.mode("append").parquet(raw_dir)
+    P.start_alert_stream(spark, raw_dir, out_dir, ckpt).awaitTermination(180)
+    raw.filter(F.col("ts") > mid).write.mode("append").parquet(raw_dir)
+    P.start_alert_stream(spark, raw_dir, out_dir, ckpt).awaitTermination(180)
+
+    got = {}
+    for r in spark.read.parquet(out_dir).collect():
+        got.setdefault((r["tenant_id"], r["metric_name"]), []).append(
+            (r["event_ms"], r["event"])
+        )
+    for k in got:
+        got[k].sort()
+
+    # closed horizon per series: windows with ws + HOUR <= max(ts)
+    closed = {
+        (r["tenant_id"], r["metric_name"]): (r["mx"] - HOUR)
+        for r in raw.groupBy("tenant_id", "metric_name")
+        .agg(F.max("ts").alias("mx"))
+        .collect()
+    }
+    expect = {}
+    for r in E.bf_alert_hysteresis(spark, "/root/testdata/sf0.001").collect():
+        k = (r["tenant_id"], r["metric_name"])
+        if r["trigger_ms"] <= closed[k]:
+            expect.setdefault(k, []).append((r["trigger_ms"], "trigger"))
+        if r["resolve_ms"] is not None and r["resolve_ms"] <= closed[k]:
+            expect.setdefault(k, []).append((r["resolve_ms"], "resolve"))
+    for k in expect:
+        expect[k].sort()
+    raw.unpersist()
+    assert got == expect

@@ -89,6 +89,10 @@ CASES = {
     "llm_ann_recall_report": "ANN recall report: exact arm priced by the query set (broadcast corpus), approximate arms reuse the production kernels; hit counting is two left-semi joins on (q, c)",
     "bf_slot_eligibility": "slot work queue: one map-side-combinable agg to (slot, shard) grain + a broadcast 1-row NOW — scheduler state derived, never stored",
     "bf_trend_slope": "Theil-Sen: per-series pair self-join bounded by calendar windows², one percentile agg — robust trend without a per-pair shuffle of raw data",
+    "bf_xcorr_lag": "lagged cross-correlation: ONE equi-join on (tenant, shifted window); lag fan-out is a 5-element explode; the 5-moment agg is map-side combinable",
+    "bf_alert_hysteresis": "alert hysteresis: ONE series-key exchange serves both islands windows, the run agg, the decisive-state window, and the episode lead",
+    "llm_temperature_mix": "temperature mix: one map-side-combinable source agg; the only window runs over #sources rows (a constant) — the single-partition WindowExec is a k-row frame",
+    "llm_mmr_diversify": "MMR: retrieval stage broadcasts the corpus once; candidate pairwise sims lazily checkpointed and reused by every greedy iteration — loop frames are queries×pool rows, constants",
 }
 
 
