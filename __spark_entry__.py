@@ -5329,6 +5329,204 @@ WHERE 't' || CAST(user_id % 4 AS VARCHAR) = 't2'
 
 
 # ---------------------------------------------------------------------------
+# round-4d series robustness + tokenizer/corpus diagnostics
+# ---------------------------------------------------------------------------
+
+def bf_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier detection per 5m rollup series —
+    the robust complement to bf_anomaly_zscore (a single spike inflates a
+    trailing stddev and masks later spikes; it cannot move the median).
+    Flag |x − med| > 3·1.4826·MAD (the normal-consistent scale factor).
+
+    Determinism: Spark `median` and DuckDB `median` are both exact
+    interpolated percentile-0.5 over identical doubles, so med/MAD are
+    bit-equal; the flag compares floor-quantized micro integers so a
+    last-ulp wobble can't flip it. Scale shape: two map-side-combinable
+    groupBys on the series key + two equi-joins on that same key — AQE
+    broadcasts the (small) per-series stats frames."""
+    raw = _raw_metrics(spark, sf_dir)
+    r5 = R.basic_from_raw(raw, G.MIN_5).localCheckpoint(eager=False)
+    keys = ["tenant_id", "metric_name"]
+    med = r5.groupBy(*keys).agg(F.median("avg").alias("med"))
+    dev = r5.join(med, keys).withColumn("absdev", F.abs(F.col("avg") - F.col("med")))
+    mad = dev.groupBy(*keys).agg(F.median("absdev").alias("mad"))
+    scored = dev.join(mad, keys)
+    score_micro = F.floor(F.col("absdev") * 1_000_000).cast("long")
+    thresh_micro = F.floor(F.col("mad") * F.lit(3 * 1.4826) * 1_000_000).cast("long")
+    return scored.select(
+        "tenant_id",
+        "metric_name",
+        "window_start",
+        F.floor(F.col("avg") * 1_000_000).cast("long").alias("value_micro"),
+        F.floor(F.col("med") * 1_000_000).cast("long").alias("med_micro"),
+        F.floor(F.col("mad") * 1_000_000).cast("long").alias("mad_micro"),
+        (score_micro > thresh_micro).alias("is_outlier"),
+    )
+
+
+_BF_OUTLIER_MAD_SQL = _R5_CTE + """
+, med AS (
+  SELECT tenant_id, metric_name, median(avg_val) AS med
+  FROM r5 GROUP BY 1, 2
+),
+dev AS (
+  SELECT r5.tenant_id, r5.metric_name, r5.window_start, r5.avg_val, med.med,
+         abs(r5.avg_val - med.med) AS absdev
+  FROM r5 JOIN med USING (tenant_id, metric_name)
+),
+mad AS (
+  SELECT tenant_id, metric_name, median(absdev) AS mad
+  FROM dev GROUP BY 1, 2
+)
+SELECT dev.tenant_id, dev.metric_name, dev.window_start,
+       CAST(floor(dev.avg_val * 1000000) AS BIGINT) AS value_micro,
+       CAST(floor(dev.med * 1000000) AS BIGINT) AS med_micro,
+       CAST(floor(mad.mad * 1000000) AS BIGINT) AS mad_micro,
+       CAST(floor(dev.absdev * 1000000) AS BIGINT)
+         > CAST(floor(mad.mad * 4.4478 * 1000000) AS BIGINT) AS is_outlier
+FROM dev JOIN mad USING (tenant_id, metric_name)
+"""
+
+
+def bf_change_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection per 5m rollup series (Page 1954): a
+    sustained level shift accumulates where a z-score sees only small
+    per-window deviations. The max(0, ·)-reset recursion is re-expressed
+    as running-sum minus running-min — CUSUM⁺_t = S_t − min_{j≤t} S_j
+    with S_t = Σ(v_j − μ) — so the whole operator is two chained window
+    functions per series, no iteration, one shuffle.
+
+    Determinism is the pagerank device (NOTES "Decisions"): values are
+    floor-quantized to micro integers FIRST, shifted per-series to
+    non-negative (so Spark's truncating DIV and DuckDB's flooring //
+    agree on the mean), and every step after that is exact BIGINT
+    arithmetic — bit-identical on any engine, any partitioning. The
+    alarm threshold is 6× the integer mean absolute deviation."""
+    from pyspark.sql.window import Window
+
+    raw = _raw_metrics(spark, sf_dir)
+    r5 = R.basic_from_raw(raw, G.MIN_5)
+    keys = ["tenant_id", "metric_name"]
+    v = F.floor(F.col("avg") * 1_000_000).cast("long")
+    base = r5.select(*keys, "window_start", v.alias("v"))
+    w_all = Window.partitionBy(*keys)
+    shifted = base.select(
+        *keys,
+        "window_start",
+        "v",
+        (F.col("v") - F.min("v").over(w_all)).alias("v2"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    mu = shifted.withColumn(
+        "mu", F.expr("CAST(sum(v2) OVER (PARTITION BY tenant_id, metric_name) DIV n AS BIGINT)")
+    ).withColumn("d", F.col("v2") - F.col("mu"))
+    habs = mu.withColumn(
+        "h",
+        F.expr(
+            "6 * CAST(sum(abs(d)) OVER (PARTITION BY tenant_id, metric_name) DIV n AS BIGINT)"
+        ),
+    )
+    w_ord = (
+        Window.partitionBy(*keys)
+        .orderBy("window_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = habs.withColumn("s", F.sum("d").over(w_ord))
+    cus = s.select(
+        *keys,
+        "window_start",
+        F.col("v").alias("value_micro"),
+        "h",
+        (F.col("s") - F.min("s").over(w_ord)).alias("cusum_pos"),
+        (F.max("s").over(w_ord) - F.col("s")).alias("cusum_neg"),
+    )
+    return cus.select(
+        *cus.columns[:-2],
+        "cusum_pos",
+        "cusum_neg",
+        ((F.col("cusum_pos") > F.col("h")) | (F.col("cusum_neg") > F.col("h"))).alias(
+            "is_change"
+        ),
+    )
+
+
+_BF_CHANGE_CUSUM_SQL = _R5_CTE + """
+, base AS (
+  SELECT tenant_id, metric_name, window_start,
+         CAST(floor(avg_val * 1000000) AS BIGINT) AS v
+  FROM r5
+),
+shifted AS (
+  SELECT *,
+         v - min(v) OVER (PARTITION BY tenant_id, metric_name) AS v2,
+         count(*) OVER (PARTITION BY tenant_id, metric_name) AS n
+  FROM base
+),
+withmu AS (
+  SELECT *,
+         v2 - (sum(v2) OVER (PARTITION BY tenant_id, metric_name) // n) AS d
+  FROM shifted
+),
+withh AS (
+  SELECT *,
+         6 * (sum(abs(d)) OVER (PARTITION BY tenant_id, metric_name) // n) AS h,
+         sum(d) OVER (PARTITION BY tenant_id, metric_name ORDER BY window_start
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+  FROM withmu
+),
+cus AS (
+  SELECT tenant_id, metric_name, window_start, v AS value_micro, h,
+         s - min(s) OVER (PARTITION BY tenant_id, metric_name ORDER BY window_start
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum_pos,
+         max(s) OVER (PARTITION BY tenant_id, metric_name ORDER BY window_start
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - s AS cusum_neg
+  FROM withh
+)
+SELECT tenant_id, metric_name, window_start, value_micro, h,
+       cusum_pos, cusum_neg,
+       (cusum_pos > h OR cusum_neg > h) AS is_change
+FROM cus
+"""
+
+
+def llm_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing fingerprints (operators/text.py
+    winnowing_fingerprints): windowed rightmost-min k-gram hash selection
+    with the guarantee that any shared (k+w−1)-token run shares a
+    fingerprint — the copy-detection upgrade over the global-min
+    rolling_fingerprint."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.winnowing_fingerprints(docs, k=4, w=5)
+
+
+def llm_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve in doc order (operators/text.py
+    vocab_growth): cumulative distinct types vs cumulative tokens per
+    50-doc bucket — the corpus-diversity diagnostic per-doc dedup can't
+    see. All-integer output."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.vocab_growth(docs, bucket_docs=50)
+
+
+def llm_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram KL divergence to the corpus blend
+    (operators/text.py source_kl_divergence): the data-mixing distance
+    signal that feeds temperature_mix / dsir_weights reweighting.
+    Ordered-fold + micro quantization per the NOTES float rule."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.source_kl_divergence(docs)
+
+
+def llm_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One distributed BPE merge-selection step (operators/text.py
+    bpe_pair_counts): top-50 adjacent character pairs weighted by exact
+    word frequency, counted over the distinct-word relation — tokenizer
+    training's inner loop at corpus scale."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.bpe_pair_counts(docs, k=50)
+
+
+# ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
 
@@ -5426,6 +5624,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bf_alert_hysteresis": bf_alert_hysteresis,
         "llm_temperature_mix": llm_temperature_mix,
         "llm_mmr_diversify": llm_mmr_diversify,
+        # -- round-4d adds (never stamped; next round's window leads here) --
+        "llm_winnowing": llm_winnowing,
+        "llm_vocab_growth": llm_vocab_growth,
+        "llm_source_kl": llm_source_kl,
+        "llm_bpe_pairs": llm_bpe_pairs,
+        "bf_outlier_mad": bf_outlier_mad,
+        "bf_change_cusum": bf_change_cusum,
         "llm_lang_id": llm_lang_id,
         "llm_token_counts": llm_token_counts,
         "llm_quality_score": llm_quality_score,
@@ -5714,4 +5919,10 @@ def oracle_sql() -> dict[str, str]:
             f" FROM ({TX.hash_embed_sql()}) he)"
         ),
         "bf_downtime_report": _BF_DOWNTIME_SQL,
+        "llm_winnowing": TX.winnowing_fingerprints_sql(k=4, w=5),
+        "llm_vocab_growth": TX.vocab_growth_sql(bucket_docs=50),
+        "llm_source_kl": TX.source_kl_divergence_sql(),
+        "llm_bpe_pairs": TX.bpe_pair_counts_sql(k=50),
+        "bf_outlier_mad": _BF_OUTLIER_MAD_SQL,
+        "bf_change_cusum": _BF_CHANGE_CUSUM_SQL,
     }

@@ -2086,3 +2086,338 @@ SELECT {group_col}, n_docs, n_tokens, weight_q,
        CAST({total_budget_tokens} * weight_q // sum(weight_q) OVER () AS BIGINT) AS alloc_tokens
 FROM weighted
 """
+
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 5,
+) -> DataFrame:
+    """MOSS winnowing (Schleimer, Wilkerson, Aiken, SIGMOD '03): hash
+    every k-gram of words, then from each window of `w` consecutive
+    k-gram hashes keep the minimum, breaking ties by the RIGHTMOST
+    position. The distinct selected (position, hash) pairs are the
+    document's fingerprint — guaranteed to share a fingerprint with any
+    other doc it shares a (k+w−1)-token run with, which is the property
+    plagiarism/copy detection at corpus scale relies on (and what the
+    simpler global-min `rolling_fingerprint` cannot give).
+
+    Engine-portable determinism: the (hash, rightmost-pos) argmin is
+    encoded in ONE BIGINT — combined = h·2^21 + (2^21−1−pos) — so the
+    window `min` is plain integer comparison on both engines (no struct
+    ordering, no float). Positions are capped at 2^21−1 grams per doc;
+    longer docs should be pre-chunked (chunk_windows), which winnowing
+    composes with naturally.
+
+    Scale shape: one explode (≈ corpus tokens), one shuffle on doc_id
+    for the intra-doc window, then a distinct on the already-partitioned
+    key — no joins, no driver state; linear at 100 TB."""
+    if k <= 0 or w <= 0:
+        raise ValueError("need k > 0 and w > 0")
+    words = F.split(F.col(text_col), " ")
+    n_grams = F.greatest(F.size(words) - F.lit(k - 1), F.lit(0))
+    gram_hash = (
+        "CAST(conv(substring(md5(array_join(slice(_w, i + 1, {k}), ' ')), 1, 8), 16, 10) "
+        "AS BIGINT)"
+    ).format(k=k)
+    grams = (
+        docs.filter(n_grams > 0)
+        .select(
+            "doc_id",
+            words.alias("_w"),
+            n_grams.alias("_ng"),
+        )
+        .select(
+            "doc_id",
+            "_ng",
+            F.posexplode(
+                F.expr(f"transform(sequence(0, _ng - 1), i -> {gram_hash})")
+            ).alias("pos", "h"),
+        )
+        .select(
+            "doc_id",
+            "_ng",
+            "pos",
+            (F.col("h") * F.lit(1 << 21) + (F.lit((1 << 21) - 1) - F.col("pos"))).alias(
+                "combined"
+            ),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    # window start positions: 0 .. max(0, n_grams - w); a doc shorter than
+    # one full window still emits one fingerprint (min over what exists)
+    sel = (
+        grams.withColumn("win_min", F.min("combined").over(win))
+        .filter(F.col("pos") <= F.greatest(F.col("_ng") - F.lit(w), F.lit(0)))
+        .select("doc_id", "win_min")
+        .distinct()
+    )
+    return sel.select(
+        "doc_id",
+        (F.lit((1 << 21) - 1) - F.col("win_min") % F.lit(1 << 21)).alias("fp_pos"),
+        (F.col("win_min") / F.lit(1 << 21)).cast("long").alias("fp_hash"),
+    )
+
+
+def winnowing_fingerprints_sql(k: int = 4, w: int = 5) -> str:
+    return f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS _w,
+         greatest(len(string_split(text, ' ')) - {k - 1}, 0) AS _ng
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, _ng,
+         unnest(range(0, _ng)) AS pos,
+         list_transform(range(0, _ng),
+           i -> CAST(('0x' || substr(md5(array_to_string(list_slice(_w, i + 1, i + {k}), ' ')), 1, 8)) AS BIGINT)
+         ) AS hs
+  FROM base WHERE _ng > 0
+),
+combined AS (
+  SELECT doc_id, _ng, pos,
+         hs[pos + 1] * 2097152 + (2097151 - pos) AS combined
+  FROM grams
+),
+sel AS (
+  SELECT DISTINCT doc_id,
+         min(combined) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS win_min
+  FROM combined
+  QUALIFY pos <= greatest(_ng - {w}, 0)
+)
+SELECT doc_id,
+       CAST(2097151 - (win_min % 2097152) AS BIGINT) AS fp_pos,
+       CAST(win_min // 2097152 AS BIGINT) AS fp_hash
+FROM sel
+"""
+
+
+def vocab_growth(
+    docs: DataFrame,
+    text_col: str = "text",
+    bucket_docs: int = 50,
+) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: cumulative distinct token
+    types vs cumulative token occurrences, in doc_id order, reported per
+    bucket of `bucket_docs` documents. The curve's flattening rate is the
+    standard corpus-diversity diagnostic (a corpus whose vocab stops
+    growing is repeating itself — a pre-training red flag that per-doc
+    dedup misses).
+
+    All-integer outputs (counts and exact cumulative sums) — no float
+    hazard. Scale shape: one explode, a groupBy(token) min(doc_id) (the
+    only big shuffle, map-side combinable), then per-bucket counts and a
+    window cumsum over n_docs/bucket_docs rows. The final window is a
+    single partition, but its input is already reduced to the bucket
+    grain — size the bucket so curve points stay ≤ ~10^5 at any corpus."""
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    bucket = (F.col("doc_id") / F.lit(bucket_docs)).cast("long")
+    per_bucket = toks.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_tokens_bucket")
+    )
+    first_seen = toks.groupBy("token").agg(F.min("doc_id").alias("first_doc"))
+    new_types = first_seen.groupBy(
+        (F.col("first_doc") / F.lit(bucket_docs)).cast("long").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n_new_types"))
+    joined = per_bucket.join(new_types, "bucket", "left").select(
+        "bucket",
+        "n_tokens_bucket",
+        F.coalesce("n_new_types", F.lit(0)).alias("n_new_types"),
+    )
+    from pyspark.sql.window import Window
+
+    cum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return joined.select(
+        "bucket",
+        "n_tokens_bucket",
+        "n_new_types",
+        F.sum("n_tokens_bucket").over(cum).alias("cum_tokens"),
+        F.sum("n_new_types").over(cum).alias("cum_vocab"),
+    )
+
+
+def vocab_growth_sql(bucket_docs: int = 50) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tok AS (SELECT * FROM toks WHERE token <> ''),
+per_bucket AS (
+  SELECT doc_id // {bucket_docs} AS bucket, count(*) AS n_tokens_bucket
+  FROM tok GROUP BY 1
+),
+first_seen AS (
+  SELECT token, min(doc_id) AS first_doc FROM tok GROUP BY 1
+),
+new_types AS (
+  SELECT first_doc // {bucket_docs} AS bucket, count(*) AS n_new_types
+  FROM first_seen GROUP BY 1
+)
+SELECT p.bucket,
+       p.n_tokens_bucket,
+       COALESCE(n.n_new_types, 0) AS n_new_types,
+       CAST(sum(p.n_tokens_bucket) OVER (ORDER BY p.bucket) AS BIGINT) AS cum_tokens,
+       CAST(sum(COALESCE(n.n_new_types, 0)) OVER (ORDER BY p.bucket) AS BIGINT) AS cum_vocab
+FROM per_bucket p LEFT JOIN new_types n ON p.bucket = n.bucket
+"""
+
+
+def source_kl_divergence(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-source unigram KL divergence to the whole-corpus distribution,
+    KL(P_src ‖ P_corpus) = Σ_t p log2(p/q) — the data-mixing diagnostic
+    that tells you which sources are distributionally far from the blend
+    (candidates for up/down-weighting in temperature_mix / dsir_weights).
+    Every p-term's token also occurs in the corpus, so q > 0 always and
+    the sum is finite and ≥ 0.
+
+    Determinism follows the char_entropy pattern: counts are exact ints,
+    the Σ is an ORDERED fold (by token) inside one aggregate, and the
+    output is floor-quantized to micro-bits. The per-source fold
+    collects that source's distinct vocabulary — bounded by |V| (≤ ~10^6
+    for word vocabs), not by corpus size; the corpus-total counts arrive
+    via a token-keyed join (map-side combinable aggs on both sides)."""
+    toks = docs.select(
+        F.col(group_col).alias("grp"),
+        F.explode(F.split(F.col(text_col), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    # ONE explode: corpus counts, source totals, and the grand total all
+    # roll up from the (grp, token) relation — materialized once since
+    # four branches reuse it (the repo's self-join-subtree rule)
+    src_counts = (
+        toks.groupBy("grp", "token")
+        .agg(F.count(F.lit(1)).alias("c_st"))
+        .localCheckpoint(eager=False)
+    )
+    corpus_counts = src_counts.groupBy("token").agg(F.sum("c_st").alias("c_t"))
+    src_totals = src_counts.groupBy("grp").agg(F.sum("c_st").alias("_ns_total"))
+    totals = src_totals.agg(F.sum("_ns_total").alias("_n"))  # 1 row, broadcast
+    joined = (
+        src_counts.join(corpus_counts, "token")
+        .join(src_totals, "grp")
+        .crossJoin(F.broadcast(totals))
+    )
+    per = joined.groupBy("grp").agg(
+        F.max("_ns_total").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(token, c_st, c_t, _ns_total, _n))), 0D, "
+            "(acc, s) -> acc + CAST(s.c_st AS DOUBLE) / CAST(s._ns_total AS DOUBLE) * "
+            "log2(CAST(s.c_st AS DOUBLE) * CAST(s._n AS DOUBLE) / "
+            "(CAST(s._ns_total AS DOUBLE) * CAST(s.c_t AS DOUBLE))))"
+        ).alias("_klsum"),
+    )
+    return per.select(
+        F.col("grp").alias(group_col),
+        "n_tokens",
+        "n_types",
+        F.floor(F.col("_klsum") * 1_000_000).cast("long").alias("kl_micro"),
+    )
+
+
+def source_kl_divergence_sql(group_col: str = "source") -> str:
+    return f"""
+WITH toks AS (
+  SELECT {group_col} AS grp, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tok AS (SELECT * FROM toks WHERE token <> ''),
+src_counts AS (
+  SELECT grp, token, count(*) AS c_st FROM tok GROUP BY 1, 2
+),
+corpus_counts AS (
+  SELECT token, count(*) AS c_t FROM tok GROUP BY 1
+),
+totals AS (SELECT count(*) AS n FROM tok),
+src_totals AS (SELECT grp, sum(c_st) AS ns FROM src_counts GROUP BY 1)
+SELECT s.grp AS {group_col},
+       CAST(max(st.ns) AS BIGINT) AS n_tokens,
+       count(*) AS n_types,
+       CAST(floor(list_sum(list_transform(
+         list(struct_pack(token := s.token, c_st := s.c_st, c_t := c.c_t,
+                          ns := st.ns, n := t.n) ORDER BY s.token),
+         x -> CAST(x.c_st AS DOUBLE) / CAST(x.ns AS DOUBLE) *
+              log2(CAST(x.c_st AS DOUBLE) * CAST(x.n AS DOUBLE) /
+                   (CAST(x.ns AS DOUBLE) * CAST(x.c_t AS DOUBLE)))
+       )) * 1000000) AS BIGINT) AS kl_micro
+FROM src_counts s
+JOIN corpus_counts c ON s.token = c.token
+JOIN src_totals st ON s.grp = st.grp
+CROSS JOIN totals t
+GROUP BY 1
+"""
+
+
+def bpe_pair_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 50,
+) -> DataFrame:
+    """One BPE merge-selection step (Sennrich et al. 2016): count adjacent
+    character-pair frequencies across the corpus, weighted by word
+    frequency, and rank the top-k merge candidates. Tokenizer training at
+    corpus scale is exactly this groupBy repeated per merge — this
+    operator is the distributed inner loop.
+
+    Scale shape: the pair explosion runs over the DISTINCT-word relation
+    (|V| rows, orders of magnitude smaller than the corpus), weighted by
+    exact word counts — never over raw text. Ranking is exact-integer
+    count with a lexicographic tiebreak, planned as
+    TakeOrderedAndProject (no global sort)."""
+    words = docs.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    wc = words.groupBy("word").agg(F.count(F.lit(1)).alias("wc"))
+    pairs = wc.filter(F.length("word") >= 2).select(
+        "wc",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1), "
+                "i -> concat(substring(word, i, 1), ' ', substring(word, i + 1, 1)))"
+            )
+        ).alias("pair"),
+    )
+    counted = pairs.groupBy("pair").agg(F.sum("wc").alias("pair_count"))
+    topk = counted.orderBy(F.col("pair_count").desc(), F.col("pair")).limit(k)
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("pair_count").desc(), F.col("pair"))
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        "pair", "pair_count", "rank"
+    )
+
+
+def bpe_pair_counts_sql(k: int = 50) -> str:
+    return f"""
+WITH words AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+),
+wc AS (
+  SELECT word, count(*) AS wc FROM words WHERE word <> '' GROUP BY 1
+),
+pairs AS (
+  SELECT wc,
+         unnest(list_transform(range(1, len(word)),
+                i -> substr(word, CAST(i AS INT), 1) || ' ' || substr(word, CAST(i AS INT) + 1, 1))) AS pair
+  FROM wc WHERE len(word) >= 2
+),
+counted AS (
+  SELECT pair, CAST(sum(wc) AS BIGINT) AS pair_count FROM pairs GROUP BY 1
+)
+SELECT pair, pair_count, CAST(row_number() OVER (ORDER BY pair_count DESC, pair) AS INT) AS rank
+FROM counted
+ORDER BY pair_count DESC, pair
+LIMIT {k}
+"""

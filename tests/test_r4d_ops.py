@@ -1,0 +1,255 @@
+"""Round-4d operators: MOSS winnowing fingerprints, Heaps-law vocab
+growth, per-source KL divergence, BPE pair counting, MAD outliers, and
+CUSUM change points."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from blueflood_spark.operators.text import (
+    bpe_pair_counts,
+    source_kl_divergence,
+    vocab_growth,
+    winnowing_fingerprints,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def _py_winnow(text, k, w):
+    """Reference winnowing (Schleimer et al. §4): per window of w k-gram
+    hashes keep the min, rightmost on ties; dedupe selected positions."""
+    import hashlib
+
+    words = text.split(" ")
+    grams = [" ".join(words[i : i + k]) for i in range(max(len(words) - k + 1, 0))]
+    hs = [int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams]
+    if not hs:
+        return set()
+    sel = set()
+    last = max(len(hs) - w, 0)
+    for start in range(last + 1):
+        win = hs[start : start + w]
+        m = min(win)
+        # rightmost occurrence of the min
+        pos = start + max(i for i, h in enumerate(win) if h == m)
+        sel.add((pos, m))
+    return sel
+
+
+def test_winnowing_matches_python_reference(spark):
+    texts = [
+        "a b c d e f g h i j k l m n o p",
+        "x y z a b c d e f g q r s t",
+        "one two three four",  # exactly k tokens → single gram
+        "short doc",  # fewer than k tokens → no grams, no rows
+    ]
+    out = winnowing_fingerprints(_docs(spark, texts), k=4, w=5).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["doc_id"], set()).add((r["fp_pos"], r["fp_hash"]))
+    for i, t in enumerate(texts):
+        assert got.get(i, set()) == _py_winnow(t, 4, 5), f"doc {i}"
+
+
+def test_winnowing_shared_run_shares_fingerprint(spark):
+    # the winnowing guarantee: docs sharing a (k+w-1)-token run share >=1
+    # fingerprint hash
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 = k+w-1
+    texts = [f"left filler words {shared}", f"{shared} right padding tokens here"]
+    out = winnowing_fingerprints(_docs(spark, texts), k=4, w=5).collect()
+    h0 = {r["fp_hash"] for r in out if r["doc_id"] == 0}
+    h1 = {r["fp_hash"] for r in out if r["doc_id"] == 1}
+    assert h0 & h1, "no shared fingerprint for a shared k+w-1 run"
+
+
+def test_vocab_growth_exact_counts(spark):
+    texts = ["a b a", "b c", "c d d", "a e"]
+    rows = {
+        r["bucket"]: r
+        for r in vocab_growth(_docs(spark, texts), bucket_docs=2).collect()
+    }
+    # bucket 0 = docs 0,1: tokens a b a b c (5), new types a,b,c (3)
+    # bucket 1 = docs 2,3: tokens c d d a e (5), new types d,e (2)
+    assert rows[0]["n_tokens_bucket"] == 5 and rows[0]["n_new_types"] == 3
+    assert rows[1]["n_tokens_bucket"] == 5 and rows[1]["n_new_types"] == 2
+    assert rows[1]["cum_tokens"] == 10 and rows[1]["cum_vocab"] == 5
+
+
+def test_vocab_growth_cumulative_monotone(spark):
+    texts = [f"w{i % 7} w{i % 3} common" for i in range(30)]
+    out = sorted(
+        vocab_growth(_docs(spark, texts), bucket_docs=5).collect(),
+        key=lambda r: r["bucket"],
+    )
+    cums = [(r["cum_tokens"], r["cum_vocab"]) for r in out]
+    assert all(a <= b for a, b in zip(cums, cums[1:]))
+    assert out[-1]["cum_vocab"] == 8  # w0..w6 + common
+
+
+def test_source_kl_zero_for_identical_distribution(spark):
+    # two sources with the SAME token distribution → KL = 0 for both
+    df = spark.createDataFrame(
+        [(0, "a a b", "en", "s1", 5), (1, "a a b", "en", "s2", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r["source"]: r for r in source_kl_divergence(df).collect()}
+    assert out["s1"]["kl_micro"] == 0 and out["s2"]["kl_micro"] == 0
+
+
+def test_source_kl_matches_python(spark):
+    df = spark.createDataFrame(
+        [(0, "a a a b", "en", "s1", 7), (1, "b b c", "en", "s2", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r["source"]: r for r in source_kl_divergence(df).collect()}
+    # corpus: a=3, b=3, c=1, N=7; s1: a=3,b=1 (n=4); s2: b=2,c=1 (n=3)
+    def kl(src, n_s):
+        corpus = {"a": 3, "b": 3, "c": 1}
+        return sum(
+            (c / n_s) * math.log2((c * 7) / (n_s * corpus[t])) for t, c in src.items()
+        )
+
+    assert out["s1"]["kl_micro"] == math.floor(kl({"a": 3, "b": 1}, 4) * 1e6)
+    assert out["s2"]["kl_micro"] == math.floor(kl({"b": 2, "c": 1}, 3) * 1e6)
+    assert out["s1"]["n_tokens"] == 4 and out["s1"]["n_types"] == 2
+
+
+def test_bpe_pairs_weighted_by_word_frequency(spark):
+    texts = ["low low low lower", "newest newest"]
+    out = {r["pair"]: r for r in bpe_pair_counts(_docs(spark, texts), k=50).collect()}
+    # "lo": 3x in low + 1x in lower = 4; "ne": 2x (newest); "es": 2
+    assert out["l o"]["pair_count"] == 4
+    assert out["o w"]["pair_count"] == 4
+    assert out["n e"]["pair_count"] == 2
+    # rank 1 must be the max count with lexicographic tiebreak
+    best = min(out.values(), key=lambda r: r["rank"])
+    assert best["pair_count"] == max(r["pair_count"] for r in out.values())
+
+
+def test_bpe_pairs_single_char_words_ignored(spark):
+    out = bpe_pair_counts(_docs(spark, ["a b c d"]), k=10).collect()
+    assert out == []
+
+
+def _series_df(spark, values, tenant="t0", metric="m"):
+    rows = [
+        (tenant, metric, 300000 * i, float(v), 1) for i, v in enumerate(values)
+    ]
+    return spark.createDataFrame(
+        rows, "tenant_id string, metric_name string, ts long, value double, user_id long"
+    )
+
+
+def test_mad_flags_spike_zscore_masking_case(spark):
+    # one huge spike: MAD stays tiny (median-robust) and flags it
+    from blueflood_spark.operators import granularity as G
+    from blueflood_spark.operators import rollup as R
+
+    raw = _series_df(spark, [10, 11, 10, 12, 11, 10, 500, 11, 10, 12])
+    r5 = R.basic_from_raw(raw, G.MIN_5)
+    med = r5.groupBy("tenant_id", "metric_name").agg(F.median("avg").alias("med"))
+    dev = r5.join(med, ["tenant_id", "metric_name"]).withColumn(
+        "absdev", F.abs(F.col("avg") - F.col("med"))
+    )
+    mad = dev.groupBy("tenant_id", "metric_name").agg(F.median("absdev").alias("mad"))
+    scored = dev.join(mad, ["tenant_id", "metric_name"]).collect()
+    flags = {
+        r["window_start"]: abs(r["avg"] - r["med"]) > 3 * 1.4826 * r["mad"]
+        for r in scored
+    }
+    assert flags[300000 * 6] is True
+    assert sum(flags.values()) == 1
+
+
+def test_cusum_detects_level_shift(spark):
+    # flat at 10 for 12 windows then a sustained shift to 14: a +40%
+    # level change no single window makes anomalous. Mirrors the
+    # bf_change_cusum integer pipeline on a controlled series (the
+    # registered query itself is oracle-checked on testdata).
+    raw = _series_df(spark, [10.0] * 12 + [14.0] * 12)
+    from blueflood_spark.operators import granularity as G
+    from blueflood_spark.operators import rollup as R
+    from pyspark.sql.window import Window
+
+    r5 = R.basic_from_raw(raw, G.MIN_5)
+    keys = ["tenant_id", "metric_name"]
+    v = F.floor(F.col("avg") * 1_000_000).cast("long")
+    base = r5.select(*keys, "window_start", v.alias("v"))
+    w_all = Window.partitionBy(*keys)
+    shifted = base.select(
+        *keys, "window_start", "v",
+        (F.col("v") - F.min("v").over(w_all)).alias("v2"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    mu = shifted.withColumn(
+        "mu",
+        F.expr("CAST(sum(v2) OVER (PARTITION BY tenant_id, metric_name) DIV n AS BIGINT)"),
+    ).withColumn("d", F.col("v2") - F.col("mu"))
+    habs = mu.withColumn(
+        "h",
+        F.expr("6 * CAST(sum(abs(d)) OVER (PARTITION BY tenant_id, metric_name) DIV n AS BIGINT)"),
+    )
+    w_ord = (
+        Window.partitionBy(*keys).orderBy("window_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = habs.withColumn("s", F.sum("d").over(w_ord))
+    rows = sorted(
+        s.select(
+            "window_start",
+            (F.col("s") - F.min("s").over(w_ord)).alias("cusum_pos"),
+            "h",
+        ).collect(),
+        key=lambda r: r["window_start"],
+    )
+    fired = [r["window_start"] for r in rows if r["cusum_pos"] > r["h"]]
+    assert fired, "CUSUM never fired on a sustained +40% shift"
+    # must fire after the shift point, never before it
+    assert min(fired) >= 300000 * 12
+
+
+def test_cusum_quiet_on_stationary_noise(spark):
+    import hashlib
+
+    vals = [10 + (int(hashlib.md5(str(i).encode()).hexdigest(), 16) % 5) / 10 for i in range(24)]
+    raw = _series_df(spark, vals)
+    from blueflood_spark.operators import granularity as G
+    from blueflood_spark.operators import rollup as R
+    from pyspark.sql.window import Window
+
+    r5 = R.basic_from_raw(raw, G.MIN_5)
+    keys = ["tenant_id", "metric_name"]
+    base = r5.select(
+        *keys, "window_start", F.floor(F.col("avg") * 1_000_000).cast("long").alias("v")
+    )
+    w_all = Window.partitionBy(*keys)
+    shifted = base.select(
+        *keys, "window_start", "v",
+        (F.col("v") - F.min("v").over(w_all)).alias("v2"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    mu = shifted.withColumn(
+        "mu",
+        F.expr("CAST(sum(v2) OVER (PARTITION BY tenant_id, metric_name) DIV n AS BIGINT)"),
+    ).withColumn("d", F.col("v2") - F.col("mu"))
+    habs = mu.withColumn(
+        "h",
+        F.expr("6 * CAST(sum(abs(d)) OVER (PARTITION BY tenant_id, metric_name) DIV n AS BIGINT)"),
+    )
+    w_ord = (
+        Window.partitionBy(*keys).orderBy("window_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = habs.withColumn("s", F.sum("d").over(w_ord))
+    rows = s.select(
+        (F.col("s") - F.min("s").over(w_ord)).alias("cp"),
+        (F.max("s").over(w_ord) - F.col("s")).alias("cn"),
+        "h",
+    ).collect()
+    assert all(r["cp"] <= r["h"] and r["cn"] <= r["h"] for r in rows)
