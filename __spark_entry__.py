@@ -5526,6 +5526,15 @@ def llm_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.bpe_pair_counts(docs, k=50)
 
 
+def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer application (operators/text.py
+    bpe_encode): a fixed 8-merge table applied as chained codegen
+    replace() over a boundary-marked symbol encoding — map-only, zero
+    shuffles, the encode half of the llm_bpe_pairs learn step."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.bpe_encode(docs)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -5629,6 +5638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_vocab_growth": llm_vocab_growth,
         "llm_source_kl": llm_source_kl,
         "llm_bpe_pairs": llm_bpe_pairs,
+        "llm_bpe_encode": llm_bpe_encode,
         "bf_outlier_mad": bf_outlier_mad,
         "bf_change_cusum": bf_change_cusum,
         "llm_lang_id": llm_lang_id,
@@ -5923,6 +5933,7 @@ def oracle_sql() -> dict[str, str]:
         "llm_vocab_growth": TX.vocab_growth_sql(bucket_docs=50),
         "llm_source_kl": TX.source_kl_divergence_sql(),
         "llm_bpe_pairs": TX.bpe_pair_counts_sql(k=50),
+        "llm_bpe_encode": TX.bpe_encode_sql(),
         "bf_outlier_mad": _BF_OUTLIER_MAD_SQL,
         "bf_change_cusum": _BF_CHANGE_CUSUM_SQL,
     }

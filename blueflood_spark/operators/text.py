@@ -2421,3 +2421,88 @@ FROM counted
 ORDER BY pair_count DESC, pair
 LIMIT {k}
 """
+
+
+# fixed 8-merge BPE table learned from the corpus at sf0.01 (creation-order
+# greedy pair counting, ties broken lexicographically) — a tokenizer is a
+# FIXED artifact applied at scale, so the merge list is a plan literal,
+# never data-dependent at encode time. Includes a compound merge (m+er)
+# so multi-char symbol handling is exercised.
+BPE_MERGES = [
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"),
+    ("s", "t"), ("m", "er"), ("a", "t"), ("l", "u"),
+]
+
+
+def bpe_encode(
+    docs: DataFrame,
+    text_col: str = "text",
+    merges: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Distributed BPE tokenizer APPLICATION (the encode side of
+    bpe_pair_counts' learn step): apply a fixed merge list in creation
+    order, each merge fully applied corpus-wide before the next —
+    Sennrich et al. 2016's learn-time semantics, deterministic on any
+    engine.
+
+    The whole operator is a chain of string `replace` calls in one
+    codegen projection — zero joins, zero shuffles, linear at 100 TB.
+    The trick making plain replace() correct BPE is the boundary
+    encoding: a word becomes '·' + sym + '··' + sym + ... + '·' (double
+    markers BETWEEN symbols, single at the edges), and merge (a,b) is
+    replace('·a··b·' → '·ab·'). Each match consumes one marker from each
+    side's double boundary and re-supplies edge markers, so the
+    invariant survives every merge and left-to-right non-overlapping
+    replace (identical in Spark and DuckDB) reproduces BPE's
+    leftmost-first scan — including odd-length runs like 'a a a'.
+
+    Output per doc: BPE token count and the md5 of the fully-encoded
+    text (a strong whole-output check with no array columns)."""
+    if merges is None:
+        merges = BPE_MERGES
+    # '·' between every char (double between symbols), single at word edges
+    s = F.concat(F.lit("·"), F.regexp_replace(F.col(text_col), "(.)", "$1··"))
+    enc = docs.select(
+        "doc_id",
+        F.size(F.split(F.col(text_col), " ")).alias("n_words"),
+        s.alias("_s"),
+    ).select(
+        "doc_id",
+        "n_words",
+        F.expr("substring(replace(_s, '·· ··', '· ·'), 1, length(replace(_s, '·· ··', '· ·')) - 1)").alias("_s"),
+    )
+    for a, b in merges:
+        enc = enc.withColumn("_s", F.expr(f"replace(_s, '·{a}··{b}·', '·{a}{b}·')"))
+    return enc.select(
+        "doc_id",
+        (
+            (F.length("_s") - F.length(F.expr("replace(_s, '··', '')"))) / 2
+            + F.col("n_words")
+        )
+        .cast("long")
+        .alias("n_tokens_bpe"),
+        F.md5(F.col("_s")).alias("encoded_md5"),
+    )
+
+
+def bpe_encode_sql(merges: list[tuple[str, str]] | None = None) -> str:
+    if merges is None:
+        merges = BPE_MERGES
+    expr = (
+        "substr(replace('·' || regexp_replace(text, '(.)', '\\1··', 'g'), '·· ··', '· ·'), 1, "
+        "length(replace('·' || regexp_replace(text, '(.)', '\\1··', 'g'), '·· ··', '· ·')) - 1)"
+    )
+    for a, b in merges:
+        expr = f"replace({expr}, '·{a}··{b}·', '·{a}{b}·')"
+    return f"""
+WITH enc AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_words,
+         {expr} AS s
+  FROM documents
+)
+SELECT doc_id,
+       CAST((length(s) - length(replace(s, '··', ''))) / 2 + n_words AS BIGINT) AS n_tokens_bpe,
+       md5(s) AS encoded_md5
+FROM enc
+"""

@@ -253,3 +253,66 @@ def test_cusum_quiet_on_stationary_noise(spark):
         "h",
     ).collect()
     assert all(r["cp"] <= r["h"] and r["cn"] <= r["h"] for r in rows)
+
+
+def _py_bpe_encode(text, merges):
+    """Reference BPE apply: each merge fully applied left-to-right
+    (leftmost-first, non-overlapping) before the next — Sennrich
+    learn-order semantics."""
+    import hashlib
+
+    enc_words, total = [], 0
+    for w in text.split(" "):
+        syms = list(w)
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        enc_words.append(syms)
+        total += len(syms)
+    s = " ".join("·" + "··".join(sy) + "·" for sy in enc_words)
+    return total, hashlib.md5(s.encode()).hexdigest()
+
+
+def test_bpe_encode_matches_python_reference(spark):
+    from blueflood_spark.operators.text import BPE_MERGES, bpe_encode
+
+    texts = [
+        "the winter storm was slow",
+        "merge er er er",  # odd/even runs of the same pair
+        "in inn inin matter",  # adjacent + overlapping pair sites
+        "x",  # single char word
+    ]
+    out = {r["doc_id"]: r for r in bpe_encode(_docs(spark, texts)).collect()}
+    for i, t in enumerate(texts):
+        n, h = _py_bpe_encode(t, BPE_MERGES)
+        assert out[i]["n_tokens_bpe"] == n, (i, t, out[i]["n_tokens_bpe"], n)
+        assert out[i]["encoded_md5"] == h, (i, t)
+
+
+def test_bpe_encode_run_semantics(spark):
+    # 'rrrr' with merge (r,r) would be ambiguous; our table has no
+    # self-pair, but (e,r) on 'ererer'-like runs exercises leftmost-first:
+    # 'eee' + merge (e,e) style — use (e,r) on 'ererer' => er er er (3 toks)
+    from blueflood_spark.operators.text import bpe_encode
+
+    out = bpe_encode(_docs(spark, ["ererer erere"]), merges=[("e", "r")]).collect()[0]
+    # 'ererer' -> er,er,er (3) ; 'erere' -> er,er,e (3)
+    assert out["n_tokens_bpe"] == 6
+
+
+def test_bpe_encode_compound_merge_applies(spark):
+    from blueflood_spark.operators.text import bpe_encode
+
+    # (e,r) then (m,er): 'mer' -> m,er -> mer (1 token)
+    out = bpe_encode(
+        _docs(spark, ["mer merge"]), merges=[("e", "r"), ("m", "er")]
+    ).collect()[0]
+    # 'mer' -> 1; 'merge' -> mer,g,e -> 3
+    assert out["n_tokens_bpe"] == 4
