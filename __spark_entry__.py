@@ -864,6 +864,57 @@ FROM w5 JOIN w60
 """
 
 
+def bf_apdex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apdex score per (locator, 20m window) — the classic user-satisfaction
+    index over a latency-like metric stream (beyond-the-reference series
+    op): satisfied = value ≤ T, tolerating = T < value ≤ 4T,
+    apdex = (satisfied + tolerating/2) / total. T = 90 against the
+    events-derived value distribution.
+
+    Determinism: counts are exact; the score is emitted as
+    (2·sat + tol)·1000 DIV (2·total) — a single integer division, no
+    doubles anywhere. Plan: ONE map-side-combinable conditional agg, the
+    same shuffle shape as a basic rollup."""
+    raw = _raw_metrics(spark, sf_dir)
+    t_sat, t_tol = 90.0, 360.0
+    agg = raw.groupBy(
+        "tenant_id",
+        "metric_name",
+        R.window_start(F.col("ts"), G.MIN_20).alias("window_start"),
+    ).agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.when(F.col("value") <= t_sat, 1).otherwise(0)).alias("n_satisfied"),
+        F.sum(
+            F.when((F.col("value") > t_sat) & (F.col("value") <= t_tol), 1).otherwise(0)
+        ).alias("n_tolerating"),
+    )
+    return agg.select(
+        "tenant_id",
+        "metric_name",
+        "window_start",
+        "n_total",
+        "n_satisfied",
+        "n_tolerating",
+        F.expr("(2 * n_satisfied + n_tolerating) * 1000 DIV (2 * n_total)").alias(
+            "apdex_milli"
+        ),
+    )
+
+
+_BF_APDEX_SQL = _RAW_CTE + """
+SELECT tenant_id, metric_name,
+       (ts // 1200000) * 1200000 AS window_start,
+       count(*) AS n_total,
+       CAST(sum(CASE WHEN value <= 90.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_satisfied,
+       CAST(sum(CASE WHEN value > 90.0 AND value <= 360.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tolerating,
+       (2 * CAST(sum(CASE WHEN value <= 90.0 THEN 1 ELSE 0 END) AS BIGINT)
+          + CAST(sum(CASE WHEN value > 90.0 AND value <= 360.0 THEN 1 ELSE 0 END) AS BIGINT)) * 1000
+         // (2 * count(*)) AS apdex_milli
+FROM raw
+GROUP BY 1, 2, 3
+"""
+
+
 def llm_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-level dedup after canonicalization (operators/dedup.py
     canonical_url/url_dedup): the crawl-corpus first pass — the same
@@ -5641,6 +5692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_bpe_encode": llm_bpe_encode,
         "bf_outlier_mad": bf_outlier_mad,
         "bf_change_cusum": bf_change_cusum,
+        "bf_apdex": bf_apdex,
         "llm_lang_id": llm_lang_id,
         "llm_token_counts": llm_token_counts,
         "llm_quality_score": llm_quality_score,
@@ -5936,4 +5988,5 @@ def oracle_sql() -> dict[str, str]:
         "llm_bpe_encode": TX.bpe_encode_sql(),
         "bf_outlier_mad": _BF_OUTLIER_MAD_SQL,
         "bf_change_cusum": _BF_CHANGE_CUSUM_SQL,
+        "bf_apdex": _BF_APDEX_SQL,
     }

@@ -316,3 +316,16 @@ def test_bpe_encode_compound_merge_applies(spark):
     ).collect()[0]
     # 'mer' -> 1; 'merge' -> mer,g,e -> 3
     assert out["n_tokens_bpe"] == 4
+
+
+def test_apdex_score_exact_integer(spark):
+    import __spark_entry__ as E
+
+    out = E.bf_apdex(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    assert rows, "apdex produced no rows"
+    for r in rows:
+        assert 0 <= r["apdex_milli"] <= 1000
+        assert r["n_satisfied"] + r["n_tolerating"] <= r["n_total"]
+        expect = (2 * r["n_satisfied"] + r["n_tolerating"]) * 1000 // (2 * r["n_total"])
+        assert r["apdex_milli"] == expect
