@@ -99,6 +99,8 @@ CASES = {
     "llm_bpe_pairs": "BPE pair step: pair explosion runs over the DISTINCT-word relation weighted by exact counts; top-k is TakeOrderedAndProject",
     "bf_outlier_mad": "MAD outliers: two median aggs + two equi-joins all on the series key — AQE broadcasts the per-series stats frames; flag compares floor-quantized integers",
     "bf_change_cusum": "CUSUM change points: max(0,·) recursion re-expressed as running-sum minus running-min — ONE series-key exchange serves every window; all arithmetic exact BIGINT",
+    "llm_bpe_encode": "BPE encode: the whole merge chain is ONE codegen projection of nested replace() — zero joins, zero semantic exchanges",
+    "bf_apdex": "Apdex: one map-side-combinable conditional agg; the score is a single integer division in the projection",
 }
 
 
