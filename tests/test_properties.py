@@ -207,3 +207,90 @@ def test_canonical_url_consecutive_utm_params(parts):
     qs = "&".join(f"utm_{p}={p}1" for p in parts)
     url = "https://x.example.com/p" + ("?" + qs if qs else "")
     assert canonical_url_py(url) == "x.example.com/p"
+
+
+# -- BPE boundary-encoding: the chained-replace trick must equal the
+#    leftmost-first reference merge for ANY word and ANY merge sequence
+#    (python str.replace is left-to-right non-overlapping — the same
+#    semantics as Spark's and DuckDB's replace(), so this fuzzes the
+#    exact kernel llm_bpe_encode ships) --
+
+
+def _ref_merge(syms, a, b):
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+@given(
+    st.text(alphabet="abc", min_size=1, max_size=12),
+    st.lists(
+        st.tuples(st.sampled_from("abc"), st.sampled_from("abc")),
+        min_size=1,
+        max_size=4,
+    ),
+)
+def test_bpe_boundary_encoding_matches_reference(word, char_merges):
+    # build a merge list where later merges may reference earlier outputs
+    merges = []
+    symbols = set("abc")
+    for a, b in char_merges:
+        merges.append((a, b))
+        symbols.add(a + b)
+    # reference: merge symbol lists
+    syms = list(word)
+    for a, b in merges:
+        syms = _ref_merge(syms, a, b)
+    # kernel: chained replace on the boundary encoding
+    s = "·" + "··".join(list(word)) + "·"
+    for a, b in merges:
+        s = s.replace(f"·{a}··{b}·", f"·{a}{b}·")
+    assert s == "·" + "··".join(syms) + "·"
+
+
+@given(
+    st.text(alphabet="ab", min_size=2, max_size=10),
+)
+def test_bpe_compound_merge_chain(word):
+    # (a,b) then (ab,a) then (aba,b): deep compound merges through the
+    # same encoding
+    merges = [("a", "b"), ("ab", "a"), ("aba", "b")]
+    syms = list(word)
+    for a, b in merges:
+        syms = _ref_merge(syms, a, b)
+    s = "·" + "··".join(list(word)) + "·"
+    for a, b in merges:
+        s = s.replace(f"·{a}··{b}·", f"·{a}{b}·")
+    assert s == "·" + "··".join(syms) + "·"
+
+
+# -- winnowing's single-BIGINT argmin encoding: min over
+#    h·2^21 + (2^21−1−pos) must decode to (min hash, RIGHTMOST pos) --
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2**32 - 1),
+            st.integers(min_value=0, max_value=2**21 - 1),
+        ),
+        min_size=1,
+        max_size=16,
+    )
+)
+def test_winnowing_combined_bigint_argmin(pairs):
+    # distinct positions (a window never repeats a position)
+    seen = set()
+    window = [(h, p) for h, p in pairs if p not in seen and not seen.add(p)]
+    combined = [h * (1 << 21) + ((1 << 21) - 1 - p) for h, p in window]
+    m = min(combined)
+    dec_h, dec_p = m >> 21, (1 << 21) - 1 - (m % (1 << 21))
+    min_h = min(h for h, _ in window)
+    rightmost = max(p for h, p in window if h == min_h)
+    assert (dec_h, dec_p) == (min_h, rightmost)
