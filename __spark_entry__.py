@@ -562,12 +562,21 @@ def q_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_suppkey",
         (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
     )
-    per_ps = unit.groupBy("l_partkey", "l_suppkey").agg(
-        F.min("unit_price").alias("best_unit_price")
+    from pyspark.sql.window import Window
+
+    # round-4d rewrite: the correlated min as a partition window instead of
+    # a groupBy + self-join — per_ps is evaluated ONCE and the part-key
+    # shuffle feeding the (part, supp) agg also serves the window (subset
+    # clustering), so the query costs one lineitem exchange, zero joins
+    # before the broadcast supplier lookup.
+    per_ps = (
+        unit.repartition(F.col("l_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("unit_price").alias("best_unit_price"))
     )
-    p_min = per_ps.groupBy("l_partkey").agg(F.min("best_unit_price").alias("p_min"))
+    p_min = F.min("best_unit_price").over(Window.partitionBy("l_partkey"))
     return (
-        per_ps.join(p_min, "l_partkey")
+        per_ps.withColumn("p_min", p_min)
         .filter(F.col("best_unit_price") == F.col("p_min"))
         .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
         .select("l_partkey", "s_suppkey", "s_name", "best_unit_price")
@@ -597,24 +606,39 @@ def q_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     sup = _t(spark, sf_dir, "supplier")
-    late = (
+    # Cascade form (round-4d rewrite; was semi+anti joins re-evaluating the
+    # late subtree 3×): pre-partition the order⋈line relation by order key
+    # ONCE — the (order, supplier) dedup agg, the per-order counts agg, and
+    # the sole-supplier join are all clustered by a subset of that key, so
+    # the whole correlated-EXISTS pair costs ONE lineitem-sized exchange.
+    joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-    )
-    all_lines = li.select("l_orderkey", "l_suppkey").distinct()
-    o2, s2 = F.col("o2"), F.col("s2")
-    sole = (
-        late.join(
-            all_lines.select(F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")),
-            (F.col("l_orderkey") == o2) & (F.col("l_suppkey") != s2),
-            "left_semi",
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+            )
+            .cast("int")
+            .alias("is_late"),
         )
-        .join(
-            late.select(F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")),
-            (F.col("l_orderkey") == o2) & (F.col("l_suppkey") != s2),
-            "left_anti",
+        .repartition(F.col("l_orderkey"))
+    )
+    from pyspark.sql.window import Window
+
+    per_pair = joined.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("is_late").alias("any_late")
+    )
+    # per-order counts as a WINDOW over the same partitioning, not a
+    # groupBy + join back: the dedup agg's exchange satisfies the window's
+    # clustering too, and per_pair is evaluated exactly once (a join form
+    # re-evaluates the whole subtree per consumer and plans an SMJ)
+    w_ord = Window.partitionBy("l_orderkey")
+    sole = (
+        per_pair.withColumn("n_sups", F.count(F.lit(1)).over(w_ord))
+        .withColumn("n_late", F.sum("any_late").over(w_ord))
+        .filter(
+            (F.col("any_late") == 1) & (F.col("n_sups") > 1) & (F.col("n_late") == 1)
         )
     )
     return (

@@ -2116,7 +2116,12 @@ def winnowing_fingerprints(
     if k <= 0 or w <= 0:
         raise ValueError("need k > 0 and w > 0")
     words = F.split(F.col(text_col), " ")
-    n_grams = F.greatest(F.size(words) - F.lit(k - 1), F.lit(0))
+    # cap at the encoding's position budget (2^21−1): a longer doc gets
+    # fingerprints for its first 2M grams instead of a corrupted argmin —
+    # graceful, documented, and identical on both engines
+    n_grams = F.least(
+        F.greatest(F.size(words) - F.lit(k - 1), F.lit(0)), F.lit((1 << 21) - 1)
+    )
     gram_hash = (
         "CAST(conv(substring(md5(array_join(slice(_w, i + 1, {k}), ' ')), 1, 8), 16, 10) "
         "AS BIGINT)"
@@ -2170,7 +2175,7 @@ def winnowing_fingerprints_sql(k: int = 4, w: int = 5) -> str:
     return f"""
 WITH base AS (
   SELECT doc_id, string_split(text, ' ') AS _w,
-         greatest(len(string_split(text, ' ')) - {k - 1}, 0) AS _ng
+         least(greatest(len(string_split(text, ' ')) - {k - 1}, 0), 2097151) AS _ng
   FROM documents
 ),
 grams AS (
@@ -2221,13 +2226,15 @@ def vocab_growth(
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("token")
     ).filter(F.col("token") != "")
-    bucket = (F.col("doc_id") / F.lit(bucket_docs)).cast("long")
+    # exact integer division (doc_id ≥ 0, so Spark DIV == DuckDB //);
+    # float division + cast would lose exactness past 2^53
+    bucket = F.expr(f"doc_id DIV {bucket_docs}")
     per_bucket = toks.groupBy(bucket.alias("bucket")).agg(
         F.count(F.lit(1)).alias("n_tokens_bucket")
     )
     first_seen = toks.groupBy("token").agg(F.min("doc_id").alias("first_doc"))
     new_types = first_seen.groupBy(
-        (F.col("first_doc") / F.lit(bucket_docs)).cast("long").alias("bucket")
+        F.expr(f"first_doc DIV {bucket_docs}").alias("bucket")
     ).agg(F.count(F.lit(1)).alias("n_new_types"))
     joined = per_bucket.join(new_types, "bucket", "left").select(
         "bucket",
@@ -2461,7 +2468,9 @@ def bpe_encode(
     if merges is None:
         merges = BPE_MERGES
     # '·' between every char (double between symbols), single at word edges
-    s = F.concat(F.lit("·"), F.regexp_replace(F.col(text_col), "(.)", "$1··"))
+    # (?s) dotall: '.' must wrap EVERY char — without it a newline in the
+    # text would skip its boundary markers and corrupt the encoding
+    s = F.concat(F.lit("·"), F.regexp_replace(F.col(text_col), "(?s)(.)", "$1··"))
     enc = docs.select(
         "doc_id",
         F.size(F.split(F.col(text_col), " ")).alias("n_words"),
@@ -2489,8 +2498,8 @@ def bpe_encode_sql(merges: list[tuple[str, str]] | None = None) -> str:
     if merges is None:
         merges = BPE_MERGES
     expr = (
-        "substr(replace('·' || regexp_replace(text, '(.)', '\\1··', 'g'), '·· ··', '· ·'), 1, "
-        "length(replace('·' || regexp_replace(text, '(.)', '\\1··', 'g'), '·· ··', '· ·')) - 1)"
+        "substr(replace('·' || regexp_replace(text, '(?s)(.)', '\\1··', 'g'), '·· ··', '· ·'), 1, "
+        "length(replace('·' || regexp_replace(text, '(?s)(.)', '\\1··', 'g'), '·· ··', '· ·')) - 1)"
     )
     for a, b in merges:
         expr = f"replace({expr}, '·{a}··{b}·', '·{a}{b}·')"
