@@ -824,3 +824,151 @@ def start_alert_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_cusum_stream(
+    spark: SparkSession,
+    raw_path: str,
+    changes_out_path: str,
+    checkpoint: str,
+    window_ms: int = 300_000,
+    calib_windows: int = 12,
+    h_mult: int = 6,
+    close_delay_ms: int = 0,
+    available_now: bool = True,
+):
+    """Streaming face of bf_change_cusum: Page's CUSUM as a CUSTOM
+    STATEFUL OPERATOR (applyInPandasWithState). The batch twin scores a
+    FINISHED series against its global mean; a stream cannot know that
+    mean, so this is the standard online form — the first
+    `calib_windows` CLOSED windows calibrate the reference (integer mean
+    μ and threshold h = h_mult × integer mean absolute deviation), then
+    each later closed window updates the classic one-sided accumulators
+    C⁺ = max(0, C⁺ + (v−μ)) / C⁻ = max(0, C⁻ + (μ−v)) and emits an
+    'up'/'down' change event when one crosses h (both reset after an
+    event so the detector re-arms). All arithmetic is exact BIGINT on
+    micro-quantized window means — the same fixed-point discipline as
+    the batch twin, so the machine is bit-deterministic and
+    replay-safe.
+
+    Window closing, late-data, and state-size discipline are identical
+    to start_alert_stream: per-series event-time closing at
+    window_ms + close_delay_ms, samples for already-consumed windows
+    dropped (watermark rule), state O(open windows) + O(1) registers.
+
+    Divergence note vs the batch twin: the batch query flags against
+    the whole-series mean (retrospective change-point analysis); the
+    stream calibrates prospectively on its first windows — on a series
+    whose calibration prefix matches the global mean the two agree on
+    the shift point (asserted by the differential test)."""
+    import json as _json
+
+    import pandas as pd
+
+    raw = spark.readStream.schema(
+        "tenant_id string, metric_name string, ts long, value double, unit string,"
+        " ttl_seconds int, batch_id long, date date"
+    ).parquet(raw_path)
+    samples = raw.select(
+        "tenant_id",
+        "metric_name",
+        "ts",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+
+    out_schema = (
+        "tenant_id string, metric_name string, window_start long,"
+        " direction string, cusum long, threshold long"
+    )
+    state_schema = (
+        "n_closed int, mu long, h long, calib_json string, cpos long,"
+        " cneg long, open_json string, max_ts long, closed_hi long"
+    )
+
+    def machine(key, pdfs, state):
+        if state.hasTimedOut:  # pragma: no cover - NoTimeout configured
+            state.remove()
+            return
+        if state.exists:
+            (n_closed, mu, h, calib_json, cpos, cneg,
+             open_json, max_ts, closed_hi) = state.get
+            calib = _json.loads(calib_json)
+            open_w = {
+                int(k): (int(v[0]), int(v[1]))
+                for k, v in _json.loads(open_json).items()
+            }
+        else:
+            n_closed, mu, h, calib, cpos, cneg = 0, 0, 0, [], 0, 0
+            open_w, max_ts, closed_hi = {}, 0, -(2**62)
+        for pdf in pdfs:
+            ws_col = (pdf["ts"] // window_ms) * window_ms
+            for ws, cents in zip(ws_col, pdf["cents"]):
+                if int(ws) > closed_hi:  # watermark rule: too-late → drop
+                    s, c = open_w.get(int(ws), (0, 0))
+                    open_w[int(ws)] = (s + int(cents), c + 1)
+            if len(pdf):
+                max_ts = max(max_ts, int(pdf["ts"].max()))
+        events = []
+        for ws in sorted(w for w in open_w if w + window_ms + close_delay_ms <= max_ts):
+            closed_hi = ws
+            s, c = open_w.pop(ws)
+            # window mean in micro units: cents → micro is ×10_000; the
+            # integer division floors exactly like the batch twin's
+            # floor(avg*1e6) on non-negative sums
+            v = (s * 10_000) // c
+            n_closed += 1
+            if n_closed <= calib_windows:
+                calib.append(v)
+                if n_closed == calib_windows:
+                    mu = sum(calib) // calib_windows
+                    h = h_mult * (sum(abs(x - mu) for x in calib) // calib_windows)
+                continue
+            cpos = max(0, cpos + (v - mu))
+            cneg = max(0, cneg + (mu - v))
+            if cpos > h:
+                events.append((ws, "up", cpos, h))
+                cpos, cneg = 0, 0
+            elif cneg > h:
+                events.append((ws, "down", cneg, h))
+                cpos, cneg = 0, 0
+        state.update(
+            (
+                n_closed,
+                mu,
+                h,
+                _json.dumps(calib),
+                cpos,
+                cneg,
+                _json.dumps({str(k): list(v) for k, v in open_w.items()}),
+                max_ts,
+                closed_hi,
+            )
+        )
+        if events:
+            yield pd.DataFrame(
+                {
+                    "tenant_id": [key[0]] * len(events),
+                    "metric_name": [key[1]] * len(events),
+                    "window_start": [e[0] for e in events],
+                    "direction": [e[1] for e in events],
+                    "cusum": [e[2] for e in events],
+                    "threshold": [e[3] for e in events],
+                }
+            )
+
+    changes = samples.groupBy("tenant_id", "metric_name").applyInPandasWithState(
+        machine,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+    writer = (
+        changes.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", changes_out_path)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

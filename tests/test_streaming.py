@@ -697,3 +697,73 @@ def test_alert_stream_agrees_with_batch_hysteresis_prefix(spark, tmp_path):
         expect[k].sort()
     raw.unpersist()
     assert got == expect
+
+
+def test_cusum_stream_matches_sequential_machine(spark, tmp_path):
+    """The streaming CUSUM detector (applyInPandasWithState) emits exactly
+    the change events a sequential walk over the CLOSED windows produces —
+    across a restart, with intra-window accumulation and a too-late sample
+    that must be dropped. Calibration = first 12 closed windows."""
+    import os
+
+    raw_dir = str(tmp_path / "cusum_raw")
+    out_dir = str(tmp_path / "cusum_out")
+    ckpt = str(tmp_path / "ckpt_cusum")
+    os.makedirs(raw_dir)
+    W = 300_000
+    base = 1_700_000_000_000 - (1_700_000_000_000 % W)
+    schema = (
+        "tenant_id string, metric_name string, ts long, value double,"
+        " unit string, ttl_seconds int, batch_id long, date date"
+    )
+
+    # calibration: 12 windows alternating 10/12; then a sustained shift
+    # to ~15, then back down to ~8
+    vals = [10.0, 12.0] * 6 + [15.0, 15.2, 15.1, 14.9, 15.0] + [8.0, 8.1, 7.9, 8.0]
+
+    def sample(w, value, off=0):
+        return ("t0", "m.lat", base + w * W + off, value, "", 0, 0, None)
+
+    # sequential reference implementing the machine's documented rules
+    def reference(values):
+        calib, events = [], []
+        mu = h = cpos = cneg = 0
+        for w, val in enumerate(values):
+            v = (int(round(val * 100)) * 10_000) // 1
+            if len(calib) < 12:
+                calib.append(v)
+                if len(calib) == 12:
+                    mu = sum(calib) // 12
+                    h = 6 * (sum(abs(x - mu) for x in calib) // 12)
+                continue
+            cpos = max(0, cpos + (v - mu))
+            cneg = max(0, cneg + (mu - v))
+            if cpos > h:
+                events.append((base + w * W, "up", cpos, h))
+                cpos = cneg = 0
+            elif cneg > h:
+                events.append((base + w * W, "down", cneg, h))
+                cpos = cneg = 0
+        return events
+
+    expect = reference(vals)
+    assert {e[1] for e in expect} == {"up", "down"}, "fixture must exercise both sides"
+
+    # chunk 1: windows 0..14 (w13,w14 stay open: horizon = max_ts - W)
+    rows1 = [sample(w, v) for w, v in enumerate(vals[:15])]
+    spark.createDataFrame(rows1, schema).repartition(1).write.mode("append").parquet(raw_dir)
+    P.start_cusum_stream(spark, raw_dir, out_dir, ckpt).awaitTermination(120)
+
+    # chunk 2 (restart from checkpoint): the rest + a too-late sample for
+    # w0 (MUST be dropped) + a far-future sample closing everything
+    rows2 = [sample(w, v) for w, v in enumerate(vals) if w >= 15]
+    rows2.append(sample(0, 9999.0))
+    rows2.append(sample(len(vals) + 3, 10.0))
+    spark.createDataFrame(rows2, schema).repartition(1).write.mode("append").parquet(raw_dir)
+    P.start_cusum_stream(spark, raw_dir, out_dir, ckpt).awaitTermination(120)
+
+    got = sorted(
+        (r["window_start"], r["direction"], r["cusum"], r["threshold"])
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    assert got == sorted(expect)
