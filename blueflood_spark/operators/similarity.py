@@ -1933,6 +1933,54 @@ def build_ivf_index(
     cents.write.mode(mode).parquet(path.rstrip("/") + "/_codebook")
 
 
+def append_ivf_index(
+    spark,
+    path: str,
+    new_emb: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> None:
+    """Day-2 maintenance of the persisted inverted file: assign NEW
+    vectors against the index's PERSISTED codebook (never re-derived —
+    re-deriving from the incoming batch would silently shift list
+    boundaries and orphan the existing partitions) and append them to
+    the same list_id partition layout. The incremental-dedup story
+    (dedup.probe_dedup_index) applied to ANN: day-2 data pays one
+    map-only assignment pass + an append write; nothing existing is
+    rewritten, and probes see old + new vectors through the identical
+    partition-pruned scan.
+
+    Assignment reuses the broadcast-one-row kernel (`_ivf_ranked`'s
+    shape) with centroids sourced from `_codebook/`, so day-2
+    assignments are bit-identical to what a full rebuild with the same
+    codebook would produce."""
+    cents = (
+        spark.read.parquet(path.rstrip("/") + "/_codebook")
+        .select("cent_id", "cent_emb", _norm("cent_emb").alias("cn"))
+    )
+    cent_row = cents.agg(
+        F.expr(
+            "array_sort(collect_list(struct(cent_id AS cid, cent_emb AS cvec, cn)))"
+        ).alias("cent_arr")
+    )
+    assigned = (
+        new_emb.crossJoin(F.broadcast(cent_row))
+        .withColumn("vn", _norm(emb_col))
+        .withColumn(
+            "cent_ranked",
+            F.expr(
+                "array_sort(transform(cent_arr, c -> struct("
+                f"aggregate(zip_with({emb_col}, c.cvec, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+                " 0D, (acc, v) -> acc + v) / (vn * c.cn) AS s, c.cid AS cid)), "
+                "(l, r) -> CASE WHEN l.s > r.s THEN -1 WHEN l.s < r.s THEN 1 "
+                "WHEN l.cid < r.cid THEN -1 WHEN l.cid > r.cid THEN 1 ELSE 0 END)"
+            ),
+        )
+        .select(id_col, emb_col, F.expr("cent_ranked[0].cid").alias("list_id"))
+    )
+    assigned.write.partitionBy("list_id").mode("append").parquet(path)
+
+
 def probe_ivf_index(
     spark,
     path: str,

@@ -504,3 +504,52 @@ def test_theil_sen_outlier_immunity(spark):
     )
     med = slopes.agg(F.expr("percentile(slope, 0.5D)").alias("m")).collect()[0].m
     assert med == 100.0, med
+
+
+def test_ivf_index_append_equals_full_rebuild(spark, tmp_path):
+    """Day-2 maintenance: building on day-1 vectors then APPENDING the
+    day-2 batch must probe identically to a full rebuild with the same
+    codebook — and the persisted codebook must be untouched by the
+    append."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as E
+    from blueflood_spark.operators.similarity import (
+        append_ivf_index,
+        build_ivf_index,
+        probe_ivf_index,
+    )
+
+    emb = E._t(spark, "/root/testdata/sf0.001", "embeddings")
+    day1 = emb.filter(F.col("vec_id") < 400)
+    day2 = emb.filter(F.col("vec_id") >= 400)
+
+    inc_path = str(tmp_path / "ivf_inc")
+    full_path = str(tmp_path / "ivf_full")
+    build_ivf_index(day1, inc_path, n_lists=8)
+    cb_before = sorted(
+        r.cent_id for r in spark.read.parquet(inc_path + "/_codebook").collect()
+    )
+    append_ivf_index(spark, inc_path, day2)
+    cb_after = sorted(
+        r.cent_id for r in spark.read.parquet(inc_path + "/_codebook").collect()
+    )
+    assert cb_before == cb_after == list(range(8))
+
+    # full rebuild uses the same codebook (centroids = vec_id < 8, all in
+    # day-1), so incremental must equal rebuild exactly
+    build_ivf_index(emb, full_path, n_lists=8)
+    queries = emb.filter(F.col("vec_id") < 5)
+    inc = {
+        (r.q_id, r.c_id, r.rank)
+        for r in probe_ivf_index(spark, inc_path, queries, k=10, n_probe=2).collect()
+    }
+    full = {
+        (r.q_id, r.c_id, r.rank)
+        for r in probe_ivf_index(spark, full_path, queries, k=10, n_probe=2).collect()
+    }
+    assert inc == full and len(inc) >= 40
+    # day-2 vectors are actually reachable through the incremental index
+    assert any(c >= 400 for (_, c, _) in inc) or any(
+        c >= 400 for (_, c, _) in full
+    )
