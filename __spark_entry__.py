@@ -5574,6 +5574,15 @@ def llm_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.winnowing_fingerprints(docs, k=4, w=5)
 
 
+def llm_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-detection candidate pairs from winnowing fingerprints
+    (operators/text.py winnowing_pairs): MOSS's second half — a
+    self-equi-join on the pre-shrunk fingerprint relation with recall 1
+    over any shared (k+w−1)-token run, by construction."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.winnowing_pairs(docs, k=4, w=5, min_shared=2)
+
+
 def llm_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaps'-law vocabulary growth curve in doc order (operators/text.py
     vocab_growth): cumulative distinct types vs cumulative tokens per
@@ -5710,6 +5719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_mmr_diversify": llm_mmr_diversify,
         # -- round-4d adds (never stamped; next round's window leads here) --
         "llm_winnowing": llm_winnowing,
+        "llm_winnowing_pairs": llm_winnowing_pairs,
         "llm_vocab_growth": llm_vocab_growth,
         "llm_source_kl": llm_source_kl,
         "llm_bpe_pairs": llm_bpe_pairs,
@@ -6006,6 +6016,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bf_downtime_report": _BF_DOWNTIME_SQL,
         "llm_winnowing": TX.winnowing_fingerprints_sql(k=4, w=5),
+        "llm_winnowing_pairs": TX.winnowing_pairs_sql(k=4, w=5, min_shared=2),
         "llm_vocab_growth": TX.vocab_growth_sql(bucket_docs=50),
         "llm_source_kl": TX.source_kl_divergence_sql(),
         "llm_bpe_pairs": TX.bpe_pair_counts_sql(k=50),

@@ -2515,3 +2515,54 @@ SELECT doc_id,
        md5(s) AS encoded_md5
 FROM enc
 """
+
+
+def winnowing_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 5,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Copy detection ON the winnowing fingerprints: candidate pairs =
+    docs sharing ≥ `min_shared` selected fingerprint hashes, found by a
+    self-equi-join on the fingerprint hash — the MOSS pipeline's second
+    half. The fingerprint relation is tiny relative to the corpus
+    (≈ 2/(w+1) of the grams by the winnowing density bound), so the
+    join shuffles 8-byte keys over a pre-shrunk input; pair fan-out is
+    bounded by docs-per-fingerprint, never corpus².
+
+    The guarantee inherited from winnowing: any two docs sharing a
+    (k+w−1)-token run WILL share a fingerprint, so recall over
+    longer-than-threshold copies is 1 by construction — no probabilistic
+    tuning (the MinHash/LSH contrast)."""
+    # dedupe to (doc, hash): the same hash selected at several positions
+    # would otherwise cross-multiply in the join (n_shared counts DISTINCT
+    # shared fingerprint hashes, the MOSS similarity unit)
+    fps = (
+        winnowing_fingerprints(docs, text_col, k, w)
+        .select("doc_id", "fp_hash")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    a = fps.select(F.col("doc_id").alias("doc_a"), "fp_hash")
+    b = fps.select(F.col("doc_id").alias("doc_b"), "fp_hash")
+    return (
+        a.join(b, "fp_hash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+        .filter(F.col("n_shared_fps") >= min_shared)
+    )
+
+
+def winnowing_pairs_sql(k: int = 4, w: int = 5, min_shared: int = 2) -> str:
+    inner = winnowing_fingerprints_sql(k, w).strip()
+    return f"""
+WITH fps_raw AS ({inner}),
+fps AS (SELECT DISTINCT doc_id, fp_hash FROM fps_raw)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_fps
+FROM fps a JOIN fps b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= {min_shared}
+"""

@@ -329,3 +329,35 @@ def test_apdex_score_exact_integer(spark):
         assert r["n_satisfied"] + r["n_tolerating"] <= r["n_total"]
         expect = (2 * r["n_satisfied"] + r["n_tolerating"]) * 1000 // (2 * r["n_total"])
         assert r["apdex_milli"] == expect
+
+
+def test_winnowing_pairs_guaranteed_recall_and_no_fp(spark):
+    from blueflood_spark.operators.text import winnowing_pairs
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # k+w-1 = 8
+    texts = [
+        f"left filler words {shared}",
+        f"{shared} right padding tokens here",
+        "completely unrelated content with no overlap at all whatsoever",
+    ]
+    out = {(r["doc_a"], r["doc_b"]): r["n_shared_fps"] for r in
+           winnowing_pairs(_docs(spark, texts), k=4, w=5, min_shared=1).collect()}
+    assert (0, 1) in out, "shared-run pair must be found (recall-1 guarantee)"
+    assert not any(2 in pair for pair in out), "unrelated doc must not pair"
+
+
+def test_winnowing_pairs_counts_distinct_hashes(spark):
+    from blueflood_spark.operators.text import winnowing_pairs
+
+    # identical docs: n_shared = count of DISTINCT fingerprint hashes,
+    # never a cross-multiplied position product
+    t = "a b c d e f g h i j a b c d e f g h i j"
+    out = winnowing_pairs(_docs(spark, [t, t]), k=4, w=5, min_shared=1).collect()
+    assert len(out) == 1
+    from blueflood_spark.operators.text import winnowing_fingerprints
+
+    n_distinct = (
+        winnowing_fingerprints(_docs(spark, [t]), k=4, w=5)
+        .select("fp_hash").distinct().count()
+    )
+    assert out[0]["n_shared_fps"] == n_distinct
