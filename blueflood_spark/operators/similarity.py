@@ -518,6 +518,53 @@ def kmeans_assign(
         "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
         "0D, (acc, v) -> acc + v) AS d, c.cid AS cid)))"
     )
+    cent_row = _trained_centroid_row(emb, k, iterations, id_col, vec_col, argmin)
+    # final assignment under the last update, so the output reflects
+    # `iterations` full Lloyd steps
+    return (
+        emb.select(id_col, vec_col)
+        .crossJoin(F.broadcast(cent_row))
+        .withColumn("m", F.expr(argmin))
+        .select(id_col, F.col("m.cid").alias("cluster_id"), F.col("m.d").alias("sq_dist"))
+    )
+
+
+# (applicationId, analyzed-plan semanticHash of emb, k, iterations, cols) →
+# the trained one-row centroid frame, lazily materialized. The Lloyd's
+# DAG is the single most re-run subtree in the suite — kmeans_clusters,
+# silhouette, embedding_outliers, and semdedup all train the SAME
+# centroids over the same input. In production a trained quantizer is an
+# ARTIFACT (computed once, broadcast everywhere — exactly how the IVF
+# codebook persists under _codebook/); this memo is the in-session form
+# of that artifact, keyed by the analyzed plan so a different input or
+# hyperparameters never collide. Results are bit-identical by
+# construction: the memo stores the same deterministic frame the inline
+# DAG would rebuild.
+_CENTROID_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _trained_centroid_row(
+    emb: DataFrame, k: int, iterations: int, id_col: str, vec_col: str, argmin: str
+) -> DataFrame:
+    spark = emb.sparkSession
+    try:
+        key = (
+            spark.sparkContext.applicationId,
+            emb._jdf.queryExecution().analyzed().semanticHash(),
+            k,
+            iterations,
+            id_col,
+            vec_col,
+        )
+    except Exception:  # Connect or API drift: train inline, skip the memo
+        key = None
+    if key is not None:
+        hit = _CENTROID_CACHE.get(key)
+        if hit is not None:
+            return hit
+        for stale in [s for s in _CENTROID_CACHE if s[0] != key[0]]:
+            del _CENTROID_CACHE[stale]  # dead sessions' py4j refs
+
     from pyspark.sql import Window
 
     w = Window.orderBy(id_col)
@@ -555,14 +602,10 @@ def kmeans_assign(
                 "transform(array_sort(collect_list(struct(pos, s / n AS mean))), s -> s.mean)"
             ).alias("cvec")
         )
-    # final assignment under the last update, so the output reflects
-    # `iterations` full Lloyd steps
-    return (
-        emb.select(id_col, vec_col)
-        .crossJoin(F.broadcast(as_row(cents)))
-        .withColumn("m", F.expr(argmin))
-        .select(id_col, F.col("m.cid").alias("cluster_id"), F.col("m.d").alias("sq_dist"))
-    )
+    cent_row = as_row(cents).localCheckpoint(eager=False)
+    if key is not None:
+        _CENTROID_CACHE[key] = cent_row
+    return cent_row
 
 
 def kmeans_assign_sql(k: int = 8, iterations: int = 2) -> str:

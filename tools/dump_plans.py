@@ -94,6 +94,7 @@ CASES = {
     "llm_temperature_mix": "temperature mix: one map-side-combinable source agg; the only window runs over #sources rows (a constant) — the single-partition WindowExec is a k-row frame",
     "llm_mmr_diversify": "MMR: retrieval stage broadcasts the corpus once; candidate pairwise sims lazily checkpointed and reused by every greedy iteration — loop frames are queries×pool rows, constants",
     "llm_winnowing": "MOSS winnowing: one explode + ONE doc-key exchange for the intra-doc window min; argmin encoded in a single BIGINT so selection is integer codegen, distinct rides the same partitioning",
+    "llm_winnowing_pairs": "winnowing copy detection: fingerprint relation materialized once (lazy checkpoint), self-equi-join on 8-byte fp hashes — pair fan-out bounded by docs-per-fingerprint, never corpus²",
     "llm_vocab_growth": "Heaps-law growth: groupBy(token) min(doc_id) is the only corpus-sized shuffle; the cumsum window runs over bucket-grain rows only",
     "llm_source_kl": "source KL: ONE explode feeds (grp,token) counts (lazily checkpointed); corpus counts, source totals, and the 1-row grand total all roll up from it; grand total broadcast back",
     "llm_bpe_pairs": "BPE pair step: pair explosion runs over the DISTINCT-word relation weighted by exact counts; top-k is TakeOrderedAndProject",
