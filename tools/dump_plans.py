@@ -33,7 +33,7 @@ CASES = {
     "llm_weighted_sample": "A-Res weighted top-k planned as TakeOrderedAndProject, not a single-partition window",
     "bf_typed_merge_20m": "F5 typed ladder: long/double promotion as pure column exprs, exchanges as basic merge",
     "llm_pack_sequences": "two-phase prefix sum: sharded window + tiny offsets frame broadcast back (no global sort of the corpus)",
-    "llm_kmeans_clusters": "Lloyd's iterations unrolled: centroid broadcast per pass, corpus never shuffles for assignment",
+    "llm_kmeans_clusters": "assignment is MAP-ONLY against the memoized trained-centroid artifact (Scan ExistingRDD = the materialized one-row centroid frame; training runs once per session as the unrolled Lloyd's DAG) — the corpus never shuffles",
     "bf_ttl_retention": "per-resolution retention predicates over the one-exchange cascade",
     "ev_funnel_3step": "k-step funnel as ONE user-key exchange + per-user codegen fold (no per-step self-joins)",
     "llm_pq_codes": "PQ encode as a map-only projection: codebook collapsed to one broadcast array row, corpus never repartitioned",
