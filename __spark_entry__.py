@@ -3304,6 +3304,46 @@ def ev_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ev_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity risk report over the event stream — the governance
+    check run before event data feeds a training corpus (companion to
+    llm_pii_redact, which scrubs content; this measures LINKABILITY):
+    group the table by its quasi-identifier combination (event type ×
+    hour-of-day × value decile), report each group's size, and flag
+    equivalence classes smaller than k=5 — records in those classes are
+    re-identifiable by someone who knows the quasi-identifiers.
+
+    Exact integers end-to-end (the decile is an integer floor of a
+    bounded value, not a percentile); one map-side-combinable agg —
+    the same shuffle shape as a rollup, linear at 100 TB."""
+    ev = _t(spark, sf_dir, "events")
+    qid = ev.select(
+        "event_type",
+        F.expr("CAST(ts DIV 1000000 AS BIGINT) DIV 3600000 % 24").alias("hour_utc"),
+        # explicit floor: CAST(double AS BIGINT) truncates in Spark but
+        # ROUNDS in DuckDB — never rely on the bare cast cross-engine
+        F.expr(
+            "CAST(floor(least(greatest(value, 0.0), 999.999)) AS BIGINT) DIV 100"
+        ).alias("value_band"),
+    )
+    return (
+        qid.groupBy("event_type", "hour_utc", "value_band")
+        .agg(F.count(F.lit(1)).alias("class_size"))
+        .withColumn("violates_k5", F.col("class_size") < 5)
+    )
+
+
+_EV_K_ANON_SQL = """
+SELECT event_type,
+       (epoch_ms(ts) // 3600000) % 24 AS hour_utc,
+       CAST(floor(least(greatest(value, 0.0), 999.999)) AS BIGINT) // 100 AS value_band,
+       count(*) AS class_size,
+       count(*) < 5 AS violates_k5
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
 _EV_PROPS_SQL = """
 SELECT event_type,
        count(*) AS n_events,
@@ -5727,6 +5767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bf_outlier_mad": bf_outlier_mad,
         "bf_change_cusum": bf_change_cusum,
         "bf_apdex": bf_apdex,
+        "ev_k_anonymity": ev_k_anonymity,
         "llm_lang_id": llm_lang_id,
         "llm_token_counts": llm_token_counts,
         "llm_quality_score": llm_quality_score,
@@ -6024,4 +6065,5 @@ def oracle_sql() -> dict[str, str]:
         "bf_outlier_mad": _BF_OUTLIER_MAD_SQL,
         "bf_change_cusum": _BF_CHANGE_CUSUM_SQL,
         "bf_apdex": _BF_APDEX_SQL,
+        "ev_k_anonymity": _EV_K_ANON_SQL,
     }

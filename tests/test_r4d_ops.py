@@ -361,3 +361,17 @@ def test_winnowing_pairs_counts_distinct_hashes(spark):
         .select("fp_hash").distinct().count()
     )
     assert out[0]["n_shared_fps"] == n_distinct
+
+
+def test_k_anonymity_flags_small_classes(spark):
+    import __spark_entry__ as E
+
+    out = E.ev_k_anonymity(spark, "/root/testdata/sf0.001").collect()
+    assert out, "no equivalence classes"
+    for r in out:
+        assert r["violates_k5"] == (r["class_size"] < 5)
+        assert 0 <= r["hour_utc"] <= 23
+        assert r["value_band"] >= 0
+    # total class mass must equal the table row count (a partition of it)
+    n_events = spark.read.parquet("/root/testdata/sf0.001/events.parquet").count()
+    assert sum(r["class_size"] for r in out) == n_events
