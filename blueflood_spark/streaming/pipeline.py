@@ -972,3 +972,62 @@ def start_cusum_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_sketch_maintenance(
+    spark: SparkSession,
+    raw_path: str,
+    sketch_path: str,
+    checkpoint: str,
+    depth: int = 4,
+    width: int = 64,
+    p: int = 8,
+    available_now: bool = True,
+):
+    """Streaming maintenance of the monitoring sketches (foreachBatch):
+    each micro-batch builds PARTIAL sketches with the exact batch
+    operators — CMS cells over metric_name (hot-key tracking) and HLL
+    registers of metric_name per tenant (cardinality) — and writes them
+    under `sk_batch=<id>` directories. Retry-idempotent by construction:
+    a replayed micro-batch OVERWRITES its own directory, never
+    double-merges. The merge happens at READ time and is trivial because
+    both sketches are mergeable by design — CMS is linear (sum cells),
+    HLL is a lattice (max registers) — so the merged table is
+    bit-identical to the batch sketch over the same rows regardless of
+    how the stream was chopped into micro-batches (asserted by the
+    differential test). This is the 'streaming = batch' claim for the
+    sketch family: same operators, same values, any arrival order."""
+    from blueflood_spark.operators.sketches import count_min_sketch, hll_registers
+
+    raw = spark.readStream.schema(
+        "tenant_id string, metric_name string, ts long, value double, unit string,"
+        " ttl_seconds int, batch_id long, date date"
+    ).parquet(raw_path)
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        cms = count_min_sketch(batch, "metric_name", depth=depth, width=width)
+        hll = hll_registers(batch, "metric_name", ["tenant_id"], p=p)
+        base = sketch_path.rstrip("/")
+        cms.write.mode("overwrite").parquet(f"{base}/cms/sk_batch={batch_id}")
+        hll.write.mode("overwrite").parquet(f"{base}/hll/sk_batch={batch_id}")
+
+    writer = (
+        raw.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_cms_sketch(spark: SparkSession, sketch_path: str) -> DataFrame:
+    """Merged CMS over all maintained partials: linear merge = sum per
+    cell — one tiny agg over depth × width × n_batches rows."""
+    parts = spark.read.parquet(sketch_path.rstrip("/") + "/cms")
+    return parts.groupBy("j", "b").agg(F.sum("cell").alias("cell"))
+
+
+def read_hll_sketch(spark: SparkSession, sketch_path: str) -> DataFrame:
+    """Merged HLL registers: lattice merge = element-wise max."""
+    parts = spark.read.parquet(sketch_path.rstrip("/") + "/hll")
+    return parts.groupBy("tenant_id", "reg").agg(F.max("max_rho").alias("max_rho"))

@@ -767,3 +767,58 @@ def test_cusum_stream_matches_sequential_machine(spark, tmp_path):
         for r in spark.read.parquet(out_dir).collect()
     )
     assert got == sorted(expect)
+
+
+def test_sketch_maintenance_merge_equals_batch(spark, tmp_path):
+    """Micro-batched sketch partials merged at read time must equal the
+    batch sketches over the same rows EXACTLY — CMS by linearity, HLL by
+    the register lattice — across a restart, and a replayed batch must
+    not double-merge (overwrite idempotence)."""
+    import os
+
+    from blueflood_spark.operators.sketches import count_min_sketch, hll_registers
+
+    raw_dir = str(tmp_path / "sk_raw")
+    sk_dir = str(tmp_path / "sk_out")
+    ckpt = str(tmp_path / "ckpt_sk")
+    os.makedirs(raw_dir)
+    schema = (
+        "tenant_id string, metric_name string, ts long, value double,"
+        " unit string, ttl_seconds int, batch_id long, date date"
+    )
+
+    def rows(lo, hi):
+        return [
+            (f"t{i % 3}", f"m.{i % 17}", 1_700_000_000_000 + i, float(i), "", 0, 0, None)
+            for i in range(lo, hi)
+        ]
+
+    spark.createDataFrame(rows(0, 400), schema).repartition(1).write.mode("append").parquet(raw_dir)
+    P.start_sketch_maintenance(spark, raw_dir, sk_dir, ckpt).awaitTermination(120)
+    spark.createDataFrame(rows(400, 1000), schema).repartition(1).write.mode("append").parquet(raw_dir)
+    P.start_sketch_maintenance(spark, raw_dir, sk_dir, ckpt).awaitTermination(120)
+
+    full = spark.createDataFrame(rows(0, 1000), schema)
+    want_cms = {(r.j, r.b): r.cell for r in count_min_sketch(full, "metric_name").collect()}
+    got_cms = {(r.j, r.b): r.cell for r in P.read_cms_sketch(spark, sk_dir).collect()}
+    assert got_cms == want_cms
+
+    want_hll = {
+        (r.tenant_id, r.reg): r.max_rho
+        for r in hll_registers(full, "metric_name", ["tenant_id"]).collect()
+    }
+    got_hll = {
+        (r.tenant_id, r.reg): r.max_rho
+        for r in P.read_hll_sketch(spark, sk_dir).collect()
+    }
+    assert got_hll == want_hll
+
+    # replay idempotence: re-running a micro-batch's merge must overwrite,
+    # not double-count — simulate a foreachBatch retry of batch 0
+    batch0 = spark.read.parquet(raw_dir).limit(0).union(
+        spark.createDataFrame(rows(0, 400), schema)
+    )
+    cms0 = count_min_sketch(batch0, "metric_name")
+    cms0.write.mode("overwrite").parquet(sk_dir + "/cms/sk_batch=0")
+    got_cms2 = {(r.j, r.b): r.cell for r in P.read_cms_sketch(spark, sk_dir).collect()}
+    assert got_cms2 == want_cms
