@@ -1,0 +1,118 @@
+"""Adversarial-input differentials: the oracle gate runs on the synthetic
+corpus, whose text is clean ASCII words with single spaces. This suite
+feeds EDGE documents — empty text, single char, unicode, embedded
+tabs/newlines, a very long word, heavy repetition — through a set of
+text operators on BOTH engines and requires exact agreement, so the
+cross-engine contract isn't an artifact of friendly data."""
+
+import math
+
+import duckdb
+import pytest
+
+from blueflood_spark.operators import text as TX
+
+EDGE_DOCS = [
+    (0, "", "en", "s0", 0),
+    (1, "a", "en", "s0", 1),
+    (2, "héllo wörld grüße 日本語 テスト", "de", "s1", 30),
+    (3, "tab\there and\nnewline inside tokens", "en", "s1", 35),
+    (4, "x" * 300 + " short tail", "en", "s2", 311),
+    (5, "a a a a a a a a a a a a", "en", "s2", 23),
+    (6, "the the the quick quick brown fox fox fox fox", "en", "s3", 46),
+    (7, "punct!@# $%^ &*() mixed 123 456 789 end", "en", "s3", 39),
+]
+
+
+@pytest.fixture(scope="module")
+def engines(spark):
+    docs = spark.createDataFrame(
+        EDGE_DOCS,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents(doc_id BIGINT, text VARCHAR, lang VARCHAR,"
+        " source VARCHAR, n_chars BIGINT)"
+    )
+    con.executemany("INSERT INTO documents VALUES (?,?,?,?,?)", EDGE_DOCS)
+    return docs, con
+
+
+def _diff(sdf, con, sql):
+    scols = sdf.columns
+    srows = sorted(tuple(r) for r in sdf.collect())
+    res = con.execute(sql)
+    dcols = [c[0] for c in res.description]
+    assert sorted(scols) == sorted(dcols), (scols, dcols)
+    drows = sorted(tuple(r[dcols.index(c)] for c in scols) for r in res.fetchall())
+    assert len(srows) == len(drows), (len(srows), len(drows))
+    for a, b in zip(srows, drows):
+        for x, y in zip(a, b):
+            if isinstance(x, float) and isinstance(y, float):
+                assert math.isclose(x, y, rel_tol=1e-12, abs_tol=0), (a, b)
+            else:
+                assert x == y, (a, b)
+
+
+def test_edge_token_counts(engines):
+    docs, con = engines
+    _diff(TX.token_counts(docs), con, TX.token_counts_sql())
+
+
+def test_edge_char_entropy(engines):
+    docs, con = engines
+    _diff(TX.char_entropy(docs), con, TX.char_entropy_sql())
+
+
+def test_edge_winnowing(engines):
+    docs, con = engines
+    _diff(
+        TX.winnowing_fingerprints(docs, k=4, w=5),
+        con,
+        TX.winnowing_fingerprints_sql(k=4, w=5),
+    )
+
+
+def test_edge_bpe_encode(engines):
+    docs, con = engines
+    _diff(TX.bpe_encode(docs), con, TX.bpe_encode_sql())
+
+
+def test_edge_bpe_pairs(engines):
+    docs, con = engines
+    _diff(TX.bpe_pair_counts(docs, k=50), con, TX.bpe_pair_counts_sql(k=50))
+
+
+def test_edge_vocab_growth(engines):
+    docs, con = engines
+    _diff(TX.vocab_growth(docs, bucket_docs=3), con, TX.vocab_growth_sql(bucket_docs=3))
+
+
+def test_edge_source_kl(engines):
+    docs, con = engines
+    _diff(TX.source_kl_divergence(docs), con, TX.source_kl_divergence_sql())
+
+
+def test_edge_rolling_fingerprint(engines):
+    docs, con = engines
+    _diff(TX.rolling_fingerprint(docs), con, TX.rolling_fingerprint_sql())
+
+
+def test_edge_chunk_windows(engines):
+    docs, con = engines
+    _diff(
+        TX.chunk_windows(docs, width=4, stride=3),
+        con,
+        TX.chunk_windows_sql(width=4, stride=3),
+    )
+
+
+def test_edge_quality_score(engines):
+    docs, con = engines
+    _diff(TX.quality_score(docs), con, TX.quality_score_sql())
+
+
+def test_edge_language_id(engines):
+    docs, con = engines
+    _diff(TX.language_id(docs), con, TX.language_id_sql())
