@@ -116,3 +116,41 @@ def test_edge_quality_score(engines):
 def test_edge_language_id(engines):
     docs, con = engines
     _diff(TX.language_id(docs), con, TX.language_id_sql())
+
+
+# -- dedup family over the same adversarial docs --
+
+from blueflood_spark.operators import dedup as D  # noqa: E402
+
+
+def test_edge_exact_dedup(engines):
+    docs, con = engines
+    _diff(
+        D.exact_dedup(docs),
+        con,
+        """
+SELECT md5(text) AS content_hash, min(doc_id) AS canonical_doc_id,
+       count(*) AS dup_count
+FROM documents GROUP BY 1
+""",
+    )
+
+
+def test_edge_minhash_signatures(engines):
+    docs, con = engines
+    _diff(D.minhash_signatures(docs), con, D.minhash_signatures_sql())
+
+
+def test_edge_simhash(engines):
+    docs, con = engines
+    _diff(D.simhash(docs), con, D.simhash_sql())
+
+
+def test_edge_ngram_stats(engines):
+    docs, con = engines
+    _diff(TX.ngram_stats(docs, n=3, k=20), con, TX.ngram_stats_sql(n=3, k=20))
+
+
+def test_edge_pii_redact(engines):
+    docs, con = engines
+    _diff(TX.pii_redact(docs), con, TX.pii_redact_sql())
