@@ -154,3 +154,75 @@ def test_edge_ngram_stats(engines):
 def test_edge_pii_redact(engines):
     docs, con = engines
     _diff(TX.pii_redact(docs), con, TX.pii_redact_sql())
+
+
+# -- series family end-to-end: an adversarial events.parquet (negative
+#    values — exercising bf_change_cusum's non-negative shift device —
+#    constant series, single-sample series, duplicate timestamps) run
+#    through the REGISTERED queries against their registered oracles --
+
+
+@pytest.fixture(scope="module")
+def adversarial_sf(spark, tmp_path_factory):
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+
+    def add(user_id, etype, minutes, value):
+        nonlocal eid
+        rows.append(
+            (
+                eid,
+                base + datetime.timedelta(minutes=minutes),
+                user_id,
+                etype,
+                float(value),
+                '{"k": 1}',
+            )
+        )
+        eid += 1
+
+    # negative sawtooth with a level shift (user 0 -> tenant t0)
+    for i in range(40):
+        add(0, "neg", i * 5, -50 - (i % 3) + (30 if i >= 25 else 0))
+    # constant series: zero variance, zero MAD
+    for i in range(30):
+        add(1, "const", i * 5, 42.0)
+    # single-sample series
+    add(2, "solo", 0, 7.5)
+    # duplicate timestamps (two samples in the same ms)
+    for i in range(20):
+        add(3, "dup", i * 5, 10.0 + i)
+        add(3, "dup", i * 5, 12.0 + i)
+    d = str(tmp_path_factory.mktemp("adv_sf"))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    ).repartition(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    return d
+
+
+SERIES_QUERIES = [
+    "bf_change_cusum",
+    "bf_outlier_mad",
+    "bf_apdex",
+    "bf_anomaly_zscore",
+    "ev_k_anonymity",
+    "bf_basic_rollup_5m",
+]
+
+
+@pytest.mark.parametrize("qname", SERIES_QUERIES)
+def test_series_queries_on_adversarial_events(spark, adversarial_sf, qname):
+    import __spark_entry__ as E
+
+    sdf = E.queries()[qname](spark, adversarial_sf)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM"
+        f" '{adversarial_sf}/events.parquet/*.parquet'"
+    )
+    _diff(sdf, con, E.oracle_sql()[qname])
