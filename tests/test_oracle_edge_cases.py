@@ -196,6 +196,16 @@ def adversarial_sf(spark, tmp_path_factory):
     for i in range(20):
         add(3, "dup", i * 5, 10.0 + i)
         add(3, "dup", i * 5, 12.0 + i)
+    # multi-day correlated pair (user 4 → t0): hourly for 6 days, so the
+    # 240m/4h-window estimators (trend, xcorr, movers) have real input
+    for i in range(6 * 24):
+        add(4, "load", i * 60, 100 + i + (i % 7))
+        add(4, "lat", i * 60, 50 + i)
+    # attribution/funnel journeys: touches then a purchase within 24h
+    for u in (5, 6):
+        add(u, "click", 10, 1.0)
+        add(u, "view", 500, 2.0)
+        add(u, "purchase", 700, 30.0)
     d = str(tmp_path_factory.mktemp("adv_sf"))
     spark.createDataFrame(
         rows,
@@ -212,6 +222,35 @@ SERIES_QUERIES = [
     "bf_anomaly_zscore",
     "ev_k_anonymity",
     "bf_basic_rollup_5m",
+    "bf_rate_series",
+    "bf_ewma_smooth",
+    "bf_m4_downsample",
+    "bf_histogram_buckets",
+    "bf_histogram_quantile",
+    "bf_sustained_breach",
+    "bf_topk_movers",
+    "bf_seasonal_baseline",
+    "bf_winsorize",
+    "bf_burn_rate",
+    "bf_tenant_cardinality",
+    "bf_downtime_report",
+    "bf_heatmap_grid",
+    "bf_trend_slope",
+    "bf_xcorr_lag",
+    "bf_alert_hysteresis",
+    "ev_funnel_3step",
+    "ev_retention_cohorts",
+    "ev_attribution",
+    "ev_cohort_ltv",
+    "ev_type_lift",
+    "bf_sessionize",
+    "bf_gapfill_series",
+    "bf_counter_rollup_5m",
+    "bf_gauge_rollup_5m",
+    "bf_set_rollup_20m",
+    "bf_seasonal_naive_forecast",
+    "ev_funnel_conversion",
+    "ev_top_paths",
 ]
 
 
