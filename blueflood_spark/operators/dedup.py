@@ -97,9 +97,38 @@ def _base_hash_col():
     return F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("long")
 
 
+# (applicationId, analyzed-plan semanticHash of docs, text_col, num_perm) →
+# the materialized signature frame. Signatures are the dedup family's
+# shared artifact the way trained centroids are the ANN family's: lsh
+# pairs, clusters, the estimate report, keep-best, and the incremental
+# probe all re-derive the SAME signatures over the same corpus. On disk
+# the persisted band index (build_dedup_index) plays this role across
+# sessions; the memo is its in-session form. Values are identical by
+# construction — the memo stores the frame the inline subtree would
+# rebuild, deterministically.
+_SIGNATURE_CACHE: dict[tuple, DataFrame] = {}
+
+
 def minhash_signatures(docs: DataFrame, text_col: str = "text", num_perm: int = NUM_PERM) -> DataFrame:
     """Fixed-width minhash signature per doc: explode shingles once, hash
-    once, aggregate NUM_PERM permuted mins in a single pass (one shuffle)."""
+    once, aggregate NUM_PERM permuted mins in a single pass (one shuffle).
+    The result frame is memoized per session (see _SIGNATURE_CACHE)."""
+    spark = docs.sparkSession
+    try:
+        key = (
+            spark.sparkContext.applicationId,
+            docs._jdf.queryExecution().analyzed().semanticHash(),
+            text_col,
+            num_perm,
+        )
+    except Exception:  # Connect or API drift: build inline, skip the memo
+        key = None
+    if key is not None:
+        hit = _SIGNATURE_CACHE.get(key)
+        if hit is not None:
+            return hit
+        for stale in [s for s in _SIGNATURE_CACHE if s[0] != key[0]]:
+            del _SIGNATURE_CACHE[stale]
     sh = docs.select("doc_id", F.explode(shingles_expr(text_col)).alias("shingle")).withColumn(
         "h", _base_hash_col()
     )
@@ -107,7 +136,10 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text", num_perm: int = 
     for i in range(num_perm):
         a, b = _perm_params(i)
         aggs.append(F.expr(f"min(({a} * h + {b}) % {MINHASH_P}) AS mh_{i}"))
-    return sh.groupBy("doc_id").agg(*aggs)
+    sig = sh.groupBy("doc_id").agg(*aggs).localCheckpoint(eager=False)
+    if key is not None:
+        _SIGNATURE_CACHE[key] = sig
+    return sig
 
 
 def minhash_lsh_pairs(
