@@ -744,6 +744,86 @@ def bf_rollup_cascade_60m(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bf_ladder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup-ladder consistency audit — the invariant the whole
+    resolution ladder stands on, AS a query: the 60m level computed by
+    cascading through 5m→20m must equal the 60m level computed directly
+    from raw, window by window. Audited on the exact-by-design fields
+    (num_points, min, max — bit-stable through ANY merge path); the
+    float sums' merge==recompute property is covered by the hypothesis
+    suite (test_properties) since last-ulp sum reassociation is engine-
+    internal, not a ladder defect. All mismatch counts must be zero —
+    a nonzero row is a broken merge.
+
+    Plan: both arms share the raw scan; the diff join is on the series
+    window key both arms are already clustered by."""
+    raw = _raw_metrics(spark, sf_dir)
+    keys = ["tenant_id", "metric_name", "window_start"]
+    via = R.cascade(raw, grans=(G.MIN_5, G.MIN_20, G.MIN_60))["60m"].select(
+        *keys,
+        F.col("num_points").alias("np_c"),
+        F.col("min").alias("min_c"),
+        F.col("max").alias("max_c"),
+    )
+    direct = R.basic_from_raw(raw, G.MIN_60).select(
+        *keys,
+        F.col("num_points").alias("np_d"),
+        F.col("min").alias("min_d"),
+        F.col("max").alias("max_d"),
+    )
+    j = via.join(direct, keys, "full_outer")
+    return j.groupBy("tenant_id").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum(
+            (
+                F.col("np_c").isNull()
+                | F.col("np_d").isNull()
+                | (F.col("np_c") != F.col("np_d"))
+            ).cast("long")
+        ).alias("n_count_mismatch"),
+        F.sum((F.col("min_c") != F.col("min_d")).cast("long")).alias("n_min_mismatch"),
+        F.sum((F.col("max_c") != F.col("max_d")).cast("long")).alias("n_max_mismatch"),
+    )
+
+
+_BF_LADDER_AUDIT_SQL = _R5_CTE + """
+, r20 AS (
+  SELECT tenant_id, metric_name,
+         (window_start // 1200000) * 1200000 AS window_start,
+         CAST(sum(num_points) AS BIGINT) AS num_points,
+         min(min_val) AS min_val, max(max_val) AS max_val
+  FROM r5 GROUP BY 1, 2, 3
+),
+via AS (
+  SELECT tenant_id, metric_name,
+         (window_start // 3600000) * 3600000 AS window_start,
+         CAST(sum(num_points) AS BIGINT) AS np_c,
+         min(min_val) AS min_c, max(max_val) AS max_c
+  FROM r20 GROUP BY 1, 2, 3
+),
+direct AS (
+  SELECT tenant_id, metric_name,
+         (ts // 3600000) * 3600000 AS window_start,
+         count(*) AS np_d, min(value) AS min_d, max(value) AS max_d
+  FROM raw GROUP BY 1, 2, 3
+)
+SELECT COALESCE(via.tenant_id, direct.tenant_id) AS tenant_id,
+       count(*) AS n_windows,
+       CAST(sum(CASE WHEN via.np_c IS NULL OR direct.np_d IS NULL
+                       OR via.np_c <> direct.np_d THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_count_mismatch,
+       CAST(sum(CASE WHEN via.min_c <> direct.min_d THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_min_mismatch,
+       CAST(sum(CASE WHEN via.max_c <> direct.max_d THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_max_mismatch
+FROM via FULL OUTER JOIN direct
+  ON via.tenant_id = direct.tenant_id
+ AND via.metric_name = direct.metric_name
+ AND via.window_start = direct.window_start
+GROUP BY 1
+"""
+
+
 _BF_CASCADE_60M_SQL = _R5_CTE + """
 , r20 AS (
   SELECT tenant_id, metric_name,
@@ -5768,6 +5848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bf_change_cusum": bf_change_cusum,
         "bf_apdex": bf_apdex,
         "ev_k_anonymity": ev_k_anonymity,
+        "bf_ladder_audit": bf_ladder_audit,
         "llm_lang_id": llm_lang_id,
         "llm_token_counts": llm_token_counts,
         "llm_quality_score": llm_quality_score,
@@ -6066,4 +6147,5 @@ def oracle_sql() -> dict[str, str]:
         "bf_change_cusum": _BF_CHANGE_CUSUM_SQL,
         "bf_apdex": _BF_APDEX_SQL,
         "ev_k_anonymity": _EV_K_ANON_SQL,
+        "bf_ladder_audit": _BF_LADDER_AUDIT_SQL,
     }

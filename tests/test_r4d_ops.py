@@ -375,3 +375,13 @@ def test_k_anonymity_flags_small_classes(spark):
     # total class mass must equal the table row count (a partition of it)
     n_events = spark.read.parquet("/root/testdata/sf0.001/events.parquet").count()
     assert sum(r["class_size"] for r in out) == n_events
+
+
+def test_ladder_audit_all_zero(spark):
+    import __spark_entry__ as E
+
+    rows = E.bf_ladder_audit(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert (r.n_count_mismatch, r.n_min_mismatch, r.n_max_mismatch) == (0, 0, 0)
+        assert r.n_windows > 0
