@@ -62,3 +62,30 @@ def read_documents_jsonl(
     if quarantine_path is not None:
         quarantined.write.mode("append").json(quarantine_path)
     return clean, quarantined
+
+
+def write_corpus(
+    docs: DataFrame,
+    path: str,
+    files_per_source: int = 4,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize a curated corpus for training consumption: parquet
+    partitioned by `source` (mixture weighting and per-source sampling
+    become partition pruning downstream) with doc_id-sorted row groups
+    inside each file (repartition by source then sortWithinPartitions —
+    range-clustered doc_ids give readers cheap split-level min/max
+    pruning for id-range fetches and make re-reads deterministic).
+
+    `files_per_source` bounds small-file explosion: the repartition key
+    is (source, doc_id-bucket), so each source writes at most that many
+    files regardless of executor count — at 100 TB this knob scales with
+    per-source bytes, not cluster width."""
+    bucket = F.expr(f"pmod(doc_id, {files_per_source})")
+    (
+        docs.repartition(F.col("source"), bucket)
+        .sortWithinPartitions("source", "doc_id")
+        .write.partitionBy("source")
+        .mode(mode)
+        .parquet(path)
+    )

@@ -38,3 +38,40 @@ def test_jsonl_reader_quarantines_and_conserves(spark, tmp_path):
     assert os.path.isdir(qdir)
     persisted = spark.read.json(qdir)
     assert persisted.count() == 3
+
+
+def test_write_corpus_layout_and_roundtrip(spark, tmp_path):
+    import glob
+
+    from blueflood_spark.sources.corpus import write_corpus
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "corpus")
+    write_corpus(docs, out, files_per_source=2)
+
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    # partitioned by source: one directory per source value
+    src_dirs = sorted(
+        p.split("source=")[1] for p in glob.glob(out + "/source=*")
+    )
+    want = sorted(r["source"] for r in docs.select("source").distinct().collect())
+    assert src_dirs == want
+    # file-count bound per source
+    for s in src_dirs:
+        files = glob.glob(f"{out}/source={s}/*.parquet")
+        assert 1 <= len(files) <= 2, (s, files)
+    # doc_ids sorted within each file in parquet row order (so row-group
+    # min/max pruning actually works for id-range fetches)
+    from pyspark.sql import functions as F
+
+    rows = (
+        back.withColumn("f", F.input_file_name())
+        .select("f", "doc_id")
+        .collect()
+    )
+    by_file = {}
+    for r in rows:
+        by_file.setdefault(r["f"], []).append(r["doc_id"])
+    for f, ids in by_file.items():
+        assert ids == sorted(ids), f
