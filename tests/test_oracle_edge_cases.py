@@ -251,6 +251,7 @@ SERIES_QUERIES = [
     "bf_seasonal_naive_forecast",
     "ev_funnel_conversion",
     "ev_top_paths",
+    "bf_ladder_audit",
 ]
 
 
