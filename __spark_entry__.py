@@ -3015,7 +3015,15 @@ def llm_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("dot", F.expr(dot))
         .withColumn("q_norm", F.sqrt(F.expr(dot.replace("c_emb", "q_emb"))))
         .withColumn("c_norm", F.sqrt(F.expr(dot.replace("q_emb", "c_emb"))))
-        .withColumn("cosine", F.col("dot") / (F.col("q_norm") * F.col("c_norm")))
+        # zero-norm-safe: a zero vector's cosine is 0 (ANSI would raise
+        # DIVIDE_BY_ZERO; DuckDB would give inf/NaN — both wrong shapes)
+        .withColumn(
+            "cosine",
+            F.coalesce(
+                F.col("dot") / F.nullif(F.col("q_norm") * F.col("c_norm"), F.lit(0.0)),
+                F.lit(0.0),
+            ),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
     return (
@@ -3036,8 +3044,10 @@ WITH pairs AS (
   WHERE q.vec_id < 5 AND q.vec_id != c.vec_id
 ),
 ranked AS (
-  SELECT q_id, c_id, dot / (q_norm * c_norm) AS cosine,
-         row_number() OVER (PARTITION BY q_id ORDER BY dot / (q_norm * c_norm) DESC, c_id) AS rank
+  SELECT q_id, c_id,
+         coalesce(dot / nullif(q_norm * c_norm, 0), 0) AS cosine,
+         row_number() OVER (PARTITION BY q_id
+            ORDER BY coalesce(dot / nullif(q_norm * c_norm, 0), 0) DESC, c_id) AS rank
   FROM pairs
 )
 SELECT q_id, c_id, cosine, CAST(rank AS INTEGER) AS rank FROM ranked WHERE rank <= 10

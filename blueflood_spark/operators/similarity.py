@@ -36,6 +36,17 @@ def _norm(a: str) -> F.Column:
     return F.sqrt(_dot(a, a))
 
 
+def _cosine(a: str, b: str) -> F.Column:
+    """Zero-norm-safe cosine: a zero vector has no direction, so its
+    similarity to anything is 0 — the Util.safeDiv rule applied to
+    vectors. Without the guard a single zero embedding (an empty doc is
+    enough) kills the whole query under ANSI mode (DIVIDE_BY_ZERO) and
+    diverges from DuckDB's inf/NaN. nullif→NULL→coalesce keeps the
+    expression one codegen projection, no branch."""
+    den = _norm(a) * _norm(b)
+    return F.coalesce(_dot(a, b) / F.nullif(den, F.lit(0.0)), F.lit(0.0))
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -49,7 +60,7 @@ def cosine_topk(
     sims = (
         queries.crossJoin(F.broadcast(corpus))
         .filter(F.col(id_q) != F.col(id_c))
-        .withColumn("cosine", _dot(emb_q, emb_c) / (_norm(emb_q) * _norm(emb_c)))
+        .withColumn("cosine", _cosine(emb_q, emb_c))
     )
     w = Window.partitionBy(id_q).orderBy(F.col("cosine").desc(), F.col(id_c))
     return (
@@ -164,7 +175,7 @@ def lsh_bucketed_topk(
         .dropDuplicates(["q_id", "c_id"])
     )
     # re-rank with exact cosine; norms factored out of the per-pair work
-    scored = cands.withColumn("cosine", _dot("q_emb", "c_emb") / (_norm("q_emb") * _norm("c_emb")))
+    scored = cands.withColumn("cosine", _cosine("q_emb", "c_emb"))
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -218,10 +229,10 @@ cand AS (
 ),
 scored AS (
   SELECT q_id, c_id,
-         list_sum(list_transform(list_zip(q_emb, c_emb),
+         coalesce(list_sum(list_transform(list_zip(q_emb, c_emb),
                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-         / (sqrt(list_sum(list_transform(q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-            * sqrt(list_sum(list_transform(c_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
+         / nullif(sqrt(list_sum(list_transform(q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(c_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 0), 0) AS cosine
   FROM cand
 ),
 ranked AS (
@@ -262,8 +273,8 @@ def _ivf_ranked(
             "cent_ranked",
             F.expr(
                 "array_sort(transform(cent_arr, c -> struct("
-                f"aggregate(zip_with({emb_col}, c.cvec, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
-                " 0D, (acc, v) -> acc + v) / (vn * c.cn) AS s, c.cid AS cid)), "
+                f"coalesce(aggregate(zip_with({emb_col}, c.cvec, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+                " 0D, (acc, v) -> acc + v) / nullif(vn * c.cn, 0D), 0D) AS s, c.cid AS cid)), "
                 "(l, r) -> CASE WHEN l.s > r.s THEN -1 WHEN l.s < r.s THEN 1 "
                 "WHEN l.cid < r.cid THEN -1 WHEN l.cid > r.cid THEN 1 ELSE 0 END)"
             ),
@@ -320,7 +331,7 @@ def ivf_topk(
     cands = (
         lists.join(F.broadcast(probes), "list_id")
         .filter(F.col("q_id") != F.col("c_id"))
-        .withColumn("cosine", _dot("q_emb", "c_emb") / (_norm("q_emb") * _norm("c_emb")))
+        .withColumn("cosine", _cosine("q_emb", "c_emb"))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
     return (
@@ -340,9 +351,9 @@ def ivf_topk_sql(
     """DuckDB twin of ivf_topk (same fixed codebook and probe discipline;
     `cand_pred_sql` mirrors the pre-filter on the inverted lists)."""
     cos = (
-        "list_sum(list_transform(list_zip({a}, {b}), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
-        " / (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
-        " * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+        "coalesce(list_sum(list_transform(list_zip({a}, {b}), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+        " / nullif(sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        " * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 0), 0)"
     )
     return f"""
 WITH cents AS (
@@ -1075,7 +1086,14 @@ def label_centroids(
             "label_b",
             "n_a",
             "n_b",
-            (dot / (F.expr(nrm.format(c="cent_a")) * F.expr(nrm.format(c="cent_b")))).alias(
+            F.coalesce(
+                dot
+                / F.nullif(
+                    F.expr(nrm.format(c="cent_a")) * F.expr(nrm.format(c="cent_b")),
+                    F.lit(0.0),
+                ),
+                F.lit(0.0),
+            ).alias(
                 "centroid_cosine"
             ),
         )
@@ -1104,9 +1122,9 @@ c AS (
 )
 SELECT a.label AS label_a, b.label AS label_b,
        a.n_vectors AS n_a, b.n_vectors AS n_b,
-       list_sum(list_transform(list_zip(a.centroid, b.centroid), p -> p[1] * p[2]))
-         / (sqrt(list_sum(list_transform(a.centroid, x -> x * x)))
-            * sqrt(list_sum(list_transform(b.centroid, x -> x * x)))) AS centroid_cosine
+       coalesce(list_sum(list_transform(list_zip(a.centroid, b.centroid), p -> p[1] * p[2]))
+         / nullif(sqrt(list_sum(list_transform(a.centroid, x -> x * x)))
+            * sqrt(list_sum(list_transform(b.centroid, x -> x * x))), 0), 0) AS centroid_cosine
 FROM c a JOIN c b ON a.label < b.label
 """
 
@@ -1205,10 +1223,10 @@ def semdedup_sql(
     """DuckDB twin: embeds the k-means twin as a nested-WITH CTE, then
     the same cluster-equi pairwise rule with ordered-fold cosine."""
     cos = (
-        "list_sum(list_transform(list_zip(a.embedding, b.b_emb),"
+        "coalesce(list_sum(list_transform(list_zip(a.embedding, b.b_emb),"
         " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
-        " / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
-        " * sqrt(list_sum(list_transform(b.b_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+        " / nullif(sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        " * sqrt(list_sum(list_transform(b.b_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 0), 0)"
     )
     return f"""
 WITH assign AS ({kmeans_assign_sql(k=k, iterations=iterations)}),
@@ -1369,9 +1387,9 @@ def ivfpq_topk_sql(
     """DuckDB twin of ivfpq_topk: same coarse assignment, same flat-code
     PQ encode, same probe discipline and ADC arithmetic."""
     cos = (
-        "list_sum(list_transform(list_zip({a}, {b}), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
-        " / (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
-        " * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+        "coalesce(list_sum(list_transform(list_zip({a}, {b}), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+        " / nullif(sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        " * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 0), 0)"
     )
     code_exprs = []
     for s in range(M_SUB):
@@ -1483,7 +1501,7 @@ def contrastive_pairs(
         F.col(emb_col).alias("c_emb"),
         F.col(label_col).alias("c_label"),
     )
-    cos = _dot("q_emb", "c_emb") / (_norm("q_emb") * _norm("c_emb"))
+    cos = _cosine("q_emb", "c_emb")
     scored = (
         cands.crossJoin(F.broadcast(anchors))
         .filter(F.col("q_id") != F.col("c_id"))
@@ -1520,10 +1538,10 @@ def contrastive_pairs_sql(anchor_pred_sql: str, id_col: str = "vec_id") -> str:
     """DuckDB twin: same ordered-fold cosine, same struct-min argmax with
     lower-id tie-break, same NULL-if-singleton-class semantics."""
     cos = (
-        "list_sum(list_transform(list_zip(q.embedding, c.embedding),"
+        "coalesce(list_sum(list_transform(list_zip(q.embedding, c.embedding),"
         " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
-        " / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
-        " * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+        " / nullif(sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        " * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 0), 0)"
     )
     return f"""
 WITH scored AS (
@@ -2013,8 +2031,8 @@ def append_ivf_index(
             "cent_ranked",
             F.expr(
                 "array_sort(transform(cent_arr, c -> struct("
-                f"aggregate(zip_with({emb_col}, c.cvec, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
-                " 0D, (acc, v) -> acc + v) / (vn * c.cn) AS s, c.cid AS cid)), "
+                f"coalesce(aggregate(zip_with({emb_col}, c.cvec, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+                " 0D, (acc, v) -> acc + v) / nullif(vn * c.cn, 0D), 0D) AS s, c.cid AS cid)), "
                 "(l, r) -> CASE WHEN l.s > r.s THEN -1 WHEN l.s < r.s THEN 1 "
                 "WHEN l.cid < r.cid THEN -1 WHEN l.cid > r.cid THEN 1 ELSE 0 END)"
             ),
@@ -2043,7 +2061,7 @@ def probe_ivf_index(
     cents = spark.read.parquet(path.rstrip("/") + "/_codebook")
     q = queries.select(F.col(id_col).alias("q_id"), F.col(emb_col).alias("q_emb"))
     ranked = q.crossJoin(F.broadcast(cents)).withColumn(
-        "cent_sim", _dot("q_emb", "cent_emb") / (_norm("q_emb") * _norm("cent_emb"))
+        "cent_sim", _cosine("q_emb", "cent_emb")
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cent_sim").desc(), F.col("cent_id"))
     probes = (
@@ -2058,7 +2076,7 @@ def probe_ivf_index(
         probes.join(index, "list_id")
         .filter(F.col("q_id") != F.col(id_col))
         .dropDuplicates(["q_id", id_col])
-        .withColumn("cosine", _dot("q_emb", emb_col) / (_norm("q_emb") * _norm(emb_col)))
+        .withColumn("cosine", _cosine("q_emb", emb_col))
     )
     w2 = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col(id_col))
     return (
@@ -2124,7 +2142,7 @@ def mmr_diversify(
             "a_id",
             "b_id",
             F.floor(
-                (_dot("a_emb", "b_emb") / (_norm("a_emb") * _norm("b_emb")))
+                _cosine("a_emb", "b_emb")
                 * 1_000_000_000
             )
             .cast("long")
@@ -2181,10 +2199,10 @@ def mmr_diversify_sql(
     Spark loop."""
     ids = ", ".join(str(i) for i in query_ids)
     cos = (
-        "list_sum(list_transform(list_zip({a}, {b}),"
+        "coalesce(list_sum(list_transform(list_zip({a}, {b}),"
         " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
-        " / (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
-        " * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+        " / nullif(sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        " * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 0), 0)"
     )
     parts = [
         f"""

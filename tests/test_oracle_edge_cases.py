@@ -266,3 +266,62 @@ def test_series_queries_on_adversarial_events(spark, adversarial_sf, qname):
         f" '{adversarial_sf}/events.parquet/*.parquet'"
     )
     _diff(sdf, con, E.oracle_sql()[qname])
+
+
+# -- ANN family end-to-end on adversarial embeddings: a zero vector (an
+#    empty doc's embedding — guaranteed to exist at corpus scale), a
+#    denormal-tiny vector, and exact duplicates. Before the zero-norm
+#    guard the cosine kernels CRASHED under ANSI mode (DIVIDE_BY_ZERO);
+#    a zero vector now scores cosine 0 on both engines. --
+
+
+@pytest.fixture(scope="module")
+def adversarial_emb(spark, tmp_path_factory):
+    DIM = 64
+    rows = []
+    for i in range(40):
+        if i == 7:
+            v = [0.0] * DIM
+        elif i == 9:
+            v = [1e-30] * DIM
+        elif i in (11, 12):
+            v = [float((j % 5) - 2) for j in range(DIM)]
+        else:
+            v = [float(((i * 31 + j * 7) % 13) - 6) / 3 for j in range(DIM)]
+        rows.append((i, v, i % 4))
+    d = str(tmp_path_factory.mktemp("adv_emb"))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).repartition(1).write.parquet(f"{d}/embeddings.parquet")
+    return d
+
+
+ANN_QUERIES = [
+    "llm_ann_cosine_topk",
+    "llm_ann_lsh_topk",
+    "llm_ann_ivf_topk",
+    "llm_ann_ivfpq_topk",
+    "llm_ann_pq_rerank",
+    "llm_semdedup",
+    "llm_contrastive_pairs",
+    "llm_mmr_diversify",
+    "llm_label_centroids",
+    "llm_silhouette",
+    "llm_ann_filtered_topk",
+    "llm_embedding_near_dups",
+    "llm_embedding_dup_clusters",
+    "llm_kmeans_clusters",
+]
+
+
+@pytest.mark.parametrize("qname", ANN_QUERIES)
+def test_ann_queries_on_adversarial_embeddings(spark, adversarial_emb, qname):
+    import __spark_entry__ as E
+
+    sdf = E.queries()[qname](spark, adversarial_emb)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM"
+        f" '{adversarial_emb}/embeddings.parquet/*.parquet'"
+    )
+    _diff(sdf, con, E.oracle_sql()[qname])
