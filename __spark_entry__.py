@@ -4502,10 +4502,10 @@ _LLM_HYBRID_RRF_SQL_TMPL = """
 WITH lex AS ({bm25}),
 sem_scored AS (
   SELECT c.vec_id AS doc_id,
-         list_sum(list_transform(list_zip(q.embedding, c.embedding),
+         coalesce(list_sum(list_transform(list_zip(q.embedding, c.embedding),
                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-         / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-            * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
+         / nullif(sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 0), 0) AS cosine
   FROM embeddings q CROSS JOIN embeddings c
   WHERE q.vec_id = 0 AND c.vec_id != 0
 ),

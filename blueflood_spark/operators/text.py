@@ -195,7 +195,11 @@ def weighted_sample(
     from pyspark.sql.window import Window
 
     u = md5_uniform(F.col(id_col), "samp_")
-    key = F.pow(u, 1.0 / F.col(weight_col).cast("double"))
+    # zero/negative weight ⇒ key 0 (never sampled): the A-Res limit of
+    # u^(1/w) as w→0⁺ for u<1, and the only ANSI-safe reading — a raw
+    # 1.0/0 kills the query under Spark 4's default ANSI mode
+    w_d = F.col(weight_col).cast("double")
+    key = F.when(w_d <= 0, F.lit(0.0)).otherwise(F.pow(u, 1.0 / w_d))
     ranked = docs.select(id_col, F.col(weight_col).alias("weight"), key.alias("samp_key"))
     topk = ranked.orderBy(F.col("samp_key").desc(), F.col(id_col)).limit(k)
     # window over ≤ k rows (post-limit) — cost is negligible and the plan
@@ -211,7 +215,8 @@ def weighted_sample_sql(k: int = 50, weight_col: str = "n_chars", id_col: str = 
     return f"""
 WITH ranked AS (
   SELECT {id_col}, {weight_col} AS weight,
-         power({u}, 1.0 / CAST({weight_col} AS DOUBLE)) AS samp_key
+         CASE WHEN CAST({weight_col} AS DOUBLE) <= 0 THEN 0.0
+              ELSE power({u}, 1.0 / CAST({weight_col} AS DOUBLE)) END AS samp_key
   FROM documents
 )
 SELECT {id_col}, weight, samp_key, CAST(rank AS INTEGER) AS rank

@@ -325,3 +325,72 @@ def test_ann_queries_on_adversarial_embeddings(spark, adversarial_emb, qname):
         f" '{adversarial_emb}/embeddings.parquet/*.parquet'"
     )
     _diff(sdf, con, E.oracle_sql()[qname])
+
+
+# -- full llm_* sweep on the adversarial corpus: every registered
+#    document/embedding query runs against its registered oracle over
+#    EDGE docs + adversarial embeddings in one fixture dir; no-oracle
+#    (rows-only contract) entries must at least execute. This is the
+#    suite that caught the weighted-sample zero-weight crash and the
+#    RRF NaN-rank divergence. --
+
+
+@pytest.fixture(scope="module")
+def adversarial_corpus_sf(spark, tmp_path_factory):
+    docs = EDGE_DOCS + [
+        (
+            i,
+            f"doc {i} filler words alpha beta gamma {'delta ' * (i % 5)}end",
+            "en",
+            f"s{i % 4}",
+            50,
+        )
+        for i in range(8, 40)
+    ]
+    DIM = 64
+    emb = []
+    for i in range(40):
+        if i == 7:
+            v = [0.0] * DIM
+        elif i == 9:
+            v = [1e-30] * DIM
+        elif i in (11, 12):
+            v = [float((j % 5) - 2) for j in range(DIM)]
+        else:
+            v = [float(((i * 31 + j * 7) % 13) - 6) / 3 for j in range(DIM)]
+        emb.append((i, v, i % 4))
+    d = str(tmp_path_factory.mktemp("adv_corpus"))
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).repartition(1).write.parquet(f"{d}/documents.parquet")
+    spark.createDataFrame(
+        emb, "vec_id long, embedding array<float>, label int"
+    ).repartition(1).write.parquet(f"{d}/embeddings.parquet")
+    return d
+
+
+def test_all_llm_queries_on_adversarial_corpus(spark, adversarial_corpus_sf):
+    import __spark_entry__ as E
+
+    d = adversarial_corpus_sf
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'"
+    )
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{d}/embeddings.parquet/*.parquet'"
+    )
+    qs, os_ = E.queries(), E.oracle_sql()
+    failures = []
+    for q in sorted(n for n in qs if n.startswith("llm_")):
+        try:
+            sdf = qs[q](spark, d)
+            if q not in os_:
+                sdf.collect()  # rows-only contract: must execute
+                continue
+            _diff(sdf, con, os_[q])
+        except AssertionError as ex:
+            failures.append(f"{q}: {str(ex)[:160]}")
+        except Exception as ex:
+            failures.append(f"{q}: {type(ex).__name__}: {str(ex).splitlines()[0][:160]}")
+    assert not failures, "\n".join(failures)
