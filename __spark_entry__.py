@@ -1490,6 +1490,7 @@ classified AS (
          CASE WHEN tenant_id IS NULL OR length(tenant_id) = 0 THEN 'missing tenantId'
               WHEN metric_name IS NULL OR length(metric_name) = 0 THEN 'missing metricName'
               WHEN value IS NULL THEN 'missing metricValue'
+              WHEN isnan(value) OR abs(value) = 'infinity'::DOUBLE THEN 'non-finite metricValue'
               WHEN ts IS NULL THEN 'missing collectionTime'
               WHEN ts < {_VALIDATE_NOW_MS} - {3 * 86_400_000} THEN 'collectionTime too far in the past'
               WHEN ts > {_VALIDATE_NOW_MS} + 600000 THEN 'collectionTime too far in the future'

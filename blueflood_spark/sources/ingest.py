@@ -73,6 +73,15 @@ def validate(raw: DataFrame, now_ms: int) -> tuple[DataFrame, DataFrame]:
         F.when(F.col("tenant_id").isNull() | (F.length("tenant_id") == 0), "missing tenantId")
         .when(F.col("metric_name").isNull() | (F.length("metric_name") == 0), "missing metricName")
         .when(F.col("value").isNull(), "missing metricValue")
+        # the reference rejects non-finite values implicitly (strict JSON
+        # has no NaN/Infinity literal); batch backfill frames bypass the
+        # JSON layer, so the rule must live here — a NaN reaching a
+        # rollup poisons every downstream min/max/avg differently per
+        # engine (Spark sorts NaN last, DuckDB first)
+        .when(
+            F.isnan("value") | (F.abs("value") == float("inf")),
+            "non-finite metricValue",
+        )
         .when(F.col("ts").isNull(), "missing collectionTime")
         .when(F.col("ts") < F.lit(now_ms - MAX_AGE_MS), "collectionTime too far in the past")
         .when(F.col("ts") > F.lit(now_ms + MAX_FUTURE_MS), "collectionTime too far in the future")

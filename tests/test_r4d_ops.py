@@ -385,3 +385,27 @@ def test_ladder_audit_all_zero(spark):
     for r in rows:
         assert (r.n_count_mismatch, r.n_min_mismatch, r.n_max_mismatch) == (0, 0, 0)
         assert r.n_windows > 0
+
+
+def test_validate_rejects_non_finite_values(spark):
+    from blueflood_spark.sources.ingest import validate
+
+    now = 1_700_000_000_000
+    rows = [
+        ("t0", "m.ok", now, 1.0, 60),
+        ("t0", "m.nan", now, float("nan"), 60),
+        ("t0", "m.inf", now, float("inf"), 60),
+        ("t0", "m.ninf", now, float("-inf"), 60),
+    ]
+    raw = spark.createDataFrame(
+        rows,
+        "tenant_id string, metric_name string, ts long, value double, ttl_seconds int",
+    )
+    valid, rejected = validate(raw, now)
+    assert {r["metric_name"] for r in valid.collect()} == {"m.ok"}
+    rej = {r["metric_name"]: r["error"] for r in rejected.collect()}
+    assert rej == {
+        "m.nan": "non-finite metricValue",
+        "m.inf": "non-finite metricValue",
+        "m.ninf": "non-finite metricValue",
+    }
