@@ -816,9 +816,10 @@ def test_sketch_maintenance_merge_equals_batch(spark, tmp_path):
     # replay idempotence: re-running a micro-batch's merge must overwrite,
     # not double-count — replay whatever partial batch 0 actually stored
     # (chunk-agnostic: no assumption about how the stream split the input)
-    part0 = spark.read.parquet(sk_dir + "/cms/sk_batch=0").collect()
-    spark.createDataFrame(part0, "j int, b int, cell long").write.mode(
-        "overwrite"
-    ).parquet(sk_dir + "/cms/sk_batch=0")
+    df0 = spark.read.parquet(sk_dir + "/cms/sk_batch=0")
+    schema0, part0 = df0.schema, df0.collect()
+    spark.createDataFrame(part0, schema0).write.mode("overwrite").parquet(
+        sk_dir + "/cms/sk_batch=0"
+    )
     got_cms2 = {(r.j, r.b): r.cell for r in P.read_cms_sketch(spark, sk_dir).collect()}
     assert got_cms2 == want_cms
