@@ -201,6 +201,9 @@ def adversarial_sf(spark, tmp_path_factory):
     for i in range(6 * 24):
         add(4, "load", i * 60, 100 + i + (i % 7))
         add(4, "lat", i * 60, 50 + i)
+        # SAME-tenant constant series: zero variance must hit xcorr's
+        # NULL-guard inside the pair join, not dodge it via tenant split
+        add(8, "flat", i * 60, 5.0)
     # attribution/funnel journeys: touches then a purchase within 24h
     for u in (5, 6):
         add(u, "click", 10, 1.0)
