@@ -5705,6 +5705,16 @@ def llm_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.winnowing_fingerprints(docs, k=4, w=5)
 
 
+def llm_ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-domain ANN over int8 codes (operators/similarity.py
+    sq8_ann_topk): the query path for sq8_quantize — exact BIGINT code
+    dots, one double multiply per pair, 4x less scan bandwidth than raw
+    floats. Completes the quantized-retrieval triad beside PQ-ADC and
+    IVF."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.sq8_ann_topk(emb, F.col("vec_id") < 5, k=10)
+
+
 def llm_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Copy-detection candidate pairs from winnowing fingerprints
     (operators/text.py winnowing_pairs): MOSS's second half — a
@@ -5860,6 +5870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bf_apdex": bf_apdex,
         "ev_k_anonymity": ev_k_anonymity,
         "bf_ladder_audit": bf_ladder_audit,
+        "llm_ann_sq8_topk": llm_ann_sq8_topk,
         "llm_lang_id": llm_lang_id,
         "llm_token_counts": llm_token_counts,
         "llm_quality_score": llm_quality_score,
@@ -6159,4 +6170,5 @@ def oracle_sql() -> dict[str, str]:
         "bf_apdex": _BF_APDEX_SQL,
         "ev_k_anonymity": _EV_K_ANON_SQL,
         "bf_ladder_audit": _BF_LADDER_AUDIT_SQL,
+        "llm_ann_sq8_topk": SIM.sq8_ann_topk_sql("vec_id < 5", k=10),
     }

@@ -2264,3 +2264,86 @@ sel_all_{i} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM sel_{i})"""
 SELECT q_id, c_id, CAST(pick_order AS BIGINT) AS pick_order, rel_q FROM {prev}"""
     )
     return "".join(parts)
+
+
+def sq8_ann_topk(
+    emb: DataFrame,
+    query_filter,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Compressed-domain ANN over the int8 codes — the query path
+    sq8_quantize exists for: score(q, c) = scale_q · scale_c · Σ
+    code_q[i]·code_c[i], the symmetric-quantization estimate of the
+    float dot product at 4× less bandwidth. The integer dot is EXACT
+    (|code| ≤ 127, so a 64-dim sum fits a BIGINT with ~2^43 headroom)
+    and the only float op is one multiply of two exactly-equal doubles,
+    so the ranking is bit-identical on any engine; ties break to the
+    lower candidate id. Zero vectors carry scale 0 → score 0 (no
+    division anywhere).
+
+    Plan: encode is sq8_quantize's map-only projection; the tiny query
+    set broadcasts against the coded corpus (the corpus scan reads
+    codes, 4× fewer bytes than raw floats at scale); per-query top-k is
+    a rank window over the partitioned pairs."""
+    coded = sq8_quantize(emb, id_col, emb_col).select(id_col, "scale", "codes")
+    q = coded.filter(query_filter).select(
+        F.col(id_col).alias("q_id"),
+        F.col("scale").alias("q_scale"),
+        F.col("codes").alias("q_codes"),
+    )
+    c = coded.select(
+        F.col(id_col).alias("c_id"),
+        F.col("scale").alias("c_scale"),
+        F.col("codes").alias("c_codes"),
+    )
+    pairs = c.crossJoin(F.broadcast(q)).filter(F.col("q_id") != F.col("c_id"))
+    int_dot = F.expr(
+        "aggregate(zip_with(q_codes, c_codes, (x, y) -> CAST(x AS BIGINT) * y),"
+        " CAST(0 AS BIGINT), (a, v) -> a + v)"
+    )
+    scored = pairs.select(
+        "q_id",
+        "c_id",
+        int_dot.alias("int_dot"),
+        (F.col("q_scale") * F.col("c_scale")).alias("_ss"),
+    ).withColumn("score", F.col("_ss") * F.col("int_dot"))
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id",
+            "c_id",
+            "int_dot",
+            F.floor(F.col("score") * 1_000_000).cast("long").alias("score_micro"),
+            "rank",
+        )
+    )
+
+
+def sq8_ann_topk_sql(query_pred_sql: str, k: int = 10, id_col: str = "vec_id") -> str:
+    return f"""
+WITH sq8 AS ({sq8_quantize_sql(id_col)}),
+q AS (
+  SELECT {id_col} AS q_id, scale AS q_scale, codes AS q_codes
+  FROM sq8 WHERE {query_pred_sql}
+),
+pairs AS (
+  SELECT q.q_id, c.{id_col} AS c_id,
+         CAST(list_sum(list_transform(list_zip(q.q_codes, c.codes),
+              p -> CAST(p[1] AS BIGINT) * p[2])) AS BIGINT) AS int_dot,
+         q.q_scale * c.scale AS ss
+  FROM q CROSS JOIN sq8 c
+  WHERE q.q_id <> c.{id_col}
+),
+ranked AS (
+  SELECT q_id, c_id, int_dot,
+         CAST(floor(ss * int_dot * 1000000) AS BIGINT) AS score_micro,
+         row_number() OVER (PARTITION BY q_id ORDER BY ss * int_dot DESC, c_id) AS rank
+  FROM pairs
+)
+SELECT q_id, c_id, int_dot, score_micro, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}
+"""

@@ -301,6 +301,7 @@ def adversarial_emb(spark, tmp_path_factory):
 
 ANN_QUERIES = [
     "llm_ann_cosine_topk",
+    "llm_ann_sq8_topk",
     "llm_ann_lsh_topk",
     "llm_ann_ivf_topk",
     "llm_ann_ivfpq_topk",

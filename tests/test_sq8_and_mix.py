@@ -156,3 +156,48 @@ def test_bm25_differential_vs_pure_python(spark):
     assert [r["doc_id"] for r in got_sorted] == [i for i, _ in top_expected]
     for r, (_, s) in zip(got_sorted, top_expected):
         assert r["score"] == pytest.approx(s, rel=1e-12)
+
+
+def test_sq8_ann_topk_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from blueflood_spark.operators.similarity import sq8_ann_topk
+
+    import __spark_entry__ as E
+
+    emb = E._t(spark, "/root/testdata/sf0.001", "embeddings")
+    out = sq8_ann_topk(emb, F.col("vec_id") < 3, k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["q_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
+        # scores non-increasing in rank
+        scores = [r["score_micro"] for r in rows]
+        assert all(a >= b for a, b in zip(scores, scores[1:]))
+        assert all(r["c_id"] != q for r in rows)
+
+
+def test_sq8_ann_agrees_with_float_ordering_on_separated_data(spark):
+    # vectors engineered so quantization noise cannot flip the ordering:
+    # the int8 estimate must pick the same top-1 as exact float cosine
+    from pyspark.sql import functions as F
+
+    from blueflood_spark.operators.similarity import sq8_ann_topk
+
+    rows = [
+        (0, [1.0] * 8 + [0.0] * 8, 0),   # query
+        (1, [1.0] * 8 + [0.0] * 8, 0),   # identical -> top-1
+        (2, [0.5] * 8 + [0.5] * 8, 0),   # half aligned
+        (3, [0.0] * 8 + [1.0] * 8, 0),   # orthogonal
+        (4, [-1.0] * 8 + [0.0] * 8, 0),  # opposite
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = sorted(
+        sq8_ann_topk(emb, F.col("vec_id") == 0, k=4).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert [r["c_id"] for r in out] == [1, 2, 3, 4]
+    assert out[0]["int_dot"] == 127 * 127 * 8
