@@ -5772,10 +5772,10 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER CONTRACT: the driver's correctness gate stamps the FIRST 50
     # entries. Union of CORRECTNESS_r01..r03 covers 102 of the current
-    # 174-query registry, leaving 72 never-stamped; this round's first
+    # 175-query registry, leaving 73 never-stamped; this round's first
     # 50 = the 4 r3 red rows (output shapes fixed this round) + 46 of
     # the never-stamped. The remaining 25 never-stamped (15 held over +
-    # the 11 round-4d adds) lead position 51+ so the NEXT round's window
+    # the 12 round-4d adds) lead position 51+ so the NEXT round's window
     # stamps them first, followed by the 4 entries whose only driver row
     # is r1 and then previously-green rows. When editing: anything moved
     # past 50 must already have a green driver row in some round's
