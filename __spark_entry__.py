@@ -1874,7 +1874,7 @@ lagged AS (
 )
 SELECT tenant_id, metric_name,
        count(*) AS n_samples,
-       sum(CASE WHEN prev IS NOT NULL AND unit <> prev THEN 1 ELSE 0 END) AS n_changes,
+       CAST(sum(CASE WHEN prev IS NOT NULL AND unit <> prev THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
        arg_min(unit, ts) AS first_unit,
        arg_max(unit, ts) AS last_unit
 FROM lagged
@@ -3440,7 +3440,7 @@ SELECT event_type,
        count(*) AS n_events,
        count(k) AS n_with_k,
        count(DISTINCT k) AS n_distinct_k,
-       sum(k) AS sum_k, min(k) AS min_k, max(k) AS max_k
+       CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k
 FROM (
   SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
   FROM events
@@ -3666,18 +3666,23 @@ def llm_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def llm_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semantic dedup end-to-end: cosine near-dup pairs from the tiled
-    exact kernel (operators/similarity.py embedding_near_dups) clustered
-    by connected components — every vector labeled with the minimum
-    vec_id of its semantic-duplicate component, ready for a keep-one-
-    per-cluster filter.
+    """Semantic dedup end-to-end, on the PRODUCTION pair path: SemDeDup
+    cluster-bounded cosine pairs (operators/similarity.py semdedup_pairs
+    — k-means then within-cluster BLAS, Σ|cluster|² not N²) clustered by
+    connected components — every vector labeled with the minimum vec_id
+    of its semantic-duplicate component, ready for a keep-one-per-cluster
+    filter. Cross-cluster boundary pairs are excluded by SemDeDup's
+    design (arXiv:2303.09540); exhaustive recall measurement is
+    embedding_near_dups' documented job, not this query's. (r4 verdict:
+    the previous pair stage rode the O(n²) exact tile kernel — the one
+    registered query that would not have survived 100×.)
 
     PINNED to the distributed min-label path (driver_threshold=0): this
     is the oracle query that exercises the 100 TB CC formulation
     (_cc_distributed) end-to-end; llm_dedup_clusters keeps the driver
     union-find default, so BOTH paths carry a driver-checked row."""
     emb = _t(spark, sf_dir, "embeddings")
-    pairs = SIM.embedding_near_dups(emb, threshold=0.35).select(
+    pairs = SIM.semdedup_pairs(emb, threshold=0.35).select(
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
     )
     ids = emb.select(F.col("vec_id").alias("doc_id"))
@@ -3686,14 +3691,10 @@ def llm_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_LLM_EMB_CLUSTERS_SQL = """
+_LLM_EMB_CLUSTERS_SQL = f"""
 WITH RECURSIVE pairs AS (
-  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
-  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-  WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
-                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-        / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-           * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) >= 0.35
+  SELECT id_a AS doc_a, id_b AS doc_b
+  FROM ({SIM.semdedup_pairs_sql(threshold=0.35)}) sp
 ),
 sym AS (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
@@ -4675,9 +4676,9 @@ WITH raw AS (
   FROM events
 )
 SELECT tenant_id, metric_name, slot_ms, le,
-       sum(CASE WHEN value <= le THEN 1 ELSE 0 END) AS cum_count,
+       CAST(sum(CASE WHEN value <= le THEN 1 ELSE 0 END) AS BIGINT) AS cum_count,
        count(*) AS n_total
-FROM raw CROSS JOIN (SELECT unnest([{", ".join(str(b) for b in _HIST_BOUNDS)}]) AS le) b
+FROM raw CROSS JOIN (SELECT CAST(unnest([{", ".join(str(b) for b in _HIST_BOUNDS)}]) AS DOUBLE) AS le) b
 GROUP BY tenant_id, metric_name, slot_ms, le
 """
 
@@ -5688,8 +5689,10 @@ cus AS (
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - s AS cusum_neg
   FROM withh
 )
-SELECT tenant_id, metric_name, window_start, value_micro, h,
-       cusum_pos, cusum_neg,
+SELECT tenant_id, metric_name, window_start, value_micro,
+       CAST(h AS BIGINT) AS h,
+       CAST(cusum_pos AS BIGINT) AS cusum_pos,
+       CAST(cusum_neg AS BIGINT) AS cusum_neg,
        (cusum_pos > h OR cusum_neg > h) AS is_change
 FROM cus
 """
@@ -5771,29 +5774,76 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER CONTRACT: the driver's correctness gate stamps the FIRST 50
-    # entries. Union of CORRECTNESS_r01..r03 covers 102 of the current
-    # 175-query registry, leaving 73 never-stamped; this round's first
-    # 50 = the 4 r3 red rows (output shapes fixed this round) + 46 of
-    # the never-stamped. The remaining 25 never-stamped (15 held over +
-    # the 12 round-4d adds) lead position 51+ so the NEXT round's window
-    # stamps them first, followed by the 4 entries whose only driver row
-    # is r1 and then previously-green rows. When editing: anything moved
-    # past 50 must already have a green driver row in some round's
-    # CORRECTNESS file, or coverage regresses.
+    # entries. Union of CORRECTNESS_r01..r04 covers 148 of the 175
+    # registered queries; the 27 never-stamped lead this round's window,
+    # followed by the 4 r4 red rows (oracle HUGEINT/DECIMAL casts fixed
+    # this round — values were already bit-exact), the 4 entries whose
+    # only driver row is r1, llm_embedding_dup_clusters (pair generation
+    # re-implemented this round), and 14 re-confirm slots that new r5
+    # operators displace as they land (every displaced entry already has
+    # a green driver row). After r5 the stamp union covers 175/175.
+    # When editing: anything moved past 50 must already have a green
+    # driver row in some round's CORRECTNESS file, or coverage regresses.
     return {
-        # -- r3 red rows, checked-output shapes fixed --
+        "llm_word_fuzzy_pairs": llm_word_fuzzy_pairs,
+        "llm_ngram_novelty": llm_ngram_novelty,
+        "llm_silhouette": llm_silhouette,
+        "llm_char_entropy": llm_char_entropy,
+        "bf_compaction_plan": bf_compaction_plan,
+        "llm_ann_filtered_topk": llm_ann_filtered_topk,
+        "ev_type_lift": ev_type_lift,
+        "llm_embedding_drift": llm_embedding_drift,
+        "bf_heatmap_grid": bf_heatmap_grid,
+        "ev_cohort_ltv": ev_cohort_ltv,
+        "bf_trend_slope": bf_trend_slope,
+        "bf_xcorr_lag": bf_xcorr_lag,
+        "bf_alert_hysteresis": bf_alert_hysteresis,
+        "llm_temperature_mix": llm_temperature_mix,
+        "llm_mmr_diversify": llm_mmr_diversify,
+        "llm_winnowing": llm_winnowing,
+        "llm_winnowing_pairs": llm_winnowing_pairs,
+        "llm_vocab_growth": llm_vocab_growth,
+        "llm_source_kl": llm_source_kl,
+        "llm_bpe_pairs": llm_bpe_pairs,
+        "llm_bpe_encode": llm_bpe_encode,
+        "bf_outlier_mad": bf_outlier_mad,
+        "bf_change_cusum": bf_change_cusum,
+        "bf_apdex": bf_apdex,
+        "ev_k_anonymity": ev_k_anonymity,
+        "bf_ladder_audit": bf_ladder_audit,
+        "llm_ann_sq8_topk": llm_ann_sq8_topk,
+        "llm_source_stats": llm_source_stats,
+        "bf_histogram_buckets": bf_histogram_buckets,
+        "ev_props_extract": ev_props_extract,
+        "bf_unit_changes": bf_unit_changes,
+        "llm_lang_id": llm_lang_id,
+        "llm_token_counts": llm_token_counts,
+        "llm_quality_score": llm_quality_score,
+        "llm_train_split": llm_train_split,
+        "llm_embedding_dup_clusters": llm_embedding_dup_clusters,
+        "bf_timer_merge_20m": bf_timer_merge_20m,
+        "bf_timer_pct_map_merge": bf_timer_pct_map_merge,
+        "bf_rollup_cascade_60m": bf_rollup_cascade_60m,
+        "q01_pricing_summary": q01_pricing_summary,
+        "llm_minhash_signatures": llm_minhash_signatures,
+        "bf_basic_rollup_5m": bf_basic_rollup_5m,
+        "bf_repair_on_read": bf_repair_on_read,
+        "ev_funnel_3step": ev_funnel_3step,
+        "llm_dedup_exact": llm_dedup_exact,
+        "llm_ann_cosine_topk": llm_ann_cosine_topk,
+        "bf_asof_enrich": bf_asof_enrich,
+        "bf_sessionize": bf_sessionize,
+        "q_cheapest_supplier": q_cheapest_supplier,
+        "bf_anomaly_zscore": bf_anomaly_zscore,
         "bf_statsd_normalize": bf_statsd_normalize,
         "llm_sq8_quantize": llm_sq8_quantize,
         "llm_multimodal_features": llm_multimodal_features,
-        "llm_source_stats": llm_source_stats,
-        # -- never stamped (registered at 51+ in r3) --
         "llm_semdedup": llm_semdedup,
         "llm_ann_ivfpq_topk": llm_ann_ivfpq_topk,
         "llm_contrastive_pairs": llm_contrastive_pairs,
         "llm_hybrid_rrf": llm_hybrid_rrf,
         "bf_rate_series": bf_rate_series,
         "bf_ewma_smooth": bf_ewma_smooth,
-        "bf_histogram_buckets": bf_histogram_buckets,
         "bf_m4_downsample": bf_m4_downsample,
         "bf_histogram_quantile": bf_histogram_quantile,
         "bf_sustained_breach": bf_sustained_breach,
@@ -5810,13 +5860,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bf_tenant_cardinality": bf_tenant_cardinality,
         "llm_hash_embed": llm_hash_embed,
         "bf_downtime_report": bf_downtime_report,
-        "ev_props_extract": ev_props_extract,
-        # -- new this round: S8/T4/P3 parity as checked batch queries --
         "bf_delayed_locators": bf_delayed_locators,
         "bf_reroll_diff": bf_reroll_diff,
-        "bf_unit_changes": bf_unit_changes,
-        # -- new this round: full-ladder cascade, burn rate, URL dedup,
-        #    bigram-LM quality --
         "bf_rollup_cascade_1440m": bf_rollup_cascade_1440m,
         "bf_burn_rate": bf_burn_rate,
         "llm_url_dedup": llm_url_dedup,
@@ -5826,70 +5871,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_multimodal_plan": llm_multimodal_plan,
         "llm_heavy_hitters": llm_heavy_hitters,
         "bf_hll_cardinality": bf_hll_cardinality,
-        # -- late r4: boilerplate strip + random projection join the
-        #    stamp window (displaced sentinels keep their earlier rows) --
         "llm_boilerplate_strip": llm_boilerplate_strip,
         "llm_random_projection": llm_random_projection,
         "bf_sampled_quantile": bf_sampled_quantile,
         "bf_zorder_layout": bf_zorder_layout,
         "llm_dup_spans": llm_dup_spans,
-        # -- round-4b adds pulled into the window (displace sentinels;
-        #    every displaced entry already has a green driver row) --
         "bf_slot_eligibility": bf_slot_eligibility,
         "bf_unit_history": bf_unit_history,
         "llm_dup_pagerank": llm_dup_pagerank,
         "llm_ann_recall_report": llm_ann_recall_report,
         "ev_attribution": ev_attribution,
-        # ---- entry 51+: remaining never-stamped lead so the NEXT
-        #      round's window stamps them first, then the r1-only
-        #      re-confirms, then previously-green rows ----
-        "llm_word_fuzzy_pairs": llm_word_fuzzy_pairs,
-        "llm_ngram_novelty": llm_ngram_novelty,
-        "llm_silhouette": llm_silhouette,
-        "llm_char_entropy": llm_char_entropy,
-        "bf_compaction_plan": bf_compaction_plan,
-        "llm_ann_filtered_topk": llm_ann_filtered_topk,
-        "ev_type_lift": ev_type_lift,
-        "llm_embedding_drift": llm_embedding_drift,
-        "bf_heatmap_grid": bf_heatmap_grid,
-        "ev_cohort_ltv": ev_cohort_ltv,
-        "bf_trend_slope": bf_trend_slope,
-        "bf_xcorr_lag": bf_xcorr_lag,
-        "bf_alert_hysteresis": bf_alert_hysteresis,
-        "llm_temperature_mix": llm_temperature_mix,
-        "llm_mmr_diversify": llm_mmr_diversify,
-        # -- round-4d adds (never stamped; next round's window leads here) --
-        "llm_winnowing": llm_winnowing,
-        "llm_winnowing_pairs": llm_winnowing_pairs,
-        "llm_vocab_growth": llm_vocab_growth,
-        "llm_source_kl": llm_source_kl,
-        "llm_bpe_pairs": llm_bpe_pairs,
-        "llm_bpe_encode": llm_bpe_encode,
-        "bf_outlier_mad": bf_outlier_mad,
-        "bf_change_cusum": bf_change_cusum,
-        "bf_apdex": bf_apdex,
-        "ev_k_anonymity": ev_k_anonymity,
-        "bf_ladder_audit": bf_ladder_audit,
-        "llm_ann_sq8_topk": llm_ann_sq8_topk,
-        "llm_lang_id": llm_lang_id,
-        "llm_token_counts": llm_token_counts,
-        "llm_quality_score": llm_quality_score,
-        "llm_train_split": llm_train_split,
         "bf_basic_merge_20m": bf_basic_merge_20m,
         "api_get_view": api_get_view,
-        "bf_timer_pct_map_merge": bf_timer_pct_map_merge,
         "llm_pipeline_output": llm_pipeline_output,
         "llm_kmeans_clusters": llm_kmeans_clusters,
         "ev_retention_cohorts": ev_retention_cohorts,
         "api_get_views_multi": api_get_views_multi,
         "api_events_query": api_events_query,
         "bf_ingest_validate": bf_ingest_validate,
-        "llm_embedding_dup_clusters": llm_embedding_dup_clusters,
         "bf_preagg_ladder": bf_preagg_ladder,
         "llm_minhash_lsh": llm_minhash_lsh,
         "llm_decontaminate": llm_decontaminate,
-        "bf_rollup_cascade_60m": bf_rollup_cascade_60m,
-        "q01_pricing_summary": q01_pricing_summary,
         "llm_source_overlap": llm_source_overlap,
         "llm_chunk_windows": llm_chunk_windows,
         "llm_unigram_surprisal": llm_unigram_surprisal,
@@ -5917,7 +5919,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bf_typed_merge_20m": bf_typed_merge_20m,
         "bf_ttl_retention": bf_ttl_retention,
         "bf_granularity_select": bf_granularity_select,
-        "llm_minhash_signatures": llm_minhash_signatures,
         "llm_dedup_clusters": llm_dedup_clusters,
         "llm_simhash": llm_simhash,
         "llm_simhash_near_pairs": llm_simhash_near_pairs,
@@ -5937,14 +5938,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_above_type_avg": q_above_type_avg,
         "q_supplier_volume": q_supplier_volume,
         "q_trailing_week_revenue": q_trailing_week_revenue,
-        "q_cheapest_supplier": q_cheapest_supplier,
         "q_sole_late_supplier": q_sole_late_supplier,
-        "bf_basic_rollup_5m": bf_basic_rollup_5m,
         "bf_counter_rollup_5m": bf_counter_rollup_5m,
         "bf_counter_merge_20m": bf_counter_merge_20m,
         "bf_gauge_rollup_5m": bf_gauge_rollup_5m,
         "bf_set_rollup_20m": bf_set_rollup_20m,
-        "bf_timer_merge_20m": bf_timer_merge_20m,
         "bf_shard_hash": bf_shard_hash,
         "bf_metric_tokens": bf_metric_tokens,
         "bf_glob_search": bf_glob_search,
@@ -5953,21 +5951,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bf_events_range": bf_events_range,
         "bf_events_tags": bf_events_tags,
         "bf_token_doc_counts": bf_token_doc_counts,
-        "bf_asof_enrich": bf_asof_enrich,
         "bf_range_join": bf_range_join,
-        "bf_sessionize": bf_sessionize,
         "bf_units_enrichment": bf_units_enrichment,
         "bf_multi_series_fetch": bf_multi_series_fetch,
-        "bf_anomaly_zscore": bf_anomaly_zscore,
         "bf_gapfill_series": bf_gapfill_series,
-        "bf_repair_on_read": bf_repair_on_read,
-        "ev_funnel_3step": ev_funnel_3step,
         "ev_funnel_conversion": ev_funnel_conversion,
         "ev_top_paths": ev_top_paths,
-        "llm_dedup_exact": llm_dedup_exact,
         "llm_text_stats": llm_text_stats,
         "llm_doc_fingerprint": llm_doc_fingerprint,
-        "llm_ann_cosine_topk": llm_ann_cosine_topk,
         "llm_ngram_jaccard": llm_ngram_jaccard,
     }
 

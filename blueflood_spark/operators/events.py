@@ -514,7 +514,7 @@ cohort AS (SELECT u, min(day) AS cohort_day FROM ev GROUP BY u),
 cells AS (
   SELECT c.cohort_day, CAST(e.day - c.cohort_day AS INTEGER) AS day_offset,
          count(DISTINCT e.u) AS n_active_users,
-         sum(e.cents) AS cents_day
+         CAST(sum(e.cents) AS BIGINT) AS cents_day
   FROM ev e JOIN cohort c USING (u)
   WHERE e.day - c.cohort_day <= {int(max_offset_days)}
   GROUP BY 1, 2

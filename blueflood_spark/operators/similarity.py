@@ -1257,6 +1257,79 @@ FROM vecs v LEFT JOIN dup d USING ({id_col})
 """
 
 
+def semdedup_pairs(
+    emb: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup candidate near-duplicate PAIRS (Abbas et al. 2023,
+    arXiv:2303.09540): k-means the corpus, then emit every within-cluster
+    pair whose cosine reaches `threshold` as an (id_a, id_b) edge row
+    (id_a < id_b) — the edge set a connected-components pass clusters
+    into semantic-duplicate groups.
+
+    Cross-cluster pairs are excluded BY DESIGN: bounding the pairwise
+    stage to Σ|cluster|² instead of N² is SemDeDup's published
+    scalability contract, and the exhaustive-recall measurement lives in
+    embedding_near_dups (the documented O(n²) oracle kernel). This is
+    the production pair generator for 100 TB corpora: one shuffle on
+    cluster_id into a grouped BLAS kernel; at scale k grows ~√N so each
+    task's matmul stays bounded, and a cluster_id-bucketed table makes
+    the stage shuffle-free on re-runs.
+
+    Same float contract as semdedup(): a pair within ~1e-15 of the
+    threshold could flip between the BLAS matmul and the twin's ordered
+    fold; verdicts away from the threshold are deterministic."""
+    import numpy as np
+    import pandas as pd
+
+    assign = kmeans_assign(emb, k=k, iterations=iterations, id_col=id_col, vec_col=emb_col)
+    vecs = assign.join(emb.select(id_col, emb_col), id_col).select(
+        id_col, "cluster_id", emb_col
+    )
+
+    def pair_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(pdf[id_col].to_numpy(dtype=np.int64), kind="stable")
+        ids = pdf[id_col].to_numpy(dtype=np.int64)[order]
+        mat = np.array(list(pdf[emb_col].iloc[order]), dtype=np.float64)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        denom = np.outer(norms, norms)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = np.where(denom > 0, (mat @ mat.T) / np.where(denom > 0, denom, 1.0), 0.0)
+        ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))  # ids sorted ⇒ id_a < id_b
+        return pd.DataFrame({"id_a": ids[ii], "id_b": ids[jj]})
+
+    return vecs.groupBy("cluster_id").applyInPandas(pair_kernel, schema="id_a long, id_b long")
+
+
+def semdedup_pairs_sql(
+    k: int = 8, iterations: int = 2, threshold: float = 0.35, id_col: str = "vec_id"
+) -> str:
+    """DuckDB twin CTE body (un-wrapped): within-cluster pairs with
+    ordered-fold cosine — compose as `WITH pairs AS ({this})`."""
+    cos = (
+        "coalesce(list_sum(list_transform(list_zip(a.embedding, b.b_emb),"
+        " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+        " / nullif(sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        " * sqrt(list_sum(list_transform(b.b_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 0), 0)"
+    )
+    return f"""
+WITH assign AS ({kmeans_assign_sql(k=k, iterations=iterations)}),
+vecs AS (
+  SELECT a.{id_col}, a.cluster_id, e.embedding
+  FROM assign a JOIN embeddings e USING ({id_col})
+)
+SELECT a.{id_col} AS id_a, b.b_id AS id_b
+FROM vecs a
+JOIN (SELECT {id_col} AS b_id, cluster_id AS b_cluster, embedding AS b_emb FROM vecs) b
+  ON a.cluster_id = b.b_cluster AND a.{id_col} < b.b_id
+WHERE {cos} >= {threshold}
+"""
+
+
 # ---------------------------------------------------------------------------
 # IVF-PQ — coarse inverted lists + compressed-domain ADC (FAISS IVFADC)
 # ---------------------------------------------------------------------------

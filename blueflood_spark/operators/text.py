@@ -491,7 +491,7 @@ top AS (
 SELECT a.source, a.n_docs, a.total_chars,
        CAST(a.total_chars AS DOUBLE) / a.n_docs AS avg_chars,
        a.n_langs, t.top_lang
-FROM (SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars,
+FROM (SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
              count(DISTINCT lang) AS n_langs
       FROM documents GROUP BY 1) a
 JOIN top t ON a.source = t.source
@@ -1952,7 +1952,7 @@ per_doc AS (
 )
 SELECT d.doc_id,
        coalesce(p.n_grams, 0) AS n_grams,
-       coalesce(p.n_novel, 0) AS n_novel,
+       CAST(coalesce(p.n_novel, 0) AS BIGINT) AS n_novel,
        CASE WHEN coalesce(p.n_grams, 0) > 0
             THEN CAST(p.n_novel AS DOUBLE) / p.n_grams ELSE 0.0 END AS novelty_pct
 FROM documents d LEFT JOIN per_doc p USING (doc_id)
