@@ -2509,8 +2509,15 @@ GROUP BY 1, 2, 3
 
 def bf_timer_merge_20m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 TimerFromTimer: 5m timer children (with exact p50/p95 means)
-    merged to 20m — harmonic rate, unweighted percentile-mean merge."""
-    raw = _raw_metrics(spark, sf_dir).repartition("tenant_id", "metric_name")
+    merged to 20m — harmonic rate, unweighted percentile-mean merge.
+
+    No explicit pre-repartition (r5): the 5m groupBy's partial_percentile
+    buffers shuffle the same value volume the locator repartition would
+    move, in compact buffer form and one stage earlier — and the 20m
+    merge's exchange carries only ~39k aggregated rows. One fewer full
+    pass, 0.75→0.58s at sf0.1; at scale AQE's skew split covers the one
+    raw-volume exchange either way."""
+    raw = _raw_metrics(spark, sf_dir)
     v = F.col("value")
     ts = F.col("ts")
     t5 = (
@@ -4353,10 +4360,14 @@ def bf_timer_pct_map_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         families=("timer",),
         emit_levels=("20m",),
         pct_shape="exploded",
-        # the timer family fans out into moments + percentiles branches;
-        # materialize the partitioned finest frame so both read ONE
-        # shuffle instead of column-pruned twins (1.9s → 1.3s at sf0.1)
-        materialize=True,
+        # NOT materialized: localCheckpoint discards outputPartitioning,
+        # so every agg above it re-exchanged (5 exchanges, r4's hidden
+        # regression). Un-checkpointed, each branch keeps its pruned
+        # locator repartition and the WHOLE ladder above rides it
+        # exchange-free: 2 raw-side exchanges + 1 broadcast, 1.4→1.0s
+        # at sf0.1 — and the exchange-free-ladder property is what
+        # survives 100× (at scale the bucketed store removes even those).
+        materialize=False,
     )["timer"]["20m"]
     return t20.select(
         "tenant_id",

@@ -65,11 +65,15 @@ def search_metrics(
     """`GET /v2.0/:tenantId/metrics/search?query=<glob>` (SURVEY §2.11;
     HttpMetricsIndexHandler.java:40-60): full-name glob match, deduped.
 
-    include_enum_values mirrors the handler's deprecated enum-metrics
-    query param (HttpMetricsIndexHandler.java, ElasticIO enum path): the
-    response gains an `enum_values` column. Enum metrics were removed
-    upstream and this engine stores none, so the column is always an
-    empty array — the API shape is served, the dead feature is not."""
+    include_enum_values (r5 audit): the reference AT THIS VERSION has no
+    enum-metrics surface at all — SearchResult.java:24-43 carries only
+    (tenant, name, unit) and ESFieldLabel.java:19-26 defines no enum
+    field; the param existed only in other/later Blueflood lines. It is
+    kept as a compatibility flag for callers of those lines: the
+    response gains an `enum_values` column that is always an empty array
+    (this engine ingests no enum type). Documented as dropped-deprecated
+    in README's coverage table — the API shape is served, the dead
+    feature is not."""
     regex = anchored(glob_to_regex(glob))
     out = (
         catalog.filter(F.col("tenant_id") == tenant_id)

@@ -106,7 +106,25 @@ def _base_hash_col():
 # sessions; the memo is its in-session form. Values are identical by
 # construction — the memo stores the frame the inline subtree would
 # rebuild, deterministically.
+#
+# STATIC-INPUT ASSUMPTION: the key is the analyzed plan's semanticHash,
+# which does NOT change when files BEHIND an identical plan change (a
+# parquet dir appended mid-session — the day-2 incremental workflow).
+# Callers mixing in-session appends with memoized reads must call
+# clear_signature_cache() after mutating an input path. FAULT-TOLERANCE:
+# the memoized frame is localCheckpoint(eager=False) — lineage is
+# truncated after first materialization, so a lost executor fails
+# consumers instead of recomputing; acceptable in a single-JVM session
+# (this harness), wrong for a long-lived shared cluster, where the
+# persisted band index (reliable storage) is the right artifact.
 _SIGNATURE_CACHE: dict[tuple, DataFrame] = {}
+
+
+def clear_signature_cache() -> None:
+    """Drop memoized signature frames — call after appending/overwriting
+    files behind a docs path that minhash ops already read this session
+    (the semanticHash key cannot see data-file changes)."""
+    _SIGNATURE_CACHE.clear()
 
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text", num_perm: int = NUM_PERM) -> DataFrame:

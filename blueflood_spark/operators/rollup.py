@@ -529,15 +529,19 @@ def preagg_cascade(
     round-trip per level.
 
     materialize=True localCheckpoints the (pruned, pre-partitioned)
-    finest frame. Catalyst's column pruning pushes a DIFFERENT
-    projection below the repartition for each family branch (and the
-    timer family fans out twice: moments + percentiles), so the
-    exchanges stop being plan-identical and ReusedExchange no longer
-    fires — every branch re-shuffles the input. Materializing restores
-    the shuffle-once property: one partitioned frame on executor-local
-    storage that every branch reads. Use it whenever ≥2 branches
-    consume the ladder (the timer family alone counts); leave it off
-    for single-branch callers and inside streaming foreachBatch, where
+    finest frame so multi-family consumers scan the source ONCE.
+    TRADEOFF (measured r5): localCheckpoint DISCARDS the repartition's
+    outputPartitioning — `Scan ExistingRDD` reports unknown
+    partitioning, so every aggregation above the checkpoint re-adds an
+    ENSURE_REQUIREMENTS exchange (aggregated-size, map-side combined,
+    but an exchange per level per branch). Un-materialized, Catalyst's
+    column pruning pushes a different projection below the repartition
+    per branch (so each branch pays its own raw-sized pruned shuffle),
+    but every level of the ladder above rides that one exchange
+    shuffle-free. For ≤2 branches the un-materialized shape wins
+    (bf_timer_pct_map_merge: 5→3 exchanges, 1.4→1.0s at sf0.1); prefer
+    materialize=True only when ≥3 branches would each rescan an
+    expensive source, and never inside streaming foreachBatch, where
     lineage must stay replayable."""
     _FAMILY_COLS = {
         "counter": ("counter_value", "counter_rate"),

@@ -551,7 +551,21 @@ def kmeans_assign(
 # hyperparameters never collide. Results are bit-identical by
 # construction: the memo stores the same deterministic frame the inline
 # DAG would rebuild.
+#
+# STATIC-INPUT ASSUMPTION (same as dedup._SIGNATURE_CACHE): semanticHash
+# keys the PLAN, not the data files — an in-session append to a path the
+# memo already trained on silently returns stale centroids. Call
+# clear_centroid_cache() after mutating such a path. The checkpointed
+# frame also carries truncated lineage (single-JVM-session tradeoff; at
+# cluster scale persist the codebook like build_ivf_index does).
 _CENTROID_CACHE: dict[tuple, DataFrame] = {}
+
+
+def clear_centroid_cache() -> None:
+    """Drop memoized trained-centroid frames — call after appending/
+    overwriting files behind an embeddings path already trained on this
+    session (the semanticHash key cannot see data-file changes)."""
+    _CENTROID_CACHE.clear()
 
 
 def _trained_centroid_row(

@@ -2469,13 +2469,24 @@ def bpe_encode(
     leftmost-first scan — including odd-length runs like 'a a a'.
 
     Output per doc: BPE token count and the md5 of the fully-encoded
-    text (a strong whole-output check with no array columns)."""
+    text (a strong whole-output check with no array columns).
+
+    Input texts are stripped of U+00B7 '·' first: the character IS the
+    boundary sentinel, and a literal one in the input would corrupt the
+    symbol boundaries identically on both engines — an undetectable
+    silent break. Stripping is the documented contract (mirrored in the
+    twin and the pytest reference encoder); real tokenizers reserve
+    their sentinel bytes the same way. Convention: a zero-length word
+    (consecutive/trailing spaces, or a word that was all sentinels)
+    still counts 1 toward n_tokens_bpe — both engines share the
+    boundary-count formula, so the convention is engine-invariant."""
     if merges is None:
         merges = BPE_MERGES
     # '·' between every char (double between symbols), single at word edges
     # (?s) dotall: '.' must wrap EVERY char — without it a newline in the
     # text would skip its boundary markers and corrupt the encoding
-    s = F.concat(F.lit("·"), F.regexp_replace(F.col(text_col), "(?s)(.)", "$1··"))
+    cleaned = F.expr(f"replace({text_col}, '·', '')")
+    s = F.concat(F.lit("·"), F.regexp_replace(cleaned, "(?s)(.)", "$1··"))
     enc = docs.select(
         "doc_id",
         F.size(F.split(F.col(text_col), " ")).alias("n_words"),
@@ -2503,8 +2514,8 @@ def bpe_encode_sql(merges: list[tuple[str, str]] | None = None) -> str:
     if merges is None:
         merges = BPE_MERGES
     expr = (
-        "substr(replace('·' || regexp_replace(text, '(?s)(.)', '\\1··', 'g'), '·· ··', '· ·'), 1, "
-        "length(replace('·' || regexp_replace(text, '(?s)(.)', '\\1··', 'g'), '·· ··', '· ·')) - 1)"
+        "substr(replace('·' || regexp_replace(replace(text, '·', ''), '(?s)(.)', '\\1··', 'g'), '·· ··', '· ·'), 1, "
+        "length(replace('·' || regexp_replace(replace(text, '·', ''), '(?s)(.)', '\\1··', 'g'), '·· ··', '· ·')) - 1)"
     )
     for a, b in merges:
         expr = f"replace({expr}, '·{a}··{b}·', '·{a}{b}·')"

@@ -258,10 +258,12 @@ def test_cusum_quiet_on_stationary_noise(spark):
 def _py_bpe_encode(text, merges):
     """Reference BPE apply: each merge fully applied left-to-right
     (leftmost-first, non-overlapping) before the next — Sennrich
-    learn-order semantics."""
+    learn-order semantics. Strips the '·' sentinel first, mirroring the
+    operator's documented input contract."""
     import hashlib
 
     enc_words, total = [], 0
+    text = text.replace("·", "")
     for w in text.split(" "):
         syms = list(w)
         for a, b in merges:
@@ -288,6 +290,8 @@ def test_bpe_encode_matches_python_reference(spark):
         "merge er er er",  # odd/even runs of the same pair
         "in inn inin matter",  # adjacent + overlapping pair sites
         "x",  # single char word
+        "er·er ·a·",  # literal sentinel chars in input (stripped)
+        "th·e the·x",  # sentinel inside/adjacent to a mergeable pair
     ]
     out = {r["doc_id"]: r for r in bpe_encode(_docs(spark, texts)).collect()}
     for i, t in enumerate(texts):
