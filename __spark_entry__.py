@@ -1260,6 +1260,43 @@ def _bf_sampled_quantile_sql() -> str:
     return _RAW_CTE + SK.sampled_quantile_sql("raw")
 
 
+def llm_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter incremental dedup (operators/sketches.py
+    bloom_words/bloom_membership): day-1 corpus (even doc_ids)
+    compresses to an m-bit filter; the day-2 batch (odd doc_ids) probes
+    it MAP-ONLY and only bloom-positives pay the exact verification
+    join — the at-scale replacement for llm_incremental_dedup's full
+    anti-join when history is 100 TB and the filter is kilobytes. The
+    filter is mergeable (words bit_or), md5-derived, and checked as
+    exact rows: per probe doc, bloom verdict, exact membership, and the
+    false-positive flag (m=1024 sized so the FP class is EXERCISED, not
+    just asserted absent; false negatives are impossible and the
+    property test proves it). Content keys are synthesized as a
+    deterministic re-crawl model (doc_id % 299 — the same
+    fixture-synthesis device as llm_url_dedup) because the corpus has
+    no planted cross-parity exact duplicates."""
+    from blueflood_spark.operators import sketches as SK
+
+    docs = _t(spark, sf_dir, "documents")
+    key = F.concat(F.lit("p"), (F.col("doc_id") % 299).cast("string"))
+    keyed = docs.select("doc_id", key.alias("key"))
+    corpus = keyed.filter(F.col("doc_id") % 2 == 0)
+    probe = keyed.filter(F.col("doc_id") % 2 == 1)
+    return SK.bloom_membership(corpus, probe, m_bits=1024, k=3)
+
+
+def _llm_bloom_dedup_sql() -> str:
+    from blueflood_spark.operators import sketches as SK
+
+    return SK.bloom_membership_sql(
+        corpus_pred="doc_id % 2 = 0",
+        probe_pred="doc_id % 2 = 1",
+        key_expr="'p' || CAST(doc_id % 299 AS VARCHAR)",
+        m_bits=1024,
+        k=3,
+    )
+
+
 def bf_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order layout evidence (operators/layout.py): interleave the
     md5 shard (Util.java:47-48 computeShard parity, 7 bits) with the
@@ -3773,6 +3810,35 @@ def llm_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def llm_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc triangle counts over the SimHash near-dup graph
+    (operators/graph.py triangle_counts): the clustering-coefficient
+    numerator that separates redundant near-dup cliques from chains of
+    borderline pairs. Degree-ordered orientation bounds the wedge join
+    at O(m^1.5) regardless of dup-graph skew; the oracle twin
+    brute-forces the 3-way join, so the orientation algebra is verified
+    against ground truth, not mirrored."""
+    from blueflood_spark.operators import graph as GR
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.simhash_near_pairs(docs, max_hamming=8, bits=60)
+    return GR.triangle_counts(pairs).select(
+        F.col("node").alias("doc_id"), "degree", "n_triangles"
+    )
+
+
+def _llm_dup_triangles_sql() -> str:
+    from blueflood_spark.operators import graph as GR
+
+    pairs = (
+        "SELECT doc_a, doc_b FROM ("
+        + D.simhash_near_pairs_sql(max_hamming=8, bits=60)
+        + ")"
+    )
+    inner = GR.triangle_counts_sql(pairs)
+    return f"SELECT node AS doc_id, degree, n_triangles FROM ({inner})"
+
+
 def _llm_dup_pagerank_sql() -> str:
     from blueflood_spark.operators import graph as GR
 
@@ -3912,6 +3978,41 @@ def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified against the oracle's global window."""
     docs = _t(spark, sf_dir, "documents")
     return TX.pack_sequences(docs, budget=256, shard_size=64)
+
+
+def llm_pack_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing fragmentation report per context window (the efficiency
+    review beside llm_pack_sequences): for every 256-token window, how
+    many documents START in it, how many of those CROSS its boundary
+    (attention-contamination sites under naive concat packing), and the
+    token mass started — the numbers a packing-strategy choice (concat
+    vs best-fit vs truncate) is judged by. One groupBy over the
+    prefix-sum output; everything integer."""
+    packed = TX.pack_sequences(
+        _t(spark, sf_dir, "documents"), budget=256, shard_size=64
+    )
+    return (
+        packed.groupBy(F.col("pack_first").alias("pack_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_start"),
+            F.sum((F.col("n_packs") > 1).cast("long")).alias("n_docs_cross"),
+            F.sum("n_tokens").alias("tokens_start"),
+            F.max("n_packs").alias("max_span"),
+        )
+    )
+
+
+def _llm_pack_report_sql() -> str:
+    inner = TX.pack_sequences_sql(budget=256)
+    return f"""
+SELECT pack_first AS pack_id,
+       count(*) AS n_docs_start,
+       CAST(sum(CASE WHEN n_packs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_cross,
+       CAST(sum(n_tokens) AS BIGINT) AS tokens_start,
+       CAST(max(n_packs) AS BIGINT) AS max_span
+FROM ({inner})
+GROUP BY 1
+"""
 
 
 def llm_pipeline_output(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4494,6 +4595,16 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.semdedup(emb, k=8, iterations=2, threshold=0.35)
 
 
+def llm_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup candidate PAIR generation (operators/similarity.py
+    semdedup_pairs): the edge list llm_embedding_dup_clusters clusters —
+    registered on its own so the production pair generator carries a
+    direct driver row. k-means cluster-bounded BLAS, Σ|cluster|² not
+    N²."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.semdedup_pairs(emb, k=8, iterations=2, threshold=0.35)
+
+
 def llm_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: BM25 lexical top-50 fused with embedding-cosine
     top-50 (anchor vec 0; embeddings keyed by doc id) via reciprocal-
@@ -4691,6 +4802,40 @@ SELECT tenant_id, metric_name, slot_ms, le,
        count(*) AS n_total
 FROM raw CROSS JOIN (SELECT CAST(unnest([{", ".join(str(b) for b in _HIST_BOUNDS)}]) AS DOUBLE) AS le) b
 GROUP BY tenant_id, metric_name, slot_ms, le
+"""
+
+
+def bf_native_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential-bucket histogram rollup (operators/rollup.py
+    exp_histogram_from_raw/_merge — the OTel/Prometheus-native-histogram
+    design): per (locator, window), one count per power-of-two bucket of
+    the micro-quantized value, built at 5m and MERGED to 20m by bucket
+    addition — the constant-memory mergeable alternative to the exact
+    percentile timer path, with O(64) state per series-window at any
+    sample volume. Bucket index is exact integer math (length(bin(v)),
+    no float log); both levels ride one locator-clustered shuffle."""
+    raw = _raw_metrics(spark, sf_dir)
+    h5 = R.exp_histogram_from_raw(raw, G.MIN_5)
+    return R.exp_histogram_merge(h5, G.MIN_20).select(
+        "tenant_id", "metric_name", "window_start", "bucket", "n", "bucket_lo"
+    )
+
+
+_BF_NATIVE_HISTOGRAM_SQL = _RAW_CTE + """
+, h5 AS (
+  SELECT tenant_id, metric_name,
+         (ts // 300000) * 300000 AS window_start,
+         CASE WHEN CAST(floor(value * 1000000) AS BIGINT) <= 0 THEN 0
+              ELSE CAST(length(bin(CAST(floor(value * 1000000) AS BIGINT))) AS INT) END AS bucket,
+         count(*) AS n
+  FROM raw GROUP BY 1, 2, 3, 4
+)
+SELECT tenant_id, metric_name,
+       (window_start // 1200000) * 1200000 AS window_start,
+       bucket,
+       CAST(sum(n) AS BIGINT) AS n,
+       CASE WHEN bucket = 0 THEN 0 ELSE CAST(1 AS BIGINT) << (bucket - 1) END AS bucket_lo
+FROM h5 GROUP BY 1, 2, 3, 4
 """
 
 
@@ -5015,6 +5160,136 @@ SELECT tenant_id, metric_name,
        max(struct_pack(t := ts, v := value)).v AS last_v
 FROM raw
 GROUP BY 1, 2, 3
+"""
+
+
+def bf_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB visual downsampling (Steinarsson 2013, Largest-Triangle-
+    Three-Buckets) — ONE representative point per (series, 6h bucket),
+    chosen to maximize the triangle area against the neighbor buckets'
+    mean anchors. The parallel bucket-mean-anchor variant: strict LTTB
+    anchors on the previously SELECTED point (a sequential chain);
+    anchoring on the previous bucket's mean — the variant downsampling
+    services actually deploy — makes every bucket independent, so the
+    whole operator is one groupBy + one lag/lead window + one argmax,
+    trivially distributed. Complements M4 (extremes) with the
+    shape-preserving single-point-per-pixel selection.
+
+    Exactness: values are micro-quantized BIGINTs, SHIFTED per series to
+    non-negative before the truncated-mean anchors (triangle areas are
+    invariant under a constant value shift, and the shift makes Spark's
+    truncating DIV agree with DuckDB's flooring //) — every area is an
+    exact BIGINT cross product, so selection is bit-deterministic on
+    both engines. Edge buckets keep the series' first/last point (the
+    LTTB contract); ties break on (ts, v)."""
+    from pyspark.sql.window import Window
+
+    raw = _raw_metrics(spark, sf_dir)
+    SLOT = 21_600_000
+    keys = ["tenant_id", "metric_name"]
+    w_all = Window.partitionBy(*keys)
+    pts = raw.select(
+        *keys,
+        "ts",
+        F.floor(F.col("value") * 1_000_000).cast("long").alias("v0"),
+        (F.col("ts") - F.pmod(F.col("ts"), F.lit(SLOT))).alias("slot_ms"),
+    ).withColumn("v", F.col("v0") - F.min("v0").over(w_all))
+    b = (
+        pts.groupBy(*keys, "slot_ms")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("ts").alias("sum_ts"), F.sum("v").alias("sum_v"))
+        .select(
+            *keys,
+            "slot_ms",
+            "n",
+            F.expr("sum_ts div n").alias("tx"),
+            F.expr("sum_v div n").alias("vy"),
+        )
+    )
+    w = Window.partitionBy(*keys).orderBy("slot_ms")
+    anch = b.select(
+        *keys,
+        "slot_ms",
+        "n",
+        F.lag("tx").over(w).alias("ptx"),
+        F.lag("vy").over(w).alias("pvy"),
+        F.lead("tx").over(w).alias("ntx"),
+        F.lead("vy").over(w).alias("nvy"),
+    )
+    j = pts.join(anch, [*keys, "slot_ms"])
+    area2 = F.abs(
+        (F.col("ptx") - F.col("ntx")) * (F.col("v") - F.col("pvy"))
+        - (F.col("ptx") - F.col("ts")) * (F.col("nvy") - F.col("pvy"))
+    )
+    primary = (
+        F.when(F.col("ptx").isNull(), -F.col("ts"))
+        .when(F.col("ntx").isNull(), F.col("ts"))
+        .otherwise(area2)
+    )
+    secondary = F.when(
+        F.col("ptx").isNotNull() & F.col("ntx").isNotNull(), -F.col("ts")
+    ).otherwise(F.lit(0))
+    w_sel = Window.partitionBy(*keys, "slot_ms").orderBy(
+        F.desc("primary"), F.desc("secondary"), F.asc("ts"), F.asc("v0")
+    )
+    return (
+        j.withColumn("primary", primary)
+        .withColumn("secondary", secondary)
+        .withColumn("rn", F.row_number().over(w_sel))
+        .filter(F.col("rn") == 1)
+        .select(
+            *keys,
+            "slot_ms",
+            "n",
+            F.col("ts").alias("sel_ts"),
+            F.col("v0").alias("sel_value_micro"),
+        )
+    )
+
+
+_BF_LTTB_SQL = _RAW_CTE + """
+, pts AS (
+  SELECT tenant_id, metric_name, ts,
+         CAST(floor(value * 1000000) AS BIGINT) AS v0,
+         ts - ts % 21600000 AS slot_ms
+  FROM raw
+),
+shifted AS (
+  SELECT *, v0 - min(v0) OVER (PARTITION BY tenant_id, metric_name) AS v
+  FROM pts
+),
+b AS (
+  SELECT tenant_id, metric_name, slot_ms, count(*) AS n,
+         sum(ts) // count(*) AS tx, sum(v) // count(*) AS vy
+  FROM shifted GROUP BY 1, 2, 3
+),
+anch AS (
+  SELECT tenant_id, metric_name, slot_ms, n,
+         lag(tx) OVER w AS ptx, lag(vy) OVER w AS pvy,
+         lead(tx) OVER w AS ntx, lead(vy) OVER w AS nvy
+  FROM b
+  WINDOW w AS (PARTITION BY tenant_id, metric_name ORDER BY slot_ms)
+),
+j AS (
+  SELECT s.tenant_id, s.metric_name, s.slot_ms, a.n, s.ts, s.v, s.v0,
+         a.ptx, a.pvy, a.ntx, a.nvy,
+         abs((a.ptx - a.ntx) * (s.v - a.pvy) - (a.ptx - s.ts) * (a.nvy - a.pvy)) AS area2
+  FROM shifted s JOIN anch a USING (tenant_id, metric_name, slot_ms)
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (
+           PARTITION BY tenant_id, metric_name, slot_ms
+           ORDER BY (CASE WHEN ptx IS NULL THEN -ts
+                          WHEN ntx IS NULL THEN ts
+                          ELSE area2 END) DESC,
+                    (CASE WHEN ptx IS NOT NULL AND ntx IS NOT NULL THEN -ts
+                          ELSE 0 END) DESC,
+                    ts, v0) AS rn
+  FROM j
+)
+SELECT tenant_id, metric_name, slot_ms, n,
+       ts AS sel_ts, v0 AS sel_value_micro
+FROM ranked WHERE rn = 1
 """
 
 
@@ -5774,6 +6049,120 @@ def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.bpe_encode(docs)
 
 
+_URL_BLOCKED_DOMAINS = ["src3.example.com", "src7.example.com", "spam.example.net"]
+_URL_BLOCKED_TERMS = ["/doc/13", "/doc/7"]
+
+
+def _synth_url():
+    """The llm_url_dedup fixture synthesis (5 alias classes over
+    (source, doc_id)) — shared so blocklist filtering sees the same
+    re-crawl URL shapes the canonicalizer does."""
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    path = F.concat(F.lit("/doc/"), (F.col("doc_id") % 40).cast("string"))
+    u = F.col("doc_id") % 5
+    return (
+        F.when(u == 0, F.concat(F.lit("https://"), host, path))
+        .when(u == 1, F.upper(F.concat(F.lit("https://www."), host, path)))
+        .when(u == 2, F.concat(F.lit("http://"), host, path, F.lit("/")))
+        .when(u == 3, F.concat(host, path, F.lit("?utm_source=feed&utm_campaign=x")))
+        .otherwise(F.concat(F.lit("https://"), host, path, F.lit("#section-2")))
+    )
+
+
+_SYNTH_URL_SQL = (
+    "CASE doc_id % 5 "
+    "WHEN 0 THEN 'https://' || source || '.example.com/doc/' || CAST(doc_id % 40 AS VARCHAR) "
+    "WHEN 1 THEN upper('https://www.' || source || '.example.com/doc/' || CAST(doc_id % 40 AS VARCHAR)) "
+    "WHEN 2 THEN 'http://' || source || '.example.com/doc/' || CAST(doc_id % 40 AS VARCHAR) || '/' "
+    "WHEN 3 THEN source || '.example.com/doc/' || CAST(doc_id % 40 AS VARCHAR) || '?utm_source=feed&utm_campaign=x' "
+    "ELSE 'https://' || source || '.example.com/doc/' || CAST(doc_id % 40 AS VARCHAR) || '#section-2' END"
+)
+
+
+def llm_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style URL curation filter (operators/dedup.py
+    url_blocklist_filter): domain blocklist + banned path/query terms,
+    evaluated before any content processing. Map-only host extraction
+    in codegen + one broadcast join against the blocklist frame (a
+    production million-domain list broadcasts identically). URLs are
+    the llm_url_dedup fixture synthesis, so every alias class
+    (scheme/case/www/params/fragment) exercises the host extraction."""
+    docs = _t(spark, sf_dir, "documents")
+    keyed = docs.select("doc_id", "source", _synth_url().alias("url"))
+    return D.url_blocklist_filter(keyed, _URL_BLOCKED_DOMAINS, _URL_BLOCKED_TERMS)
+
+
+def _llm_url_blocklist_sql() -> str:
+    return D.url_blocklist_filter_sql(
+        _SYNTH_URL_SQL, _URL_BLOCKED_DOMAINS, _URL_BLOCKED_TERMS
+    )
+
+
+def llm_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility report per language — tokens/word and
+    chars/token, THE standard metric for how well a tokenizer serves
+    each language in a multilingual corpus (high fertility = the
+    language pays more sequence length per word, a training-mix cost
+    signal). Composes bpe_encode (map-only) with one groupBy on the
+    tiny language key; ratios are single IEEE divisions of exact
+    integer sums, never engine avg() accumulators."""
+    docs = _t(spark, sf_dir, "documents")
+    enc = TX.bpe_encode(docs)
+    base = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(F.split(F.col("text"), " ")).alias("n_words"),
+    )
+    agg = (
+        base.join(enc, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("total_words"),
+            F.sum("n_tokens_bpe").alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "total_words",
+        "total_tokens",
+        "total_chars",
+        safe_div(F.col("total_tokens").cast("double"), F.col("total_words").cast("double")).alias(
+            "fertility"
+        ),
+        safe_div(F.col("total_chars").cast("double"), F.col("total_tokens").cast("double")).alias(
+            "chars_per_token"
+        ),
+    )
+
+
+def _llm_tokenizer_fertility_sql() -> str:
+    enc = TX.bpe_encode_sql()
+    return f"""
+WITH enc AS (SELECT doc_id, n_tokens_bpe FROM ({enc})),
+base AS (
+  SELECT doc_id, lang, n_chars, len(string_split(text, ' ')) AS n_words
+  FROM documents
+),
+agg AS (
+  SELECT lang,
+         count(*) AS n_docs,
+         CAST(sum(n_words) AS BIGINT) AS total_words,
+         CAST(sum(n_tokens_bpe) AS BIGINT) AS total_tokens,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars
+  FROM base JOIN enc USING (doc_id)
+  GROUP BY lang
+)
+SELECT lang, n_docs, total_words, total_tokens, total_chars,
+       coalesce(CAST(total_tokens AS DOUBLE) / nullif(CAST(total_words AS DOUBLE), 0), 0) AS fertility,
+       coalesce(CAST(total_chars AS DOUBLE) / nullif(CAST(total_tokens AS DOUBLE), 0), 0) AS chars_per_token
+FROM agg
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -5838,14 +6227,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q01_pricing_summary": q01_pricing_summary,
         "llm_minhash_signatures": llm_minhash_signatures,
         "bf_basic_rollup_5m": bf_basic_rollup_5m,
-        "bf_repair_on_read": bf_repair_on_read,
-        "ev_funnel_3step": ev_funnel_3step,
-        "llm_dedup_exact": llm_dedup_exact,
-        "llm_ann_cosine_topk": llm_ann_cosine_topk,
-        "bf_asof_enrich": bf_asof_enrich,
-        "bf_sessionize": bf_sessionize,
-        "q_cheapest_supplier": q_cheapest_supplier,
-        "bf_anomaly_zscore": bf_anomaly_zscore,
+        "llm_bloom_dedup": llm_bloom_dedup,
+        "llm_dup_triangles": llm_dup_triangles,
+        "llm_tokenizer_fertility": llm_tokenizer_fertility,
+        "llm_url_blocklist": llm_url_blocklist,
+        "llm_pack_report": llm_pack_report,
+        "bf_native_histogram": bf_native_histogram,
+        "bf_lttb_downsample": bf_lttb_downsample,
+        "llm_semdedup_pairs": llm_semdedup_pairs,
         "bf_statsd_normalize": bf_statsd_normalize,
         "llm_sq8_quantize": llm_sq8_quantize,
         "llm_multimodal_features": llm_multimodal_features,
@@ -5971,6 +6360,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_text_stats": llm_text_stats,
         "llm_doc_fingerprint": llm_doc_fingerprint,
         "llm_ngram_jaccard": llm_ngram_jaccard,
+        "bf_repair_on_read": bf_repair_on_read,
+        "ev_funnel_3step": ev_funnel_3step,
+        "llm_dedup_exact": llm_dedup_exact,
+        "llm_ann_cosine_topk": llm_ann_cosine_topk,
+        "bf_asof_enrich": bf_asof_enrich,
+        "bf_sessionize": bf_sessionize,
+        "q_cheapest_supplier": q_cheapest_supplier,
+        "bf_anomaly_zscore": bf_anomaly_zscore,
     }
 
 
@@ -6033,6 +6430,16 @@ def oracle_sql() -> dict[str, str]:
         "llm_doc_fingerprint": _LLM_FINGERPRINT_SQL,
         "llm_ann_cosine_topk": _LLM_ANN_SQL,
         "llm_ngram_jaccard": _LLM_JACCARD_SQL,
+        "llm_bloom_dedup": _llm_bloom_dedup_sql(),
+        "llm_dup_triangles": _llm_dup_triangles_sql(),
+        "llm_tokenizer_fertility": _llm_tokenizer_fertility_sql(),
+        "llm_url_blocklist": _llm_url_blocklist_sql(),
+        "llm_pack_report": _llm_pack_report_sql(),
+        "bf_native_histogram": _BF_NATIVE_HISTOGRAM_SQL,
+        "bf_lttb_downsample": _BF_LTTB_SQL,
+        "llm_semdedup_pairs": "SELECT id_a, id_b FROM ("
+        + SIM.semdedup_pairs_sql(threshold=0.35)
+        + ") sp",
         "llm_dup_pagerank": _llm_dup_pagerank_sql(),
         "llm_word_fuzzy_pairs": TX.fuzzy_word_pairs_sql(max_dist=2, min_len=3),
         "llm_ngram_novelty": TX.ngram_novelty_sql(n=8),

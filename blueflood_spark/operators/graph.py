@@ -133,3 +133,103 @@ def pagerank_sql(
     return (
         "WITH " + ",\n".join(ctes) + f"\nSELECT id, rank FROM r{n_iter}"
     )
+
+
+def triangle_counts(
+    pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b"
+) -> DataFrame:
+    """Per-node triangle counts over an undirected canonical edge list
+    (id_a < id_b, distinct) — the clustering-coefficient numerator that
+    separates tight near-dup cliques (template farms, mirror sets) from
+    chains of borderline pairs: a CC component tells you WHO is
+    connected, triangle density tells you HOW redundantly.
+
+    Scale design — degree-ordered orientation (the standard distributed
+    triangle algorithm): every edge is oriented from its lower
+    (degree, id) endpoint to the higher, which bounds out-degree at
+    O(√m) on any graph, so the wedge self-join — the only superlinear
+    step — generates Σ outdeg² ≤ O(m^1.5) wedge rows instead of the
+    Σ deg² a naive neighbor join pays on skewed dup graphs (one viral
+    template with 10⁶ copies would otherwise wedge 10¹² rows). Each
+    triangle materializes exactly once, at its minimum-(deg, id)
+    corner; wedges close via ONE equi-join back to the oriented edges
+    (both wedge endpoints ordered by the same (deg, id) key the
+    orientation uses, so the closing edge can only point one way).
+
+    Output: (node, degree, n_triangles) for every node with ≥1 edge.
+    All integer arithmetic; exactly reproducible on any engine (the
+    oracle twin brute-forces the 3-way join instead — recall verified,
+    not assumed)."""
+    e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v")).distinct()
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    # orientation key rides WITH each endpoint so the wedge stage never
+    # re-joins degrees; (degree, id) lexicographic = a total order
+    du = deg.select(F.col("node").alias("u"), F.col("degree").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("dv"))
+    keyed = e.join(du, "u").join(dv, "v")
+    fwd = keyed.filter(
+        (F.col("du") < F.col("dv")) | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    ).select("u", "v", F.col("du").alias("ku_deg"), F.col("dv").alias("kv_deg"))
+    rev = keyed.filter(
+        (F.col("dv") < F.col("du")) | ((F.col("du") == F.col("dv")) & (F.col("v") < F.col("u")))
+    ).select(
+        F.col("v").alias("u"), F.col("u").alias("v"),
+        F.col("dv").alias("ku_deg"), F.col("du").alias("kv_deg"),
+    )
+    # oriented src→dst, dst carries its (deg, id) key for wedge ordering;
+    # the oriented set feeds the wedge join twice AND the closing join —
+    # materialize once (self-join-subtree rule)
+    oriented = fwd.unionAll(rev).localCheckpoint(eager=False)
+    lhs = oriented.select("u", F.col("v").alias("b"), F.col("kv_deg").alias("b_deg"))
+    rhs = oriented.select("u", F.col("v").alias("c"), F.col("kv_deg").alias("c_deg"))
+    wedges = lhs.join(rhs, "u").filter(
+        (F.col("b_deg") < F.col("c_deg"))
+        | ((F.col("b_deg") == F.col("c_deg")) & (F.col("b") < F.col("c")))
+    )
+    closing = oriented.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    tris = wedges.join(closing, ["b", "c"]).select("u", "b", "c")
+    corners = (
+        tris.select(F.col("u").alias("node"))
+        .unionAll(tris.select(F.col("b").alias("node")))
+        .unionAll(tris.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        deg.join(corners, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+        )
+    )
+
+
+def triangle_counts_sql(pairs_sql: str) -> str:
+    """DuckDB twin: exhaustive 3-way join on the canonical (a<b) edge
+    set — independent of the Spark side's orientation scheme, so the
+    check verifies the algorithm, not its own mirror."""
+    return f"""
+WITH e AS (SELECT DISTINCT doc_a AS u, doc_b AS v FROM ({pairs_sql})),
+deg AS (
+  SELECT node, count(*) AS degree FROM (
+    SELECT u AS node FROM e UNION ALL SELECT v FROM e
+  ) GROUP BY 1
+),
+tris AS (
+  SELECT a.u AS x, a.v AS y, b.v AS z
+  FROM e a JOIN e b ON b.u = a.v JOIN e c ON c.u = a.u AND c.v = b.v
+),
+corners AS (
+  SELECT node, count(*) AS n_triangles FROM (
+    SELECT x AS node FROM tris UNION ALL SELECT y FROM tris UNION ALL SELECT z FROM tris
+  ) GROUP BY 1
+)
+SELECT d.node, d.degree, CAST(coalesce(c.n_triangles, 0) AS BIGINT) AS n_triangles
+FROM deg d LEFT JOIN corners c USING (node)
+"""

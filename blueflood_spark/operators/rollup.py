@@ -784,3 +784,56 @@ def typed_merge(
         )
         .withColumn("resolution", F.lit(gran.name))
     )
+
+
+def exp_histogram_from_raw(
+    df: DataFrame,
+    gran: G.Granularity,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    keys: Sequence[str] = KEYS,
+) -> DataFrame:
+    """Exponential-bucket (base-2) histogram rollup — the MERGEABLE
+    distribution family (the design OTel exponential histograms and
+    Prometheus native histograms standardize): per (locator, window),
+    one count per power-of-two bucket of the micro-quantized value.
+    Unlike the exact-percentile timer path, the state per series-window
+    is O(64) regardless of sample count, and coarser windows merge by
+    bucket-count ADDITION — the same algebraic-partials property every
+    other rollup family here rides.
+
+    Bucket index is EXACT integer math, no float log anywhere:
+    v = floor(value·1e6); bucket = length(bin(v)) = floor(log2 v)+1 for
+    v ≥ 1 (both engines' bin() emit minimal binary digits), bucket 0
+    holds v ≤ 0 (the OTel zero bucket, absorbing negatives too).
+    bucket_lo = 2^(bucket-1) micro-units labels the bucket's lower
+    bound. One map-side-combinable groupBy."""
+    v = F.floor(F.col(value_col) * 1_000_000).cast("long")
+    bucket = F.when(v <= 0, F.lit(0)).otherwise(
+        F.expr(f"length(bin(CAST(floor({value_col} * 1000000) AS BIGINT)))")
+    ).cast("int")
+    return (
+        df.withColumn("window_start", window_start(F.col(ts_col), gran))
+        .withColumn("bucket", bucket)
+        .groupBy(*keys, "window_start", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "bucket_lo",
+            F.when(F.col("bucket") == 0, F.lit(0)).otherwise(
+                F.expr("shiftleft(CAST(1 AS BIGINT), bucket - 1)")
+            ),
+        )
+    )
+
+
+def exp_histogram_merge(
+    partials: DataFrame, gran: G.Granularity, keys: Sequence[str] = KEYS
+) -> DataFrame:
+    """Merge exponential-histogram partials to a coarser window: bucket
+    counts ADD — the whole point of the family. Rides an existing
+    locator clustering when the ladder is pre-partitioned."""
+    return (
+        partials.withColumn("window_start", window_start(F.col("window_start"), gran))
+        .groupBy(*keys, "window_start", "bucket")
+        .agg(F.sum("n").alias("n"), F.min("bucket_lo").alias("bucket_lo"))
+    )

@@ -306,3 +306,141 @@ SELECT {gc},
 FROM {source}
 GROUP BY {gc}
 """
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — the at-scale membership structure for incremental dedup
+# ---------------------------------------------------------------------------
+
+def bloom_words(
+    df: DataFrame,
+    key_col: str = "key",
+    m_bits: int = 4096,
+    k: int = 3,
+) -> DataFrame:
+    """The Bloom filter itself as a (word_idx, word) table: k md5-derived
+    bit positions per key, packed 32 bits per BIGINT word (bit 31 max —
+    both engines overflow a BIGINT `1 << 63`, and 32-bit packing keeps
+    every mask positive and portable).
+
+    MERGEABLE like the other sketches: words of (A ∪ B) = per-word
+    bit_or of words(A), words(B) — so partial filters combine map-side
+    and a day's filter unions with history in O(m/32) rows. This is the
+    structure that replaces the shuffled anti-join in day-2 incremental
+    dedup at 100 TB: history compresses to m bits, the incoming batch
+    probes it map-only, and only bloom-positive rows pay the exact
+    verification join. All hashes derive from md5 (portability rule) so
+    the full word table is bit-reproducible cross-engine."""
+    pos = [
+        F.struct(md5_bucket(F.col(key_col), f"bloom{j}", m_bits).alias("pos"))
+        for j in range(k)
+    ]
+    return (
+        df.select(F.explode(F.array(*pos)).alias("e"))
+        .select(
+            (F.col("e.pos") / 32).cast("long").alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(e.pos % 32 AS INT))").alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(mask)").alias("word"))
+    )
+
+
+def bloom_membership(
+    corpus_keys: DataFrame,
+    probe: DataFrame,
+    key_col: str = "key",
+    id_col: str = "doc_id",
+    m_bits: int = 4096,
+    k: int = 3,
+) -> DataFrame:
+    """Probe each row of `probe` against the Bloom filter built from
+    `corpus_keys`: bloom_maybe = all k bits set; true_dup = exact key
+    membership (the verification join Bloom positives would pay);
+    is_false_positive = the filter's documented error class (never a
+    false negative — the property tests assert it).
+
+    Plan shape: the filter is ≤ m/32 rows — broadcast; each probe row
+    expands to k (word_idx, mask) lookups, one broadcast join, one
+    groupBy back to the row. The exact-membership arm is a broadcast
+    semi-join on the distinct corpus keys. Nothing corpus-sized
+    shuffles."""
+    words = bloom_words(corpus_keys, key_col, m_bits, k)
+    pos = [
+        F.struct(md5_bucket(F.col(key_col), f"bloom{j}", m_bits).alias("pos"))
+        for j in range(k)
+    ]
+    probes = probe.select(
+        id_col,
+        key_col,
+        F.explode(F.array(*pos)).alias("e"),
+    ).select(
+        id_col,
+        key_col,
+        (F.col("e.pos") / 32).cast("long").alias("word_idx"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(e.pos % 32 AS INT))").alias("mask"),
+    )
+    checked = probes.join(F.broadcast(words), "word_idx", "left").select(
+        id_col,
+        key_col,
+        (F.expr("coalesce(word, CAST(0 AS BIGINT)) & mask") != 0).alias("bit_set"),
+    )
+    verdicts = checked.groupBy(id_col, key_col).agg(
+        F.min("bit_set").alias("bloom_maybe")
+    )
+    truth = corpus_keys.select(F.col(key_col).alias("_ck")).distinct()
+    return (
+        verdicts.join(
+            F.broadcast(truth), verdicts[key_col] == truth["_ck"], "left"
+        )
+        .select(
+            id_col,
+            "bloom_maybe",
+            F.col("_ck").isNotNull().alias("true_dup"),
+            (F.col("bloom_maybe") & F.col("_ck").isNull()).alias("is_false_positive"),
+        )
+    )
+
+
+def bloom_membership_sql(
+    corpus_pred: str,
+    probe_pred: str,
+    key_expr: str,
+    id_col: str = "doc_id",
+    m_bits: int = 4096,
+    k: int = 3,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of bloom_membership over `table` split by the two
+    predicates; key_expr must reference the table's columns."""
+    corpus_pos = " UNION ALL ".join(
+        f"SELECT {md5_bucket_sql('k', f'bloom{j}', m_bits)} AS pos FROM ck"
+        for j in range(k)
+    )
+    probe_pos = " UNION ALL ".join(
+        f"SELECT {id_col}, k, {md5_bucket_sql('k', f'bloom{j}', m_bits)} AS pos FROM pk"
+        for j in range(k)
+    )
+    return f"""
+WITH ck AS (SELECT {key_expr} AS k FROM {table} WHERE {corpus_pred}),
+pk AS (SELECT {id_col}, {key_expr} AS k FROM {table} WHERE {probe_pred}),
+cpos AS ({corpus_pos}),
+words AS (
+  SELECT pos // 32 AS word_idx, bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS word
+  FROM cpos GROUP BY 1
+),
+ppos AS ({probe_pos}),
+checked AS (
+  SELECT p.{id_col}, p.k,
+         (coalesce(w.word, CAST(0 AS BIGINT)) & (CAST(1 AS BIGINT) << CAST(p.pos % 32 AS INT))) != 0 AS bit_set
+  FROM ppos p LEFT JOIN words w ON p.pos // 32 = w.word_idx
+),
+verdicts AS (
+  SELECT {id_col}, k, min(bit_set) AS bloom_maybe FROM checked GROUP BY 1, 2
+)
+SELECT v.{id_col},
+       v.bloom_maybe,
+       t._ck IS NOT NULL AS true_dup,
+       (v.bloom_maybe AND t._ck IS NULL) AS is_false_positive
+FROM verdicts v LEFT JOIN (SELECT DISTINCT k AS _ck FROM ck) t ON v.k = t._ck
+"""

@@ -1,0 +1,271 @@
+"""Round-5 operators: Bloom membership, triangle counting, tokenizer
+fertility, URL blocklist, packing report, exponential histogram, LTTB."""
+
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, "/root/repo")
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema).repartition(2)
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+def test_bloom_no_false_negatives(spark):
+    from blueflood_spark.operators.sketches import bloom_membership
+
+    corpus = _df(spark, [(i, f"k{i % 7}") for i in range(0, 40, 2)], "doc_id long, key string")
+    probe = _df(spark, [(i, f"k{i % 7}") for i in range(1, 40, 2)], "doc_id long, key string")
+    out = bloom_membership(corpus, probe, m_bits=64, k=3).collect()
+    # tiny filter -> false positives likely; false negatives NEVER
+    for r in out:
+        if r["true_dup"]:
+            assert r["bloom_maybe"], r
+        assert r["is_false_positive"] == (r["bloom_maybe"] and not r["true_dup"])
+
+
+def test_bloom_words_merge_is_union(spark):
+    from blueflood_spark.operators.sketches import bloom_words
+
+    a = _df(spark, [(f"a{i}",) for i in range(30)], "key string")
+    b = _df(spark, [(f"b{i}",) for i in range(30)], "key string")
+    both = a.unionAll(b)
+    w_union = {r["word_idx"]: r["word"] for r in bloom_words(both, m_bits=256, k=3).collect()}
+    wa = {r["word_idx"]: r["word"] for r in bloom_words(a, m_bits=256, k=3).collect()}
+    wb = {r["word_idx"]: r["word"] for r in bloom_words(b, m_bits=256, k=3).collect()}
+    merged = {i: wa.get(i, 0) | wb.get(i, 0) for i in set(wa) | set(wb)}
+    assert merged == w_union
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting
+# ---------------------------------------------------------------------------
+
+def _brute_triangles(edges):
+    nodes = sorted({n for e in edges for n in e})
+    es = set(edges)
+    tri = {n: 0 for n in nodes}
+    for i, x in enumerate(nodes):
+        for y in nodes[i + 1:]:
+            if (x, y) not in es:
+                continue
+            for z in nodes:
+                if z <= y:
+                    continue
+                if (x, z) in es and (y, z) in es:
+                    tri[x] += 1
+                    tri[y] += 1
+                    tri[z] += 1
+    return tri
+
+
+def test_triangle_counts_known_graph(spark):
+    from blueflood_spark.operators.graph import triangle_counts
+
+    # two triangles sharing edge (1,2): {1,2,3} and {1,2,4}; plus a chain 5-6
+    edges = [(1, 2), (1, 3), (2, 3), (1, 4), (2, 4), (5, 6)]
+    pairs = _df(spark, edges, "doc_a long, doc_b long")
+    out = {r["node"]: (r["degree"], r["n_triangles"]) for r in triangle_counts(pairs).collect()}
+    assert out == {1: (3, 2), 2: (3, 2), 3: (2, 1), 4: (2, 1), 5: (1, 0), 6: (1, 0)}
+
+
+def test_triangle_counts_random_vs_bruteforce(spark):
+    import random
+
+    from blueflood_spark.operators.graph import triangle_counts
+
+    rng = random.Random(42)
+    edges = sorted({tuple(sorted(rng.sample(range(30), 2))) for _ in range(120)})
+    pairs = _df(spark, edges, "doc_a long, doc_b long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(pairs).collect()}
+    want = _brute_triangles(edges)
+    assert got == want
+
+
+def test_triangle_counts_skewed_star_has_none(spark):
+    from blueflood_spark.operators.graph import triangle_counts
+
+    # a star is triangle-free no matter how skewed the hub degree is
+    edges = [(0, i) for i in range(1, 50)]
+    pairs = _df(spark, edges, "doc_a long, doc_b long")
+    out = triangle_counts(pairs).collect()
+    assert all(r["n_triangles"] == 0 for r in out)
+    assert {r["degree"] for r in out} == {1, 49}
+
+
+# ---------------------------------------------------------------------------
+# URL blocklist
+# ---------------------------------------------------------------------------
+
+def test_url_blocklist_verdicts(spark):
+    from blueflood_spark.operators.dedup import url_blocklist_filter
+
+    rows = [
+        (1, "https://bad.example.com/x"),
+        (2, "HTTPS://WWW.BAD.EXAMPLE.COM/y"),   # case + www alias still blocked
+        (3, "http://good.example.com/spamword/z"),  # term hit
+        (4, "good.example.com/clean?q=1"),       # schemeless, kept
+        (5, "https://good.example.com/ok#frag"), # kept
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in url_blocklist_filter(
+            _df(spark, rows, "doc_id long, url string"),
+            blocked_domains=["bad.example.com"],
+            blocked_path_terms=["spamword"],
+        ).collect()
+    }
+    assert out[1]["blocked_domain"] and not out[1]["is_kept"]
+    assert out[2]["blocked_domain"] and out[2]["domain"] == "bad.example.com"
+    assert out[3]["blocked_term"] and not out[3]["is_kept"]
+    assert out[4]["is_kept"] and out[4]["domain"] == "good.example.com"
+    assert out[5]["is_kept"]
+
+
+# ---------------------------------------------------------------------------
+# Exponential histogram
+# ---------------------------------------------------------------------------
+
+def test_exp_histogram_bucket_boundaries(spark):
+    from blueflood_spark.operators import granularity as G
+    from blueflood_spark.operators.rollup import exp_histogram_from_raw
+
+    # micro values: 1 -> bucket 1 (lo 1); 2 -> bucket 2 (lo 2); 3 -> bucket 2;
+    # 4 -> bucket 3; 0 and negative -> bucket 0 (lo 0)
+    rows = [
+        ("t", "m", 0, 1e-6), ("t", "m", 1, 2e-6), ("t", "m", 2, 3e-6),
+        ("t", "m", 3, 4e-6), ("t", "m", 4, 0.0), ("t", "m", 5, -5.0),
+    ]
+    df = _df(spark, rows, "tenant_id string, metric_name string, ts long, value double")
+    out = {
+        (r["bucket"], r["bucket_lo"]): r["n"]
+        for r in exp_histogram_from_raw(df, G.MIN_5).collect()
+    }
+    assert out == {(1, 1): 1, (2, 2): 2, (3, 4): 1, (0, 0): 2}
+
+
+def test_exp_histogram_merge_equals_direct(spark):
+    import random
+
+    from blueflood_spark.operators import granularity as G
+    from blueflood_spark.operators.rollup import exp_histogram_from_raw, exp_histogram_merge
+
+    rng = random.Random(7)
+    rows = [
+        ("t", f"m{i % 3}", rng.randrange(0, 3_600_000), rng.uniform(-1, 1000))
+        for i in range(500)
+    ]
+    df = _df(spark, rows, "tenant_id string, metric_name string, ts long, value double")
+    merged = exp_histogram_merge(exp_histogram_from_raw(df, G.MIN_5), G.MIN_20)
+    direct = exp_histogram_from_raw(df, G.MIN_20)
+    key = ["tenant_id", "metric_name", "window_start", "bucket", "n", "bucket_lo"]
+    assert sorted(map(tuple, merged.select(*key).collect())) == sorted(
+        map(tuple, direct.select(*key).collect())
+    )
+
+
+# ---------------------------------------------------------------------------
+# LTTB
+# ---------------------------------------------------------------------------
+
+def test_lttb_contract_on_fixture(spark):
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    out = E.bf_lttb_downsample(spark, sf)
+    rows = out.collect()
+    assert len(rows) > 0
+    # one selected point per (series, slot)
+    keys = [(r["tenant_id"], r["metric_name"], r["slot_ms"]) for r in rows]
+    assert len(keys) == len(set(keys))
+    # selected ts falls inside its slot
+    for r in rows:
+        assert r["slot_ms"] <= r["sel_ts"] < r["slot_ms"] + 21_600_000
+
+
+def test_lttb_middle_bucket_maximizes_area(spark):
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    raw = E._raw_metrics(spark, sf)
+    pts = raw.select(
+        "tenant_id", "metric_name", "ts",
+        F.floor(F.col("value") * 1_000_000).cast("long").alias("v"),
+        (F.col("ts") - F.pmod(F.col("ts"), F.lit(21_600_000))).alias("slot_ms"),
+    ).collect()
+    sel = {
+        (r["tenant_id"], r["metric_name"], r["slot_ms"]): (r["sel_ts"], r["sel_value_micro"])
+        for r in E.bf_lttb_downsample(spark, sf).collect()
+    }
+    # python re-derivation for one series
+    series = {}
+    for r in pts:
+        series.setdefault((r["tenant_id"], r["metric_name"]), []).append(
+            (r["ts"], r["v"], r["slot_ms"])
+        )
+    checked = 0
+    for key, prs in series.items():
+        shift = min(v for _, v, _ in prs)
+        slots = sorted({s for _, _, s in prs})
+        by_slot = {
+            s: sorted((t, v - shift, v) for t, v, s2 in prs if s2 == s) for s in slots
+        }
+        anchors = {
+            s: (
+                sum(t for t, _, _ in by_slot[s]) // len(by_slot[s]),
+                sum(v for _, v, _ in by_slot[s]) // len(by_slot[s]),
+            )
+            for s in slots
+        }
+        for i, s in enumerate(slots):
+            if i == 0:
+                want = min(by_slot[s])
+            elif i == len(slots) - 1:
+                want = max((t, v, vo) for t, v, vo in by_slot[s])
+            else:
+                ptx, pvy = anchors[slots[i - 1]]
+                ntx, nvy = anchors[slots[i + 1]]
+                want = max(
+                    by_slot[s],
+                    key=lambda p: (
+                        abs((ptx - ntx) * (p[1] - pvy) - (ptx - p[0]) * (nvy - pvy)),
+                        -p[0],
+                    ),
+                )
+            assert sel[(key[0], key[1], s)] == (want[0], want[2]), (key, s)
+            checked += 1
+    assert checked > 10
+
+
+# ---------------------------------------------------------------------------
+# Fertility + packing report sanity on fixture
+# ---------------------------------------------------------------------------
+
+def test_fertility_ratios_consistent(spark):
+    import __spark_entry__ as E
+
+    rows = E.llm_tokenizer_fertility(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) >= 1
+    for r in rows:
+        assert r["fertility"] == pytest.approx(r["total_tokens"] / r["total_words"])
+        assert r["chars_per_token"] == pytest.approx(r["total_chars"] / r["total_tokens"])
+
+
+def test_pack_report_conserves_docs_and_tokens(spark):
+    import __spark_entry__ as E
+    from blueflood_spark.operators import text as TX
+
+    sf = "/root/testdata/sf0.001"
+    packed = TX.pack_sequences(E._t(spark, sf, "documents"), budget=256, shard_size=64)
+    rep = E.llm_pack_report(spark, sf)
+    n_docs = packed.count()
+    tok_total = packed.agg(F.sum("n_tokens")).collect()[0][0]
+    agg = rep.agg(F.sum("n_docs_start"), F.sum("tokens_start")).collect()[0]
+    assert agg[0] == n_docs
+    assert agg[1] == tok_total
