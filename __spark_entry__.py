@@ -3817,11 +3817,18 @@ def llm_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     borderline pairs. Degree-ordered orientation bounds the wedge join
     at O(m^1.5) regardless of dup-graph skew; the oracle twin
     brute-forces the 3-way join, so the orientation algebra is verified
-    against ground truth, not mirrored."""
+    against ground truth, not mirrored.
+
+    max_hamming=5, not pagerank's 8 (r5 sf1 probe): at ≤8 the fixture's
+    simhash space densifies superlinearly (84k pairs at sf0.1 → 2.6M at
+    sf1; wedge stage 107s) — that is a similarity graph, not a near-dup
+    graph, and triangle density is meaningful on the latter. At ≤5 the
+    sf1 graph is 232k pairs / 6.1M triangle corners in ~7s (≈3× time
+    for 10× data)."""
     from blueflood_spark.operators import graph as GR
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = D.simhash_near_pairs(docs, max_hamming=8, bits=60)
+    pairs = D.simhash_near_pairs(docs, max_hamming=5, bits=60)
     return GR.triangle_counts(pairs).select(
         F.col("node").alias("doc_id"), "degree", "n_triangles"
     )
@@ -3832,7 +3839,7 @@ def _llm_dup_triangles_sql() -> str:
 
     pairs = (
         "SELECT doc_a, doc_b FROM ("
-        + D.simhash_near_pairs_sql(max_hamming=8, bits=60)
+        + D.simhash_near_pairs_sql(max_hamming=5, bits=60)
         + ")"
     )
     inner = GR.triangle_counts_sql(pairs)
@@ -4678,6 +4685,70 @@ def bf_rate_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.select(
         "tenant_id", "metric_name", "ts", "user_id", "value", rate.alias("rate_per_s")
     )
+
+
+def bf_counter_resets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monotonic counter repair (the Prometheus `increase()`
+    reconstruction the rate operator implies, materialized as a
+    series): treat each series' raw values as a cumulative counter that
+    RESETS on process restart (any drop); emit, per sample, the reset
+    flag, resets-so-far, and the repaired monotone cumulative value —
+    raw + Σ pre-reset peaks — so downstream deltas never go negative.
+    Exactness: values micro-quantized to BIGINT, repair is a lag + one
+    running integer sum — two chained window functions, ONE series-key
+    shuffle, bit-identical on any engine. Ordering ties break on
+    (ts, user_id, value) like bf_rate_series."""
+    from pyspark.sql.window import Window
+
+    raw = _raw_metrics(spark, sf_dir)
+    v = F.floor(F.col("value") * 1_000_000).cast("long")
+    w = Window.partitionBy("tenant_id", "metric_name").orderBy("ts", "user_id", "v")
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lagged = raw.select(
+        "tenant_id", "metric_name", "ts", "user_id", v.alias("v")
+    ).withColumn("prev_v", F.lag("v").over(w))
+    flagged = lagged.withColumn(
+        "is_reset", F.col("prev_v").isNotNull() & (F.col("v") < F.col("prev_v"))
+    )
+    return flagged.select(
+        "tenant_id",
+        "metric_name",
+        "ts",
+        "user_id",
+        F.col("v").alias("value_micro"),
+        "is_reset",
+        F.sum(F.col("is_reset").cast("long")).over(w_run).alias("n_resets"),
+        (
+            F.col("v")
+            + F.sum(F.when(F.col("is_reset"), F.col("prev_v")).otherwise(F.lit(0))).over(w_run)
+        ).alias("adjusted_micro"),
+    )
+
+
+_BF_COUNTER_RESETS_SQL = """
+WITH raw AS (
+  SELECT 't' || CAST(user_id % 4 AS VARCHAR) AS tenant_id,
+         'events.' || event_type || '.value' AS metric_name,
+         epoch_ms(ts) AS ts, user_id,
+         CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS v
+  FROM events
+),
+lagged AS (
+  SELECT *, lag(v) OVER w AS prev_v
+  FROM raw
+  WINDOW w AS (PARTITION BY tenant_id, metric_name ORDER BY ts, user_id, v)
+),
+flagged AS (
+  SELECT *, (prev_v IS NOT NULL AND v < prev_v) AS is_reset FROM lagged
+)
+SELECT tenant_id, metric_name, ts, user_id,
+       v AS value_micro, is_reset,
+       CAST(sum(CASE WHEN is_reset THEN 1 ELSE 0 END) OVER w2 AS BIGINT) AS n_resets,
+       CAST(v + sum(CASE WHEN is_reset THEN prev_v ELSE 0 END) OVER w2 AS BIGINT) AS adjusted_micro
+FROM flagged
+WINDOW w2 AS (PARTITION BY tenant_id, metric_name ORDER BY ts, user_id, v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
 
 
 _BF_RATE_SERIES_SQL = """
@@ -6098,6 +6169,16 @@ def _llm_url_blocklist_sql() -> str:
     )
 
 
+def llm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-based quality filtering (operators/text.py
+    quality_classifier — the FineWeb-Edu/DCLM recipe's application
+    side): a frozen fixed-point linear scorer over exact integer text
+    features; map-only, zero shuffles, and the integer logit makes the
+    keep verdict threshold-ulp-proof on any engine."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.quality_classifier(docs)
+
+
 def llm_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer fertility report per language — tokens/word and
     chars/token, THE standard metric for how well a tokenizer serves
@@ -6175,15 +6256,20 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER CONTRACT: the driver's correctness gate stamps the FIRST 50
     # entries. Union of CORRECTNESS_r01..r04 covers 148 of the 175
-    # registered queries; the 27 never-stamped lead this round's window,
-    # followed by the 4 r4 red rows (oracle HUGEINT/DECIMAL casts fixed
-    # this round — values were already bit-exact), the 4 entries whose
-    # only driver row is r1, llm_embedding_dup_clusters (pair generation
-    # re-implemented this round), and 14 re-confirm slots that new r5
-    # operators displace as they land (every displaced entry already has
-    # a green driver row). After r5 the stamp union covers 175/175.
-    # When editing: anything moved past 50 must already have a green
-    # driver row in some round's CORRECTNESS file, or coverage regresses.
+    # queries registered before this round; the registry is now 185.
+    # This round's window = the 27 never-stamped + the 4 r4 red rows
+    # (oracle HUGEINT/DECIMAL casts fixed this round — values were
+    # already bit-exact) + the 4 entries whose only driver row is r1 +
+    # llm_embedding_dup_clusters (pair generation re-implemented on the
+    # SemDeDup path this round) + 4 re-confirms (both timer queries
+    # changed this round; cascade_60m and q01 are old green rows) + the
+    # 10 NEW r5 operators (quality_filter, counter_resets, bloom_dedup,
+    # dup_triangles, tokenizer_fertility, url_blocklist, pack_report,
+    # native_histogram, lttb_downsample, semdedup_pairs). After r5 the
+    # stamp union covers 175 of 185; the r6 window leads with whatever
+    # is added late-r5 plus these re-confirm rotations. When editing:
+    # anything moved past 50 must already have a green driver row in
+    # some round's CORRECTNESS file, or coverage regresses.
     return {
         "llm_word_fuzzy_pairs": llm_word_fuzzy_pairs,
         "llm_ngram_novelty": llm_ngram_novelty,
@@ -6225,8 +6311,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bf_timer_pct_map_merge": bf_timer_pct_map_merge,
         "bf_rollup_cascade_60m": bf_rollup_cascade_60m,
         "q01_pricing_summary": q01_pricing_summary,
-        "llm_minhash_signatures": llm_minhash_signatures,
-        "bf_basic_rollup_5m": bf_basic_rollup_5m,
+        "llm_quality_filter": llm_quality_filter,
+        "bf_counter_resets": bf_counter_resets,
         "llm_bloom_dedup": llm_bloom_dedup,
         "llm_dup_triangles": llm_dup_triangles,
         "llm_tokenizer_fertility": llm_tokenizer_fertility,
@@ -6368,6 +6454,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bf_sessionize": bf_sessionize,
         "q_cheapest_supplier": q_cheapest_supplier,
         "bf_anomaly_zscore": bf_anomaly_zscore,
+        "llm_minhash_signatures": llm_minhash_signatures,
+        "bf_basic_rollup_5m": bf_basic_rollup_5m,
     }
 
 
@@ -6430,6 +6518,8 @@ def oracle_sql() -> dict[str, str]:
         "llm_doc_fingerprint": _LLM_FINGERPRINT_SQL,
         "llm_ann_cosine_topk": _LLM_ANN_SQL,
         "llm_ngram_jaccard": _LLM_JACCARD_SQL,
+        "llm_quality_filter": TX.quality_classifier_sql(),
+        "bf_counter_resets": _BF_COUNTER_RESETS_SQL,
         "llm_bloom_dedup": _llm_bloom_dedup_sql(),
         "llm_dup_triangles": _llm_dup_triangles_sql(),
         "llm_tokenizer_fertility": _llm_tokenizer_fertility_sql(),

@@ -2582,3 +2582,91 @@ FROM fps a JOIN fps b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
 GROUP BY 1, 2
 HAVING count(*) >= {min_shared}
 """
+
+
+# fixed-point linear quality model (micro-logit units): the artifact a
+# FineWeb-Edu-style distilled classifier ships — weights are frozen at
+# training time; application is a pure per-row projection
+QC_WEIGHTS = {
+    "bias": -1_500_000,
+    "stop_pm": 9_000,        # stopword per-mille: natural prose has some
+    "punct_pm": -4_000,      # punctuation per-mille: high = markup/code
+    "wordlen_dev": -6_000,   # |mean word len − 5.0 chars| in centichar
+    "len_bucket": 120_000,   # log2 length bucket: longer docs score up
+}
+
+
+def quality_classifier(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Classifier-based quality filtering — the application side of the
+    FineWeb-Edu / DCLM recipe (a small distilled classifier scores every
+    document; the pipeline keeps score >= threshold). The trained model
+    here is a frozen fixed-point LINEAR scorer over integer text
+    features (a stand-in artifact for a fasttext/regression checkpoint,
+    which this container cannot ship), so APPLICATION — the part that
+    runs at 100 TB — has the real shape: a map-only projection, no
+    shuffles, no UDFs.
+
+    Exactness: every feature is an exact integer (per-mille ratios via
+    truncating `div` over non-negative counts — identical to DuckDB's
+    flooring `//` on non-negatives; length bucket via length(bin(n))),
+    and the logit is an integer dot product — bit-identical on any
+    engine, so the keep verdict has NO threshold-ulp hazard, the
+    failure mode a float sigmoid would smuggle in. The monotone sigmoid
+    is left to the consumer: ranking/thresholding on the logit are
+    equivalent. Note split('') = [''] (size 1) on both engines, so the
+    token count is never 0; only the char count needs a zero guard."""
+    W = QC_WEIGHTS
+    stop_arr = ", ".join(repr(w) for w in LANG_STOPWORDS["en"])
+    toks = f"split({text_col}, ' ')"
+    feats = docs.select(
+        "doc_id",
+        F.expr(
+            f"CAST(size(filter({toks}, t -> array_contains(array({stop_arr}), t))) AS BIGINT)"
+            f" * 1000 div size({toks})"
+        ).alias("stop_pm"),
+        F.expr(
+            f"CASE WHEN length({text_col}) > 0 THEN "
+            f"CAST(size(regexp_extract_all({text_col}, '[^A-Za-z0-9\\\\s]', 0)) AS BIGINT)"
+            f" * 1000 div length({text_col}) ELSE 0 END"
+        ).alias("punct_pm"),
+        F.expr(
+            f"abs(CAST(length({text_col}) AS BIGINT) * 100 div size({toks}) - 500)"
+        ).alias("wordlen_dev"),
+        F.expr(f"CAST(length(bin(size({toks}))) AS BIGINT)").alias("len_bucket"),
+    )
+    logit = (
+        F.lit(W["bias"])
+        + F.lit(W["stop_pm"]) * F.col("stop_pm")
+        + F.lit(W["punct_pm"]) * F.col("punct_pm")
+        + F.lit(W["wordlen_dev"]) * F.col("wordlen_dev")
+        + F.lit(W["len_bucket"]) * F.col("len_bucket")
+    ).cast("long")
+    return feats.select(
+        "doc_id", "stop_pm", "punct_pm", "wordlen_dev", "len_bucket",
+        logit.alias("logit_micro"),
+        (logit >= 0).alias("is_kept"),
+    )
+
+
+def quality_classifier_sql() -> str:
+    W = QC_WEIGHTS
+    stop = "[" + ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"]) + "]"
+    return rf"""
+WITH feats AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), t -> list_contains({stop}, t))) AS BIGINT)
+           * 1000 // len(string_split(text, ' ')) AS stop_pm,
+         CASE WHEN length(text) > 0
+              THEN CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) * 1000 // length(text)
+              ELSE 0 END AS punct_pm,
+         abs(CAST(length(text) AS BIGINT) * 100 // len(string_split(text, ' ')) - 500) AS wordlen_dev,
+         CAST(length(bin(len(string_split(text, ' ')))) AS BIGINT) AS len_bucket
+  FROM documents
+)
+SELECT doc_id, stop_pm, punct_pm, wordlen_dev, len_bucket,
+       CAST({W["bias"]} + {W["stop_pm"]} * stop_pm + {W["punct_pm"]} * punct_pm
+            + {W["wordlen_dev"]} * wordlen_dev + {W["len_bucket"]} * len_bucket AS BIGINT) AS logit_micro,
+       ({W["bias"]} + {W["stop_pm"]} * stop_pm + {W["punct_pm"]} * punct_pm
+            + {W["wordlen_dev"]} * wordlen_dev + {W["len_bucket"]} * len_bucket) >= 0 AS is_kept
+FROM feats
+"""

@@ -269,3 +269,76 @@ def test_pack_report_conserves_docs_and_tokens(spark):
     agg = rep.agg(F.sum("n_docs_start"), F.sum("tokens_start")).collect()[0]
     assert agg[0] == n_docs
     assert agg[1] == tok_total
+
+
+# ---------------------------------------------------------------------------
+# Quality classifier + counter resets
+# ---------------------------------------------------------------------------
+
+def test_quality_classifier_features_exact(spark):
+    from blueflood_spark.operators.text import QC_WEIGHTS, quality_classifier
+
+    text = "the cat sat on of mat! with long whiskers"
+    n_words = len(text.split(" "))  # 9
+    n_stop = 2  # "the", "of" ("on" is not in the list)
+    docs = _df(spark, [(1, text)], "doc_id long, text string")
+    r = quality_classifier(docs).collect()[0]
+    n_chars = len(text)
+    assert r["stop_pm"] == n_stop * 1000 // n_words
+    assert r["punct_pm"] == 1 * 1000 // n_chars
+    assert r["wordlen_dev"] == abs(n_chars * 100 // n_words - 500)
+    assert r["len_bucket"] == len(bin(n_words)) - 2
+    W = QC_WEIGHTS
+    want = (W["bias"] + W["stop_pm"] * r["stop_pm"] + W["punct_pm"] * r["punct_pm"]
+            + W["wordlen_dev"] * r["wordlen_dev"] + W["len_bucket"] * r["len_bucket"])
+    assert r["logit_micro"] == want
+    assert r["is_kept"] == (want >= 0)
+
+
+def test_quality_classifier_empty_text(spark):
+    from blueflood_spark.operators.text import quality_classifier
+
+    r = quality_classifier(_df(spark, [(1, "")], "doc_id long, text string")).collect()[0]
+    # split('') = [''] so token count is 1, not 0; char count 0 guards punct
+    assert r["punct_pm"] == 0 and r["stop_pm"] == 0
+    assert r["len_bucket"] == 1
+
+
+def test_quality_classifier_both_classes_on_fixture(spark):
+    import __spark_entry__ as E
+
+    rows = E.llm_quality_filter(spark, "/root/testdata/sf0.001").collect()
+    kept = sum(1 for r in rows if r["is_kept"])
+    assert 0 < kept < len(rows)
+
+
+def test_counter_resets_known_series(spark):
+    import __spark_entry__ as E
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    # one series: 10, 25, 5 (reset), 8, 2 (reset), 4
+    rows = [("t", "m", i * 1000, 0, v) for i, v in enumerate([10.0, 25.0, 5.0, 8.0, 2.0, 4.0])]
+    df = _df(spark, rows, "tenant_id string, metric_name string, ts long, user_id long, value double")
+    # reuse the operator body via the registered query's internals
+    w = Window.partitionBy("tenant_id", "metric_name").orderBy("ts", "user_id", "v")
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    v = F.floor(F.col("value") * 1_000_000).cast("long")
+    lagged = df.select("tenant_id", "metric_name", "ts", "user_id", v.alias("v")).withColumn(
+        "prev_v", F.lag("v").over(w)
+    )
+    flagged = lagged.withColumn(
+        "is_reset", F.col("prev_v").isNotNull() & (F.col("v") < F.col("prev_v"))
+    )
+    out = flagged.select(
+        "ts",
+        F.col("v").alias("value_micro"),
+        "is_reset",
+        (F.col("v") + F.sum(F.when(F.col("is_reset"), F.col("prev_v")).otherwise(F.lit(0))).over(w_run)).alias("adj"),
+    ).orderBy("ts").collect()
+    adj = [r["adj"] for r in out]
+    # adjusted: 10, 25, 5+25, 8+25, 2+25+8, 4+25+8 (in micro units)
+    assert adj == [x * 1_000_000 for x in [10, 25, 30, 33, 35, 37]]
+    assert [r["is_reset"] for r in out] == [False, False, True, False, True, False]
+    # monotone non-decreasing
+    assert all(a <= b for a, b in zip(adj, adj[1:]))
