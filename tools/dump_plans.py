@@ -102,6 +102,16 @@ CASES = {
     "bf_change_cusum": "CUSUM change points: max(0,·) recursion re-expressed as running-sum minus running-min — ONE series-key exchange serves every window; all arithmetic exact BIGINT",
     "llm_bpe_encode": "BPE encode: the whole merge chain is ONE codegen projection of nested replace() — zero joins, zero semantic exchanges",
     "bf_apdex": "Apdex: one map-side-combinable conditional agg; the score is a single integer division in the projection",
+    "llm_bloom_dedup": "Bloom incremental dedup: the filter is ≤ m/32 rows BROADCAST; probes expand map-side to k (word, mask) lookups; exact-membership arm is a broadcast semi-join on distinct corpus keys — nothing corpus-sized shuffles",
+    "llm_dup_triangles": "triangle counting: degree-ordered orientation (oriented set lazily checkpointed, feeds wedge join twice + closing join) — wedge fan-out bounded by out-degree ≤ O(√m), each triangle materializes exactly once",
+    "llm_tokenizer_fertility": "tokenizer fertility: bpe_encode is one codegen projection; ONE groupBy on the language key; ratios are single divisions of exact integer sums",
+    "llm_url_blocklist": "URL curation: host extraction is map-side regexp codegen; blocklist joins as a BROADCAST hash join — plan cost independent of blocklist row count",
+    "llm_pack_report": "packing report: pack_sequences' two-phase prefix sum + ONE map-side-combinable groupBy on the pack id",
+    "bf_native_histogram": "exponential histogram: exact integer bucket index in the projection (length(bin)); 5m agg + 20m bucket-ADD merge ride one (locator, window, bucket) shuffle chain with partial combine",
+    "bf_lttb_downsample": "LTTB: ONE series-key exchange serves the per-series shift window, bucket stats, lag/lead anchors, and the argmax selection window; areas are BIGINT cross products in codegen",
+    "llm_semdedup_pairs": "SemDeDup pair gen: ONE shuffle on cluster_id into the grouped BLAS kernel; assignment is map-only against the memoized centroid row — candidates Σ|cluster|², never corpus²",
+    "llm_quality_filter": "classifier quality filter: frozen linear model applied as ONE map-only integer projection — zero joins, zero semantic exchanges",
+    "bf_counter_resets": "counter reset repair: lag + running integer sum — ONE series-key exchange serves both windows",
 }
 
 
