@@ -4098,6 +4098,61 @@ def llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def llm_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-video duplicate-FRAME detection (operators/multimodal.py
+    frame_signatures): every video payload is decoded frame-by-frame by
+    the REAL y4m decoder inside one mapInPandas stage; each frame's luma
+    plane becomes a portable md5 content key, and one groupBy finds
+    frames repeated within/across videos — stock-footage/intro dedup,
+    the video modality's llm_dedup_exact. The synthetic corpus is sized
+    (576 media rows → 192 videos) so genuine cross-video duplicate
+    frames EXIST (54 groups of 2); the oracle rebuilds every frame from
+    the generative formula and must find the same groups."""
+    from blueflood_spark.operators import multimodal as MM
+
+    media = MM.synthetic_media(spark, 576)
+    sigs = MM.frame_signatures(media)
+    first = F.min(F.struct(F.col("media_id"), F.col("frame_idx")))
+    return (
+        sigs.groupBy("frame_key", "width", "height")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.countDistinct("media_id").alias("n_videos"),
+            first["media_id"].alias("first_media"),
+            first["frame_idx"].alias("first_frame"),
+            F.min("y_sum").alias("y_sum"),
+        )
+        .filter(F.col("n_frames") >= 2)
+    )
+
+
+_LLM_FRAME_DEDUP_SQL = """
+WITH vids AS (
+  SELECT i AS media_id,
+         CAST(4 + 2*((i//3)%3) AS INT) AS width,
+         CAST(4 + 2*((i//3)%2) AS INT) AS height,
+         2 + (i//3)%3 AS nf
+  FROM (SELECT unnest(range(0, 576)) AS i) WHERE i % 3 = 2
+),
+frames AS (
+  SELECT media_id, width, height, CAST(f AS INT) AS frame_idx,
+         list_transform(range(0, width*height),
+                        j -> (media_id*31 + f*17 + j*7) % 256) AS luma
+  FROM vids, UNNEST(range(0, nf)) AS t(f)
+)
+SELECT md5(array_to_string(list_transform(luma, v -> CAST(v AS VARCHAR)), ',')) AS frame_key,
+       width, height,
+       count(*) AS n_frames,
+       count(DISTINCT media_id) AS n_videos,
+       min(struct_pack(m := media_id, f := frame_idx)).m AS first_media,
+       min(struct_pack(m := media_id, f := frame_idx)).f AS first_frame,
+       CAST(min(list_sum(luma)) AS BIGINT) AS y_sum
+FROM frames
+GROUP BY 1, 2, 3
+HAVING count(*) >= 2
+"""
+
+
 def _llm_multimodal_sql() -> str:
     """DuckDB twin of extract_features over synthetic_media(96): images
     via pixel statistics (exact-int sums, one double division — the same
@@ -6310,7 +6365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bf_timer_merge_20m": bf_timer_merge_20m,
         "bf_timer_pct_map_merge": bf_timer_pct_map_merge,
         "bf_rollup_cascade_60m": bf_rollup_cascade_60m,
-        "q01_pricing_summary": q01_pricing_summary,
+        "llm_frame_dedup": llm_frame_dedup,
         "llm_quality_filter": llm_quality_filter,
         "bf_counter_resets": bf_counter_resets,
         "llm_bloom_dedup": llm_bloom_dedup,
@@ -6456,6 +6511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bf_anomaly_zscore": bf_anomaly_zscore,
         "llm_minhash_signatures": llm_minhash_signatures,
         "bf_basic_rollup_5m": bf_basic_rollup_5m,
+        "q01_pricing_summary": q01_pricing_summary,
     }
 
 
@@ -6518,6 +6574,7 @@ def oracle_sql() -> dict[str, str]:
         "llm_doc_fingerprint": _LLM_FINGERPRINT_SQL,
         "llm_ann_cosine_topk": _LLM_ANN_SQL,
         "llm_ngram_jaccard": _LLM_JACCARD_SQL,
+        "llm_frame_dedup": _LLM_FRAME_DEDUP_SQL,
         "llm_quality_filter": TX.quality_classifier_sql(),
         "bf_counter_resets": _BF_COUNTER_RESETS_SQL,
         "llm_bloom_dedup": _llm_bloom_dedup_sql(),

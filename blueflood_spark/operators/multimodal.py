@@ -353,6 +353,66 @@ def extract_features(media: DataFrame, strict: bool = False, dims: int = 8) -> D
     return media.mapInPandas(batches, schema=FEATURES_SCHEMA)
 
 
+def frame_signatures(media: DataFrame) -> DataFrame:
+    """Per-FRAME content signatures from the REAL y4m decoder — the
+    video analog of exact text dedup: one row per decoded frame with the
+    luma plane's md5 content key (over the byte values as a CSV string,
+    so a SQL oracle can rebuild the identical key from a generative
+    formula — engine md5 of raw BLOBs is not portable to reconstruction)
+    plus exact integer luma moments. Downstream groupBy(frame_key) finds
+    frames duplicated WITHIN and ACROSS videos — stock-footage/intro
+    dedup, the mirror of llm_dedup_exact for the video modality.
+
+    Plan shape: one mapInPandas stage (Arrow-batched, memory bounded by
+    batch size × frames-per-payload), then ordinary relational ops on
+    the (media_id, frame_idx, key) rows. Non-video and undecodable
+    payloads emit nothing."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {
+                "media_id": [], "frame_idx": [], "width": [], "height": [],
+                "frame_key": [], "y_sum": [], "y_sumsq": [],
+            }
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                if kind != "video" or payload is None:
+                    continue
+                b = bytes(payload)
+                meta = decode_y4m(b)
+                if meta is None:
+                    continue
+                w, h = meta["width"], meta["height"]
+                luma_n = w * h
+                frame_bytes = luma_n + 2 * ((w // 2) * (h // 2))
+                pos = b.find(b"\n") + 1
+                fidx = 0
+                while pos < len(b):
+                    feol = b.find(b"\n", pos)
+                    frame = b[feol + 1 : feol + 1 + frame_bytes]
+                    luma = frame[:luma_n]
+                    key = hashlib.md5(
+                        ",".join(str(v) for v in luma).encode()
+                    ).hexdigest()
+                    rows["media_id"].append(mid)
+                    rows["frame_idx"].append(fidx)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["frame_key"].append(key)
+                    rows["y_sum"].append(sum(luma))
+                    rows["y_sumsq"].append(sum(v * v for v in luma))
+                    fidx += 1
+                    pos = feol + 1 + frame_bytes
+            yield pd.DataFrame(rows)
+
+    schema = (
+        "media_id long, frame_idx int, width int, height int,"
+        " frame_key string, y_sum long, y_sumsq long"
+    )
+    return media.mapInPandas(batches, schema=schema)
+
+
 def resize_plan(media: DataFrame, max_w: int = 256, max_h: int = 256) -> DataFrame:
     """Resize planning runs JVM-side (pure metadata arithmetic); only the
     pixel work would enter pandas. Emits target dims preserving aspect."""

@@ -1031,3 +1031,52 @@ def read_hll_sketch(spark: SparkSession, sketch_path: str) -> DataFrame:
     """Merged HLL registers: lattice merge = element-wise max."""
     parts = spark.read.parquet(sketch_path.rstrip("/") + "/hll")
     return parts.groupBy("tenant_id", "reg").agg(F.max("max_rho").alias("max_rho"))
+
+
+def start_bloom_maintenance(
+    spark: SparkSession,
+    docs_path: str,
+    bloom_path: str,
+    checkpoint: str,
+    m_bits: int = 4096,
+    k: int = 3,
+    available_now: bool = True,
+):
+    """Streaming maintenance of the corpus Bloom filter (foreachBatch):
+    each micro-batch of documents builds a PARTIAL filter with the exact
+    batch operator (sketches.bloom_words over md5(text) content keys)
+    and writes it under `bl_batch=<id>`. Retry-idempotent: a replayed
+    batch OVERWRITES its own directory. Merge happens at READ time and
+    is the lattice bit_or — the merged word table is bit-identical to
+    the batch filter over the same rows regardless of micro-batch
+    chopping (same 'streaming = batch' contract as
+    start_sketch_maintenance; asserted by the differential test). This
+    is the day-2 ingestion shape for llm_bloom_dedup at 100 TB: history
+    never rescans — the new batch probes the merged O(m/32)-row filter
+    map-only, then appends its own partial."""
+    from blueflood_spark.operators.sketches import bloom_words
+
+    docs = spark.readStream.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).parquet(docs_path)
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        keyed = batch.select(F.md5(F.col("text")).alias("key"))
+        words = bloom_words(keyed, "key", m_bits=m_bits, k=k)
+        words.write.mode("overwrite").parquet(
+            f"{bloom_path.rstrip('/')}/bl_batch={batch_id}"
+        )
+
+    writer = docs.writeStream.foreachBatch(merge).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_bloom_filter(spark: SparkSession, bloom_path: str) -> DataFrame:
+    """Merged Bloom filter over all maintained partials: lattice merge =
+    per-word bit_or — one tiny agg over (m/32) × n_batches rows."""
+    parts = spark.read.parquet(bloom_path.rstrip("/"))
+    return parts.groupBy("word_idx").agg(F.expr("bit_or(word)").alias("word"))

@@ -342,3 +342,46 @@ def test_counter_resets_known_series(spark):
     assert [r["is_reset"] for r in out] == [False, False, True, False, True, False]
     # monotone non-decreasing
     assert all(a <= b for a, b in zip(adj, adj[1:]))
+
+
+# ---------------------------------------------------------------------------
+# Frame signatures
+# ---------------------------------------------------------------------------
+
+def test_frame_signatures_match_decoder(spark):
+    import hashlib
+
+    from blueflood_spark.operators import multimodal as MM
+
+    media = MM.synthetic_media(spark, 24)
+    rows = MM.frame_signatures(media).collect()
+    assert rows, "video rows must decode"
+    # python re-derivation: every decoded frame key/sum must match the
+    # generative payload byte-for-byte
+    for r in rows[:20]:
+        i = r["media_id"]
+        payload = MM.synthetic_y4m(i)
+        meta = MM.decode_y4m(payload)
+        assert (r["width"], r["height"]) == (meta["width"], meta["height"])
+        w, h = meta["width"], meta["height"]
+        luma = bytes((i * 31 + r["frame_idx"] * 17 + j * 7) % 256 for j in range(w * h))
+        assert r["frame_key"] == hashlib.md5(",".join(str(v) for v in luma).encode()).hexdigest()
+        assert r["y_sum"] == sum(luma)
+    # frame count conservation: Σ frames == Σ n_frames of the video rows
+    n_sig = len(rows)
+    want = sum(2 + (i // 3) % 3 for i in range(24) if i % 3 == 2)
+    assert n_sig == want
+
+
+def test_frame_signatures_skip_non_video_and_corrupt(spark):
+    from blueflood_spark.operators import multimodal as MM
+
+    rows = [
+        (1, "image", None, None, None, bytearray(b"P3\n1 1\n255\n0 0 0")),
+        (2, "video", None, None, None, bytearray(b"garbage")),
+        (3, "video", None, None, None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, width int, height int, duration_ms long, payload binary"
+    )
+    assert MM.frame_signatures(df).count() == 0

@@ -823,3 +823,46 @@ def test_sketch_maintenance_merge_equals_batch(spark, tmp_path):
     )
     got_cms2 = {(r.j, r.b): r.cell for r in P.read_cms_sketch(spark, sk_dir).collect()}
     assert got_cms2 == want_cms
+
+
+def test_bloom_maintenance_merge_equals_batch(spark, tmp_path):
+    """Micro-batched Bloom partials merged at read time (bit_or lattice)
+    must equal the batch filter over the same rows EXACTLY, across a
+    restart and any chopping; the merged filter must then serve the
+    probe path with no false negatives."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from blueflood_spark.operators.sketches import bloom_words
+
+    docs_dir = str(tmp_path / "bl_docs")
+    bl_dir = str(tmp_path / "bl_out")
+    ckpt = str(tmp_path / "ckpt_bl")
+    os.makedirs(docs_dir)
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+
+    def rows(lo, hi):
+        return [(i, f"doc body {i % 37}", "en", "s", 10) for i in range(lo, hi)]
+
+    spark.createDataFrame(rows(0, 150), schema).repartition(1).write.mode("append").parquet(docs_dir)
+    P.start_bloom_maintenance(spark, docs_dir, bl_dir, ckpt).awaitTermination(120)
+    spark.createDataFrame(rows(150, 400), schema).repartition(1).write.mode("append").parquet(docs_dir)
+    P.start_bloom_maintenance(spark, docs_dir, bl_dir, ckpt).awaitTermination(120)
+
+    full = spark.createDataFrame(rows(0, 400), schema).select(
+        F.md5(F.col("text")).alias("key")
+    )
+    want = {(r.word_idx, r.word) for r in bloom_words(full, "key").collect()}
+    got = {(r.word_idx, r.word) for r in P.read_bloom_filter(spark, bl_dir).collect()}
+    assert got == want
+
+    # the merged filter answers membership with zero false negatives:
+    # every key streamed in must hit all k bits
+    from blueflood_spark.operators.sketches import bloom_membership
+
+    probe = spark.createDataFrame(rows(0, 400), schema).select(
+        "doc_id", F.md5(F.col("text")).alias("key")
+    )
+    out = bloom_membership(full.select("key"), probe).collect()
+    assert all(r["bloom_maybe"] for r in out)

@@ -112,6 +112,7 @@ CASES = {
     "llm_semdedup_pairs": "SemDeDup pair gen: ONE shuffle on cluster_id into the grouped BLAS kernel; assignment is map-only against the memoized centroid row — candidates Σ|cluster|², never corpus²",
     "llm_quality_filter": "classifier quality filter: frozen linear model applied as ONE map-only integer projection — zero joins, zero semantic exchanges",
     "bf_counter_resets": "counter reset repair: lag + running integer sum — ONE series-key exchange serves both windows",
+    "llm_frame_dedup": "frame dedup: real y4m decode in ONE mapInPandas stage (no shuffle around the Python boundary), then a single map-side-combinable groupBy on the frame content key",
 }
 
 
