@@ -255,6 +255,9 @@ SERIES_QUERIES = [
     "ev_funnel_conversion",
     "ev_top_paths",
     "bf_ladder_audit",
+    "bf_lttb_downsample",
+    "bf_counter_resets",
+    "bf_native_histogram",
 ]
 
 
@@ -307,6 +310,7 @@ ANN_QUERIES = [
     "llm_ann_ivfpq_topk",
     "llm_ann_pq_rerank",
     "llm_semdedup",
+    "llm_semdedup_pairs",
     "llm_contrastive_pairs",
     "llm_mmr_diversify",
     "llm_label_centroids",
