@@ -4965,6 +4965,104 @@ FROM h5 GROUP BY 1, 2, 3, 4
 """
 
 
+def bf_native_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p95 estimation FROM the exponential histogram — the query the
+    mergeable family exists for (build → merge → quantile, the
+    Prometheus native-histogram read path): per (series, 20m window),
+    the smallest bucket whose cumulative count reaches rank =
+    ceil(0.95·n) — computed EXACTLY as (19n+19) DIV 20, never a float
+    target — then linear interpolation inside [2^(b−1), 2^b) micro
+    units. Unlike the exact-percentile path this is O(64) state per
+    window at any sample volume, and the estimate is derived from
+    integer bucket counts with single exactly-rounded float ops — the
+    same engine-determinism contract as bf_histogram_quantile. The
+    conditional struct-min picks the hit bucket in the same single agg
+    that totals the window (no hit∪saturated union; the top bucket
+    always reaches rank, so there is no saturated case)."""
+    from pyspark.sql.window import Window
+
+    h = bf_native_histogram(spark, sf_dir)
+    keys = ["tenant_id", "metric_name", "window_start"]
+    w = Window.partitionBy(*keys).orderBy("bucket")
+    w_all = Window.partitionBy(*keys)
+    rows = (
+        h.withColumn("cum", F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("total", F.sum("n").over(w_all))
+        .withColumn("rank", F.expr("CAST((19 * total + 19) div 20 AS BIGINT)"))
+    )
+    hit = F.min(
+        F.when(
+            F.col("cum") >= F.col("rank"),
+            F.struct(
+                F.col("bucket"),
+                F.col("bucket_lo"),
+                (F.col("cum") - F.col("n")).alias("cum_lo"),
+                F.col("n").alias("n_in"),
+            ),
+        )
+    ).alias("hit")
+    agg = rows.groupBy(*keys).agg(
+        hit, F.first("total").alias("n_total"), F.first("rank").alias("rank")
+    )
+    hcol = F.col("hit")
+    hi = F.when(hcol["bucket"] == 0, F.lit(0).cast("long")).otherwise(
+        F.expr("shiftleft(CAST(1 AS BIGINT), hit.bucket)")
+    )
+    est = hcol["bucket_lo"] + (hi - hcol["bucket_lo"]) * (
+        F.col("rank") - hcol["cum_lo"]
+    ) / hcol["n_in"]
+    return agg.select(
+        *keys,
+        "n_total",
+        "rank",
+        est.cast("double").alias("p95_micro_est"),
+    )
+
+
+_BF_NATIVE_HIST_QUANTILE_SQL = _RAW_CTE + """
+, h5 AS (
+  SELECT tenant_id, metric_name,
+         (ts // 300000) * 300000 AS window_start,
+         CASE WHEN CAST(floor(value * 1000000) AS BIGINT) <= 0 THEN 0
+              ELSE CAST(length(bin(CAST(floor(value * 1000000) AS BIGINT))) AS INT) END AS bucket,
+         count(*) AS n
+  FROM raw GROUP BY 1, 2, 3, 4
+),
+h AS (
+  SELECT tenant_id, metric_name,
+         (window_start // 1200000) * 1200000 AS window_start,
+         bucket,
+         CAST(sum(n) AS BIGINT) AS n,
+         CASE WHEN bucket = 0 THEN 0 ELSE CAST(1 AS BIGINT) << (bucket - 1) END AS bucket_lo
+  FROM h5 GROUP BY 1, 2, 3, 4
+),
+rows_ AS (
+  SELECT *,
+         CAST(sum(n) OVER (PARTITION BY tenant_id, metric_name, window_start
+                           ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         CAST(sum(n) OVER (PARTITION BY tenant_id, metric_name, window_start) AS BIGINT) AS total
+  FROM h
+),
+agg AS (
+  SELECT tenant_id, metric_name, window_start,
+         any_value(total) AS n_total,
+         any_value((19 * total + 19) // 20) AS rank,
+         min(CASE WHEN cum >= (19 * total + 19) // 20
+                  THEN struct_pack(bucket := bucket, bucket_lo := bucket_lo,
+                                   cum_lo := cum - n, n_in := n) END) AS hit
+  FROM rows_
+  GROUP BY 1, 2, 3
+)
+SELECT tenant_id, metric_name, window_start,
+       CAST(n_total AS BIGINT) AS n_total,
+       CAST(rank AS BIGINT) AS rank,
+       CAST(hit.bucket_lo + (CASE WHEN hit.bucket = 0 THEN 0
+                                  ELSE CAST(1 AS BIGINT) << hit.bucket END - hit.bucket_lo)
+            * (rank - hit.cum_lo) / hit.n_in AS DOUBLE) AS p95_micro_est
+FROM agg
+"""
+
+
 _BREACH_THRESHOLD = 55.0
 _BREACH_MIN_SLOTS = 2
 _BREACH_SLOT_MS = 14_400_000  # MIN_240 — the fixture is too sparse for 5m runs
@@ -6364,8 +6462,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_embedding_dup_clusters": llm_embedding_dup_clusters,
         "bf_timer_merge_20m": bf_timer_merge_20m,
         "bf_timer_pct_map_merge": bf_timer_pct_map_merge,
-        "bf_rollup_cascade_60m": bf_rollup_cascade_60m,
         "llm_frame_dedup": llm_frame_dedup,
+        "bf_native_histogram_quantile": bf_native_histogram_quantile,
         "llm_quality_filter": llm_quality_filter,
         "bf_counter_resets": bf_counter_resets,
         "llm_bloom_dedup": llm_bloom_dedup,
@@ -6512,6 +6610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_minhash_signatures": llm_minhash_signatures,
         "bf_basic_rollup_5m": bf_basic_rollup_5m,
         "q01_pricing_summary": q01_pricing_summary,
+        "bf_rollup_cascade_60m": bf_rollup_cascade_60m,
     }
 
 
@@ -6575,6 +6674,7 @@ def oracle_sql() -> dict[str, str]:
         "llm_ann_cosine_topk": _LLM_ANN_SQL,
         "llm_ngram_jaccard": _LLM_JACCARD_SQL,
         "llm_frame_dedup": _LLM_FRAME_DEDUP_SQL,
+        "bf_native_histogram_quantile": _BF_NATIVE_HIST_QUANTILE_SQL,
         "llm_quality_filter": TX.quality_classifier_sql(),
         "bf_counter_resets": _BF_COUNTER_RESETS_SQL,
         "llm_bloom_dedup": _llm_bloom_dedup_sql(),

@@ -385,3 +385,33 @@ def test_frame_signatures_skip_non_video_and_corrupt(spark):
         rows, "media_id long, kind string, width int, height int, duration_ms long, payload binary"
     )
     assert MM.frame_signatures(df).count() == 0
+
+
+def test_native_histogram_quantile_brackets_exact_p95(spark):
+    import math
+
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    raw = E._raw_metrics(spark, sf).collect()
+    # exact per-(series, 20m window) p95 rank value, micro-quantized
+    series = {}
+    for r in raw:
+        key = (r["tenant_id"], r["metric_name"], r["ts"] // 1_200_000 * 1_200_000)
+        series.setdefault(key, []).append(math.floor(r["value"] * 1_000_000))
+    est = {
+        (r["tenant_id"], r["metric_name"], r["window_start"]): r
+        for r in E.bf_native_histogram_quantile(spark, sf).collect()
+    }
+    assert set(est) == set(series)
+    for key, vals in series.items():
+        vals.sort()
+        n = len(vals)
+        rank = (19 * n + 19) // 20
+        v = vals[rank - 1]
+        r = est[key]
+        assert r["n_total"] == n and r["rank"] == rank
+        # the estimate must land inside the exact rank value's bucket
+        lo = 0 if v <= 0 else 1 << (v.bit_length() - 1)
+        hi = 0 if v <= 0 else 1 << v.bit_length()
+        assert lo <= r["p95_micro_est"] <= hi, (key, v, r["p95_micro_est"])

@@ -113,6 +113,7 @@ CASES = {
     "llm_quality_filter": "classifier quality filter: frozen linear model applied as ONE map-only integer projection — zero joins, zero semantic exchanges",
     "bf_counter_resets": "counter reset repair: lag + running integer sum — ONE series-key exchange serves both windows",
     "llm_frame_dedup": "frame dedup: real y4m decode in ONE mapInPandas stage (no shuffle around the Python boundary), then a single map-side-combinable groupBy on the frame content key",
+    "bf_native_histogram_quantile": "native-histogram p95: cumsum + total windows and the struct-min hit bucket all ride the histogram's (series, window) clustering — O(64) rows per window, no global sort",
 }
 
 
