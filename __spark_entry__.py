@@ -3137,6 +3137,38 @@ r_{m} AS (
     )
 
 
+def llm_ann_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF tuning curve (operators/similarity.py ivf_nprobe_sweep): mean
+    recall@10 at n_probe ∈ {1,2,4,8} over 20 queries — the
+    probes-vs-recall tradeoff every IVF deployment tunes, measured
+    in-engine with exact integer hit counts. The exact arm runs once;
+    each probe arm is the unchanged production kernel; the coarse
+    quantizer trains once via the centroid memo."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.ivf_nprobe_sweep(emb, F.col("vec_id") < 20, k=10, n_lists=8)
+
+
+def _llm_ann_nprobe_sweep_sql() -> str:
+    exact = _LLM_ANN_SQL.replace("q.vec_id < 5", "q.vec_id < 20")
+    arms = []
+    for p in (1, 2, 4, 8):
+        ivf = SIM.ivf_topk_sql("vec_id < 20", k=10, n_lists=8, n_probe=p)
+        arms.append(
+            f"h_{p} AS (SELECT {p} AS n_probe, count(*) AS total_hits\n"
+            f"  FROM ({ivf}) a JOIN exact e ON a.q_id = e.q_id AND a.c_id = e.c_id)"
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM h_{p}" for p in (1, 2, 4, 8))
+    return (
+        f"WITH exact AS ({exact}),\n"
+        "qn AS (SELECT count(DISTINCT q_id) AS n_queries FROM exact),\n"
+        + ",\n".join(arms)
+        + f"\nSELECT n_probe, CAST(n_queries AS BIGINT) AS n_queries,"
+        f" CAST(total_hits AS BIGINT) AS total_hits,"
+        f" CAST(total_hits AS DOUBLE) / (10 * n_queries) AS mean_recall"
+        f"\nFROM ({union}) CROSS JOIN qn"
+    )
+
+
 def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram Jaccard near-dup detection: word 3-gram shingles → inverted
     index self-join on hashed keys → per-pair intersection / union
@@ -6458,11 +6490,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_lang_id": llm_lang_id,
         "llm_token_counts": llm_token_counts,
         "llm_quality_score": llm_quality_score,
-        "llm_train_split": llm_train_split,
         "llm_embedding_dup_clusters": llm_embedding_dup_clusters,
         "bf_timer_merge_20m": bf_timer_merge_20m,
         "bf_timer_pct_map_merge": bf_timer_pct_map_merge,
         "llm_frame_dedup": llm_frame_dedup,
+        "llm_ann_nprobe_sweep": llm_ann_nprobe_sweep,
         "bf_native_histogram_quantile": bf_native_histogram_quantile,
         "llm_quality_filter": llm_quality_filter,
         "bf_counter_resets": bf_counter_resets,
@@ -6611,6 +6643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bf_basic_rollup_5m": bf_basic_rollup_5m,
         "q01_pricing_summary": q01_pricing_summary,
         "bf_rollup_cascade_60m": bf_rollup_cascade_60m,
+        "llm_train_split": llm_train_split,
     }
 
 
@@ -6675,6 +6708,7 @@ def oracle_sql() -> dict[str, str]:
         "llm_ngram_jaccard": _LLM_JACCARD_SQL,
         "llm_frame_dedup": _LLM_FRAME_DEDUP_SQL,
         "bf_native_histogram_quantile": _BF_NATIVE_HIST_QUANTILE_SQL,
+        "llm_ann_nprobe_sweep": _llm_ann_nprobe_sweep_sql(),
         "llm_quality_filter": TX.quality_classifier_sql(),
         "bf_counter_resets": _BF_COUNTER_RESETS_SQL,
         "llm_bloom_dedup": _llm_bloom_dedup_sql(),

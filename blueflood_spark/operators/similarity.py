@@ -2434,3 +2434,48 @@ ranked AS (
 SELECT q_id, c_id, int_dot, score_micro, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= {k}
 """
+
+
+def ivf_nprobe_sweep(
+    emb: DataFrame,
+    query_filter,
+    k: int = 10,
+    n_lists: int = 8,
+    probes: tuple[int, ...] = (1, 2, 4, 8),
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """The IVF tuning CURVE: mean recall@k per n_probe — the number an
+    IVF deployment actually tunes (probe more lists → higher recall,
+    linearly more candidates scanned). One exact arm (priced by the
+    query set, lazily checkpointed — every probe arm semi-joins it) and
+    one production ivf_topk per probe setting; the trained coarse
+    quantizer is the memoized centroid artifact, so the sweep trains it
+    ONCE, not once per arm. Output: one row per n_probe with exact hit
+    counts and mean recall = total_hits / (k·n_queries) — a single
+    division of exact integers."""
+    q = emb.filter(query_filter).select(
+        F.col(id_col).alias("q_id"), F.col(emb_col).alias("q_emb")
+    )
+    c = emb.select(F.col(id_col).alias("c_id"), F.col(emb_col).alias("c_emb"))
+    exact = cosine_topk(q, c, k).select("q_id", "c_id").localCheckpoint(eager=False)
+    n_q = exact.agg(F.countDistinct("q_id").alias("n_queries"))
+    outs = []
+    for p in probes:
+        approx = ivf_topk(emb, query_filter, k, n_lists, p, id_col, emb_col)
+        hits = (
+            approx.select("q_id", "c_id")
+            .join(exact, ["q_id", "c_id"], "left_semi")
+            .agg(F.count(F.lit(1)).alias("total_hits"))
+            .select(F.lit(p).alias("n_probe"), "total_hits")
+        )
+        outs.append(hits)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.crossJoin(F.broadcast(n_q)).select(
+        "n_probe",
+        "n_queries",
+        F.col("total_hits").cast("long").alias("total_hits"),
+        (F.col("total_hits").cast("double") / (k * F.col("n_queries"))).alias("mean_recall"),
+    )

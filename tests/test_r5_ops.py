@@ -415,3 +415,20 @@ def test_native_histogram_quantile_brackets_exact_p95(spark):
         lo = 0 if v <= 0 else 1 << (v.bit_length() - 1)
         hi = 0 if v <= 0 else 1 << v.bit_length()
         assert lo <= r["p95_micro_est"] <= hi, (key, v, r["p95_micro_est"])
+
+
+def test_nprobe_sweep_monotone_and_saturating(spark):
+    import __spark_entry__ as E
+
+    rows = {
+        r["n_probe"]: r
+        for r in E.llm_ann_nprobe_sweep(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert set(rows) == {1, 2, 4, 8}
+    # recall is non-decreasing in n_probe, and at n_probe = n_lists the
+    # probe set covers every list -> recall 1.0 exactly
+    rec = [rows[p]["mean_recall"] for p in (1, 2, 4, 8)]
+    assert all(a <= b for a, b in zip(rec, rec[1:])), rec
+    assert rec[-1] == 1.0
+    for r in rows.values():
+        assert r["total_hits"] == round(r["mean_recall"] * 10 * r["n_queries"])
