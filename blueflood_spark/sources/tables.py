@@ -183,6 +183,32 @@ def read_rollups_bucketed(spark: SparkSession, table_name: str) -> DataFrame:
     return spark.table(table_name)
 
 
+def write_corpus_clustered(
+    df: DataFrame,
+    table_name: str,
+    cluster_col: str = "cluster_id",
+    n_buckets: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """The corpus analog of write_rollups_bucketed: persist a clustered
+    corpus (k-means assignments joined to the vectors/documents)
+    BUCKETED by cluster_id — the layout the SemDeDup docstrings promise.
+    A bucketed scan reports HashPartitioning(cluster_id, n), which
+    satisfies the cluster-bounded pairwise stage's ClusteredDistribution
+    requirement, so semdedup/semdedup_pairs re-runs over the persisted
+    table read co-located buckets with ZERO exchanges
+    (test_scale_ops asserts the exchange-free plan). At 100 TB this is
+    the difference between re-shuffling the embedding corpus on every
+    dedup iteration and never shuffling it again after one write."""
+    (
+        df.write.bucketBy(n_buckets, cluster_col)
+        .sortBy(cluster_col)
+        .mode(mode)
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
 def retention_predicate(resolution: str, now_ms: int):
     """TTL-as-predicate: rows older than the resolution's retention are
     invisible even before the maintenance job drops their partitions."""

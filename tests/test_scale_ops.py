@@ -222,3 +222,51 @@ def test_kmeans_assignment_broadcasts_centroids(spark):
     plan = _executed_plan(SIM.kmeans_assign(emb, k=4, iterations=1))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_corpus_clustered_semdedup_pairs_without_shuffle(spark):
+    """write_corpus_clustered persists the k-means clustering into the
+    table layout: the SemDeDup pairwise stage (groupBy(cluster_id) →
+    applyInPandas) over the bucketed table must plan with ZERO
+    exchanges, and its pair set must equal the unbucketed path's."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=8)], int(i % 4))
+        for i in range(120)
+    ]
+    clustered = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, cluster_id int"
+    )
+
+    def pair_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(pdf["vec_id"].to_numpy(dtype=np.int64), kind="stable")
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)[order]
+        mat = np.array(list(pdf["embedding"].iloc[order]), dtype=np.float64)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        sims = (mat @ mat.T) / np.outer(norms, norms)
+        ii, jj = np.nonzero(np.triu(sims >= 0.2, k=1))
+        return pd.DataFrame({"id_a": ids[ii], "id_b": ids[jj]})
+
+    spark.sql("DROP TABLE IF EXISTS corpus_clustered_test")
+    TBL.write_corpus_clustered(clustered, "corpus_clustered_test", n_buckets=4)
+    try:
+        scan = spark.table("corpus_clustered_test")
+        pairs = scan.groupBy("cluster_id").applyInPandas(
+            pair_kernel, schema="id_a long, id_b long"
+        )
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+        want = {
+            (r["id_a"], r["id_b"])
+            for r in clustered.repartition(4)
+            .groupBy("cluster_id")
+            .applyInPandas(pair_kernel, schema="id_a long, id_b long")
+            .collect()
+        }
+        assert got == want and got
+    finally:
+        spark.sql("DROP TABLE IF EXISTS corpus_clustered_test")
