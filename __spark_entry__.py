@@ -1297,6 +1297,27 @@ def _llm_bloom_dedup_sql() -> str:
     )
 
 
+def bf_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-segment audience overlap from KMV sketches
+    (operators/sketches.py kmv_pair_overlap — Beyer et al. 2007): per
+    event-type pair, the estimated |users_A ∩ users_B| beside the exact
+    intersection. THE set question HLL cannot answer (HLL unions;
+    KMV's k-minimum-values intersect), and the reason a 100 TB audience
+    system keeps k-row sketches per segment instead of user lists: the
+    pair stage here joins 64-row frames. md5-deterministic — the sketch
+    table itself is the checked artifact."""
+    from blueflood_spark.operators import sketches as SK
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    return SK.kmv_pair_overlap(ev, "user_id", "event_type", k=64)
+
+
+def _bf_kmv_overlap_sql() -> str:
+    from blueflood_spark.operators import sketches as SK
+
+    return SK.kmv_pair_overlap_sql("events", "user_id", "event_type", k=64)
+
+
 def bf_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order layout evidence (operators/layout.py): interleave the
     md5 shard (Util.java:47-48 computeShard parity, 7 bits) with the
@@ -6489,12 +6510,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bf_unit_changes": bf_unit_changes,
         "llm_lang_id": llm_lang_id,
         "llm_token_counts": llm_token_counts,
-        "llm_quality_score": llm_quality_score,
         "llm_embedding_dup_clusters": llm_embedding_dup_clusters,
         "bf_timer_merge_20m": bf_timer_merge_20m,
         "bf_timer_pct_map_merge": bf_timer_pct_map_merge,
         "llm_frame_dedup": llm_frame_dedup,
         "llm_ann_nprobe_sweep": llm_ann_nprobe_sweep,
+        "bf_kmv_overlap": bf_kmv_overlap,
         "bf_native_histogram_quantile": bf_native_histogram_quantile,
         "llm_quality_filter": llm_quality_filter,
         "bf_counter_resets": bf_counter_resets,
@@ -6644,6 +6665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q01_pricing_summary": q01_pricing_summary,
         "bf_rollup_cascade_60m": bf_rollup_cascade_60m,
         "llm_train_split": llm_train_split,
+        "llm_quality_score": llm_quality_score,
     }
 
 
@@ -6709,6 +6731,7 @@ def oracle_sql() -> dict[str, str]:
         "llm_frame_dedup": _LLM_FRAME_DEDUP_SQL,
         "bf_native_histogram_quantile": _BF_NATIVE_HIST_QUANTILE_SQL,
         "llm_ann_nprobe_sweep": _llm_ann_nprobe_sweep_sql(),
+        "bf_kmv_overlap": _bf_kmv_overlap_sql(),
         "llm_quality_filter": TX.quality_classifier_sql(),
         "bf_counter_resets": _BF_COUNTER_RESETS_SQL,
         "llm_bloom_dedup": _llm_bloom_dedup_sql(),

@@ -444,3 +444,173 @@ SELECT v.{id_col},
        (v.bloom_maybe AND t._ck IS NULL) AS is_false_positive
 FROM verdicts v LEFT JOIN (SELECT DISTINCT k AS _ck FROM ck) t ON v.k = t._ck
 """
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) — distinct sketch with set-INTERSECTION support
+# ---------------------------------------------------------------------------
+
+def kmv_sketch(
+    df: DataFrame,
+    value_col: str,
+    keys: list[str],
+    k: int = 64,
+    salt: str = "kmv",
+) -> DataFrame:
+    """The KMV sketch table: per group, the k smallest md5-derived
+    32-bit hashes of the DISTINCT values (Beyer et al. 2007). Mergeable
+    like the other sketches — union(A, B) = k smallest of the
+    concatenated sketch rows — and, unlike HLL, supports set
+    INTERSECTION estimation (the Jaccard of two sketches over their
+    union's k smallest is an unbiased similarity estimator), which is
+    what cross-tenant / cross-source audience-overlap questions need.
+    Deterministic md5 hashing per the portability rule: the sketch TABLE
+    is bit-reproducible cross-engine. Estimator: n̂ = (k−1)·2³² / h_k."""
+    from pyspark.sql.window import Window
+
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col(value_col).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    distinct = df.select(*keys, h.alias("h")).distinct()
+    w = Window.partitionBy(*keys).orderBy("h")
+    return (
+        distinct.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(*keys, "rank", "h")
+    )
+
+
+def kmv_pair_overlap(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    k: int = 64,
+    salt: str = "kmv",
+) -> DataFrame:
+    """Pairwise audience overlap between groups, estimated from KMV
+    sketches and reported BESIDE the exact intersection (the
+    estimator-vs-exact report shape): for each group pair (a < b), the
+    union sketch's k smallest hashes U, ρ = |{u ∈ U present in both}|/k,
+    est_intersection = ρ · n̂_union. Sketch rows per group are k — the
+    pair stage joins k-row frames, never the data. Exact arm: one
+    distinct + self-join on the value, for the report only (at 100 TB
+    you run sketches precisely to avoid it).
+
+    Determinism: hashes are exact integers; ρ and the estimates are
+    single divisions/products of exact integers — engine-identical."""
+    from pyspark.sql.window import Window
+
+    sk = kmv_sketch(df, value_col, [group_col], k, salt)
+    a = sk.select(F.col(group_col).alias("grp_a"), F.col("h").alias("h"))
+    b = sk.select(F.col(group_col).alias("grp_b"), F.col("h").alias("h"))
+    pairs = (
+        a.select("grp_a").distinct()
+        .join(b.select("grp_b").distinct(), F.col("grp_a") < F.col("grp_b"))
+    )
+    # union sketch per pair: k smallest of the two sketches' rows
+    uni = (
+        pairs.join(a, "grp_a")
+        .unionByName(pairs.join(b, "grp_b").select("grp_a", "grp_b", "h"))
+        .distinct()
+    )
+    w = Window.partitionBy("grp_a", "grp_b").orderBy("h")
+    uk = uni.withColumn("urank", F.row_number().over(w)).filter(F.col("urank") <= k)
+    in_a = a.select(F.col("grp_a").alias("ga"), F.col("h").alias("h")).distinct()
+    in_b = b.select(F.col("grp_b").alias("gb"), F.col("h").alias("h")).distinct()
+    flagged = (
+        uk.join(in_a, (F.col("grp_a") == F.col("ga")) & (uk["h"] == in_a["h"]), "left")
+        .join(in_b, (F.col("grp_b") == F.col("gb")) & (uk["h"] == in_b["h"]), "left")
+        .select(
+            "grp_a", "grp_b", uk["h"].alias("h"), "urank",
+            (F.col("ga").isNotNull() & F.col("gb").isNotNull()).alias("in_both"),
+        )
+    )
+    agg = flagged.groupBy("grp_a", "grp_b").agg(
+        F.count(F.lit(1)).alias("k_used"),
+        F.sum(F.col("in_both").cast("long")).alias("n_both"),
+        F.max("h").alias("h_k"),
+    )
+    # exact intersection for the report
+    dv = df.select(F.col(group_col).alias("g"), F.col(value_col).alias("v")).distinct()
+    exact = (
+        dv.alias("x")
+        .join(dv.alias("y"), (F.expr("x.v = y.v")) & (F.expr("x.g < y.g")))
+        .select(F.expr("x.g").alias("grp_a"), F.expr("y.g").alias("grp_b"))
+        .groupBy("grp_a", "grp_b")
+        .agg(F.count(F.lit(1)).alias("exact_intersection"))
+    )
+    est_union = (F.col("k_used") - 1).cast("double") * F.lit(float(2**32)) / F.col("h_k")
+    return (
+        agg.join(exact, ["grp_a", "grp_b"], "left")
+        .select(
+            "grp_a",
+            "grp_b",
+            "k_used",
+            "n_both",
+            "h_k",
+            F.coalesce("exact_intersection", F.lit(0)).alias("exact_intersection"),
+            (F.col("n_both").cast("double") / F.col("k_used") * est_union).alias(
+                "est_intersection"
+            ),
+        )
+    )
+
+
+def kmv_pair_overlap_sql(
+    source: str,
+    value_expr: str,
+    group_expr: str,
+    k: int = 64,
+    salt: str = "kmv",
+) -> str:
+    """DuckDB twin of kmv_pair_overlap over `source` (a FROM-able)."""
+    h = f"CAST(('0x' || substr(md5('{salt}' || CAST({value_expr} AS VARCHAR)), 1, 8)) AS BIGINT)"
+    return f"""
+WITH dv AS (SELECT DISTINCT {group_expr} AS g, {value_expr} AS v FROM {source}),
+hashed AS (SELECT DISTINCT g, {h.replace(value_expr, 'v')} AS h FROM dv),
+sk AS (
+  SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rank
+  FROM hashed QUALIFY rank <= {k}
+),
+pairs AS (
+  SELECT a.g AS grp_a, b.g AS grp_b
+  FROM (SELECT DISTINCT g FROM sk) a JOIN (SELECT DISTINCT g FROM sk) b ON a.g < b.g
+),
+uni AS (
+  SELECT DISTINCT grp_a, grp_b, h FROM (
+    SELECT p.grp_a, p.grp_b, s.h FROM pairs p JOIN sk s ON s.g = p.grp_a
+    UNION ALL
+    SELECT p.grp_a, p.grp_b, s.h FROM pairs p JOIN sk s ON s.g = p.grp_b
+  )
+),
+uk AS (
+  SELECT grp_a, grp_b, h,
+         row_number() OVER (PARTITION BY grp_a, grp_b ORDER BY h) AS urank
+  FROM uni QUALIFY urank <= {k}
+),
+flagged AS (
+  SELECT u.grp_a, u.grp_b, u.h,
+         (sa.h IS NOT NULL AND sb.h IS NOT NULL) AS in_both
+  FROM uk u
+  LEFT JOIN sk sa ON sa.g = u.grp_a AND sa.h = u.h
+  LEFT JOIN sk sb ON sb.g = u.grp_b AND sb.h = u.h
+),
+agg AS (
+  SELECT grp_a, grp_b, count(*) AS k_used,
+         CAST(sum(CASE WHEN in_both THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+         max(h) AS h_k
+  FROM flagged GROUP BY 1, 2
+),
+exact AS (
+  SELECT x.g AS grp_a, y.g AS grp_b, count(*) AS exact_intersection
+  FROM dv x JOIN dv y ON x.v = y.v AND x.g < y.g
+  GROUP BY 1, 2
+)
+SELECT a.grp_a, a.grp_b, CAST(a.k_used AS BIGINT) AS k_used, a.n_both, a.h_k,
+       CAST(coalesce(e.exact_intersection, 0) AS BIGINT) AS exact_intersection,
+       CAST(a.n_both AS DOUBLE) / a.k_used
+         * (CAST(a.k_used - 1 AS DOUBLE) * 4294967296.0 / a.h_k) AS est_intersection
+FROM agg a LEFT JOIN exact e ON a.grp_a = e.grp_a AND a.grp_b = e.grp_b
+"""

@@ -432,3 +432,31 @@ def test_nprobe_sweep_monotone_and_saturating(spark):
     assert rec[-1] == 1.0
     for r in rows.values():
         assert r["total_hits"] == round(r["mean_recall"] * 10 * r["n_queries"])
+
+
+def test_kmv_overlap_exact_when_k_covers(spark):
+    """When k >= |union|, the KMV 'estimate' machinery must recover the
+    EXACT intersection: n_both = |A∩B| and the union sketch is the whole
+    union (h_k = max hash)."""
+    from blueflood_spark.operators.sketches import kmv_pair_overlap
+
+    rows = [("A", v) for v in range(30)] + [("B", v) for v in range(20, 50)]
+    df = _df(spark, rows, "g string, v long")
+    out = kmv_pair_overlap(df, "v", "g", k=1000).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["k_used"] == 50 and r["n_both"] == 10
+    assert r["exact_intersection"] == 10
+
+
+def test_kmv_estimate_reasonable(spark):
+    """At k << n the estimator should land near the truth (loose bound:
+    within a factor of 2 for a 50% overlap of 400-element sets — KMV's
+    relative error at k=64 is ~12%)."""
+    from blueflood_spark.operators.sketches import kmv_pair_overlap
+
+    rows = [("A", v) for v in range(400)] + [("B", v) for v in range(200, 600)]
+    df = _df(spark, rows, "g string, v long")
+    r = kmv_pair_overlap(df, "v", "g", k=64).collect()[0]
+    assert r["exact_intersection"] == 200
+    assert 100 <= r["est_intersection"] <= 400, r["est_intersection"]

@@ -115,6 +115,7 @@ CASES = {
     "llm_frame_dedup": "frame dedup: real y4m decode in ONE mapInPandas stage (no shuffle around the Python boundary), then a single map-side-combinable groupBy on the frame content key",
     "bf_native_histogram_quantile": "native-histogram p95: cumsum + total windows and the struct-min hit bucket all ride the histogram's (series, window) clustering — O(64) rows per window, no global sort",
     "llm_ann_nprobe_sweep": "n_probe sweep: exact arm checkpointed ONCE and semi-joined by all four probe arms; each arm is the unchanged production ivf_topk over the memoized quantizer",
+    "bf_kmv_overlap": "KMV overlap: pair stage joins k-row sketch frames (broadcast-sized regardless of data); only the exact-intersection REPORT arm touches the distinct values",
 }
 
 
