@@ -3185,7 +3185,8 @@ def _llm_ann_nprobe_sweep_sql() -> str:
         + ",\n".join(arms)
         + f"\nSELECT n_probe, CAST(n_queries AS BIGINT) AS n_queries,"
         f" CAST(total_hits AS BIGINT) AS total_hits,"
-        f" CAST(total_hits AS DOUBLE) / (10 * n_queries) AS mean_recall"
+        f" coalesce(CAST(total_hits AS DOUBLE)"
+        f" / nullif(CAST(10 * n_queries AS DOUBLE), 0), 0) AS mean_recall"
         f"\nFROM ({union}) CROSS JOIN qn"
     )
 

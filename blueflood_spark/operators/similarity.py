@@ -2477,5 +2477,11 @@ def ivf_nprobe_sweep(
         "n_probe",
         "n_queries",
         F.col("total_hits").cast("long").alias("total_hits"),
-        (F.col("total_hits").cast("double") / (k * F.col("n_queries"))).alias("mean_recall"),
+        # nullif guard: an empty query set must yield 0, not an ANSI
+        # divide-by-zero (the empty-tables sweep caught the unguarded form)
+        F.coalesce(
+            F.col("total_hits").cast("double")
+            / F.nullif((k * F.col("n_queries")).cast("double"), F.lit(0.0)),
+            F.lit(0.0),
+        ).alias("mean_recall"),
     )
