@@ -258,6 +258,8 @@ SERIES_QUERIES = [
     "bf_lttb_downsample",
     "bf_counter_resets",
     "bf_native_histogram",
+    "bf_native_histogram_quantile",
+    "bf_kmv_overlap",
 ]
 
 
@@ -311,6 +313,7 @@ ANN_QUERIES = [
     "llm_ann_pq_rerank",
     "llm_semdedup",
     "llm_semdedup_pairs",
+    "llm_ann_nprobe_sweep",
     "llm_contrastive_pairs",
     "llm_mmr_diversify",
     "llm_label_centroids",
