@@ -68,26 +68,33 @@ def main() -> None:
     # exercised by verify/tests, not timed here
     bench_set = [(n, fn) for n, fn in E.queries().items() if n in oracle_names]
 
-    # Two full passes, report per-query MIN: steady-state latency with
-    # JIT/codegen warm, de-noised against GC and scheduler jitter (the
-    # oracle timer in tools/bench_oracle.py does the same for symmetry).
+    # Pass 1 over everything; a de-noising pass 2 ONLY for queries slow
+    # enough for jitter to matter (>1.5s — below that the per-query
+    # constant dominates and min-of-2 moves the suite total by noise).
+    # Same trim as tools/bench_oracle.py: the 189-query suite outgrew the
+    # 2-full-pass shape's ~10-min budget (r5). The inter-query GC —
+    # needed so iterative queries' localCheckpoint blocks don't bleed
+    # into later timings (py4j finalizers gate the cleanup) — also runs
+    # only after non-trivial queries: a profiled pass spent ~55s of its
+    # 296s wall on 189 System.gc() calls, most after 0.3s queries that
+    # leave no debris.
     timings: dict[str, float] = {}
-    for _pass in range(2):
-        for name, fn in bench_set:
-            start = time.perf_counter()
-            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            elapsed = time.perf_counter() - start
-            if name not in timings or elapsed < timings[name]:
-                timings[name] = round(elapsed, 4)
-            # untimed: collect garbage between queries so one query's
-            # broadcast/shuffle debris doesn't become GC pause in the next.
-            # PYTHON gc first: localCheckpoint block cleanup is gated on
-            # the py4j finalizers of the per-query DataFrames — without
-            # this, checkpoint RDD blocks from iterative queries (CC,
-            # simhash, pipeline) accumulate in the block manager across
-            # the whole suite and bleed into later queries' timings.
+
+    def timed(name, fn):
+        start = time.perf_counter()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        elapsed = time.perf_counter() - start
+        if name not in timings or elapsed < timings[name]:
+            timings[name] = round(elapsed, 4)
+        if elapsed > 0.8:  # untimed debris collection, heavy queries only
             gc.collect()
             spark.sparkContext._jvm.System.gc()
+
+    for name, fn in bench_set:
+        timed(name, fn)
+    for name, fn in bench_set:
+        if timings[name] > 1.5:
+            timed(name, fn)
     serial_total = sum(timings.values())
 
     # The headline number is the wall-clock to complete the WHOLE suite
@@ -108,9 +115,9 @@ def main() -> None:
     # it); each engine serves the same suite at its best service shape.
     concurrency = int(os.environ.get("SPARK_GRAFT_BENCH_CONCURRENCY", "8"))
     total = None
-    for _pass in range(3):  # min of 3 — the concurrent wall is the headline
-        gc.collect()  # number and varies ±20% with GC debris; serial stays
-        spark.sparkContext._jvm.System.gc()  # min-of-2 (stable per query)
+    for _pass in range(2):  # min of 2 — the concurrent wall is the headline
+        gc.collect()  # number and varies ±20% with GC debris (was min-of-3;
+        spark.sparkContext._jvm.System.gc()  # trimmed with the serial pass)
         start = time.perf_counter()
         with ThreadPoolExecutor(max_workers=concurrency) as pool:
             list(pool.map(run_one, bench_set))
