@@ -465,7 +465,15 @@ def kmv_sketch(
     union's k smallest is an unbiased similarity estimator), which is
     what cross-tenant / cross-source audience-overlap questions need.
     Deterministic md5 hashing per the portability rule: the sketch TABLE
-    is bit-reproducible cross-engine. Estimator: n̂ = (k−1)·2³² / h_k."""
+    is bit-reproducible cross-engine. Estimator: n̂ = (k−1)·2³² / h_k.
+
+    Scale shape: one distinct + one per-group rank window over the
+    hashed keys — n·log n in the DISTINCT key count (sf1 probe: ~2.9×
+    warm for 10× data), the same cost class as the distinct itself. At
+    extreme group sizes, pre-filter h below a count-derived bound before
+    the window (keeps the sort input ~O(k) per group at e^-O(k) miss
+    risk) — not done here so the checked query stays exact by
+    construction."""
     from pyspark.sql.window import Window
 
     h = F.conv(
