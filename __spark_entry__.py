@@ -6463,20 +6463,23 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER CONTRACT: the driver's correctness gate stamps the FIRST 50
     # entries. Union of CORRECTNESS_r01..r04 covers 148 of the 175
-    # queries registered before this round; the registry is now 185.
+    # queries registered before this round; the registry is now 189.
     # This round's window = the 27 never-stamped + the 4 r4 red rows
     # (oracle HUGEINT/DECIMAL casts fixed this round — values were
-    # already bit-exact) + the 4 entries whose only driver row is r1 +
+    # already bit-exact) + llm_lang_id and llm_token_counts (r1-only
+    # rows; llm_quality_score/llm_train_split, also r1-only, were
+    # displaced by late r5 adds and lead the r6 window) +
     # llm_embedding_dup_clusters (pair generation re-implemented on the
-    # SemDeDup path this round) + 4 re-confirms (both timer queries
-    # changed this round; cascade_60m and q01 are old green rows) + the
-    # 10 NEW r5 operators (quality_filter, counter_resets, bloom_dedup,
-    # dup_triangles, tokenizer_fertility, url_blocklist, pack_report,
-    # native_histogram, lttb_downsample, semdedup_pairs). After r5 the
-    # stamp union covers 175 of 185; the r6 window leads with whatever
-    # is added late-r5 plus these re-confirm rotations. When editing:
-    # anything moved past 50 must already have a green driver row in
-    # some round's CORRECTNESS file, or coverage regresses.
+    # SemDeDup path this round) + the two timer queries (changed this
+    # round) + the 14 NEW r5 operators (quality_filter, counter_resets,
+    # bloom_dedup, dup_triangles, tokenizer_fertility, url_blocklist,
+    # pack_report, native_histogram, native_histogram_quantile,
+    # lttb_downsample, semdedup_pairs, frame_dedup, ann_nprobe_sweep,
+    # kmv_overlap). After r5 the stamp union covers 185 of 189; the r6
+    # window leads with the 2 displaced r1-only rows + the 2 displaced
+    # old-green re-confirms (q01, cascade_60m). When editing: anything
+    # moved past 50 must already have a green driver row in some
+    # round's CORRECTNESS file, or coverage regresses.
     return {
         "llm_word_fuzzy_pairs": llm_word_fuzzy_pairs,
         "llm_ngram_novelty": llm_ngram_novelty,
