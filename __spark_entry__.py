@@ -6475,7 +6475,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # bloom_dedup, dup_triangles, tokenizer_fertility, url_blocklist,
     # pack_report, native_histogram, native_histogram_quantile,
     # lttb_downsample, semdedup_pairs, frame_dedup, ann_nprobe_sweep,
-    # kmv_overlap). After r5 the stamp union covers 185 of 189; the r6
+    # kmv_overlap). After r5 the stamp union covers 189 of 189 (every
+    # tail entry already has a green row in r1-r4); the r6
     # window leads with the 2 displaced r1-only rows + the 2 displaced
     # old-green re-confirms (q01, cascade_60m). When editing: anything
     # moved past 50 must already have a green driver row in some
