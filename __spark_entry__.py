@@ -3099,7 +3099,12 @@ def llm_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_LLM_ANN_SQL = """
+def _llm_ann_exact_sql(query_pred: str = "q.vec_id < 5") -> str:
+    """Exact brute-force cosine top-10 oracle, parameterized on the
+    query predicate (a builder, not post-hoc string surgery — a
+    .replace() on a changed predicate spelling becomes a silent no-op
+    and mis-sizes the query set)."""
+    return f"""
 WITH pairs AS (
   SELECT q.vec_id AS q_id, c.vec_id AS c_id,
          list_sum(list_transform(list_zip(q.embedding, c.embedding),
@@ -3107,7 +3112,7 @@ WITH pairs AS (
          sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS q_norm,
          sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS c_norm
   FROM embeddings q CROSS JOIN embeddings c
-  WHERE q.vec_id < 5 AND q.vec_id != c.vec_id
+  WHERE {query_pred} AND q.vec_id != c.vec_id
 ),
 ranked AS (
   SELECT q_id, c_id,
@@ -3119,6 +3124,8 @@ ranked AS (
 SELECT q_id, c_id, cosine, CAST(rank AS INTEGER) AS rank FROM ranked WHERE rank <= 10
 """
 
+
+_LLM_ANN_SQL = _llm_ann_exact_sql()
 
 def llm_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-engine ANN evaluation (operators/similarity.py
@@ -3170,7 +3177,7 @@ def llm_ann_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _llm_ann_nprobe_sweep_sql() -> str:
-    exact = _LLM_ANN_SQL.replace("q.vec_id < 5", "q.vec_id < 20")
+    exact = _llm_ann_exact_sql("q.vec_id < 20")
     arms = []
     for p in (1, 2, 4, 8):
         ivf = SIM.ivf_topk_sql("vec_id < 20", k=10, n_lists=8, n_probe=p)

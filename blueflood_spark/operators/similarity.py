@@ -2447,41 +2447,76 @@ def ivf_nprobe_sweep(
 ) -> DataFrame:
     """The IVF tuning CURVE: mean recall@k per n_probe — the number an
     IVF deployment actually tunes (probe more lists → higher recall,
-    linearly more candidates scanned). One exact arm (priced by the
-    query set, lazily checkpointed — every probe arm semi-joins it) and
-    one production ivf_topk per probe setting; the trained coarse
-    quantizer is the memoized centroid artifact, so the sweep trains it
-    ONCE, not once per arm. Output: one row per n_probe with exact hit
-    counts and mean recall = total_hits / (k·n_queries) — a single
-    division of exact integers."""
+    linearly more candidates scanned). ONE candidate pass, not one per
+    arm: probe lists are nested supersets across n_probe levels, so the
+    sweep computes candidates once at max(n_probe) with each (query,
+    candidate) pair tagged by the MINIMAL probe rank that admits it
+    (posexplode position of the candidate's list in the query's
+    centroid ranking), then derives every sweep level by filter + one
+    shared rank window — the per-level top-k is bit-equal to running
+    ivf_topk at that level because the candidate set {probe_rank ≤ p}
+    and the cosine/ordering kernel are identical. The exact arm runs
+    once (priced by the query set, lazily checkpointed). Output: one
+    row per n_probe with exact hit counts and mean recall =
+    total_hits / (k·n_queries) — a single division of exact integers."""
     q = emb.filter(query_filter).select(
         F.col(id_col).alias("q_id"), F.col(emb_col).alias("q_emb")
     )
     c = emb.select(F.col(id_col).alias("c_id"), F.col(emb_col).alias("c_emb"))
     exact = cosine_topk(q, c, k).select("q_id", "c_id").localCheckpoint(eager=False)
     n_q = exact.agg(F.countDistinct("q_id").alias("n_queries"))
-    outs = []
-    for p in probes:
-        approx = ivf_topk(emb, query_filter, k, n_lists, p, id_col, emb_col)
-        hits = (
-            approx.select("q_id", "c_id")
-            .join(exact, ["q_id", "c_id"], "left_semi")
-            .agg(F.count(F.lit(1)).alias("total_hits"))
-            .select(F.lit(p).alias("n_probe"), "total_hits")
+    pmax = max(probes)
+    ranked = _ivf_ranked(emb, n_lists, id_col, emb_col)
+    lists = ranked.select(
+        F.col(id_col).alias("c_id"),
+        F.col(emb_col).alias("c_emb"),
+        F.expr("cent_ranked[0].cid").alias("list_id"),
+    )
+    probe_lists = (
+        ranked.filter(query_filter)
+        .select(
+            F.col(id_col).alias("q_id"),
+            F.col(emb_col).alias("q_emb"),
+            F.posexplode(F.expr(f"slice(cent_ranked, 1, {int(pmax)})")).alias("pos", "pr"),
         )
-        outs.append(hits)
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out.crossJoin(F.broadcast(n_q)).select(
-        "n_probe",
-        "n_queries",
-        F.col("total_hits").cast("long").alias("total_hits"),
-        # nullif guard: an empty query set must yield 0, not an ANSI
-        # divide-by-zero (the empty-tables sweep caught the unguarded form)
-        F.coalesce(
-            F.col("total_hits").cast("double")
-            / F.nullif((k * F.col("n_queries")).cast("double"), F.lit(0.0)),
-            F.lit(0.0),
-        ).alias("mean_recall"),
+        .select(
+            "q_id", "q_emb", F.col("pr.cid").alias("list_id"),
+            (F.col("pos") + 1).alias("probe_rank"),
+        )
+    )
+    cands = (
+        lists.join(F.broadcast(probe_lists), "list_id")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id", _cosine("q_emb", "c_emb").alias("cosine"), "probe_rank")
+    )
+    # tag each pair with every sweep level that admits it — candidate
+    # ROWS fan out (≤ |probes|×), the cosine is computed exactly once
+    admitted = cands.withColumn(
+        "n_probe", F.explode(F.array(*[F.lit(int(p)) for p in probes]))
+    ).filter(F.col("n_probe") >= F.col("probe_rank"))
+    w = Window.partitionBy("n_probe", "q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
+    topk = admitted.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    hits = (
+        topk.join(exact, ["q_id", "c_id"], "left_semi")
+        .groupBy("n_probe")
+        .agg(F.count(F.lit(1)).alias("_hits"))
+    )
+    levels = emb.sparkSession.createDataFrame(
+        [(int(p),) for p in probes], "n_probe int"
+    ).repartition(1)
+    return (
+        levels.join(F.broadcast(hits), "n_probe", "left")
+        .crossJoin(F.broadcast(n_q))
+        .select(
+            "n_probe",
+            "n_queries",
+            F.coalesce(F.col("_hits"), F.lit(0)).cast("long").alias("total_hits"),
+            # nullif guard: an empty query set must yield 0, not an ANSI
+            # divide-by-zero (the empty-tables sweep caught the unguarded form)
+            F.coalesce(
+                F.coalesce(F.col("_hits"), F.lit(0)).cast("double")
+                / F.nullif((k * F.col("n_queries")).cast("double"), F.lit(0.0)),
+                F.lit(0.0),
+            ).alias("mean_recall"),
+        )
     )

@@ -467,13 +467,19 @@ def kmv_sketch(
     Deterministic md5 hashing per the portability rule: the sketch TABLE
     is bit-reproducible cross-engine. Estimator: n̂ = (k−1)·2³² / h_k.
 
-    Scale shape: one distinct + one per-group rank window over the
-    hashed keys — n·log n in the DISTINCT key count (sf1 probe: ~2.9×
-    warm for 10× data), the same cost class as the distinct itself. At
-    extreme group sizes, pre-filter h below a count-derived bound before
-    the window (keeps the sort input ~O(k) per group at e^-O(k) miss
-    risk) — not done here so the checked query stays exact by
-    construction."""
+    Scale shape (the 100 TB path): a count-derived hash-bound
+    PRE-FILTER runs before the distinct/window — per group, an
+    approx_count_distinct pass derives n̂, and only hashes below
+    t = margin·k/n̂ · 2³² survive into the shuffle. The distinct's
+    shuffle and the per-group sort then carry ~margin·k rows per group
+    instead of n_g (survivors ~ Binomial(n_g, margin·k/n_g), so
+    P(<k survivors) ≈ e^-Θ(margin·k) even with HLL's ~2% count error).
+    EXACT BY CONSTRUCTION: a threshold filter is lossless whenever a
+    group yields ≥ k distinct survivors (the true k smallest are all
+    ≤ the k-th smallest survivor ≤ t); any group that yields fewer
+    while filtered is recomputed unfiltered via a broadcast semi-join
+    fallback (expected empty — the plan carries it lazily, no driver
+    sync). Groups with n̂ ≤ margin·k skip the filter entirely."""
     from pyspark.sql.window import Window
 
     h = F.conv(
@@ -481,13 +487,45 @@ def kmv_sketch(
         16,
         10,
     ).cast("long")
-    distinct = df.select(*keys, h.alias("h")).distinct()
+    full = (1 << 32) - 1
+    margin = 4
+    hashed = df.select(*keys, h.alias("h"))
+    bounds = (
+        df.groupBy(*keys)
+        .agg(F.approx_count_distinct(value_col).alias("_n_est"))
+        .select(
+            *keys,
+            F.when(F.col("_n_est") <= F.lit(margin * k), F.lit(full))
+            .otherwise(
+                F.least(
+                    F.lit(full),
+                    (F.lit(float(margin * k) * float(2**32)) / F.col("_n_est")).cast("long"),
+                )
+            )
+            .alias("_h_bound"),
+        )
+    )
+    filtered = hashed.join(F.broadcast(bounds), keys).filter(F.col("h") <= F.col("_h_bound"))
+    distinct = filtered.distinct()
     w = Window.partitionBy(*keys).orderBy("h")
-    return (
-        distinct.withColumn("rank", F.row_number().over(w))
+    ranked = distinct.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    # groups whose filtered sketch came up short (possible only when the
+    # bound actually cut something): recompute those exactly, unfiltered
+    unsafe = (
+        ranked.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_got"), F.max("_h_bound").alias("_b"))
+        .filter((F.col("_got") < k) & (F.col("_b") < full))
+        .select(*keys)
+    )
+    safe = ranked.join(F.broadcast(unsafe), keys, "left_anti").select(*keys, "rank", "h")
+    fb = (
+        hashed.join(F.broadcast(unsafe), keys)
+        .distinct()
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(*keys, "rank", "h")
     )
+    return safe.unionByName(fb)
 
 
 def kmv_pair_overlap(
@@ -549,7 +587,12 @@ def kmv_pair_overlap(
         .groupBy("grp_a", "grp_b")
         .agg(F.count(F.lit(1)).alias("exact_intersection"))
     )
-    est_union = (F.col("k_used") - 1).cast("double") * F.lit(float(2**32)) / F.col("h_k")
+    # saturated sketch (k_used < k): the union sketch holds the WHOLE
+    # union, so k_used IS the exact distinct count — the (k−1)·2³²/h_k
+    # tail estimator would bias small groups
+    est_union = F.when(F.col("k_used") < F.lit(k), F.col("k_used").cast("double")).otherwise(
+        (F.col("k_used") - 1).cast("double") * F.lit(float(2**32)) / F.col("h_k")
+    )
     return (
         agg.join(exact, ["grp_a", "grp_b"], "left")
         .select(
@@ -573,11 +616,15 @@ def kmv_pair_overlap_sql(
     k: int = 64,
     salt: str = "kmv",
 ) -> str:
-    """DuckDB twin of kmv_pair_overlap over `source` (a FROM-able)."""
-    h = f"CAST(('0x' || substr(md5('{salt}' || CAST({value_expr} AS VARCHAR)), 1, 8)) AS BIGINT)"
+    """DuckDB twin of kmv_pair_overlap over `source` (a FROM-able).
+
+    The hashed CTE is built directly over the dv alias `v` (never by
+    textual substitution of value_expr, which corrupts silently when
+    value_expr appears as a substring elsewhere in the expression)."""
+    h_v = f"CAST(('0x' || substr(md5('{salt}' || CAST(v AS VARCHAR)), 1, 8)) AS BIGINT)"
     return f"""
 WITH dv AS (SELECT DISTINCT {group_expr} AS g, {value_expr} AS v FROM {source}),
-hashed AS (SELECT DISTINCT g, {h.replace(value_expr, 'v')} AS h FROM dv),
+hashed AS (SELECT DISTINCT g, {h_v} AS h FROM dv),
 sk AS (
   SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rank
   FROM hashed QUALIFY rank <= {k}
@@ -619,6 +666,8 @@ exact AS (
 SELECT a.grp_a, a.grp_b, CAST(a.k_used AS BIGINT) AS k_used, a.n_both, a.h_k,
        CAST(coalesce(e.exact_intersection, 0) AS BIGINT) AS exact_intersection,
        CAST(a.n_both AS DOUBLE) / a.k_used
-         * (CAST(a.k_used - 1 AS DOUBLE) * 4294967296.0 / a.h_k) AS est_intersection
+         * (CASE WHEN a.k_used < {k} THEN CAST(a.k_used AS DOUBLE)
+                 ELSE CAST(a.k_used - 1 AS DOUBLE) * 4294967296.0 / a.h_k END)
+         AS est_intersection
 FROM agg a LEFT JOIN exact e ON a.grp_a = e.grp_a AND a.grp_b = e.grp_b
 """

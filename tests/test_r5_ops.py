@@ -447,6 +447,9 @@ def test_kmv_overlap_exact_when_k_covers(spark):
     r = out[0]
     assert r["k_used"] == 50 and r["n_both"] == 10
     assert r["exact_intersection"] == 10
+    # saturated sketch: est_union = k_used exactly, so the estimate IS
+    # the exact intersection (not the biased (k-1)*2^32/h_k tail)
+    assert abs(r["est_intersection"] - 10.0) < 1e-9, r["est_intersection"]
 
 
 def test_kmv_estimate_reasonable(spark):
