@@ -4584,13 +4584,21 @@ def bf_timer_pct_map_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         families=("timer",),
         emit_levels=("20m",),
         pct_shape="exploded",
-        # NOT materialized: localCheckpoint discards outputPartitioning,
-        # so every agg above it re-exchanged (5 exchanges, r4's hidden
-        # regression). Un-checkpointed, each branch keeps its pruned
-        # locator repartition and the WHOLE ladder above rides it
-        # exchange-free: 2 raw-side exchanges + 1 broadcast, 1.4→1.0s
-        # at sf0.1 — and the exchange-free-ladder property is what
-        # survives 100× (at scale the bucketed store removes even those).
+        # pre_partition=False (r6): every merge in THIS ladder is
+        # compact-partial (sums/avg-of-means — no percentile buffers), so
+        # map-side combine already collapses each exchange's input to the
+        # group count. The locator repartition would move the RAW flush
+        # volume (map column included) per branch to elide exchanges that
+        # only carry aggregated partials anyway. Measured plan: 2 pruned
+        # scans + 4 post-agg exchanges + 1 broadcast join, 1.37→1.14s
+        # warm at sf0.1 — and at 100 TB "shuffle aggregated partials"
+        # beats "shuffle raw rows" categorically. (Checkpointing the
+        # flush frame to collapse the two scans was measured WORSE:
+        # materializing per-flush wide rows costs more than the second
+        # columnar pushed-down scan.) pre_partition stays True for
+        # exact-percentile ladders, whose partial buffers carry the
+        # value volume either way.
+        pre_partition=False,
         materialize=False,
     )["timer"]["20m"]
     return t20.select(

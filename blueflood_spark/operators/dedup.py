@@ -1421,7 +1421,11 @@ FROM isl GROUP BY doc_id, island
 """
 
 
-_URL_HOST_RE = r"^(?:[a-z][a-z0-9+.-]*://)?(?:www\.)?([^/?#]+)"
+_URL_AUTH_RE = r"^(?:[a-z][a-z0-9+.-]*://)?([^/?#]+)"
+# authority → host: drop userinfo (everything to the LAST @), a leading
+# www., and the :port tail — 'user@www.bad.com:8080' must not evade an
+# exact blocklist entry for 'bad.com'
+_URL_HOST_OF_AUTH_RE = r"^(?:.*@)?(?:www\.)?([^:]+)"
 
 
 def url_blocklist_filter(
@@ -1436,36 +1440,48 @@ def url_blocklist_filter(
     matches a domain blocklist or whose path/query carries banned
     terms — the cheapest, highest-precision filter a crawl corpus has.
 
-    Verdict per doc: extracted registrable host (lowercased, www.
-    stripped), blocked_domain (exact host match against the broadcast
-    blocklist), blocked_term (any banned substring in the path+query,
-    case-insensitive), is_kept. Map-only string expressions in codegen
-    + one broadcast hash join against a literal-sized blocklist —
-    nothing shuffles at any corpus size. The blocklist is a DataFrame
-    join rather than an in-expression IN list so a production
-    million-domain list broadcasts the same way."""
+    Verdict per doc: extracted host (lowercased; userinfo, www. and
+    :port stripped), blocked_domain with REGISTRABLE-SUFFIX semantics —
+    the host's dot-suffix chain (a.b.c → {a.b.c, b.c, c}, ≤ label-count
+    entries) equi-joins the broadcast blocklist, so subdomains of a
+    blocked domain block too — blocked_term (any banned substring in
+    the path+query, case-insensitive), is_kept. Map-only string
+    expressions in codegen, one explode (≤ ~5 suffix rows/doc), one
+    broadcast HASH join (equi — stays a hash join even at a production
+    million-domain list, unlike an endswith OR-condition which degrades
+    to a nested-loop), and one map-side-combined groupBy back to one
+    row per doc — the only shuffle, carrying n compact verdict rows."""
     spark = docs.sparkSession
     low = F.lower(F.col(url_col))
-    host = F.regexp_extract(low, _URL_HOST_RE, 1)
-    rest = F.regexp_replace(low, _URL_HOST_RE, "")
+    auth = F.regexp_extract(low, _URL_AUTH_RE, 1)
+    host = F.regexp_extract(auth, _URL_HOST_OF_AUTH_RE, 1)
+    rest = F.regexp_replace(low, _URL_AUTH_RE, "")
     term_hit = F.lit(False)
     for t in blocked_path_terms:
         term_hit = term_hit | rest.contains(t.lower())
     bl = spark.createDataFrame(
-        [(d.lower(),) for d in blocked_domains], "bl_domain string"
+        [(d.lower(),) for d in blocked_domains] or [], "bl_domain string"
     ).repartition(1)
-    out = (
-        docs.select(id_col, F.col(url_col), host.alias("domain"), term_hit.alias("blocked_term"))
-        .join(F.broadcast(bl), F.col("domain") == F.col("bl_domain"), "left")
+    sfx = F.expr(
+        "transform(sequence(1, size(split(domain, '[.]'))),"
+        " i -> array_join(slice(split(domain, '[.]'), i, size(split(domain, '[.]'))), '.'))"
+    )
+    base = docs.select(
+        F.col(id_col), host.alias("domain"), term_hit.alias("blocked_term")
+    )
+    expl = base.select(id_col, "domain", "blocked_term", F.explode(sfx).alias("_sfx"))
+    marked = expl.join(F.broadcast(bl), F.col("_sfx") == F.col("bl_domain"), "left")
+    return (
+        marked.groupBy(id_col, "domain", "blocked_term")
+        .agg(F.max(F.col("bl_domain").isNotNull()).alias("blocked_domain"))
         .select(
             id_col,
             "domain",
-            F.col("bl_domain").isNotNull().alias("blocked_domain"),
+            "blocked_domain",
             "blocked_term",
-            (F.col("bl_domain").isNull() & ~F.col("blocked_term")).alias("is_kept"),
+            (~F.col("blocked_domain") & ~F.col("blocked_term")).alias("is_kept"),
         )
     )
-    return out
 
 
 def url_blocklist_filter_sql(
@@ -1475,21 +1491,46 @@ def url_blocklist_filter_sql(
     id_col: str = "doc_id",
     table: str = "documents",
 ) -> str:
-    doms = ", ".join(f"('{d.lower()}')" for d in blocked_domains)
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    if blocked_domains:
+        doms = ", ".join(f"('{q(d.lower())}')" for d in blocked_domains)
+        bl_cte = f"bl(bl_domain) AS (VALUES {doms})"
+    else:
+        # VALUES with zero tuples is a syntax error — emit an empty
+        # typed relation instead
+        bl_cte = "bl AS (SELECT CAST(NULL AS VARCHAR) AS bl_domain WHERE FALSE)"
     term_hit = " OR ".join(
-        f"contains(rest, '{t.lower()}')" for t in blocked_path_terms
+        f"contains(rest, '{q(t.lower())}')" for t in blocked_path_terms
     ) or "FALSE"
     return f"""
-WITH u AS (
+WITH a AS (
   SELECT {id_col},
-         regexp_extract(lower({url_expr}), '{_URL_HOST_RE}', 1) AS domain,
-         regexp_replace(lower({url_expr}), '{_URL_HOST_RE}', '') AS rest
+         regexp_extract(lower({url_expr}), '{_URL_AUTH_RE}', 1) AS auth,
+         regexp_replace(lower({url_expr}), '{_URL_AUTH_RE}', '') AS rest
   FROM {table}
 ),
-bl(bl_domain) AS (VALUES {doms})
+u AS (
+  SELECT {id_col},
+         regexp_extract(auth, '{_URL_HOST_OF_AUTH_RE}', 1) AS domain,
+         rest
+  FROM a
+),
+{bl_cte},
+sfx AS (
+  SELECT {id_col}, domain, rest,
+         unnest(list_transform(range(1, len(string_split(domain, '.')) + 1),
+                i -> array_to_string(string_split(domain, '.')[i:], '.'))) AS s
+  FROM u
+),
+hits AS (
+  SELECT DISTINCT f.{id_col}
+  FROM sfx f JOIN bl b ON f.s = b.bl_domain
+)
 SELECT u.{id_col}, u.domain,
-       b.bl_domain IS NOT NULL AS blocked_domain,
+       h.{id_col} IS NOT NULL AS blocked_domain,
        ({term_hit}) AS blocked_term,
-       (b.bl_domain IS NULL AND NOT ({term_hit})) AS is_kept
-FROM u LEFT JOIN bl b ON u.domain = b.bl_domain
+       (h.{id_col} IS NULL AND NOT ({term_hit})) AS is_kept
+FROM u LEFT JOIN hits h USING ({id_col})
 """

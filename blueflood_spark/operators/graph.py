@@ -136,7 +136,10 @@ def pagerank_sql(
 
 
 def triangle_counts(
-    pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b"
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    wedge_budget: int | None = 10_000_000_000,
 ) -> DataFrame:
     """Per-node triangle counts over an undirected canonical edge list
     (id_a < id_b, distinct) — the clustering-coefficient numerator that
@@ -159,7 +162,16 @@ def triangle_counts(
     Output: (node, degree, n_triangles) for every node with ≥1 edge.
     All integer arithmetic; exactly reproducible on any engine (the
     oracle twin brute-forces the 3-way join instead — recall verified,
-    not assumed)."""
+    not assumed).
+
+    `wedge_budget` is an EXECUTABLE guard on the superlinear step: the
+    exact wedge row count Σ outdeg² is computed from the oriented edges
+    (one tiny agg over the already-checkpointed frame, broadcast as a
+    scalar) and checked IN the dataflow via raise_error before the wedge
+    join emits a single row — no driver sync, and a future edit that
+    densifies the input pair graph (e.g. raising a hamming threshold)
+    fails fast with the measured count instead of silently scheduling a
+    10¹²-row stage. None disables the guard."""
     e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v")).distinct()
     deg = (
         e.select(F.col("u").alias("node"))
@@ -186,6 +198,26 @@ def triangle_counts(
     # materialize once (self-join-subtree rule)
     oriented = fwd.unionAll(rev).localCheckpoint(eager=False)
     lhs = oriented.select("u", F.col("v").alias("b"), F.col("kv_deg").alias("b_deg"))
+    if wedge_budget is not None:
+        od = oriented.groupBy("u").agg(F.count(F.lit(1)).alias("_od"))
+        chk = od.agg(F.sum(F.col("_od") * F.col("_od")).alias("_wedge_rows"))
+        lhs = (
+            lhs.crossJoin(F.broadcast(chk))
+            .filter(
+                F.when(
+                    F.col("_wedge_rows") > F.lit(wedge_budget),
+                    F.raise_error(
+                        F.concat(
+                            F.lit("triangle_counts: wedge budget exceeded: sum(outdeg^2) = "),
+                            F.col("_wedge_rows").cast("string"),
+                            F.lit(f" > {wedge_budget}; densified pair graph — "
+                                  "lower the similarity threshold or raise wedge_budget"),
+                        )
+                    ).cast("boolean"),
+                ).otherwise(F.lit(True))
+            )
+            .drop("_wedge_rows")
+        )
     rhs = oriented.select("u", F.col("v").alias("c"), F.col("kv_deg").alias("c_deg"))
     wedges = lhs.join(rhs, "u").filter(
         (F.col("b_deg") < F.col("c_deg"))

@@ -88,6 +88,28 @@ def test_triangle_counts_random_vs_bruteforce(spark):
     assert got == want
 
 
+def test_triangle_counts_wedge_budget_trips_on_dense_graph(spark):
+    """The executable wedge guard: a dense graph whose Σ outdeg² exceeds
+    the budget must FAIL FAST with the measured count in the message,
+    not schedule the wedge stage; an ample budget must leave results
+    identical to the unguarded run."""
+    import pytest
+    from blueflood_spark.operators.graph import triangle_counts
+
+    n = 40  # K_40: sum outdeg^2 under degree-ordering = sum j^2 ~ 20k
+    edges = [(a, b) for a in range(n) for b in range(a + 1, n)]
+    pairs = _df(spark, edges, "doc_a long, doc_b long")
+    with pytest.raises(Exception, match="wedge budget exceeded"):
+        triangle_counts(pairs, wedge_budget=1_000).collect()
+    ok = {r["node"]: r["n_triangles"] for r in
+          triangle_counts(pairs, wedge_budget=10**9).collect()}
+    # every node of K_n corners C(n-1, 2) triangles
+    assert ok == {i: (n - 1) * (n - 2) // 2 for i in range(n)}
+    unguarded = {r["node"]: r["n_triangles"] for r in
+                 triangle_counts(pairs, wedge_budget=None).collect()}
+    assert unguarded == ok
+
+
 def test_triangle_counts_skewed_star_has_none(spark):
     from blueflood_spark.operators.graph import triangle_counts
 
@@ -112,6 +134,10 @@ def test_url_blocklist_verdicts(spark):
         (3, "http://good.example.com/spamword/z"),  # term hit
         (4, "good.example.com/clean?q=1"),       # schemeless, kept
         (5, "https://good.example.com/ok#frag"), # kept
+        (6, "https://bad.example.com:8080/x"),   # port must not evade
+        (7, "http://user@bad.example.com/x"),    # userinfo must not evade
+        (8, "https://cdn.bad.example.com/x"),    # subdomain of blocked domain
+        (9, "https://notbad.example.com/x"),     # suffix match is per-LABEL: kept
     ]
     out = {
         r["doc_id"]: r
@@ -126,6 +152,33 @@ def test_url_blocklist_verdicts(spark):
     assert out[3]["blocked_term"] and not out[3]["is_kept"]
     assert out[4]["is_kept"] and out[4]["domain"] == "good.example.com"
     assert out[5]["is_kept"]
+    assert out[6]["blocked_domain"] and out[6]["domain"] == "bad.example.com"
+    assert out[7]["blocked_domain"] and out[7]["domain"] == "bad.example.com"
+    assert out[8]["blocked_domain"] and out[8]["domain"] == "cdn.bad.example.com"
+    assert out[9]["is_kept"] and out[9]["domain"] == "notbad.example.com"
+
+
+def test_url_blocklist_sql_twin_edges(spark):
+    """SQL-twin contract: empty blocklist must be valid SQL, and quoted
+    terms/domains must be escaped."""
+    import duckdb
+
+    from blueflood_spark.operators.dedup import url_blocklist_filter_sql
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        "(1, 'https://bad.example.com/x'), (2, 'https://ok.com/o''brien')"
+        ") t(doc_id, url)"
+    )
+    empty = con.execute(
+        url_blocklist_filter_sql("url", [], ["o'brien"])
+    ).fetchdf().set_index("doc_id")
+    assert not empty.loc[1, "blocked_domain"] and bool(empty.loc[2, "blocked_term"])
+    sub = con.execute(
+        url_blocklist_filter_sql("url", ["example.com"], [])
+    ).fetchdf().set_index("doc_id")
+    assert bool(sub.loc[1, "blocked_domain"]) and not bool(sub.loc[2, "blocked_domain"])
 
 
 # ---------------------------------------------------------------------------
