@@ -68,16 +68,18 @@ def main() -> None:
     # exercised by verify/tests, not timed here
     bench_set = [(n, fn) for n, fn in E.queries().items() if n in oracle_names]
 
-    # Pass 1 over everything; a de-noising pass 2 ONLY for queries slow
-    # enough for jitter to matter (>1.5s — below that the per-query
-    # constant dominates and min-of-2 moves the suite total by noise).
-    # Same trim as tools/bench_oracle.py: the 189-query suite outgrew the
-    # 2-full-pass shape's ~10-min budget (r5). The inter-query GC —
-    # needed so iterative queries' localCheckpoint blocks don't bleed
-    # into later timings (py4j finalizers gate the cleanup) — also runs
-    # only after non-trivial queries: a profiled pass spent ~55s of its
-    # 296s wall on 189 System.gc() calls, most after 0.3s queries that
-    # leave no debris.
+    # Min-of-2 over EVERYTHING (restored r6): r5 ran pass 2 only for
+    # >1.5s queries, which left ~160 entries at cold pass-1 timings —
+    # the serial total inflated a uniform ~1.3-2× on small queries
+    # (plan-compile constant) and round-over-round comparability broke:
+    # a real 20% regression would have hidden inside the protocol noise.
+    # Two full passes fit the 10-min budget because the real r5 saving
+    # was the GC trim (below) and the min-of-2 concurrent pass, not the
+    # serial pass-2 skip. The inter-query GC — needed so iterative
+    # queries' localCheckpoint blocks don't bleed into later timings
+    # (py4j finalizers gate the cleanup) — runs only after non-trivial
+    # queries: a profiled pass spent ~55s of its 296s wall on 189
+    # System.gc() calls, most after 0.3s queries that leave no debris.
     timings: dict[str, float] = {}
 
     def timed(name, fn):
@@ -93,8 +95,7 @@ def main() -> None:
     for name, fn in bench_set:
         timed(name, fn)
     for name, fn in bench_set:
-        if timings[name] > 1.5:
-            timed(name, fn)
+        timed(name, fn)
     serial_total = sum(timings.values())
 
     # The headline number is the wall-clock to complete the WHOLE suite

@@ -1613,15 +1613,22 @@ def bigram_lm_score(
     rank on it — the dsir/ln lessons in NOTES.md: same-sign sums are
     forward-stable and libm last-ulp noise stays ~1e-15 relative).
 
-    Plan shape: the document stream shuffles as per-doc DISTINCT bigram
-    counts (one groupBy), and joins the corpus model exactly ONCE — the
-    model itself (c2 ⋈ c1 with logp precomputed per distinct bigram) is
-    vocabulary-sized, built from the same exploded frame, never from a
-    second pass over text. A first formulation joined raw gram rows
-    against c2 and c1 separately: two corpus-sized shuffle joins, 3.2×
-    wall at 10× data; this shape measured 2.0×. sum_logp weights each
-    distinct bigram's logp by its in-doc count (one exact-rounded
-    multiply, mirrored in the twin)."""
+    Plan shape (r6, the third formulation): the document stream shuffles
+    ONCE as per-doc DISTINCT bigram counts, then the corpus statistics
+    are UNBOUNDED WINDOW SUMS over that same frame — c(w1,w2) =
+    sum(n) over (partition by gk), c(w1→) = sum(n) over (partition by
+    ck) — instead of materializing a model relation and joining it
+    back. Four exchanges total (per_doc agg, two window repartitions,
+    final per-doc agg) vs seven for the model-join shape; the window
+    sorts replace the SMJ sorts the joins paid anyway, so the win holds
+    at corpus scale, not just at the toy per-stage floor (2.47→1.36 s
+    warm at sf0.1, bit-path-identical logp). History: formulation 1
+    joined raw gram rows against c2/c1 (two corpus-sized shuffle
+    joins, 3.2× wall at 10× data); formulation 2 built the model
+    relation (2.0×); this one subsumes the model into the frame.
+    sum_logp weights each distinct bigram's logp by its in-doc count
+    (one exact-rounded multiply, mirrored in the twin)."""
+    from pyspark.sql.window import Window
     grams = docs.select(
         F.col(id_col),
         F.explode(
@@ -1647,33 +1654,30 @@ def bigram_lm_score(
     per_doc = grams.groupBy(id_col, "gk", "ck").agg(
         F.count("*").alias("n"), F.min("wk").alias("wk")
     )
-    c2 = per_doc.groupBy("gk", "ck").agg(
-        F.sum("n").alias("c2"), F.min("wk").alias("wk")
-    )
-    c1 = c2.groupBy("ck").agg(F.sum("c2").alias("c1"))
     # vocab stays IN the DAG as a broadcast 1-row frame: a driver-side
     # count() here would eagerly evaluate the whole bigram pipeline a
     # second time (tokenize twice, one extra job per call).
     # countDistinct(hash(w2)) == countDistinct(w2) under the same
-    # collision-free assumption every hash join already makes.
-    vocab = c2.agg(F.count_distinct(F.col("wk")).cast("double").alias("vocab"))
-    model = (
-        c2.join(c1, "ck")
+    # collision-free assumption every hash join already makes; distinct
+    # wk over per_doc == distinct wk over the bigram vocabulary.
+    vocab = per_doc.agg(F.count_distinct(F.col("wk")).cast("double").alias("vocab"))
+    wg = Window.partitionBy("gk")
+    wc = Window.partitionBy("ck")
+    scored = (
+        per_doc.withColumn("c2", F.sum("n").over(wg))
+        .withColumn("c1", F.sum("n").over(wc))
         .crossJoin(F.broadcast(vocab))
         .select(
-            "gk",
+            id_col,
+            "n",
             F.log(
                 (F.col("c2") + F.lit(k)) / (F.col("c1") + F.lit(k) * F.col("vocab"))
             ).alias("logp"),
         )
     )
-    return (
-        per_doc.join(model, ["gk"])
-        .groupBy(id_col)
-        .agg(
-            F.sum("n").alias("n_bigrams"),
-            F.sum(F.col("n") * F.col("logp")).alias("sum_logp"),
-        )
+    return scored.groupBy(id_col).agg(
+        F.sum("n").alias("n_bigrams"),
+        F.sum(F.col("n") * F.col("logp")).alias("sum_logp"),
     )
 
 

@@ -1080,3 +1080,113 @@ def read_bloom_filter(spark: SparkSession, bloom_path: str) -> DataFrame:
     per-word bit_or — one tiny agg over (m/32) × n_batches rows."""
     parts = spark.read.parquet(bloom_path.rstrip("/"))
     return parts.groupBy("word_idx").agg(F.expr("bit_or(word)").alias("word"))
+
+
+def start_kmv_maintenance(
+    spark: SparkSession,
+    events_path: str,
+    kmv_path: str,
+    checkpoint: str,
+    k: int = 64,
+    value_col: str = "user_id",
+    group_col: str = "event_type",
+    available_now: bool = True,
+):
+    """Streaming maintenance of per-group KMV sketches (foreachBatch):
+    each micro-batch builds a PARTIAL sketch with the exact batch
+    operator (sketches.kmv_sketch — the k smallest md5 hashes of the
+    batch's distinct values per group) under `kmv_batch=<id>`.
+    Retry-idempotent: a replayed batch OVERWRITES its own directory.
+    Merge happens at READ time and is the k-minimum lattice: the k
+    smallest of the union of per-batch k-smallest sets IS the k
+    smallest of the union (any global top-k hash is in its own batch's
+    top-k), so the merged sketch is bit-identical to the batch sketch
+    over the same rows regardless of micro-batch chopping — the same
+    'streaming = batch' contract as the CMS/HLL/Bloom maintenance.
+    Day-2 shape for bf_kmv_overlap at 100 TB: overlap questions read k
+    rows per group per batch, never the event history."""
+    from blueflood_spark.operators.sketches import kmv_sketch
+
+    ev = spark.readStream.schema(
+        "event_id long, ts long, user_id long, event_type string,"
+        " value double, props string"
+    ).parquet(events_path)
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        sk = kmv_sketch(batch, value_col, [group_col], k=k)
+        sk.write.mode("overwrite").parquet(
+            f"{kmv_path.rstrip('/')}/kmv_batch={batch_id}"
+        )
+
+    writer = ev.writeStream.foreachBatch(merge).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_kmv_sketch(
+    spark: SparkSession, kmv_path: str, k: int = 64, group_col: str = "event_type"
+) -> DataFrame:
+    """Merged KMV sketch over all maintained partials: k-minimum lattice
+    merge — distinct hashes (the same value lands in several batches'
+    sketches), then one rank window over ≤ k × n_batches rows/group."""
+    from pyspark.sql.window import Window
+
+    parts = spark.read.parquet(kmv_path.rstrip("/"))
+    w = Window.partitionBy(group_col).orderBy("h")
+    return (
+        parts.select(group_col, "h")
+        .distinct()
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def start_exp_histogram_maintenance(
+    spark: SparkSession,
+    raw_path: str,
+    hist_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+):
+    """Streaming maintenance of the exponential-bucket histogram rollup
+    (foreachBatch): each micro-batch builds PARTIAL 5m histograms with
+    the exact batch operator (rollup.exp_histogram_from_raw) under
+    `eh_batch=<id>`. Retry-idempotent: replays overwrite. Merge at READ
+    time is bucket-count ADDITION (exp_histogram_merge at the same
+    granularity — the window snap is idempotent), so merged counts are
+    bit-identical to the batch rollup over the same rows under any
+    chopping. This is the constant-memory streaming alternative to the
+    exact-percentile timer path: O(64) state per series-window."""
+    from blueflood_spark.operators import granularity as G
+    from blueflood_spark.operators.rollup import exp_histogram_from_raw
+
+    raw = spark.readStream.schema(
+        "tenant_id string, metric_name string, ts long, value double, unit string,"
+        " ttl_seconds int, batch_id long, date date"
+    ).parquet(raw_path)
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        hist = exp_histogram_from_raw(batch, G.MIN_5)
+        hist.write.mode("overwrite").parquet(
+            f"{hist_path.rstrip('/')}/eh_batch={batch_id}"
+        )
+
+    writer = raw.writeStream.foreachBatch(merge).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_exp_histogram(spark: SparkSession, hist_path: str) -> DataFrame:
+    """Merged exponential histogram over all maintained partials: counts
+    ADD per (locator, window, bucket) — one tiny agg over the partials."""
+    from blueflood_spark.operators import granularity as G
+    from blueflood_spark.operators.rollup import exp_histogram_merge
+
+    parts = spark.read.parquet(hist_path.rstrip("/"))
+    return exp_histogram_merge(parts, G.MIN_5)

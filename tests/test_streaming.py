@@ -825,6 +825,102 @@ def test_sketch_maintenance_merge_equals_batch(spark, tmp_path):
     assert got_cms2 == want_cms
 
 
+def test_kmv_maintenance_merge_equals_batch(spark, tmp_path):
+    """Micro-batched KMV partials merged at read time (k-minimum lattice)
+    must equal the batch sketch over the same rows EXACTLY, across a
+    restart and any chopping — including values repeated across batches
+    (dedup by distinct hash, not by provenance)."""
+    import os
+
+    from blueflood_spark.operators.sketches import kmv_sketch
+
+    ev_dir = str(tmp_path / "kmv_ev")
+    kmv_dir = str(tmp_path / "kmv_out")
+    ckpt = str(tmp_path / "ckpt_kmv")
+    os.makedirs(ev_dir)
+    schema = (
+        "event_id long, ts long, user_id long, event_type string,"
+        " value double, props string"
+    )
+
+    def rows(lo, hi):
+        # user ids overlap across the two chunks on purpose
+        return [
+            (i, 1_700_000_000_000 + i, (i * 7) % 300, f"et{i % 4}", float(i), "")
+            for i in range(lo, hi)
+        ]
+
+    spark.createDataFrame(rows(0, 250), schema).repartition(1).write.mode("append").parquet(ev_dir)
+    P.start_kmv_maintenance(spark, ev_dir, kmv_dir, ckpt, k=16).awaitTermination(120)
+    spark.createDataFrame(rows(200, 600), schema).repartition(1).write.mode("append").parquet(ev_dir)
+    P.start_kmv_maintenance(spark, ev_dir, kmv_dir, ckpt, k=16).awaitTermination(120)
+
+    full = spark.createDataFrame(rows(0, 250) + rows(200, 600), schema)
+    want = {
+        (r.event_type, r.rank, r.h)
+        for r in kmv_sketch(full, "user_id", ["event_type"], k=16).collect()
+    }
+    got = {
+        (r.event_type, r.rank, r.h)
+        for r in P.read_kmv_sketch(spark, kmv_dir, k=16).collect()
+    }
+    assert got == want
+
+    # replay idempotence: overwrite batch 0's partial with itself
+    df0 = spark.read.parquet(kmv_dir + "/kmv_batch=0")
+    schema0, part0 = df0.schema, df0.collect()
+    spark.createDataFrame(part0, schema0).write.mode("overwrite").parquet(
+        kmv_dir + "/kmv_batch=0"
+    )
+    got2 = {
+        (r.event_type, r.rank, r.h)
+        for r in P.read_kmv_sketch(spark, kmv_dir, k=16).collect()
+    }
+    assert got2 == want
+
+
+def test_exp_histogram_maintenance_merge_equals_batch(spark, tmp_path):
+    """Micro-batched exponential-histogram partials merged at read time
+    (bucket-count addition) must equal the batch rollup over the same
+    rows EXACTLY, across a restart and any chopping."""
+    import os
+
+    from blueflood_spark.operators import granularity as G
+    from blueflood_spark.operators.rollup import exp_histogram_from_raw
+
+    raw_dir = str(tmp_path / "eh_raw")
+    eh_dir = str(tmp_path / "eh_out")
+    ckpt = str(tmp_path / "ckpt_eh")
+    os.makedirs(raw_dir)
+    schema = (
+        "tenant_id string, metric_name string, ts long, value double,"
+        " unit string, ttl_seconds int, batch_id long, date date"
+    )
+
+    def rows(lo, hi):
+        return [
+            (f"t{i % 2}", f"m.{i % 5}", 1_700_000_000_000 + i * 20_000,
+             (i % 40) * 1.75 - 3.0, "", 0, 0, None)
+            for i in range(lo, hi)
+        ]
+
+    spark.createDataFrame(rows(0, 300), schema).repartition(1).write.mode("append").parquet(raw_dir)
+    P.start_exp_histogram_maintenance(spark, raw_dir, eh_dir, ckpt).awaitTermination(120)
+    spark.createDataFrame(rows(300, 800), schema).repartition(1).write.mode("append").parquet(raw_dir)
+    P.start_exp_histogram_maintenance(spark, raw_dir, eh_dir, ckpt).awaitTermination(120)
+
+    full = spark.createDataFrame(rows(0, 800), schema)
+    want = {
+        (r.tenant_id, r.metric_name, r.window_start, r.bucket): (r.n, r.bucket_lo)
+        for r in exp_histogram_from_raw(full, G.MIN_5).collect()
+    }
+    got = {
+        (r.tenant_id, r.metric_name, r.window_start, r.bucket): (r.n, r.bucket_lo)
+        for r in P.read_exp_histogram(spark, eh_dir).collect()
+    }
+    assert got == want
+
+
 def test_bloom_maintenance_merge_equals_batch(spark, tmp_path):
     """Micro-batched Bloom partials merged at read time (bit_or lattice)
     must equal the batch filter over the same rows EXACTLY, across a
