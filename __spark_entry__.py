@@ -6477,122 +6477,78 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER CONTRACT: the driver's correctness gate stamps the FIRST 50
-    # entries. Union of CORRECTNESS_r01..r04 covers 148 of the 175
-    # queries registered before this round; the registry is now 189.
-    # This round's window = the 27 never-stamped + the 4 r4 red rows
-    # (oracle HUGEINT/DECIMAL casts fixed this round — values were
-    # already bit-exact) + llm_lang_id and llm_token_counts (r1-only
-    # rows; llm_quality_score/llm_train_split, also r1-only, were
-    # displaced by late r5 adds and lead the r6 window) +
-    # llm_embedding_dup_clusters (pair generation re-implemented on the
-    # SemDeDup path this round) + the two timer queries (changed this
-    # round) + the 14 NEW r5 operators (quality_filter, counter_resets,
-    # bloom_dedup, dup_triangles, tokenizer_fertility, url_blocklist,
-    # pack_report, native_histogram, native_histogram_quantile,
-    # lttb_downsample, semdedup_pairs, frame_dedup, ann_nprobe_sweep,
-    # kmv_overlap). After r5 the stamp union covers 189 of 189 (every
-    # tail entry already has a green row in r1-r4); the r6
-    # window leads with the 2 displaced r1-only rows + the 2 displaced
-    # old-green re-confirms (q01, cascade_60m). When editing: anything
-    # moved past 50 must already have a green driver row in some
-    # round's CORRECTNESS file, or coverage regresses.
+    # entries. After r5 the stamp union covers 189/189 (every entry green
+    # at its latest stamp). The r6 window = the 4 stalest stamps the r5
+    # verdict named (llm_quality_score + llm_train_split, r1-only, whose
+    # md5 primitive was refactored post-stamp; q01_pricing_summary +
+    # bf_rollup_cascade_60m, r2-only) + the 6 queries CHANGED this round
+    # (bf_kmv_overlap: hash-bound pre-filter + saturated estimator;
+    # llm_ann_nprobe_sweep: single-pass sweep; bf_timer_pct_map_merge:
+    # pre_partition=False ladder; llm_url_blocklist: host hardening +
+    # suffix matching; llm_bigram_lm_score: window-sum formulation;
+    # llm_dup_triangles: executable wedge budget) + 40 of the 47
+    # remaining r2-only stamps. The 5 deferred r2 rows (q_grouping_sets,
+    # q_semi_anti, q_distinct_agg, q_set_ops, q_pivot_status — untouched
+    # pure-SQL set ops) lead the post-window tail alongside the 44
+    # r3-stamped entries, which together form the natural r7 window.
+    # When editing: anything moved past 50 must already have a green
+    # driver row in some round's CORRECTNESS file, or coverage regresses.
     return {
-        "llm_word_fuzzy_pairs": llm_word_fuzzy_pairs,
-        "llm_ngram_novelty": llm_ngram_novelty,
-        "llm_silhouette": llm_silhouette,
-        "llm_char_entropy": llm_char_entropy,
-        "bf_compaction_plan": bf_compaction_plan,
-        "llm_ann_filtered_topk": llm_ann_filtered_topk,
-        "ev_type_lift": ev_type_lift,
-        "llm_embedding_drift": llm_embedding_drift,
-        "bf_heatmap_grid": bf_heatmap_grid,
-        "ev_cohort_ltv": ev_cohort_ltv,
-        "bf_trend_slope": bf_trend_slope,
-        "bf_xcorr_lag": bf_xcorr_lag,
-        "bf_alert_hysteresis": bf_alert_hysteresis,
-        "llm_temperature_mix": llm_temperature_mix,
-        "llm_mmr_diversify": llm_mmr_diversify,
-        "llm_winnowing": llm_winnowing,
-        "llm_winnowing_pairs": llm_winnowing_pairs,
-        "llm_vocab_growth": llm_vocab_growth,
-        "llm_source_kl": llm_source_kl,
-        "llm_bpe_pairs": llm_bpe_pairs,
-        "llm_bpe_encode": llm_bpe_encode,
-        "bf_outlier_mad": bf_outlier_mad,
-        "bf_change_cusum": bf_change_cusum,
-        "bf_apdex": bf_apdex,
-        "ev_k_anonymity": ev_k_anonymity,
-        "bf_ladder_audit": bf_ladder_audit,
-        "llm_ann_sq8_topk": llm_ann_sq8_topk,
-        "llm_source_stats": llm_source_stats,
-        "bf_histogram_buckets": bf_histogram_buckets,
-        "ev_props_extract": ev_props_extract,
-        "bf_unit_changes": bf_unit_changes,
-        "llm_lang_id": llm_lang_id,
-        "llm_token_counts": llm_token_counts,
-        "llm_embedding_dup_clusters": llm_embedding_dup_clusters,
-        "bf_timer_merge_20m": bf_timer_merge_20m,
-        "bf_timer_pct_map_merge": bf_timer_pct_map_merge,
-        "llm_frame_dedup": llm_frame_dedup,
-        "llm_ann_nprobe_sweep": llm_ann_nprobe_sweep,
+        "llm_quality_score": llm_quality_score,
+        "llm_train_split": llm_train_split,
+        "q01_pricing_summary": q01_pricing_summary,
+        "bf_rollup_cascade_60m": bf_rollup_cascade_60m,
         "bf_kmv_overlap": bf_kmv_overlap,
-        "bf_native_histogram_quantile": bf_native_histogram_quantile,
-        "llm_quality_filter": llm_quality_filter,
-        "bf_counter_resets": bf_counter_resets,
-        "llm_bloom_dedup": llm_bloom_dedup,
-        "llm_dup_triangles": llm_dup_triangles,
-        "llm_tokenizer_fertility": llm_tokenizer_fertility,
+        "llm_ann_nprobe_sweep": llm_ann_nprobe_sweep,
+        "bf_timer_pct_map_merge": bf_timer_pct_map_merge,
         "llm_url_blocklist": llm_url_blocklist,
-        "llm_pack_report": llm_pack_report,
-        "bf_native_histogram": bf_native_histogram,
-        "bf_lttb_downsample": bf_lttb_downsample,
-        "llm_semdedup_pairs": llm_semdedup_pairs,
-        "bf_statsd_normalize": bf_statsd_normalize,
-        "llm_sq8_quantize": llm_sq8_quantize,
-        "llm_multimodal_features": llm_multimodal_features,
-        "llm_semdedup": llm_semdedup,
-        "llm_ann_ivfpq_topk": llm_ann_ivfpq_topk,
-        "llm_contrastive_pairs": llm_contrastive_pairs,
-        "llm_hybrid_rrf": llm_hybrid_rrf,
-        "bf_rate_series": bf_rate_series,
-        "bf_ewma_smooth": bf_ewma_smooth,
-        "bf_m4_downsample": bf_m4_downsample,
-        "bf_histogram_quantile": bf_histogram_quantile,
-        "bf_sustained_breach": bf_sustained_breach,
-        "bf_topk_movers": bf_topk_movers,
-        "bf_seasonal_baseline": bf_seasonal_baseline,
-        "bf_winsorize": bf_winsorize,
-        "llm_dsir_weights": llm_dsir_weights,
-        "llm_incremental_dedup": llm_incremental_dedup,
-        "llm_cdc_chunks": llm_cdc_chunks,
-        "llm_minhash_estimate": llm_minhash_estimate,
-        "api_sql_navigation": api_sql_navigation,
-        "bf_seasonal_naive_forecast": bf_seasonal_naive_forecast,
-        "llm_dedup_keep_best": llm_dedup_keep_best,
-        "bf_tenant_cardinality": bf_tenant_cardinality,
-        "llm_hash_embed": llm_hash_embed,
-        "bf_downtime_report": bf_downtime_report,
-        "bf_delayed_locators": bf_delayed_locators,
-        "bf_reroll_diff": bf_reroll_diff,
-        "bf_rollup_cascade_1440m": bf_rollup_cascade_1440m,
-        "bf_burn_rate": bf_burn_rate,
-        "llm_url_dedup": llm_url_dedup,
         "llm_bigram_lm_score": llm_bigram_lm_score,
-        "llm_embedding_outliers": llm_embedding_outliers,
-        "bf_glob_aggregate": bf_glob_aggregate,
-        "llm_multimodal_plan": llm_multimodal_plan,
-        "llm_heavy_hitters": llm_heavy_hitters,
-        "bf_hll_cardinality": bf_hll_cardinality,
-        "llm_boilerplate_strip": llm_boilerplate_strip,
-        "llm_random_projection": llm_random_projection,
-        "bf_sampled_quantile": bf_sampled_quantile,
-        "bf_zorder_layout": bf_zorder_layout,
-        "llm_dup_spans": llm_dup_spans,
-        "bf_slot_eligibility": bf_slot_eligibility,
-        "bf_unit_history": bf_unit_history,
-        "llm_dup_pagerank": llm_dup_pagerank,
-        "llm_ann_recall_report": llm_ann_recall_report,
-        "ev_attribution": ev_attribution,
+        "llm_dup_triangles": llm_dup_triangles,
+        "q03_top_orders": q03_top_orders,
+        "q05_region_revenue": q05_region_revenue,
+        "q06_forecast_revenue": q06_forecast_revenue,
+        "q_window_running": q_window_running,
+        "q_cube_revenue": q_cube_revenue,
+        "q_above_type_avg": q_above_type_avg,
+        "q_supplier_volume": q_supplier_volume,
+        "q_trailing_week_revenue": q_trailing_week_revenue,
+        "q_sole_late_supplier": q_sole_late_supplier,
+        "bf_counter_rollup_5m": bf_counter_rollup_5m,
+        "bf_counter_merge_20m": bf_counter_merge_20m,
+        "bf_gauge_rollup_5m": bf_gauge_rollup_5m,
+        "bf_set_rollup_20m": bf_set_rollup_20m,
+        "bf_shard_hash": bf_shard_hash,
+        "bf_metric_tokens": bf_metric_tokens,
+        "bf_glob_search": bf_glob_search,
+        "bf_glob_braces": bf_glob_braces,
+        "bf_metric_names_browse": bf_metric_names_browse,
+        "bf_events_range": bf_events_range,
+        "bf_events_tags": bf_events_tags,
+        "bf_token_doc_counts": bf_token_doc_counts,
+        "bf_range_join": bf_range_join,
+        "bf_units_enrichment": bf_units_enrichment,
+        "bf_multi_series_fetch": bf_multi_series_fetch,
+        "bf_gapfill_series": bf_gapfill_series,
+        "ev_funnel_conversion": ev_funnel_conversion,
+        "ev_top_paths": ev_top_paths,
+        "llm_text_stats": llm_text_stats,
+        "llm_doc_fingerprint": llm_doc_fingerprint,
+        "llm_ngram_jaccard": llm_ngram_jaccard,
+        "bf_repair_on_read": bf_repair_on_read,
+        "ev_funnel_3step": ev_funnel_3step,
+        "llm_dedup_exact": llm_dedup_exact,
+        "llm_ann_cosine_topk": llm_ann_cosine_topk,
+        "bf_asof_enrich": bf_asof_enrich,
+        "bf_sessionize": bf_sessionize,
+        "q_cheapest_supplier": q_cheapest_supplier,
+        "bf_anomaly_zscore": bf_anomaly_zscore,
+        "llm_minhash_signatures": llm_minhash_signatures,
+        "bf_basic_rollup_5m": bf_basic_rollup_5m,
+        "q_grouping_sets": q_grouping_sets,
+        "q_semi_anti": q_semi_anti,
+        "q_distinct_agg": q_distinct_agg,
+        "q_set_ops": q_set_ops,
+        "q_pivot_status": q_pivot_status,
         "bf_basic_merge_20m": bf_basic_merge_20m,
         "api_get_view": api_get_view,
         "llm_pipeline_output": llm_pipeline_output,
@@ -6637,55 +6593,96 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_token_budget_mix": llm_token_budget_mix,
         "llm_bm25_topk": llm_bm25_topk,
         "llm_label_centroids": llm_label_centroids,
-        "q03_top_orders": q03_top_orders,
-        "q05_region_revenue": q05_region_revenue,
-        "q06_forecast_revenue": q06_forecast_revenue,
-        "q_window_running": q_window_running,
-        "q_cube_revenue": q_cube_revenue,
-        "q_grouping_sets": q_grouping_sets,
-        "q_semi_anti": q_semi_anti,
-        "q_distinct_agg": q_distinct_agg,
-        "q_set_ops": q_set_ops,
-        "q_pivot_status": q_pivot_status,
-        "q_above_type_avg": q_above_type_avg,
-        "q_supplier_volume": q_supplier_volume,
-        "q_trailing_week_revenue": q_trailing_week_revenue,
-        "q_sole_late_supplier": q_sole_late_supplier,
-        "bf_counter_rollup_5m": bf_counter_rollup_5m,
-        "bf_counter_merge_20m": bf_counter_merge_20m,
-        "bf_gauge_rollup_5m": bf_gauge_rollup_5m,
-        "bf_set_rollup_20m": bf_set_rollup_20m,
-        "bf_shard_hash": bf_shard_hash,
-        "bf_metric_tokens": bf_metric_tokens,
-        "bf_glob_search": bf_glob_search,
-        "bf_glob_braces": bf_glob_braces,
-        "bf_metric_names_browse": bf_metric_names_browse,
-        "bf_events_range": bf_events_range,
-        "bf_events_tags": bf_events_tags,
-        "bf_token_doc_counts": bf_token_doc_counts,
-        "bf_range_join": bf_range_join,
-        "bf_units_enrichment": bf_units_enrichment,
-        "bf_multi_series_fetch": bf_multi_series_fetch,
-        "bf_gapfill_series": bf_gapfill_series,
-        "ev_funnel_conversion": ev_funnel_conversion,
-        "ev_top_paths": ev_top_paths,
-        "llm_text_stats": llm_text_stats,
-        "llm_doc_fingerprint": llm_doc_fingerprint,
-        "llm_ngram_jaccard": llm_ngram_jaccard,
-        "bf_repair_on_read": bf_repair_on_read,
-        "ev_funnel_3step": ev_funnel_3step,
-        "llm_dedup_exact": llm_dedup_exact,
-        "llm_ann_cosine_topk": llm_ann_cosine_topk,
-        "bf_asof_enrich": bf_asof_enrich,
-        "bf_sessionize": bf_sessionize,
-        "q_cheapest_supplier": q_cheapest_supplier,
-        "bf_anomaly_zscore": bf_anomaly_zscore,
-        "llm_minhash_signatures": llm_minhash_signatures,
-        "bf_basic_rollup_5m": bf_basic_rollup_5m,
-        "q01_pricing_summary": q01_pricing_summary,
-        "bf_rollup_cascade_60m": bf_rollup_cascade_60m,
-        "llm_train_split": llm_train_split,
-        "llm_quality_score": llm_quality_score,
+        "bf_statsd_normalize": bf_statsd_normalize,
+        "llm_sq8_quantize": llm_sq8_quantize,
+        "llm_multimodal_features": llm_multimodal_features,
+        "llm_semdedup": llm_semdedup,
+        "llm_ann_ivfpq_topk": llm_ann_ivfpq_topk,
+        "llm_contrastive_pairs": llm_contrastive_pairs,
+        "llm_hybrid_rrf": llm_hybrid_rrf,
+        "bf_rate_series": bf_rate_series,
+        "bf_ewma_smooth": bf_ewma_smooth,
+        "bf_m4_downsample": bf_m4_downsample,
+        "bf_histogram_quantile": bf_histogram_quantile,
+        "bf_sustained_breach": bf_sustained_breach,
+        "bf_topk_movers": bf_topk_movers,
+        "bf_seasonal_baseline": bf_seasonal_baseline,
+        "bf_winsorize": bf_winsorize,
+        "llm_dsir_weights": llm_dsir_weights,
+        "llm_incremental_dedup": llm_incremental_dedup,
+        "llm_cdc_chunks": llm_cdc_chunks,
+        "llm_minhash_estimate": llm_minhash_estimate,
+        "api_sql_navigation": api_sql_navigation,
+        "bf_seasonal_naive_forecast": bf_seasonal_naive_forecast,
+        "llm_dedup_keep_best": llm_dedup_keep_best,
+        "bf_tenant_cardinality": bf_tenant_cardinality,
+        "llm_hash_embed": llm_hash_embed,
+        "bf_downtime_report": bf_downtime_report,
+        "bf_delayed_locators": bf_delayed_locators,
+        "bf_reroll_diff": bf_reroll_diff,
+        "bf_rollup_cascade_1440m": bf_rollup_cascade_1440m,
+        "bf_burn_rate": bf_burn_rate,
+        "llm_url_dedup": llm_url_dedup,
+        "llm_embedding_outliers": llm_embedding_outliers,
+        "bf_glob_aggregate": bf_glob_aggregate,
+        "llm_multimodal_plan": llm_multimodal_plan,
+        "llm_heavy_hitters": llm_heavy_hitters,
+        "bf_hll_cardinality": bf_hll_cardinality,
+        "llm_boilerplate_strip": llm_boilerplate_strip,
+        "llm_random_projection": llm_random_projection,
+        "bf_sampled_quantile": bf_sampled_quantile,
+        "bf_zorder_layout": bf_zorder_layout,
+        "llm_dup_spans": llm_dup_spans,
+        "bf_slot_eligibility": bf_slot_eligibility,
+        "bf_unit_history": bf_unit_history,
+        "llm_dup_pagerank": llm_dup_pagerank,
+        "llm_ann_recall_report": llm_ann_recall_report,
+        "ev_attribution": ev_attribution,
+        "llm_word_fuzzy_pairs": llm_word_fuzzy_pairs,
+        "llm_ngram_novelty": llm_ngram_novelty,
+        "llm_silhouette": llm_silhouette,
+        "llm_char_entropy": llm_char_entropy,
+        "bf_compaction_plan": bf_compaction_plan,
+        "llm_ann_filtered_topk": llm_ann_filtered_topk,
+        "ev_type_lift": ev_type_lift,
+        "llm_embedding_drift": llm_embedding_drift,
+        "bf_heatmap_grid": bf_heatmap_grid,
+        "ev_cohort_ltv": ev_cohort_ltv,
+        "bf_trend_slope": bf_trend_slope,
+        "bf_xcorr_lag": bf_xcorr_lag,
+        "bf_alert_hysteresis": bf_alert_hysteresis,
+        "llm_temperature_mix": llm_temperature_mix,
+        "llm_mmr_diversify": llm_mmr_diversify,
+        "llm_winnowing": llm_winnowing,
+        "llm_winnowing_pairs": llm_winnowing_pairs,
+        "llm_vocab_growth": llm_vocab_growth,
+        "llm_source_kl": llm_source_kl,
+        "llm_bpe_pairs": llm_bpe_pairs,
+        "llm_bpe_encode": llm_bpe_encode,
+        "bf_outlier_mad": bf_outlier_mad,
+        "bf_change_cusum": bf_change_cusum,
+        "bf_apdex": bf_apdex,
+        "ev_k_anonymity": ev_k_anonymity,
+        "bf_ladder_audit": bf_ladder_audit,
+        "llm_ann_sq8_topk": llm_ann_sq8_topk,
+        "llm_source_stats": llm_source_stats,
+        "bf_histogram_buckets": bf_histogram_buckets,
+        "ev_props_extract": ev_props_extract,
+        "bf_unit_changes": bf_unit_changes,
+        "llm_lang_id": llm_lang_id,
+        "llm_token_counts": llm_token_counts,
+        "llm_embedding_dup_clusters": llm_embedding_dup_clusters,
+        "bf_timer_merge_20m": bf_timer_merge_20m,
+        "llm_frame_dedup": llm_frame_dedup,
+        "bf_native_histogram_quantile": bf_native_histogram_quantile,
+        "llm_quality_filter": llm_quality_filter,
+        "bf_counter_resets": bf_counter_resets,
+        "llm_bloom_dedup": llm_bloom_dedup,
+        "llm_tokenizer_fertility": llm_tokenizer_fertility,
+        "llm_pack_report": llm_pack_report,
+        "bf_native_histogram": bf_native_histogram,
+        "bf_lttb_downsample": bf_lttb_downsample,
+        "llm_semdedup_pairs": llm_semdedup_pairs,
     }
 
 
