@@ -548,7 +548,12 @@ def kmv_pair_overlap(
     single divisions/products of exact integers — engine-identical."""
     from pyspark.sql.window import Window
 
-    sk = kmv_sketch(df, value_col, [group_col], k, salt)
+    # the sketch is k rows/group but its SUBTREE is the whole corpus
+    # pass (count pre-filter + distinct + rank window); the pair stage
+    # reads it from six join inputs, so materialize it ONCE (lazy
+    # localCheckpoint — the self-join-subtree rule) instead of paying
+    # six corpus scans
+    sk = kmv_sketch(df, value_col, [group_col], k, salt).localCheckpoint(eager=False)
     a = sk.select(F.col(group_col).alias("grp_a"), F.col("h").alias("h"))
     b = sk.select(F.col(group_col).alias("grp_b"), F.col("h").alias("h"))
     pairs = (
