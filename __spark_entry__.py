@@ -6342,6 +6342,19 @@ def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.bpe_encode(docs)
 
 
+def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING (operators/text.py bpe_train — Sennrich
+    et al. 2016): 8 greedy merge rounds over the corpus, each picking
+    the most frequent adjacent symbol pair and applying it everywhere
+    before the next count. Completes the BPE family (llm_bpe_pairs =
+    the one-round preview, llm_bpe_encode = application of a shipped
+    table; this learns the table). One corpus pass compresses to the
+    word-frequency table; every round is vocabulary-sized — the
+    production trainer shape at any corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.bpe_train(docs, n_merges=8)
+
+
 _URL_BLOCKED_DOMAINS = ["src3.example.com", "src7.example.com", "spam.example.net"]
 _URL_BLOCKED_TERMS = ["/doc/13", "/doc/7"]
 
@@ -6486,10 +6499,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # llm_ann_nprobe_sweep: single-pass sweep; bf_timer_pct_map_merge:
     # pre_partition=False ladder; llm_url_blocklist: host hardening +
     # suffix matching; llm_bigram_lm_score: window-sum formulation;
-    # llm_dup_triangles: executable wedge budget) + 40 of the 47
-    # remaining r2-only stamps. The 5 deferred r2 rows (q_grouping_sets,
+    # llm_dup_triangles: executable wedge budget) + the 1 NEW operator
+    # (llm_bpe_train — never stamped, must be in-window) + 39 of the 47
+    # remaining r2-only stamps. The 6 deferred r2 rows (q_grouping_sets,
     # q_semi_anti, q_distinct_agg, q_set_ops, q_pivot_status — untouched
-    # pure-SQL set ops) lead the post-window tail alongside the 44
+    # pure-SQL set ops — and bf_basic_rollup_5m, displaced by
+    # llm_bpe_train) lead the post-window tail alongside the 44
     # r3-stamped entries, which together form the natural r7 window.
     # When editing: anything moved past 50 must already have a green
     # driver row in some round's CORRECTNESS file, or coverage regresses.
@@ -6504,6 +6519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_url_blocklist": llm_url_blocklist,
         "llm_bigram_lm_score": llm_bigram_lm_score,
         "llm_dup_triangles": llm_dup_triangles,
+        "llm_bpe_train": llm_bpe_train,
         "q03_top_orders": q03_top_orders,
         "q05_region_revenue": q05_region_revenue,
         "q06_forecast_revenue": q06_forecast_revenue,
@@ -6895,6 +6911,7 @@ def oracle_sql() -> dict[str, str]:
         "llm_source_kl": TX.source_kl_divergence_sql(),
         "llm_bpe_pairs": TX.bpe_pair_counts_sql(k=50),
         "llm_bpe_encode": TX.bpe_encode_sql(),
+        "llm_bpe_train": TX.bpe_train_sql(n_merges=8),
         "bf_outlier_mad": _BF_OUTLIER_MAD_SQL,
         "bf_change_cusum": _BF_CHANGE_CUSUM_SQL,
         "bf_apdex": _BF_APDEX_SQL,

@@ -2537,6 +2537,137 @@ FROM enc
 """
 
 
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """BPE tokenizer TRAINING (Sennrich et al. 2016 — the learn step
+    whose output bpe_encode applies and bpe_pair_counts previews): N
+    greedy merge rounds, each picking the corpus-wide most frequent
+    adjacent symbol pair (ties broken lexicographically) and applying it
+    everywhere before the next count. Output: the learned merge table
+    (merge_rank, lhs, rhs, merged, pair_count) — the artifact a
+    tokenizer ships.
+
+    Scale design — THE production trainer shape: ONE corpus pass
+    compresses text to the word-frequency table (Sennrich's own trainer
+    does exactly this; pair statistics are identical because pairs never
+    cross word boundaries), and every training round runs on that
+    vocabulary-sized frame — explode adjacent pairs weighted by word
+    freq, one map-side-combined agg, top-1 to the driver (the learned
+    merge is CONTROL state, like a trained quantizer), one map-only
+    literal replace. At 100 TB the word table is ~10⁷ rows regardless
+    of corpus size; rounds cost O(vocab), not O(corpus).
+
+    Cross-engine determinism: words are encoded as double-space-joined
+    symbol strings (' w  o  r  d  </w> ') so each symbol owns its
+    flanking spaces and adjacent pair matches share NO characters —
+    left-to-right non-overlapping literal replace is then exactly the
+    greedy merge fold, and Spark's replace() and DuckDB's replace()
+    agree byte-for-byte. Words are lowercased ^[a-z]+$ (symbols stay
+    literal-safe); counts are exact integers."""
+    wf = (
+        docs.select(F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w"))
+        .filter(F.col("w").rlike("^[a-z]+$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    s0 = F.concat(
+        F.lit(" "),
+        F.concat_ws(
+            "  ",
+            F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+            F.lit("</w>"),
+        ),
+        F.lit(" "),
+    )
+    # tiny local frame: repartition(1) (NOT coalesce — the Spark 4.1
+    # fast-path trap in NOTES) + lazy checkpoint per round keeps each
+    # round's lineage flat
+    syms = wf.select("freq", s0.alias("s")).repartition(1).localCheckpoint(eager=False)
+    toks = (
+        "transform(split(trim(s), '  '), x -> trim(x))"
+    )
+    pair_expr = (
+        f"CASE WHEN size({toks}) < 2 THEN array() "
+        f"ELSE transform(sequence(1, size({toks}) - 1), "
+        f"i -> struct(element_at({toks}, i) AS a, element_at({toks}, i + 1) AS b)) END"
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    for r in range(1, n_merges + 1):
+        best = (
+            syms.select("freq", F.explode(F.expr(pair_expr)).alias("p"))
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
+        merges.append((r, a, b, a + b, cnt))
+        syms = syms.select(
+            "freq",
+            F.replace(F.col("s"), F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")).alias("s"),
+        ).localCheckpoint(eager=False)
+    return docs.sparkSession.createDataFrame(
+        merges, "merge_rank int, lhs string, rhs string, merged string, pair_count long"
+    ).repartition(1)
+
+
+def bpe_train_sql(n_merges: int = 8) -> str:
+    """DuckDB twin: the same greedy trainer with the rounds unrolled
+    into chained CTEs (the pagerank_sql pattern); the double-space
+    symbol encoding makes its replace() the same algorithm.
+
+    Every CTE is AS MATERIALIZED: w_r references p_r three times and
+    w_{r-1} once, and p_r references w_{r-1} again — inlined (DuckDB's
+    default for single-reference CTEs feeding chains), the plan tree
+    grows ~4^n and the optimizer never returns at n=6. Materialization
+    makes each round O(vocab) like the Spark side's checkpoints."""
+    ctes = [
+        """wf AS MATERIALIZED (
+  SELECT w, count(*) AS freq FROM (
+    SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+  ) WHERE regexp_matches(w, '^[a-z]+$') GROUP BY w
+)""",
+        """w0 AS MATERIALIZED (
+  SELECT ' ' || array_to_string(
+           list_append(list_transform(range(1, len(w) + 1), i -> w[i]), '</w>'),
+           '  ') || ' ' AS s, freq
+  FROM wf
+)""",
+    ]
+    for r in range(1, n_merges + 1):
+        ctes.append(
+            f"""p{r} AS MATERIALIZED (
+  SELECT a, b, cnt FROM (
+    SELECT t[i + 1] AS a, t[i + 2] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+    FROM (SELECT list_transform(string_split(trim(s), '  '), x -> trim(x)) AS t, freq
+          FROM w{r - 1}),
+         UNNEST(range(len(t) - 1)) AS u(i)
+    GROUP BY 1, 2
+  ) ORDER BY cnt DESC, a, b LIMIT 1
+)"""
+        )
+        ctes.append(
+            f"""w{r} AS MATERIALIZED (
+  SELECT replace(s,
+                 ' ' || (SELECT a FROM p{r}) || '  ' || (SELECT b FROM p{r}) || ' ',
+                 ' ' || (SELECT a FROM p{r}) || (SELECT b FROM p{r}) || ' ') AS s, freq
+  FROM w{r - 1}
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT {r} AS merge_rank, a AS lhs, b AS rhs, a || b AS merged,"
+        f" cnt AS pair_count FROM p{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + union
+
+
 def winnowing_pairs(
     docs: DataFrame,
     text_col: str = "text",

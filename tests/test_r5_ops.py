@@ -516,3 +516,44 @@ def test_kmv_estimate_reasonable(spark):
     r = kmv_pair_overlap(df, "v", "g", k=64).collect()[0]
     assert r["exact_intersection"] == 200
     assert 100 <= r["est_intersection"] <= 400, r["est_intersection"]
+
+
+# ---------------------------------------------------------------------------
+# BPE training (r6)
+# ---------------------------------------------------------------------------
+
+def test_bpe_train_known_corpus(spark):
+    """Hand-computed BPE on the classic toy corpus: 'low' x5, 'lower' x2,
+    'newest' x6, 'widest' x3 (Sennrich et al. 2016 example, </w>
+    terminator). First merges: (e,s) 9, then (es,t) 9, then (est,</w>) 9,
+    then (l,o) 7..."""
+    from blueflood_spark.operators.text import bpe_train
+
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    docs = _df(spark, [(1, text)], "doc_id long, text string")
+    got = [(r.merge_rank, r.lhs, r.rhs, r.merged, r.pair_count)
+           for r in bpe_train(docs, n_merges=4).orderBy("merge_rank").collect()]
+    assert got == [
+        (1, "e", "s", "es", 9),
+        (2, "es", "t", "est", 9),
+        (3, "est", "</w>", "est</w>", 9),
+        (4, "l", "o", "lo", 7),
+    ]
+
+
+def test_bpe_train_sql_twin_matches(spark):
+    """The DuckDB twin must learn the identical merge table (same greedy
+    algorithm, same double-space replace encoding)."""
+    import duckdb
+
+    from blueflood_spark.operators.text import bpe_train, bpe_train_sql
+
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    docs = _df(spark, [(1, text)], "doc_id long, text string")
+    got = [(r.merge_rank, r.lhs, r.rhs, r.merged, r.pair_count)
+           for r in bpe_train(docs, n_merges=6).orderBy("merge_rank").collect()]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT 1 AS doc_id, '{text}' AS text")
+    want = [tuple(r) for r in con.execute(
+        bpe_train_sql(n_merges=6) + " ORDER BY merge_rank").fetchall()]
+    assert got == want
