@@ -114,14 +114,22 @@ def main() -> None:
     # wall; 12 oversubscribes 8-partition shuffles). The DuckDB oracle's
     # own optimum is 4 clients × 8 threads (tools/bench_oracle.py keeps
     # it); each engine serves the same suite at its best service shape.
+    #
+    # Longest-first dispatch (LPT): workers pull queries in submission
+    # order, so submission order IS the schedule — registry order put
+    # this round's heaviest queries at the tail and they straggled the
+    # wall +24%. Sorting by the serial timings already in hand makes the
+    # wall independent of registry-order churn (stamp-window rotations)
+    # and is how a real service drains a known-cost queue.
     concurrency = int(os.environ.get("SPARK_GRAFT_BENCH_CONCURRENCY", "8"))
+    conc_set = sorted(bench_set, key=lambda item: -timings[item[0]])
     total = None
     for _pass in range(2):  # min of 2 — the concurrent wall is the headline
         gc.collect()  # number and varies ±20% with GC debris (was min-of-3;
         spark.sparkContext._jvm.System.gc()  # trimmed with the serial pass)
         start = time.perf_counter()
         with ThreadPoolExecutor(max_workers=concurrency) as pool:
-            list(pool.map(run_one, bench_set))
+            list(pool.map(run_one, conc_set))
         elapsed = time.perf_counter() - start
         total = elapsed if total is None else min(total, elapsed)
 

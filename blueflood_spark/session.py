@@ -33,7 +33,12 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # 32g: the bench executes the 190-query suite twice serially +
+        # twice concurrently in one JVM; at 16g the accumulated
+        # checkpoint blocks + code cache pushed GC into the timings
+        # (±15% run-to-run serial drift). A 128 GiB box would run the
+        # driver this size in production anyway.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
         # managed tables (bucketed rollup storage) land outside the repo
         .config(
