@@ -456,6 +456,7 @@ def kmv_sketch(
     keys: list[str],
     k: int = 64,
     salt: str = "kmv",
+    prefilter_margin: int = 4,
 ) -> DataFrame:
     """The KMV sketch table: per group, the k smallest md5-derived
     32-bit hashes of the DISTINCT values (Beyer et al. 2007). Mergeable
@@ -488,7 +489,7 @@ def kmv_sketch(
         10,
     ).cast("long")
     full = (1 << 32) - 1
-    margin = 4
+    margin = prefilter_margin  # exposed so tests can force the fallback
     hashed = df.select(*keys, h.alias("h"))
     bounds = (
         df.groupBy(*keys)
@@ -510,11 +511,16 @@ def kmv_sketch(
     w = Window.partitionBy(*keys).orderBy("h")
     ranked = distinct.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
     # groups whose filtered sketch came up short (possible only when the
-    # bound actually cut something): recompute those exactly, unfiltered
+    # bound actually cut something): recompute those exactly, unfiltered.
+    # Derived from `bounds` (ALL groups), not from `ranked` — a group
+    # whose filter cut every row would be absent from `ranked` entirely
+    # and a ranked-derived check would silently drop it instead of
+    # falling back.
+    got = ranked.groupBy(*keys).agg(F.count(F.lit(1)).alias("_got"))
     unsafe = (
-        ranked.groupBy(*keys)
-        .agg(F.count(F.lit(1)).alias("_got"), F.max("_h_bound").alias("_b"))
-        .filter((F.col("_got") < k) & (F.col("_b") < full))
+        bounds.filter(F.col("_h_bound") < full)
+        .join(got, list(keys), "left")
+        .filter(F.coalesce(F.col("_got"), F.lit(0)) < k)
         .select(*keys)
     )
     safe = ranked.join(F.broadcast(unsafe), keys, "left_anti").select(*keys, "rank", "h")

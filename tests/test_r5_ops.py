@@ -557,3 +557,19 @@ def test_bpe_train_sql_twin_matches(spark):
     want = [tuple(r) for r in con.execute(
         bpe_train_sql(n_merges=6) + " ORDER BY merge_rank").fetchall()]
     assert got == want
+
+
+def test_kmv_prefilter_fallback_exact(spark):
+    """Force the pre-filter to cut EVERYTHING (margin=0 → bound=0 for
+    every estimated-large group): the unfiltered fallback must recover
+    the exact same sketch the default path produces — including groups
+    the filter would otherwise drop entirely."""
+    from blueflood_spark.operators.sketches import kmv_sketch
+
+    rows = [(f"g{i % 3}", v) for i in range(3) for v in range(500)]
+    df = _df(spark, rows, "g string, v long")
+    want = {(r.g, r.rank, r.h) for r in kmv_sketch(df, "v", ["g"], k=16).collect()}
+    got = {(r.g, r.rank, r.h)
+           for r in kmv_sketch(df, "v", ["g"], k=16, prefilter_margin=0).collect()}
+    assert got == want
+    assert len({g for g, _, _ in got}) == 3  # no group silently dropped
