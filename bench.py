@@ -95,7 +95,15 @@ def main() -> None:
     for name, fn in bench_set:
         timed(name, fn)
     for name, fn in bench_set:
-        timed(name, fn)
+        # pass 2 for everything above the 0.5s line (the r5-verdict
+        # protocol): min-of-2 de-noises every query where jitter is a
+        # visible fraction of the timing; below 0.5s the plan-compile
+        # constant dominates and a full second pass pushed the whole
+        # tool against its 10-min budget on slow-ambient runs. The
+        # threshold is FIXED so round-over-round comparability holds:
+        # every round measures sub-0.5s queries the same (cold) way.
+        if timings[name] > 0.5:
+            timed(name, fn)
     serial_total = sum(timings.values())
 
     # The headline number is the wall-clock to complete the WHOLE suite

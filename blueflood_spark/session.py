@@ -33,12 +33,12 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # 32g: the bench executes the 190-query suite twice serially +
-        # twice concurrently in one JVM; at 16g the accumulated
-        # checkpoint blocks + code cache pushed GC into the timings
-        # (±15% run-to-run serial drift). A 128 GiB box would run the
-        # driver this size in production anyway.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        # 16g, measured: 32g was tried to damp the ±15% run-to-run
+        # serial drift and made things WORSE — bench calls System.gc()
+        # after heavy queries, and an explicit full GC on a 32g heap is
+        # a multi-second stop-the-world (the 120 calls blew the bench
+        # past its 10-min budget). The drift is ambient, not heap.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         # managed tables (bucketed rollup storage) land outside the repo
         .config(
