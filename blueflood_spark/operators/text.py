@@ -1651,9 +1651,14 @@ def bigram_lm_score(
     # and the shuffles carry fixed 8-byte keys instead of arbitrary-
     # length text at corpus scale. wk is functionally dependent on gk
     # (same w2 within a gram group), so min() is a constant pick.
+    # lazily materialized: the vocab branch below reads per_doc too, and
+    # WITHOUT the checkpoint Catalyst prunes min(wk) out of the main
+    # branch's aggregate — the two branches' plans then differ, exchange
+    # reuse never fires, and the corpus is tokenized+exploded TWICE
+    # (measured: the whole vocab subtree re-ran as its own scan)
     per_doc = grams.groupBy(id_col, "gk", "ck").agg(
         F.count("*").alias("n"), F.min("wk").alias("wk")
-    )
+    ).localCheckpoint(eager=False)
     # vocab stays IN the DAG as a broadcast 1-row frame: a driver-side
     # count() here would eagerly evaluate the whole bigram pipeline a
     # second time (tokenize twice, one extra job per call).

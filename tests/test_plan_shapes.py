@@ -1,0 +1,130 @@
+"""Plan-shape regression guards: the r4-r6 plan work (exchange
+elision, broadcast choices, single-pass rewrites, top-k pushdown) as
+EXECUTABLE assertions, so a future edit that quietly re-adds a shuffle
+or degrades a hash join to a nested loop fails in CI instead of in the
+bench. Analysis-only — explainString plans the query but runs no jobs.
+
+Counts are asserted as upper bounds where Spark-version drift could
+move them; the load-bearing facts (ONE shuffle in the cascade, ONE
+semi join in the sweep, NO nested-loop in the blocklist) are exact."""
+
+import re
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, df, execute: bool = False) -> str:
+    if execute:
+        # shared-subtree reuse (ReusedExchange) and AQE's final shape only
+        # appear in the executed plan; sf0.001 keeps the run trivial
+        df.write.mode("overwrite").format("noop").save()
+    return spark._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+
+
+def _shuffles(plan: str) -> int:
+    # shuffle exchanges only: exclude BroadcastExchange and ReusedExchange
+    return len(re.findall(r"[+:]- Exchange ", plan))
+
+
+def _broadcasts(plan: str) -> int:
+    return len(re.findall(r"[+:]- BroadcastExchange", plan))
+
+
+def _q(spark, name):
+    import __spark_entry__ as E
+
+    return E.queries()[name](spark, SF)
+
+
+def test_cascade_rides_one_locator_shuffle(spark):
+    """bf_rollup_cascade_60m: the whole 5m→60m ladder reuses the single
+    locator repartition — the 1-vs-5-full-shuffles fact SCALING.md leads
+    with."""
+    plan = _plan(spark, _q(spark, "bf_rollup_cascade_60m"))
+    assert _shuffles(plan) == 1, plan[:2000]
+
+
+def test_timer_pct_ladder_shuffles_only_partials(spark):
+    """bf_timer_pct_map_merge (r6, pre_partition=False): 2 pruned scans,
+    ≤4 post-aggregation exchanges, the timer↔pct join is a broadcast —
+    and NO raw-volume repartition (REPARTITION_BY_COL) anywhere."""
+    plan = _plan(spark, _q(spark, "bf_timer_pct_map_merge"))
+    assert "REPARTITION_BY_COL" not in plan, plan[:2000]
+    assert _shuffles(plan) <= 4, plan[:2000]
+    assert _broadcasts(plan) >= 1, plan[:2000]
+
+
+def test_bigram_lm_uses_window_sums_not_model_joins(spark):
+    """llm_bigram_lm_score (r6): corpus stats are unbounded window sums —
+    ≤4 live shuffle exchanges in the EXECUTED plan (the per-doc frame's
+    exchange is reused by the vocab branch) and NO SortMergeJoin (the
+    model-relation shape had two)."""
+    plan = _plan(spark, _q(spark, "llm_bigram_lm_score"), execute=True)
+    live = _shuffles(plan) - len(re.findall(r"[+:]- ReusedExchange", plan))
+    assert live <= 5, plan[:2500]
+    assert "SortMergeJoin" not in plan, plan[:2500]
+    assert plan.count("Window") >= 2, plan[:2500]
+
+
+def test_nprobe_sweep_is_single_pass(spark):
+    """llm_ann_nprobe_sweep (r6): ONE semi join against the exact arm
+    (the 5-pipeline shape had four) and the rank window carries the
+    top-k pushdown (WindowGroupLimit)."""
+    plan = _plan(spark, _q(spark, "llm_ann_nprobe_sweep"))
+    assert plan.count("LeftSemi") == 1, plan[:2000]
+    assert "WindowGroupLimit" in plan, plan[:2000]
+
+
+def test_url_blocklist_stays_hash_join(spark):
+    """llm_url_blocklist (r6): registrable-suffix matching must stay a
+    broadcast HASH equi-join — an endswith OR-condition would degrade to
+    BroadcastNestedLoopJoin and scan the blocklist per row."""
+    plan = _plan(spark, _q(spark, "llm_url_blocklist"))
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_kmv_pair_stage_reads_materialized_sketch(spark):
+    """bf_kmv_overlap (r6): the pair stage must read the checkpointed
+    sketch (Scan ExistingRDD), not re-derive the corpus-pass subtree per
+    join input — the 6-corpus-scans regression."""
+    plan = _plan(spark, _q(spark, "bf_kmv_overlap"))
+    assert "Scan ExistingRDD" in plan, plan[:2000]
+    # the exact-intersection report arm scans the source; the sketch
+    # subtree appearing ≥4 more times would mean the checkpoint is gone
+    assert plan.count("approx_count_distinct") <= 1, plan[:2000]
+
+
+def test_triangles_carry_the_wedge_guard(spark):
+    """llm_dup_triangles (r6): the executable wedge budget (raise_error
+    on Σ outdeg²) must be present in the plan."""
+    plan = _plan(spark, _q(spark, "llm_dup_triangles"))
+    assert "raise_error" in plan, plan[:2000]
+
+
+def test_flagship_scan_prunes_columns_and_pushes_filters(spark):
+    """q01: the lineitem scan must read only the referenced columns and
+    carry the date predicate as a pushed filter."""
+    import __spark_entry__ as E
+
+    df = E.queries()["q01_pricing_summary"](spark, SF)
+    plan = spark._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters: [" in plan and "IsNotNull" in plan or "LessThanOrEqual" in plan, plan[:2000]
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and len(m.group(1).split(",")) <= 7, (m and m.group(1))
+
+
+def test_units_enrichment_broadcasts_the_catalog(spark):
+    """bf_units_enrichment (J1): the catalog side must broadcast — the
+    fact side never shuffles for the join."""
+    plan = _plan(spark, _q(spark, "bf_units_enrichment"))
+    assert "BroadcastHashJoin" in plan, plan[:2000]
