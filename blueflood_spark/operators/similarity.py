@@ -16,9 +16,24 @@ repeated query batches co-locate without reshuffling.
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+
+def _qualify(pred_sql: str, col: str, alias: str) -> str:
+    """Qualify bare `col` references in a predicate with `alias.` —
+    word-boundary regex (a plain str.replace corrupts predicates where
+    the column name is a substring of another identifier, and becomes a
+    silent no-op if the spelling drifts; the ADVICE-flagged class).
+    Raises when the predicate doesn't reference the column at all."""
+    pat = _re.compile(rf"(?<![\w.]){_re.escape(col)}(?!\w)")
+    out, n = pat.subn(f"{alias}.{col}", pred_sql)
+    if n == 0:
+        raise ValueError(f"predicate {pred_sql!r} does not reference {col!r}")
+    return out
 
 DIMS = 64
 PLANES = 16  # total hyperplanes = signature bits
@@ -208,7 +223,7 @@ def lsh_bucketed_topk_sql(
     unions = "\nUNION\n".join(
         f"SELECT q.vec_id AS q_id, q.embedding AS q_emb, c.vec_id AS c_id, c.embedding AS c_emb "
         f"FROM banded q JOIN banded c ON q.band_{b} = c.band_{b} "
-        f"AND q.vec_id != c.vec_id AND ({query_pred_sql.replace('vec_id', 'q.vec_id')})"
+        f"AND q.vec_id != c.vec_id AND ({_qualify(query_pred_sql, 'vec_id', 'q')})"
         for b in range(bands)
     )
     return f"""
@@ -874,7 +889,7 @@ qtab AS (
   SELECT q.{id_col} AS q_id,
          {dtab_cols}
   FROM embeddings q CROSS JOIN cents c
-  WHERE ({query_pred_sql.replace(id_col, f'q.{id_col}')})
+  WHERE ({_qualify(query_pred_sql, id_col, 'q')})
   GROUP BY q.{id_col}
 ),
 scored AS (
@@ -1521,13 +1536,13 @@ coded_lists AS (
 probes AS (
   SELECT {id_col} AS q_id, cent_id AS list_id
   FROM ranked r
-  WHERE ({query_pred_sql.replace(id_col, f'r.{id_col}')}) AND cent_rank <= {n_probe}
+  WHERE ({_qualify(query_pred_sql, id_col, 'r')}) AND cent_rank <= {n_probe}
 ),
 qtab AS (
   SELECT q.{id_col} AS q_id,
          {dtab_cols}
   FROM embeddings q CROSS JOIN pq_cents c
-  WHERE ({query_pred_sql.replace(id_col, f'q.{id_col}')})
+  WHERE ({_qualify(query_pred_sql, id_col, 'q')})
   GROUP BY q.{id_col}
 ),
 cands AS (
@@ -1636,7 +1651,7 @@ WITH scored AS (
          c.{id_col} AS c_id, c.label AS c_label,
          {cos} AS cosine
   FROM embeddings q CROSS JOIN embeddings c
-  WHERE ({anchor_pred_sql.replace(id_col, f'q.{id_col}')}) AND q.{id_col} != c.{id_col}
+  WHERE ({_qualify(anchor_pred_sql, id_col, 'q')}) AND q.{id_col} != c.{id_col}
 )
 SELECT q_id, q_label AS label,
        (min(struct_pack(nc := -cosine, c := c_id)) FILTER (WHERE c_label = q_label)).c AS pos_id,
