@@ -119,3 +119,28 @@ def test_url_host_matches_urllib(spark):
         p = urlparse(u.lower())
         want = (p.hostname or "").removeprefix("www.")
         assert out[i] == want, (u, out[i], want)
+
+
+# ---------------------------------------------------------------------------
+# train → encode composition
+# ---------------------------------------------------------------------------
+
+def test_bpe_train_feeds_encode(spark):
+    """The learned merge table drives the encoder: applying bpe_train's
+    word-internal merges (the </w>-terminator merges don't exist in the
+    encoder's boundary encoding) must never grow any document's token
+    count, and must shrink the corpus total — training actually
+    compresses the corpus it trained on."""
+    from blueflood_spark.operators.text import bpe_encode, bpe_train
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    learned = [
+        (r.lhs, r.rhs)
+        for r in bpe_train(docs, n_merges=8).orderBy("merge_rank").collect()
+        if "</w>" not in (r.lhs, r.rhs)
+    ]
+    assert learned, "no word-internal merges learned"
+    base = {r.doc_id: r.n_tokens_bpe for r in bpe_encode(docs, merges=[]).collect()}
+    enc = {r.doc_id: r.n_tokens_bpe for r in bpe_encode(docs, merges=learned).collect()}
+    assert all(enc[d] <= base[d] for d in base)
+    assert sum(enc.values()) < sum(base.values())
