@@ -2474,12 +2474,6 @@ def ivf_nprobe_sweep(
     once (priced by the query set, lazily checkpointed). Output: one
     row per n_probe with exact hit counts and mean recall =
     total_hits / (k·n_queries) — a single division of exact integers."""
-    q = emb.filter(query_filter).select(
-        F.col(id_col).alias("q_id"), F.col(emb_col).alias("q_emb")
-    )
-    c = emb.select(F.col(id_col).alias("c_id"), F.col(emb_col).alias("c_emb"))
-    exact = cosine_topk(q, c, k).select("q_id", "c_id").localCheckpoint(eager=False)
-    n_q = exact.agg(F.countDistinct("q_id").alias("n_queries"))
     pmax = max(probes)
     ranked = _ivf_ranked(emb, n_lists, id_col, emb_col)
     lists = ranked.select(
@@ -2504,6 +2498,26 @@ def ivf_nprobe_sweep(
         .filter(F.col("q_id") != F.col("c_id"))
         .select("q_id", "c_id", _cosine("q_emb", "c_emb").alias("cosine"), "probe_rank")
     )
+    if pmax >= n_lists:
+        # every list is probed at the top sweep level, so the candidate
+        # pool IS the full query×corpus pair set — the exact arm is a
+        # rank over the SAME cosines (identical kernel, identical
+        # ordering), not a second corpus pass. Materialize the pool once
+        # for its three consumers (exact rank, sweep window, semi-join).
+        cands = cands.localCheckpoint(eager=False)
+        we = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
+        exact = (
+            cands.withColumn("_xr", F.row_number().over(we))
+            .filter(F.col("_xr") <= k)
+            .select("q_id", "c_id")
+        )
+    else:
+        q = emb.filter(query_filter).select(
+            F.col(id_col).alias("q_id"), F.col(emb_col).alias("q_emb")
+        )
+        c = emb.select(F.col(id_col).alias("c_id"), F.col(emb_col).alias("c_emb"))
+        exact = cosine_topk(q, c, k).select("q_id", "c_id").localCheckpoint(eager=False)
+    n_q = exact.agg(F.countDistinct("q_id").alias("n_queries"))
     # tag each pair with every sweep level that admits it — candidate
     # ROWS fan out (≤ |probes|×), the cosine is computed exactly once
     admitted = cands.withColumn(
