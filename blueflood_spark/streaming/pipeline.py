@@ -1131,7 +1131,12 @@ def read_kmv_sketch(
 ) -> DataFrame:
     """Merged KMV sketch over all maintained partials: k-minimum lattice
     merge — distinct hashes (the same value lands in several batches'
-    sketches), then one rank window over ≤ k × n_batches rows/group."""
+    sketches), then one rank window over ≤ k × n_batches rows/group.
+
+    CONTRACT: `k` must be ≤ the k the maintenance job wrote with — the
+    partials only retain their writer's k smallest hashes, so a larger
+    read-side k would silently return values that are NOT the true
+    k-minimum set (rank > writer-k rows can be wrong)."""
     from pyspark.sql.window import Window
 
     parts = spark.read.parquet(kmv_path.rstrip("/"))
