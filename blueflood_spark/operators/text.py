@@ -2542,10 +2542,38 @@ FROM enc
 """
 
 
+def _bpe_train_local(
+    word_freqs: list[tuple[str, int]], n_merges: int
+) -> list[tuple[int, str, str, str, int]]:
+    """Driver-local greedy merge rounds over the word-frequency table —
+    the EXACT semantics of the distributed loop below (double-space
+    symbol encoding, `cnt DESC, a, b` tie-break, left-to-right
+    non-overlapping literal replace; Python str ops match Spark/DuckDB
+    byte-for-byte on these ASCII-only symbols)."""
+    syms = [
+        (" " + "  ".join(list(w) + ["</w>"]) + " ", f) for w, f in word_freqs
+    ]
+    merges: list[tuple[int, str, str, str, int]] = []
+    for r in range(1, n_merges + 1):
+        cnt: dict[tuple[str, str], int] = {}
+        for s, f in syms:
+            toks = [t.strip() for t in s.strip().split("  ")]
+            for a, b in zip(toks, toks[1:]):
+                cnt[(a, b)] = cnt.get((a, b), 0) + f
+        if not cnt:
+            break
+        (a, b), c = min(cnt.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((r, a, b, a + b, int(c)))
+        pat, rep = f" {a}  {b} ", f" {a}{b} "
+        syms = [(s.replace(pat, rep), f) for s, f in syms]
+    return merges
+
+
 def bpe_train(
     docs: DataFrame,
     n_merges: int = 8,
     text_col: str = "text",
+    driver_vocab_limit: int = 5_000_000,
 ) -> DataFrame:
     """BPE tokenizer TRAINING (Sennrich et al. 2016 — the learn step
     whose output bpe_encode applies and bpe_pair_counts previews): N
@@ -2558,12 +2586,17 @@ def bpe_train(
     Scale design — THE production trainer shape: ONE corpus pass
     compresses text to the word-frequency table (Sennrich's own trainer
     does exactly this; pair statistics are identical because pairs never
-    cross word boundaries), and every training round runs on that
-    vocabulary-sized frame — explode adjacent pairs weighted by word
-    freq, one map-side-combined agg, top-1 to the driver (the learned
-    merge is CONTROL state, like a trained quantizer), one map-only
-    literal replace. At 100 TB the word table is ~10⁷ rows regardless
-    of corpus size; rounds cost O(vocab), not O(corpus).
+    cross word boundaries), then the greedy rounds run DRIVER-LOCAL on
+    that table — the learned merge list is CONTROL state, like a trained
+    quantizer, and at 100 TB the word table is ~10⁷ rows (hundreds of
+    MB) regardless of corpus size, which is exactly why every production
+    trainer (Sennrich's learn_bpe.py, sentencepiece, HF tokenizers) is
+    single-node after the counting pass. Vocabularies past
+    `driver_vocab_limit` fall back to the distributed round loop
+    (explode pairs weighted by word freq, one map-side-combined agg,
+    top-1 to the driver, one map-only literal replace per round) — same
+    semantics, O(vocab) per round, but each round pays a driver-sync job
+    (~0.2 s), which is why the local path is the default.
 
     Cross-engine determinism: words are encoded as double-space-joined
     symbol strings (' w  o  r  d  </w> ') so each symbol owns its
@@ -2578,6 +2611,16 @@ def bpe_train(
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
+    # one corpus pass serves both the size probe and the collect
+    wf = wf.localCheckpoint(eager=False)
+    if wf.count() <= driver_vocab_limit:
+        merges = _bpe_train_local(
+            [(r["w"], int(r["freq"])) for r in wf.collect()], n_merges
+        )
+        return docs.sparkSession.createDataFrame(
+            merges,
+            "merge_rank int, lhs string, rhs string, merged string, pair_count long",
+        ).repartition(1)
     s0 = F.concat(
         F.lit(" "),
         F.concat_ws(
