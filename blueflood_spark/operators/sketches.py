@@ -481,8 +481,27 @@ def kmv_sketch(
     while filtered is recomputed unfiltered via a broadcast semi-join
     fallback (expected empty — the plan carries it lazily, no driver
     sync). Groups with n̂ ≤ margin·k skip the filter entirely."""
-    from pyspark.sql.window import Window
+    arrays = _kmv_sketch_arrays(df, value_col, keys, k, salt, prefilter_margin)
+    return arrays.select(
+        *keys, F.posexplode(F.col("hs")).alias("_pos", "h")
+    ).select(*keys, (F.col("_pos") + 1).alias("rank"), "h")
 
+
+def _kmv_sketch_arrays(
+    df: DataFrame,
+    value_col: str,
+    keys: list[str],
+    k: int,
+    salt: str,
+    prefilter_margin: int,
+) -> DataFrame:
+    """kmv_sketch's engine: per group the SORTED ARRAY `hs` of the k
+    smallest distinct hashes (plus the group keys). One map-side-combined
+    collect_set aggregation replaces the distinct shuffle + rank-window
+    sort of the row formulation — the pre-filter bounds each group's set
+    to ~margin·k elements, so the partial sets stay tiny — and the pair
+    stage (kmv_pair_overlap) consumes the arrays directly, turning its
+    per-pair union/rank/flag pipeline into single-stage array math."""
     h = F.conv(
         F.substring(F.md5(F.concat(F.lit(salt), F.col(value_col).cast("string"))), 1, 8),
         16,
@@ -507,30 +526,27 @@ def kmv_sketch(
         )
     )
     filtered = hashed.join(F.broadcast(bounds), keys).filter(F.col("h") <= F.col("_h_bound"))
-    distinct = filtered.distinct()
-    w = Window.partitionBy(*keys).orderBy("h")
-    ranked = distinct.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+    def topk_agg(src: DataFrame) -> DataFrame:
+        return src.groupBy(*keys).agg(
+            F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("hs"),
+            F.size(F.collect_set("h")).alias("_got"),
+        )
+
+    agg = topk_agg(filtered)
     # groups whose filtered sketch came up short (possible only when the
     # bound actually cut something): recompute those exactly, unfiltered.
-    # Derived from `bounds` (ALL groups), not from `ranked` — a group
-    # whose filter cut every row would be absent from `ranked` entirely
-    # and a ranked-derived check would silently drop it instead of
-    # falling back.
-    got = ranked.groupBy(*keys).agg(F.count(F.lit(1)).alias("_got"))
+    # Derived from `bounds` (ALL groups), not from `agg` — a group whose
+    # filter cut every row would be absent from `agg` entirely and an
+    # agg-derived check would silently drop it instead of falling back.
     unsafe = (
         bounds.filter(F.col("_h_bound") < full)
-        .join(got, list(keys), "left")
+        .join(agg.select(*keys, "_got"), list(keys), "left")
         .filter(F.coalesce(F.col("_got"), F.lit(0)) < k)
         .select(*keys)
     )
-    safe = ranked.join(F.broadcast(unsafe), keys, "left_anti").select(*keys, "rank", "h")
-    fb = (
-        hashed.join(F.broadcast(unsafe), keys)
-        .distinct()
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(*keys, "rank", "h")
-    )
+    safe = agg.join(F.broadcast(unsafe), list(keys), "left_anti").select(*keys, "hs")
+    fb = topk_agg(hashed.join(F.broadcast(unsafe), list(keys))).select(*keys, "hs")
     return safe.unionByName(fb)
 
 
@@ -552,42 +568,31 @@ def kmv_pair_overlap(
 
     Determinism: hashes are exact integers; ρ and the estimates are
     single divisions/products of exact integers — engine-identical."""
-    from pyspark.sql.window import Window
-
-    # the sketch is k rows/group but its SUBTREE is the whole corpus
-    # pass (count pre-filter + distinct + rank window); the pair stage
-    # reads it from six join inputs, so materialize it ONCE (lazy
-    # localCheckpoint — the self-join-subtree rule) instead of paying
-    # six corpus scans
-    sk = kmv_sketch(df, value_col, [group_col], k, salt).localCheckpoint(eager=False)
-    a = sk.select(F.col(group_col).alias("grp_a"), F.col("h").alias("h"))
-    b = sk.select(F.col(group_col).alias("grp_b"), F.col("h").alias("h"))
-    pairs = (
-        a.select("grp_a").distinct()
-        .join(b.select("grp_b").distinct(), F.col("grp_a") < F.col("grp_b"))
-    )
-    # union sketch per pair: k smallest of the two sketches' rows
-    uni = (
-        pairs.join(a, "grp_a")
-        .unionByName(pairs.join(b, "grp_b").select("grp_a", "grp_b", "h"))
-        .distinct()
-    )
-    w = Window.partitionBy("grp_a", "grp_b").orderBy("h")
-    uk = uni.withColumn("urank", F.row_number().over(w)).filter(F.col("urank") <= k)
-    in_a = a.select(F.col("grp_a").alias("ga"), F.col("h").alias("h")).distinct()
-    in_b = b.select(F.col("grp_b").alias("gb"), F.col("h").alias("h")).distinct()
-    flagged = (
-        uk.join(in_a, (F.col("grp_a") == F.col("ga")) & (uk["h"] == in_a["h"]), "left")
-        .join(in_b, (F.col("grp_b") == F.col("gb")) & (uk["h"] == in_b["h"]), "left")
+    # the sketch is one ARRAY row per group but its SUBTREE is the whole
+    # corpus pass (count pre-filter + collect_set agg + fallback); the
+    # pair stage reads it from both self-join sides, so materialize it
+    # ONCE (lazy localCheckpoint — the self-join-subtree rule)
+    sk = _kmv_sketch_arrays(
+        df, value_col, [group_col], k, salt, prefilter_margin=4
+    ).localCheckpoint(eager=False)
+    a = sk.select(F.col(group_col).alias("grp_a"), F.col("hs").alias("hs_a"))
+    b = sk.select(F.col(group_col).alias("grp_b"), F.col("hs").alias("hs_b"))
+    # per pair, the union sketch U = k smallest of the two sketches'
+    # hashes, then membership flags — all single-stage array math over
+    # one row per group pair (the sketches ARE k-element arrays)
+    uk = F.slice(F.array_sort(F.array_distinct(F.concat("hs_a", "hs_b"))), 1, k)
+    agg = (
+        a.join(F.broadcast(b), F.col("grp_a") < F.col("grp_b"))
+        .select("grp_a", "grp_b", "hs_a", "hs_b", uk.alias("uk"))
         .select(
-            "grp_a", "grp_b", uk["h"].alias("h"), "urank",
-            (F.col("ga").isNotNull() & F.col("gb").isNotNull()).alias("in_both"),
+            "grp_a",
+            "grp_b",
+            F.size("uk").cast("long").alias("k_used"),
+            F.size(
+                F.array_intersect(F.array_intersect("uk", "hs_a"), "hs_b")
+            ).cast("long").alias("n_both"),
+            F.element_at("uk", -1).alias("h_k"),
         )
-    )
-    agg = flagged.groupBy("grp_a", "grp_b").agg(
-        F.count(F.lit(1)).alias("k_used"),
-        F.sum(F.col("in_both").cast("long")).alias("n_both"),
-        F.max("h").alias("h_k"),
     )
     # exact intersection for the report
     dv = df.select(F.col(group_col).alias("g"), F.col(value_col).alias("v")).distinct()
