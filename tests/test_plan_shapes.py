@@ -102,6 +102,25 @@ def test_kmv_pair_stage_reads_materialized_sketch(spark):
     assert plan.count("approx_count_distinct") <= 1, plan[:2000]
 
 
+def test_kmv_sketch_is_one_collect_set_agg(spark):
+    """bf_kmv_overlap (late r6): the sketch is a collect_set aggregation
+    and the pair stage is array math — NO rank window anywhere (the
+    distinct+row_number formulation this replaced), and the union/
+    membership logic rides array expressions, not joins."""
+    plan = _plan(spark, _q(spark, "bf_kmv_overlap"))
+    assert "row_number" not in plan, plan[:2000]
+    assert "array_intersect" in plan, plan[:2000]
+
+
+def test_bpe_train_returns_local_merge_table(spark):
+    """llm_bpe_train (late r6): training runs driver-local on the
+    collected word-frequency table; the RETURNED frame is the merge
+    table itself — no corpus explode/aggregate in its plan."""
+    plan = _plan(spark, _q(spark, "llm_bpe_train"))
+    assert "collect_set" not in plan and "explode" not in plan.lower(), plan[:2000]
+    assert "parquet" not in plan.lower(), plan[:2000]
+
+
 def test_triangles_carry_the_wedge_guard(spark):
     """llm_dup_triangles (r6): the executable wedge budget (raise_error
     on Σ outdeg²) must be present in the plan."""
