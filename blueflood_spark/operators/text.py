@@ -31,6 +31,15 @@ LANG_STOPWORDS = {
 BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
 
 
+def _sql_str(s: str) -> str:
+    """Escape a caller-supplied string for a single-quoted SQL literal —
+    quote doubling, portable to Spark SQL and DuckDB alike. Every *_sql
+    builder that interpolates caller data (query terms, group keys) must
+    route it through here; internal constants (stopword tables, salts)
+    are quote-free by construction."""
+    return s.replace("'", "''")
+
+
 def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace token count + BPE-ish regex token count + char count."""
     txt = F.col(text_col)
@@ -825,7 +834,8 @@ def stratified_sample_sql(
 ) -> str:
     bucket = md5_bucket_sql(id_col, "strat_")
     branches = " ".join(
-        f"WHEN {group_col} = '{src}' THEN {pct}" for src, pct in sorted(rates.items())
+        f"WHEN {group_col} = '{_sql_str(src)}' THEN {pct}"
+        for src, pct in sorted(rates.items())
     )
     rate = f"CASE {branches} ELSE {default_pct} END"
     return f"""
@@ -1166,7 +1176,8 @@ def token_budget_mix_sql(
 ) -> str:
     if budgets:
         branches = " ".join(
-            f"WHEN {group_col} = '{src}' THEN {b}" for src, b in sorted(budgets.items())
+            f"WHEN {group_col} = '{_sql_str(src)}' THEN {b}"
+            for src, b in sorted(budgets.items())
         )
         budget = f"CASE {branches} ELSE {default_budget} END"
     else:
@@ -1250,7 +1261,7 @@ def bm25_topk(
 def bm25_topk_sql(
     query_terms: list[str], k: int = 20, k1: float = 1.2, b: float = 0.75
 ) -> str:
-    terms = ", ".join(f"'{t}'" for t in query_terms)
+    terms = ", ".join(f"'{_sql_str(t)}'" for t in query_terms)
     return f"""
 WITH toks AS (
   SELECT doc_id, len(string_split(text, ' ')) AS doclen,
