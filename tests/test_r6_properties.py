@@ -63,6 +63,34 @@ def test_bpe_train_matches_python_reference(spark, words):
     assert got == _py_bpe(words, 3)
 
 
+@settings(max_examples=3, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=6),
+        min_size=3,
+        max_size=40,
+    )
+)
+def test_bpe_train_local_matches_distributed(spark, words):
+    """The driver-local trainer (default path) and the distributed round
+    loop (vocabularies past driver_vocab_limit) must agree bit-for-bit —
+    driver_vocab_limit=0 forces every vocabulary down the distributed
+    path."""
+    from blueflood_spark.operators.text import bpe_train
+
+    docs = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+
+    def rows(df):
+        return [
+            (r.merge_rank, r.lhs, r.rhs, r.merged, r.pair_count)
+            for r in df.orderBy("merge_rank").collect()
+        ]
+
+    local = rows(bpe_train(docs, n_merges=3))
+    dist = rows(bpe_train(docs, n_merges=3, driver_vocab_limit=0))
+    assert local == dist
+
+
 # ---------------------------------------------------------------------------
 # KMV pre-filter is lossless
 # ---------------------------------------------------------------------------
