@@ -32,11 +32,15 @@ BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
 
 
 def _sql_str(s: str) -> str:
-    """Escape a caller-supplied string for a single-quoted SQL literal —
-    quote doubling, portable to Spark SQL and DuckDB alike. Every *_sql
-    builder that interpolates caller data (query terms, group keys) must
-    route it through here; internal constants (stopword tables, salts)
-    are quote-free by construction."""
+    """Escape a caller-supplied string for a single-quoted DuckDB SQL
+    literal via quote doubling. DuckDB-scoped on purpose: every consumer
+    is an oracle *_sql builder, and quote doubling alone is NOT safe for
+    Spark SQL, whose default lexer (escapedStringLiterals=false) also
+    treats backslash as an escape — a value ending in '\\' would yield
+    \\' and break/extend the literal there. Every *_sql builder that
+    interpolates caller data (query terms, group keys) must route it
+    through here; internal constants (stopword tables, salts) are
+    quote-free by construction."""
     return s.replace("'", "''")
 
 
@@ -2615,7 +2619,16 @@ def bpe_train(
     left-to-right non-overlapping literal replace is then exactly the
     greedy merge fold, and Spark's replace() and DuckDB's replace()
     agree byte-for-byte. Words are lowercased ^[a-z]+$ (symbols stay
-    literal-safe); counts are exact integers."""
+    literal-safe); counts are exact integers.
+
+    EAGER AT CALL TIME — the one exception to the lazy-builder
+    convention: choosing the driver-local vs distributed round loop
+    requires the word-vocabulary size, so constructing this DataFrame
+    runs the counting pass (wf.count(), then a collect of ≤
+    driver_vocab_limit rows on the local path). Callers that only want
+    a plan (explain tooling, plan-shape tests) must treat llm_bpe_train
+    as an executing build — see tests/test_plan_shapes.py's module
+    docstring."""
     wf = (
         docs.select(F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w"))
         .filter(F.col("w").rlike("^[a-z]+$"))

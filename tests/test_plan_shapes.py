@@ -2,7 +2,10 @@
 elision, broadcast choices, single-pass rewrites, top-k pushdown) as
 EXECUTABLE assertions, so a future edit that quietly re-adds a shuffle
 or degrades a hash join to a nested loop fails in CI instead of in the
-bench. Analysis-only — explainString plans the query but runs no jobs.
+bench. Analysis-only — explainString plans the query but runs no jobs
+(one documented exception: bpe_train is eager at build time — it runs
+the word-count pass to pick its driver-local vs distributed path — so
+any future llm_bpe_train plan guard executes a corpus pass at sf0.001).
 
 Counts are asserted as upper bounds where Spark-version drift could
 move them; the load-bearing facts (ONE shuffle in the cascade, ONE
