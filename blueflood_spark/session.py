@@ -33,6 +33,19 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # PySpark 4's per-op origin capture (error call-site tracking)
+        # costs ~3 extra py4j round trips on EVERY DataFrame/Column op:
+        # PySparkCurrentOrigin.set, a conf.get, and .clear per call
+        # (pyspark/errors/utils.py _with_origin). Profiled on the timer
+        # ladder: 2850 py4j round trips ≈ 0.5 s of a 1.37 s warm query
+        # was plan CONSTRUCTION, most of it this bookkeeping. A query
+        # service builds thousands of plans per second — debug origin
+        # tracking belongs in dev sessions, not the serving path.
+        # Changes no plans; error messages just lose the Python-side
+        # call-site annotation. (The process-global cache in
+        # is_debugging_enabled() reads this at the FIRST DataFrame op,
+        # so it must be set at session build, as here.)
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         # 16g, measured: 32g was tried to damp the ±15% run-to-run
         # serial drift and made things WORSE — bench calls System.gc()
         # after heavy queries, and an explicit full GC on a 32g heap is
