@@ -546,7 +546,29 @@ def _kmv_sketch_arrays(
         .select(*keys)
     )
     safe = agg.join(F.broadcast(unsafe), list(keys), "left_anti").select(*keys, "hs")
-    fb = topk_agg(hashed.join(F.broadcast(unsafe), list(keys))).select(*keys, "hs")
+    # Fallback arm (expected empty; triggers only when n̂ badly
+    # overestimated a filtered group): distinct + rank-window, NOT the
+    # collect_set aggregation — the group being recomputed is UNFILTERED
+    # and can be arbitrarily large, and a single collect_set buffer of
+    # its whole distinct hash set would be an executor-OOM risk at
+    # scale, while distinct and a window sort both spill. Off the hot
+    # path by construction, so the extra exchange is irrelevant; only
+    # the final ≤k-rows-per-group collect_list touches an in-memory
+    # buffer. Same output: the k smallest distinct hashes, ascending.
+    from pyspark.sql import Window
+
+    fb_rows = (
+        hashed.join(F.broadcast(unsafe), list(keys))
+        .select(*keys, "h")
+        .distinct()
+        .withColumn(
+            "_rk", F.row_number().over(Window.partitionBy(*keys).orderBy("h"))
+        )
+        .filter(F.col("_rk") <= k)
+    )
+    fb = fb_rows.groupBy(*keys).agg(
+        F.array_sort(F.collect_list("h")).alias("hs")
+    )
     return safe.unionByName(fb)
 
 
