@@ -752,6 +752,20 @@ def _pq_codebook(emb: DataFrame, id_col: str, emb_col: str) -> DataFrame:
     )
 
 
+def _pq_cb_row(emb: DataFrame, id_col: str, emb_col: str) -> DataFrame:
+    """Codebook collapsed to ONE row holding a position-ordered array of
+    (c, v) structs — the broadcastable artifact every PQ consumer
+    (encode, query distance tables, IVFPQ coded lists) shares. Array
+    order IS cb_pos order (array_sort on the leading int), so
+    element_at(cb, pos + 1) and transform(cb, ...) walk positions
+    0..KS_PQ-1 exactly."""
+    return _pq_codebook(emb, id_col, emb_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("cb_pos").alias("c"), F.col("cb_emb").alias("v")))
+        ).alias("cb")
+    )
+
+
 _PQ_CENTS_SQL = """
   SELECT CAST(row_number() OVER (ORDER BY {id}) - 1 AS INTEGER) AS cb_pos,
          embedding AS cb_emb
@@ -770,12 +784,7 @@ def pq_encode(emb: DataFrame, id_col: str = "vec_id", emb_col: str = "embedding"
     index-aware lambda over the codebook array. The corpus is never
     repartitioned; at 100 TB the encode is a map-only pass emitting
     8 bytes/vector."""
-    cents = _pq_codebook(emb, id_col, emb_col)
-    cb = cents.agg(
-        F.array_sort(
-            F.collect_list(F.struct(F.col("cb_pos").alias("c"), F.col("cb_emb").alias("v")))
-        ).alias("cb")
-    )
+    cb = _pq_cb_row(emb, id_col, emb_col)
     out = emb.select(id_col, emb_col).crossJoin(F.broadcast(cb))
     codes = [
         F.array_min(
@@ -827,29 +836,7 @@ def pq_ann_topk(
     codes, never its raw vectors. Output rank is ascending ADC distance
     (ties to the lower candidate id)."""
     codes = pq_encode(emb, id_col, emb_col)
-    cents = _pq_codebook(emb, id_col, emb_col)
-    qtab = (
-        emb.filter(query_filter)
-        .select(F.col(id_col).alias("q_id"), F.col(emb_col).alias("q_emb"))
-        .crossJoin(F.broadcast(cents))
-        .groupBy("q_id")
-        .agg(
-            *[
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct(
-                                F.col("cb_pos").alias("c"),
-                                _sub_l2sq("q_emb", "cb_emb", s).alias("d"),
-                            )
-                        )
-                    ),
-                    lambda x: x["d"],
-                ).alias(f"dtab_{s}")
-                for s in range(M_SUB)
-            ]
-        )
-    )
+    qtab = _pq_qtab(emb, query_filter, id_col, emb_col)
     adc = None
     for s in range(M_SUB):
         term = F.element_at(F.col(f"dtab_{s}"), F.col(f"code_{s}") + 1)
@@ -1363,32 +1350,35 @@ WHERE {cos} >= {threshold}
 # IVF-PQ — coarse inverted lists + compressed-domain ADC (FAISS IVFADC)
 # ---------------------------------------------------------------------------
 
+def _qtab_cols(emb_col: str) -> list:
+    """The M_SUB per-query ADC distance-table columns as pure
+    projections over the broadcast codebook-array row: dtab_s[p] =
+    subspace-s squared-L2 between the query vector and codebook
+    position p. transform() walks the cid-ordered cb array, so the
+    table is position-ordered by construction — same values, same
+    order, as the old crossJoin×KS_PQ → groupBy(collect_list →
+    array_sort) formulation, with ZERO aggregation: building the
+    tables is part of whatever projection consumes them, not a
+    shuffle stage of its own."""
+    return [
+        F.transform(
+            F.col("cb"), lambda x: _sub_l2sq_col(F.col(emb_col), x["v"], s)
+        ).alias(f"dtab_{s}")
+        for s in range(M_SUB)
+    ]
+
+
 def _pq_qtab(emb: DataFrame, query_filter, id_col: str, emb_col: str) -> DataFrame:
     """Per-query ADC distance tables: one row per query with M_SUB
-    KS_PQ-wide arrays of subspace squared-L2s against the codebook
-    (same build as pq_ann_topk's inline qtab)."""
-    cents = _pq_codebook(emb, id_col, emb_col)
+    KS_PQ-wide arrays of subspace squared-L2s against the codebook —
+    a map-only projection over the broadcast codebook row (shared by
+    pq_ann_topk and ivfpq_topk)."""
+    cb = _pq_cb_row(emb, id_col, emb_col)
     return (
         emb.filter(query_filter)
         .select(F.col(id_col).alias("q_id"), F.col(emb_col).alias("q_emb"))
-        .crossJoin(F.broadcast(cents))
-        .groupBy("q_id")
-        .agg(
-            *[
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct(
-                                F.col("cb_pos").alias("c"),
-                                _sub_l2sq("q_emb", "cb_emb", s).alias("d"),
-                            )
-                        )
-                    ),
-                    lambda x: x["d"],
-                ).alias(f"dtab_{s}")
-                for s in range(M_SUB)
-            ]
-        )
+        .crossJoin(F.broadcast(cb))
+        .select("q_id", *_qtab_cols("q_emb"))
     )
 
 
@@ -1424,11 +1414,7 @@ def ivfpq_topk(
     ranked = _ivf_ranked(emb, n_lists, id_col, emb_col)
     # coded inverted lists: list routing + PQ codes in ONE projection of
     # the assignment frame (no second pass over the corpus)
-    cb = _pq_codebook(emb, id_col, emb_col).agg(
-        F.array_sort(
-            F.collect_list(F.struct(F.col("cb_pos").alias("c"), F.col("cb_emb").alias("v")))
-        ).alias("cb")
-    )
+    cb = _pq_cb_row(emb, id_col, emb_col)
     code_cols = [
         F.array_min(
             F.transform(
@@ -1450,15 +1436,25 @@ def ivfpq_topk(
         .crossJoin(F.broadcast(cb))
         .select("c_id", "list_id", *code_cols)
     )
-    probes = (
+    # Fused query side (r7): probe routing AND the ADC distance tables
+    # come out of ONE projection over the filtered assignment frame —
+    # the query's cent_ranked yields its n_probe list ids (exploded)
+    # and the broadcast codebook row yields its dtab arrays, so the
+    # old separate probes frame + _pq_qtab frame (and the extra
+    # broadcast + join gluing them back together on q_id) collapse
+    # into a single (queries × n_probe)-row broadcast. One query-side
+    # scan, zero aggregations, one corpus-side join.
+    qx = (
         ranked.filter(query_filter)
+        .crossJoin(F.broadcast(cb))
         .select(
             F.col(id_col).alias("q_id"),
-            F.explode(F.expr(f"slice(cent_ranked, 1, {int(n_probe)})")).alias("pr"),
+            F.explode(
+                F.expr(f"transform(slice(cent_ranked, 1, {int(n_probe)}), p -> p.cid)")
+            ).alias("list_id"),
+            *_qtab_cols(emb_col),
         )
-        .select("q_id", F.col("pr.cid").alias("list_id"))
     )
-    qtab = _pq_qtab(emb, query_filter, id_col, emb_col)
     adc = None
     for s in range(M_SUB):
         term = F.element_at(F.col(f"dtab_{s}"), F.col(f"code_{s}") + 1)
@@ -1466,9 +1462,8 @@ def ivfpq_topk(
     # pairs are already unique — each c_id lives in exactly one coded
     # list and each (q_id, list) probe is distinct — so no dedup shuffle
     cands = (
-        coded_lists.join(F.broadcast(probes), "list_id")
+        coded_lists.join(F.broadcast(qx), "list_id")
         .filter(F.col("q_id") != F.col("c_id"))
-        .join(F.broadcast(qtab), "q_id")
         .withColumn("adc_dist", adc)
     )
     w = Window.partitionBy("q_id").orderBy(F.col("adc_dist").asc(), F.col("c_id"))
