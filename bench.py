@@ -22,9 +22,39 @@ import __spark_entry__ as E  # noqa: E402
 from blueflood_spark.session import get_spark  # noqa: E402
 
 
+def ambient_probe(sf_dir: str) -> float:
+    """Fixed-cost DuckDB calibration query, timed at bench start.
+
+    Identical bench code has measured serial totals drifting 153→196 s
+    across clean runs within an hour, with the DuckDB oracle drifting
+    identically (NOTES.md r6) — the host's ambient load moves every
+    timing uniformly. This probe records that ambient factor in the
+    bench JSON so round-over-round BENCH_rN numbers can be normalized
+    (divide by ambient_probe_sec ratio) instead of read as regressions.
+    Median of 3 so a single scheduler hiccup doesn't skew the factor.
+    """
+    import duckdb
+
+    samples = []
+    for _ in range(3):
+        con = duckdb.connect()
+        con.execute("SET threads TO 8")
+        t0 = time.perf_counter()
+        con.execute(
+            "SELECT l_returnflag, l_linestatus, count(*) AS n, "
+            "sum(l_extendedprice * (1 - l_discount)) AS rev "
+            f"FROM read_parquet('{sf_dir}/lineitem.parquet') "
+            "GROUP BY 1, 2 ORDER BY 1, 2"
+        ).fetchall()
+        samples.append(time.perf_counter() - t0)
+        con.close()
+    return round(sorted(samples)[1], 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    ambient_sec = ambient_probe(sf_dir)
     # 8 shuffle partitions: at sf0.1 task-scheduling latency dominates
     # shuffle work, and the r4 A/B (16 vs 12 vs 8 on both the light and
     # the heavy subsets) had 8 fastest everywhere — heavy subset 24.4s →
@@ -68,14 +98,14 @@ def main() -> None:
     # exercised by verify/tests, not timed here
     bench_set = [(n, fn) for n, fn in E.queries().items() if n in oracle_names]
 
-    # Min-of-2 over EVERYTHING (restored r6): r5 ran pass 2 only for
-    # >1.5s queries, which left ~160 entries at cold pass-1 timings —
-    # the serial total inflated a uniform ~1.3-2× on small queries
-    # (plan-compile constant) and round-over-round comparability broke:
-    # a real 20% regression would have hidden inside the protocol noise.
-    # Two full passes fit the 10-min budget because the real r5 saving
-    # was the GC trim (below) and the min-of-2 concurrent pass, not the
-    # serial pass-2 skip. The inter-query GC — needed so iterative
+    # Serial protocol (fixed since r6): pass 1 times EVERY query; pass 2
+    # re-times only the queries above a FIXED 0.8 s line and keeps the
+    # min. Below the line the plan-compile constant dominates and a full
+    # second pass pushed the tool against its 10-min budget on
+    # slow-ambient runs (one full-min-of-2 run hit 690 s); above it —
+    # the ~90-query heavy subset where regressions that matter live —
+    # min-of-2 de-noises every round the same way, so round-over-round
+    # comparability holds. The inter-query GC — needed so iterative
     # queries' localCheckpoint blocks don't bleed into later timings
     # (py4j finalizers gate the cleanup) — runs only after non-trivial
     # queries: a profiled pass spent ~55s of its 296s wall on 189
@@ -157,13 +187,18 @@ def main() -> None:
                 "metric": "per_query_detail_sec",
                 "unit": "sec",
                 "queries": timings,
+                "ambient_probe_sec": ambient_sec,
                 "sf": sf_val,
             }
         )
     )
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     with open(detail_path, "w") as fh:
-        json.dump({"queries": timings, "sf": sf_val, "concurrency": concurrency}, fh, indent=1)
+        json.dump(
+            {"queries": timings, "sf": sf_val, "concurrency": concurrency,
+             "ambient_probe_sec": ambient_sec},
+            fh, indent=1,
+        )
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:8])
     print(
         json.dumps(
@@ -174,6 +209,7 @@ def main() -> None:
                 "queries": slowest,
                 "n_queries": len(timings),
                 "serial_total_sec": round(serial_total, 4),
+                "ambient_probe_sec": ambient_sec,
                 "concurrency": concurrency,
                 "sf": sf_val,
                 "detail": "BENCH_DETAIL.json",
