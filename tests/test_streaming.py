@@ -962,3 +962,111 @@ def test_bloom_maintenance_merge_equals_batch(spark, tmp_path):
     )
     out = bloom_membership(full.select("key"), probe).collect()
     assert all(r["bloom_maybe"] for r in out)
+
+
+def test_preagg_cascade_stream_merge_equals_batch(spark, tmp_path):
+    """T3/T5 for the PREAGGREGATED families (r6 verdict item 9): statsd
+    payloads stream in across two micro-batch passes (the second pass is
+    a checkpointed RESTART carrying a LATE flush into an already-rolled
+    window), and the rollup-on-read cascade over the streamed per-family
+    tables must equal the single-shot batch cascade over the same
+    payloads — the merged≡batch differential the sketch-maintenance
+    suites use, extended to counter/gauge/timer/set through
+    start_preagg_ingest → preagg_cascade.
+
+    Values are dyadic rationals (exactly representable doubles whose
+    sums are order-independent), so 'equal' is exact equality even
+    though the two arms aggregate from different partition layouts."""
+    import os
+
+    from blueflood_spark.operators.rollup import preagg_cascade
+    from blueflood_spark.sources.ingest import AGGREGATED_PAYLOAD, normalize_aggregated
+
+    inp = str(tmp_path / "agg_in")
+    tables = str(tmp_path / "agg_tables")
+    ckpt = str(tmp_path / "agg_ckpt")
+    os.makedirs(inp)
+
+    base = (1_700_000_000_000 // (20 * MIN)) * 20 * MIN  # 20m-aligned
+
+    def payload(tenant, ts, scale):
+        return {
+            "tenantId": tenant,
+            "timestamp": ts,
+            "flushInterval": 30000,
+            "counters": [
+                {"name": "c.hits", "value": 8.0 * scale, "rate": 2.0 * scale},
+                {"name": "c.errs", "value": 1.0 * scale, "rate": 0.5},
+            ],
+            "gauges": [{"name": "g.depth", "value": 4.5 + scale}],
+            "timers": [
+                {
+                    "name": "t.req",
+                    "count": 8 * scale,
+                    "rate": 0.25,
+                    "min": 1.0,
+                    "max": 9.0 + scale,
+                    "sum": 40.0 * scale,
+                    "avg": 5.0,
+                    "std": 2.0,
+                    "percentiles": {"p50": {"avg": 4.0 + scale}, "p99": {"avg": 8.5 + scale}},
+                }
+            ],
+            "sets": [{"name": "s.users", "values": [f"u{scale}", "u0", f"v{ts % 7}"]}],
+        }
+
+    # pass 1: three 5m windows for two tenants
+    batch1 = [payload(t, base + w * 5 * MIN + off * 30_000, s)
+              for t in ("t1", "t2")
+              for w, off, s in ((0, 0, 1), (0, 3, 2), (1, 1, 1), (2, 4, 3))]
+    write_payload(f"{inp}/b1.json", batch1)
+    q = P.start_preagg_ingest(spark, inp, tables, ckpt)
+    q.awaitTermination(120)
+
+    # pass 2 (restart, same checkpoint): new window + LATE flush into w0
+    batch2 = [payload("t1", base + 3 * 5 * MIN, 2),
+              payload("t1", base + 2 * 30_000, 4),       # late into w0
+              payload("t2", base + 5 * MIN + 7 * 30_000, 2)]
+    write_payload(f"{inp}/b2.json", batch2)
+    q = P.start_preagg_ingest(spark, inp, tables, ckpt)
+    q.awaitTermination(120)
+
+    # merged arm: the streamed family tables unioned back to the full
+    # PREAGG schema (route_by_type preserves it), cascaded on read
+    fams = ("counter", "gauge", "timer", "set")
+    streamed = None
+    for fam in fams:
+        part = spark.read.parquet(f"{tables}/preagg_{fam}").drop("batch_id", "date")
+        streamed = part if streamed is None else streamed.unionByName(part)
+    merged = preagg_cascade(streamed, grans=(G.MIN_5, G.MIN_20))
+
+    # batch arm: one normalize over all payloads, same cascade
+    all_payloads = spark.createDataFrame(
+        [tuple(p.get(f.name) for f in AGGREGATED_PAYLOAD.fields) for p in batch1 + batch2],
+        AGGREGATED_PAYLOAD,
+    )
+    expected = preagg_cascade(normalize_aggregated(all_payloads), grans=(G.MIN_5, G.MIN_20))
+
+    def rows(df):
+        cols = sorted(df.columns)
+        out = []
+        for r in df.select(*cols).collect():
+            d = r.asDict()
+            for k, v in d.items():
+                if isinstance(v, dict):
+                    d[k] = tuple(sorted(v.items()))
+                elif isinstance(v, list):
+                    d[k] = tuple(sorted(v))
+            out.append(tuple(d[c] for c in cols))
+        return sorted(out)
+
+    for fam in fams:
+        for level in ("5m", "20m"):
+            got, want = rows(merged[fam][level]), rows(expected[fam][level])
+            assert got == want, f"{fam}/{level}: stream-merged != batch"
+            assert len(got) > 0, f"{fam}/{level}: empty"
+    # the late flush actually landed: t1's 20m window spans all four 5m
+    # windows (scales 1+2, 1, 3, 2) PLUS the late pass-2 flush (scale 4)
+    t20 = {(r["tenant_id"], r["window_start"]): r["count"]
+           for r in merged["timer"]["20m"].collect()}
+    assert t20[("t1", base)] == 8 * (1 + 2 + 1 + 3 + 2 + 4)
