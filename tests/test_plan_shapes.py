@@ -150,3 +150,21 @@ def test_units_enrichment_broadcasts_the_catalog(spark):
     fact side never shuffles for the join."""
     plan = _plan(spark, _q(spark, "bf_units_enrichment"))
     assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_ivfpq_query_side_is_fused(spark):
+    """llm_ann_ivfpq_topk (r7): the query side is ONE broadcast — probe
+    list ids and ADC distance tables come out of a single projection
+    over the filtered assignment frame. Executable facts: the ADC sum
+    is element_at lookups inside a Project (not a post-join aggregate),
+    exactly one Generate (the probe-list explode), no SortMergeJoin
+    (everything joins broadcast-hash on list_id), and the rank window
+    carries the top-k pushdown. The pre-fusion shape had a separate
+    _pq_qtab groupBy (8 collect_list dtab aggregations keyed q_id) and
+    an extra broadcast join gluing probes to tables."""
+    plan = _plan(spark, _q(spark, "llm_ann_ivfpq_topk"))
+    assert re.search(r"Project \[[^\n]*element_at\(dtab_0", plan), plan[:2500]
+    assert plan.count("Generate") == 1, plan[:2500]
+    assert "SortMergeJoin" not in plan, plan[:2500]
+    assert "WindowGroupLimit" in plan, plan[:2500]
+    assert plan.count("BroadcastExchange") <= 5, plan[:2500]
