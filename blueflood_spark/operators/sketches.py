@@ -593,10 +593,22 @@ def kmv_pair_overlap(
     # the sketch is one ARRAY row per group but its SUBTREE is the whole
     # corpus pass (count pre-filter + collect_set agg + fallback); the
     # pair stage reads it from both self-join sides, so materialize it
-    # ONCE (lazy localCheckpoint — the self-join-subtree rule)
-    sk = _kmv_sketch_arrays(
-        df, value_col, [group_col], k, salt, prefilter_margin=4
-    ).localCheckpoint(eager=False)
+    # ONCE (lazy localCheckpoint — the self-join-subtree rule). The mark
+    # happens with AQE briefly OFF (restored in finally): under AQE,
+    # localCheckpoint(eager=False) executes every shuffle stage of the
+    # sketch subtree at mark time, one driver-scheduled job each
+    # (~12 jobs per bf_kmv_overlap — the _cc_distributed lesson,
+    # dedup.py). Marked statically, the subtree runs as a couple of
+    # jobs when the pair stage first reads it; plan and rows unchanged.
+    spark = df.sparkSession
+    _aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        sk = _kmv_sketch_arrays(
+            df, value_col, [group_col], k, salt, prefilter_margin=4
+        ).localCheckpoint(eager=False)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", _aqe)
     a = sk.select(F.col(group_col).alias("grp_a"), F.col("hs").alias("hs_a"))
     b = sk.select(F.col(group_col).alias("grp_b"), F.col("hs").alias("hs_b"))
     # per pair, the union sketch U = k smallest of the two sketches'
