@@ -93,3 +93,18 @@ def test_cc_distributed_nonconvergence_raises(spark):
         D.connected_components(
             pairs, ids, max_iterations=2, driver_threshold=0
         ).collect()
+
+
+def test_cc_distributed_restores_aqe_even_on_failure(spark):
+    """r7: the loop disables AQE for its duration (lazy checkpoints are
+    only lazy without it); the conf must come back on BOTH exits — the
+    converged return and the nonconvergence raise."""
+    before = spark.conf.get("spark.sql.adaptive.enabled")
+    edges = [(i, i + 1) for i in range(59)]
+    ids = spark.createDataFrame([(i,) for i in range(60)], "doc_id long")
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    with pytest.raises(RuntimeError, match="converge"):
+        D.connected_components(pairs, ids, max_iterations=2, driver_threshold=0).collect()
+    assert spark.conf.get("spark.sql.adaptive.enabled") == before
+    D.connected_components(pairs, ids, driver_threshold=0).count()
+    assert spark.conf.get("spark.sql.adaptive.enabled") == before
