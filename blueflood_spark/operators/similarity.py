@@ -713,19 +713,10 @@ SUB_DIM = DIMS // M_SUB   # dims per subspace
 KS_PQ = 16                # codes per subspace
 
 
-def _sub_l2sq(a: str, b: str, s: int) -> F.Column:
-    """Squared L2 between subspace s of two vectors — an ordered fold
-    (deterministic summation on both engines)."""
-    lo = s * SUB_DIM + 1
-    return F.expr(
-        f"aggregate(zip_with(slice({a}, {lo}, {SUB_DIM}), slice({b}, {lo}, {SUB_DIM}),"
-        " (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
-        " 0D, (acc, v) -> acc + v)"
-    )
-
-
 def _sub_l2sq_col(a: F.Column, b: F.Column, s: int) -> F.Column:
-    """Column-arg variant of _sub_l2sq (for lambdas over a codebook array)."""
+    """Squared L2 between subspace s of two vectors — an ordered fold
+    (deterministic summation on both engines); column args so it
+    composes inside lambdas over a codebook array."""
     lo = s * SUB_DIM + 1
     diff2 = F.zip_with(
         F.slice(a, lo, SUB_DIM),

@@ -45,3 +45,17 @@ def test_checked_output_contract_no_complex_toplevel_types(spark):
             if isinstance(field.dataType, banned):
                 offenders.append(f"{name}.{field.name}: {field.dataType.simpleString()}")
     assert not offenders, f"complex top-level types in checked outputs: {offenders}"
+
+
+def test_statsd_payload_memo_keyed_by_sf_dir(spark):
+    """r7: the memoized statsd payload fixture must not collide across
+    sf dirs (a cache hit returning another SF's frame would silently
+    pass the wrong corpus to normalize_aggregated), and repeated calls
+    on the same dir must return the SAME checkpointed frame (the memo's
+    whole point — the pack is timed out of the query)."""
+    a1 = E._statsd_payloads(spark, "/root/testdata/sf0.001")
+    a2 = E._statsd_payloads(spark, "/root/testdata/sf0.001")
+    b = E._statsd_payloads(spark, "/root/testdata/sf0.01")
+    assert a1 is a2
+    assert a1 is not b
+    assert a1.count() != b.count()
