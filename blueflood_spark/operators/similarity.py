@@ -259,8 +259,25 @@ SELECT q_id, c_id, cosine, CAST(rank AS INTEGER) AS rank FROM ranked WHERE rank 
 """
 
 
-def _ivf_ranked(
+def _ivf_cent_row(
     emb: DataFrame, n_lists: int, id_col: str, emb_col: str
+) -> DataFrame:
+    """The coarse-quantizer centroids as ONE broadcastable row: a
+    cid-ordered array of (cid, cvec, norm) structs."""
+    cents = emb.filter(F.col(id_col) < n_lists).select(
+        F.col(id_col).alias("cent_id"),
+        F.col(emb_col).alias("cent_emb"),
+        _norm(emb_col).alias("cn"),  # centroid norm computed ONCE, not per pair
+    )
+    return cents.agg(
+        F.expr("array_sort(collect_list(struct(cent_id AS cid, cent_emb AS cvec, cn)))").alias(
+            "cent_arr"
+        )
+    )
+
+
+def _ivf_ranked(
+    emb: DataFrame, n_lists: int, id_col: str, emb_col: str, cent_row=None
 ) -> DataFrame:
     """Coarse-quantizer assignment shared by ivf_topk / ivfpq_topk, as a
     MAP-ONLY pass (the kmeans_assign shape): all centroids travel as one
@@ -270,17 +287,13 @@ def _ivf_ranked(
     carrying rows. Adds a `cent_ranked ARRAY<STRUCT<s, cid>>` column
     ordered (sim DESC, cid ASC) — exactly the window ordering it
     replaces, with the same dot/norm/division IEEE ops, so assignments
-    are bit-equal to the row_number formulation."""
-    cents = emb.filter(F.col(id_col) < n_lists).select(
-        F.col(id_col).alias("cent_id"),
-        F.col(emb_col).alias("cent_emb"),
-        _norm(emb_col).alias("cn"),  # centroid norm computed ONCE, not per pair
-    )
-    cent_row = cents.agg(
-        F.expr("array_sort(collect_list(struct(cent_id AS cid, cent_emb AS cvec, cn)))").alias(
-            "cent_arr"
-        )
-    )
+    are bit-equal to the row_number formulation.
+
+    cent_row: pass a prebuilt/memoized _ivf_cent_row frame to share the
+    trained artifact across calls (ivfpq_topk does); None (the default)
+    derives it inline — the identical plan every pre-r7 caller had."""
+    if cent_row is None:
+        cent_row = _ivf_cent_row(emb, n_lists, id_col, emb_col)
     return (
         emb.crossJoin(F.broadcast(cent_row))
         .withColumn("vn", _norm(emb_col))
@@ -749,12 +762,38 @@ def _pq_cb_row(emb: DataFrame, id_col: str, emb_col: str) -> DataFrame:
     (encode, query distance tables, IVFPQ coded lists) shares. Array
     order IS cb_pos order (array_sort on the leading int), so
     element_at(cb, pos + 1) and transform(cb, ...) walk positions
-    0..KS_PQ-1 exactly."""
-    return _pq_codebook(emb, id_col, emb_col).agg(
+    0..KS_PQ-1 exactly.
+
+    Memoized per (session, input plan) in _CENTROID_CACHE — a PQ
+    codebook is a trained ARTIFACT exactly like the k-means centroids
+    (same static-input caveat; clear_centroid_cache() after mutating a
+    path already trained on). The memoized frame carries a lazy
+    localCheckpoint so repeat consumers skip the
+    TakeOrderedAndProject + window jobs that derive it."""
+    try:
+        # key[0] MUST be the applicationId — _trained_centroid_row's
+        # stale-session eviction compares s[0] against the live appId
+        key = (
+            emb.sparkSession.sparkContext.applicationId,
+            "pqcb",
+            emb._jdf.queryExecution().analyzed().semanticHash(),
+            id_col,
+            emb_col,
+        )
+    except Exception:  # Connect or API drift: build inline, skip the memo
+        key = None
+    if key is not None:
+        hit = _CENTROID_CACHE.get(key)
+        if hit is not None:
+            return hit
+    row = _pq_codebook(emb, id_col, emb_col).agg(
         F.array_sort(
             F.collect_list(F.struct(F.col("cb_pos").alias("c"), F.col("cb_emb").alias("v")))
         ).alias("cb")
-    )
+    ).localCheckpoint(eager=False)
+    if key is not None:
+        _CENTROID_CACHE[key] = row
+    return row
 
 
 _PQ_CENTS_SQL = """
@@ -1402,7 +1441,27 @@ def ivfpq_topk(
     role. Distance tables are a per-query broadcast of M_SUB·KS_PQ
     doubles. Output contract matches pq_ann_topk: ascending ADC
     distance, ties to the lower candidate id."""
-    ranked = _ivf_ranked(emb, n_lists, id_col, emb_col)
+    # memoized trained artifacts (same cache/caveats as the k-means
+    # centroid memo): the coarse-centroid row and the PQ codebook row
+    # are checkpointed once per (session, input) — repeat calls skip
+    # their derivation jobs entirely
+    try:
+        ck = (
+            emb.sparkSession.sparkContext.applicationId,
+            "ivfcent",
+            emb._jdf.queryExecution().analyzed().semanticHash(),
+            n_lists,
+            id_col,
+            emb_col,
+        )
+    except Exception:
+        ck = None
+    cent_row = _CENTROID_CACHE.get(ck) if ck is not None else None
+    if cent_row is None:
+        cent_row = _ivf_cent_row(emb, n_lists, id_col, emb_col).localCheckpoint(eager=False)
+        if ck is not None:
+            _CENTROID_CACHE[ck] = cent_row
+    ranked = _ivf_ranked(emb, n_lists, id_col, emb_col, cent_row=cent_row)
     # coded inverted lists: list routing + PQ codes in ONE projection of
     # the assignment frame (no second pass over the corpus)
     cb = _pq_cb_row(emb, id_col, emb_col)
