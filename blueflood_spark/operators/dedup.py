@@ -1299,10 +1299,15 @@ FROM labeled l JOIN best b USING (cluster_id)
 _URL_CANON_STEPS = [
     (r"#.*$", "", "fragment never reaches the server"),
     (r"utm_[a-z]+=[^&#]*&?", "", "tracking params (utm_*) don't change content"),
-    (r"[?&]+$", "", "dangling separators left by param stripping"),
     (r"^https?://", "", "scheme is not identity"),
     (r"^www\.", "", "www. host alias"),
-    (r"/+$", "", "trailing slashes"),
+    # ONE combined trailing-junk strip: dangling separators left by the
+    # param strip AND trailing slashes, in any interleaving. Separate
+    # [?&]+$ then /+$ steps were not idempotent — a trailing slash hid
+    # a dangling '?' ('a?/' → 'a?' on the first pass, 'a' on a second;
+    # hypothesis-found, r7) — and a canonicalization KEY must be a
+    # fixpoint or re-canonicalized stores disagree.
+    (r"[/?&]+$", "", "trailing slashes and dangling separators"),
 ]
 
 
