@@ -489,90 +489,97 @@ def _cc_distributed(
     final permitted round always checks, preserving the non-convergence
     raise at exactly max_iterations rounds of propagation.
 
-    AQE is disabled (and restored in `finally`) for the duration of the
-    loop. Under AQE, localCheckpoint(eager=False) is NOT lazy: marking
-    the RDD calls queryExecution.toRdd, which executes every shuffle
-    stage of the round's DAG right then (~7 jobs/round measured at
-    sf0.1 — 85 jobs per query). The per-round checkpoint itself is
-    non-negotiable (the pointer-doubling self-join DOUBLES the logical
-    plan each round; an uncheckpointed variant hit minutes-per-round
-    analysis cost by round 6), so the loop instead plans statically:
-    lazy checkpoints stay lazy, and each CHECKED round's aggregate is
-    ONE job executing two rounds of shuffles (10 jobs total, labels
-    bit-identical, 4.6 s → ~3.0 s warm). AQE has nothing to offer a
-    fixed-size label table shuffling at a fixed partition count, and
-    runtime re-planning is exactly what re-executes the loop eagerly.
-    Caveat: the conf is session-scoped, so a query planned CONCURRENTLY
-    in the same session during the loop's few seconds plans without AQE
-    — correctness unaffected (documented tradeoff for the bench's
-    concurrent arm; a dedicated session per query stream avoids it).
+    The loop runs in the AQE-off loop-session clone
+    (session.loop_session + rebind). Under AQE,
+    localCheckpoint(eager=False) is NOT lazy: marking the RDD calls
+    queryExecution.toRdd, which executes every shuffle stage of the
+    round's DAG right then (~7 jobs/round measured at sf0.1 — 85 jobs
+    per query). The per-round checkpoint itself is non-negotiable (the
+    pointer-doubling self-join DOUBLES the logical plan each round; an
+    uncheckpointed variant hit minutes-per-round analysis cost by round
+    6), so the loop instead plans statically: lazy checkpoints stay
+    lazy, and each CHECKED round's aggregate is ONE job executing two
+    rounds of shuffles (10 jobs total, labels bit-identical, 4.6 s →
+    ~3.0 s warm). AQE has nothing to offer a fixed-size label table
+    shuffling at a fixed partition count, and runtime re-planning is
+    exactly what re-executes the loop eagerly. r7 achieved this by
+    toggling the conf on the CALLER's session (restore in finally) —
+    session-global, so a concurrently-planned query lost AQE for the
+    loop's duration and overlapping toggles could race on the restore
+    (r7 ADVICE). The clone removes both: no conf mutation on the
+    caller's session, ever; the final singleton-attach join below plans
+    back in the caller's session under its own conf.
     """
+    from blueflood_spark.session import loop_session, rebind
+
     spark = pairs.sparkSession
-    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
-        edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        sym = edges.unionByName(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        ).localCheckpoint(eager=False)
-        # Iterate over only the nodes that appear in SOME pair: every other
-        # node is a singleton whose label is itself, attached by one left
-        # join at the end. At 100 TB the dup graph's vertex set is a small
-        # fraction of the corpus — propagating labels for every corpus id
-        # each round shuffles the whole id space O(log d) times for rows
-        # that can never change.
-        labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
-            "label", F.col("node")
+    child = loop_session(spark)
+    pairs = rebind(pairs, child)
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)
+    # Iterate over only the nodes that appear in SOME pair: every other
+    # node is a singleton whose label is itself, attached by one left
+    # join at the end. At 100 TB the dup graph's vertex set is a small
+    # fraction of the corpus — propagating labels for every corpus id
+    # each round shuffles the whole id space O(log d) times for rows
+    # that can never change.
+    labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    converged = False
+    for round_no in range(1, max_iterations + 1):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
         )
-        converged = False
-        for round_no in range(1, max_iterations + 1):
-            neighbor_min = (
-                sym.join(labels, sym.dst == labels.node)
-                .groupBy("src")
-                .agg(F.min("label").alias("nbr_label"))
-            )
-            # carry the pre-round label through so convergence is a plain
-            # column compare on the checkpointed result — no extra join+
-            # shuffle per round just to detect the fixpoint
-            prop = labels.join(neighbor_min, labels.node == neighbor_min.src, "left").select(
+        # carry the pre-round label through so convergence is a plain
+        # column compare on the checkpointed result — no extra join+
+        # shuffle per round just to detect the fixpoint
+        prop = labels.join(neighbor_min, labels.node == neighbor_min.src, "left").select(
+            "node",
+            F.col("label").alias("old_label"),
+            F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
+                "label"
+            ),
+        )
+        lab2 = prop.select(F.col("node").alias("n2"), F.col("label").alias("l2"))
+        stepped = (
+            prop.join(lab2, prop.label == lab2.n2, "left")
+            .select(
                 "node",
-                F.col("label").alias("old_label"),
-                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
+                "old_label",
+                F.least(F.col("label"), F.coalesce(F.col("l2"), F.col("label"))).alias(
                     "label"
                 ),
             )
-            lab2 = prop.select(F.col("node").alias("n2"), F.col("label").alias("l2"))
-            stepped = (
-                prop.join(lab2, prop.label == lab2.n2, "left")
-                .select(
-                    "node",
-                    "old_label",
-                    F.least(F.col("label"), F.coalesce(F.col("l2"), F.col("label"))).alias(
-                        "label"
-                    ),
-                )
-                .localCheckpoint(eager=False)
-            )
-            labels = stepped.select("node", "label")
-            # ONE job per CHECKED round: the full-scan aggregate
-            # materializes the lazy checkpoint(s) AND answers the
-            # fixpoint question (an eager checkpoint + separate count
-            # was two job launches per round). Checked every 2nd round —
-            # odd rounds launch no job at all; their work rides inside
-            # the next even round's aggregate.
-            if round_no % 2 == 0 or round_no == max_iterations:
-                changed = stepped.agg(
-                    F.max((F.col("label") != F.col("old_label")).cast("int"))
-                ).first()[0]
-                if not changed:
-                    converged = True
-                    break
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+            .localCheckpoint(eager=False)
+        )
+        labels = stepped.select("node", "label")
+        # ONE job per CHECKED round: the full-scan aggregate
+        # materializes the lazy checkpoint(s) AND answers the
+        # fixpoint question (an eager checkpoint + separate count
+        # was two job launches per round). Checked every 2nd round —
+        # odd rounds launch no job at all; their work rides inside
+        # the next even round's aggregate.
+        if round_no % 2 == 0 or round_no == max_iterations:
+            changed = stepped.agg(
+                F.max((F.col("label") != F.col("old_label")).cast("int"))
+            ).first()[0]
+            if not changed:
+                converged = True
+                break
     if not converged:
         raise RuntimeError(
             f"connected components did not converge within {max_iterations} iterations"
         )
+    # labels is checkpoint-backed (the converged round's aggregate
+    # materialized it) — re-homing to the caller's session is a plain
+    # RDD-scan handoff, and the singleton-attach join plans under the
+    # caller's own conf (AQE and all), as it did post-restore before
+    labels = rebind(labels, spark)
     return ids.join(labels, ids[id_col] == labels.node, "left").select(
         ids[id_col],
         F.coalesce(F.col("label"), ids[id_col]).alias("cluster_id"),

@@ -64,7 +64,23 @@ def pagerank(
     scale when done EVERY iteration — measured 5.2s → 3.8s at sf0.1
     without), but an untruncated k-deep self-referential plan grows
     linearly in analysis cost and breaks down for large k. Every 4th
-    iteration keeps both costs negligible."""
+    iteration keeps both costs negligible.
+
+    The iteration builds in the AQE-off loop-session clone
+    (session.loop_session — the `_cc_distributed` treatment, r7
+    verdict task 2): under AQE every lazy checkpoint mark executes its
+    subtree eagerly as separate driver-scheduled jobs (the r7 finding),
+    so the edge-list mark and each cadence mark each cost a job launch.
+    Marked statically in the clone they stay lazy, and the caller's
+    first action executes the whole rank chain as one job. The returned
+    frame is re-homed to the caller's session, so downstream plans keep
+    the caller's conf."""
+    from blueflood_spark.session import loop_session, rebind
+
+    child = loop_session(edges.sparkSession)
+    caller = edges.sparkSession
+    edges = rebind(edges, child)
+    nodes = rebind(nodes, child)
     base = scale * (DAMP_DEN - DAMP_NUM) // DAMP_DEN
     ids = nodes.select(F.col(id_col).cast("long").alias("id"))
     deg = edges.groupBy(src_col).agg(F.count(F.lit(1)).alias("deg"))
@@ -94,7 +110,7 @@ def pagerank(
         )
         if (i + 1) % checkpoint_every == 0 and (i + 1) < n_iter:
             ranks = ranks.localCheckpoint(eager=False)
-    return ranks
+    return rebind(ranks, caller)
 
 
 def pagerank_sql(

@@ -594,21 +594,26 @@ def kmv_pair_overlap(
     # corpus pass (count pre-filter + collect_set agg + fallback); the
     # pair stage reads it from both self-join sides, so materialize it
     # ONCE (lazy localCheckpoint — the self-join-subtree rule). The mark
-    # happens with AQE briefly OFF (restored in finally): under AQE,
-    # localCheckpoint(eager=False) executes every shuffle stage of the
-    # sketch subtree at mark time, one driver-scheduled job each
-    # (~12 jobs per bf_kmv_overlap — the _cc_distributed lesson,
-    # dedup.py). Marked statically, the subtree runs as a couple of
-    # jobs when the pair stage first reads it; plan and rows unchanged.
+    # happens in the AQE-off loop-session clone (session.loop_session):
+    # under AQE, localCheckpoint(eager=False) executes every shuffle
+    # stage of the sketch subtree at mark time, one driver-scheduled job
+    # each (~12 jobs per bf_kmv_overlap — the _cc_distributed lesson,
+    # dedup.py). Marked statically, the subtree runs as a couple of jobs
+    # when the pair stage first reads it; plan and rows unchanged. The
+    # clone replaces r7's toggle on the caller's session, which could
+    # race on restore under the bench's concurrent arm (r7 ADVICE) and
+    # briefly stripped AQE from unrelated concurrent queries.
+    from blueflood_spark.session import loop_session, rebind
+
     spark = df.sparkSession
-    _aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
-        sk = _kmv_sketch_arrays(
-            df, value_col, [group_col], k, salt, prefilter_margin=4
-        ).localCheckpoint(eager=False)
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", _aqe)
+    child = loop_session(spark)
+    sk = rebind(
+        _kmv_sketch_arrays(df, value_col, [group_col], k, salt, prefilter_margin=4),
+        child,
+    ).localCheckpoint(eager=False)
+    # the pair stage below plans in the CALLER's session (AQE and all),
+    # exactly as it did post-restore before
+    sk = rebind(sk, spark)
     a = sk.select(F.col(group_col).alias("grp_a"), F.col("hs").alias("hs_a"))
     b = sk.select(F.col(group_col).alias("grp_b"), F.col("hs").alias("hs_b"))
     # per pair, the union sketch U = k smallest of the two sketches'

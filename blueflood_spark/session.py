@@ -9,8 +9,10 @@ maxPartitionBytes would scale with executor count, not be hardcoded.
 from __future__ import annotations
 
 import os
+import threading
+import uuid
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 
 def get_spark(
@@ -64,3 +66,89 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+# ---------------------------------------------------------------------------
+# loop session: AQE-off clone for iterative fixed-point loops
+# ---------------------------------------------------------------------------
+#
+# Under AQE, `localCheckpoint(eager=False)` is NOT lazy: marking calls
+# queryExecution.toRdd, and AQE's toRdd EXECUTES every shuffle stage of
+# the subtree right then, one driver-scheduled job each (the r7 finding
+# — 85 jobs per connected-components query). Iterative loops therefore
+# need AQE off while they mark. r7 toggled spark.sql.adaptive.enabled on
+# the CALLER's session (restore in finally) — a session-global mutation
+# with two documented costs: a query planned CONCURRENTLY in the same
+# session during the loop planned without AQE, and two overlapping
+# toggles could each capture the other's "false" and leave AQE off for
+# the rest of the session (the r7 ADVICE restore-race). Instead, loops
+# now run in a dedicated CLONE of the caller's session whose AQE is
+# permanently off: no toggle, no restore, no race — concurrent loops
+# simply share the clone, and the caller's session is never mutated.
+
+_LOOP_SESSIONS: dict = {}
+_LOOP_LOCK = threading.Lock()
+
+# runtime (conf.set) settings that shape loop plans or row values; the
+# clone re-merges builder-level spark.sql.* from the shared SparkConf by
+# itself, but RUNTIME overrides are session-scoped and must be copied
+# (the driver's vanilla sessions set the timezone at runtime; the
+# SPARK_GRAFT_SHUFFLE arm proves plan-shape independence of the width).
+_LOOP_CONF_COPY = (
+    "spark.sql.shuffle.partitions",
+    "spark.sql.session.timeZone",
+)
+
+
+def loop_session(spark: SparkSession) -> SparkSession:
+    """AQE-off clone of `spark` for iterative fixed-point loops
+    (connected components, PageRank, self-join-subtree checkpoint
+    marks). `newSession()` shares the SparkContext, persistent catalog
+    and cached RDDs; only SQL conf and temp views are fresh. One clone
+    per (application, parent-session) pair, memoized; entries from dead
+    applications are evicted on access (same discipline as the
+    trained-artifact caches in operators/similarity.py)."""
+    app = spark.sparkContext.applicationId
+    key = (app, spark._jsparkSession.hashCode())
+    with _LOOP_LOCK:
+        for stale in [k for k in _LOOP_SESSIONS if k[0] != app]:
+            del _LOOP_SESSIONS[stale]
+        child = _LOOP_SESSIONS.get(key)
+        if child is None:
+            child = spark.newSession()
+            child.conf.set("spark.sql.adaptive.enabled", "false")
+            for conf_key in _LOOP_CONF_COPY:
+                try:
+                    child.conf.set(conf_key, spark.conf.get(conf_key))
+                except Exception:
+                    pass
+            _LOOP_SESSIONS[key] = child
+        return child
+
+
+def rebind(df: DataFrame, session: SparkSession) -> DataFrame:
+    """Re-home a DataFrame's ANALYZED logical plan onto another session
+    of the same SparkContext, via public API only: a uniquely-named
+    global temp view (global temp views store the analyzed plan and are
+    application-scoped, so they resolve from any session), dropped
+    before returning — classic Spark analyzes eagerly at Dataset
+    construction, so the returned frame and everything derived from it
+    never consult the catalog again. The plan is unchanged; only the
+    session whose SQL conf governs physical planning switches, which is
+    what lets a loop mark lazy checkpoints statically (AQE off) in
+    `loop_session()` while the caller keeps AQE for everything else.
+    uuid view names make concurrent rebinds collision-free."""
+    src = df.sparkSession
+    try:
+        if src._jsparkSession.equals(session._jsparkSession):
+            return df
+    except Exception:  # pragma: no cover - connect-mode / mock sessions
+        if src is session:
+            return df
+    name = "bf_rebind_" + uuid.uuid4().hex
+    df.createOrReplaceGlobalTempView(name)
+    try:
+        gdb = session.conf.get("spark.sql.globalTempDatabase", "global_temp")
+        return session.table(f"`{gdb}`.`{name}`")
+    finally:
+        src.catalog.dropGlobalTempView(name)

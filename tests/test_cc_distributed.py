@@ -95,10 +95,15 @@ def test_cc_distributed_nonconvergence_raises(spark):
         ).collect()
 
 
-def test_cc_distributed_restores_aqe_even_on_failure(spark):
-    """r7: the loop disables AQE for its duration (lazy checkpoints are
-    only lazy without it); the conf must come back on BOTH exits — the
-    converged return and the nonconvergence raise."""
+def test_cc_distributed_never_touches_caller_aqe(spark):
+    """r8: the loop runs in the AQE-off loop-session CLONE
+    (session.loop_session); the caller's session conf is never mutated —
+    on the converged return, on the nonconvergence raise, and at no
+    instant in between (r7 toggled-and-restored, which left a window
+    where concurrent queries planned without AQE and a restore race —
+    the r7 ADVICE finding the clone removes)."""
+    from blueflood_spark.session import loop_session
+
     before = spark.conf.get("spark.sql.adaptive.enabled")
     edges = [(i, i + 1) for i in range(59)]
     ids = spark.createDataFrame([(i,) for i in range(60)], "doc_id long")
@@ -108,3 +113,14 @@ def test_cc_distributed_restores_aqe_even_on_failure(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == before
     D.connected_components(pairs, ids, driver_threshold=0).count()
     assert spark.conf.get("spark.sql.adaptive.enabled") == before
+    # the clone itself has AQE off, memoized per caller session, and
+    # inherits the caller's shuffle width + timezone
+    child = loop_session(spark)
+    assert child.conf.get("spark.sql.adaptive.enabled") == "false"
+    assert child is loop_session(spark)
+    assert child.conf.get("spark.sql.shuffle.partitions") == spark.conf.get(
+        "spark.sql.shuffle.partitions"
+    )
+    assert child.conf.get("spark.sql.session.timeZone") == spark.conf.get(
+        "spark.sql.session.timeZone"
+    )
