@@ -596,6 +596,25 @@ def clear_centroid_cache() -> None:
     _CENTROID_CACHE.clear()
 
 
+def _centroid_cache_get(key: tuple | None) -> DataFrame | None:
+    """Shared memo read: every cache key leads with the application id,
+    so ANY read first sweeps entries whose app is no longer this one —
+    dead sessions' checkpointed frames and py4j refs would otherwise
+    accumulate in a process whose only entry points are PQ/IVFPQ (the
+    r8 ADVICE finding: only the k-means writer used to run the sweep)."""
+    if key is None:
+        return None
+    for stale in [s for s in _CENTROID_CACHE if s[0] != key[0]]:
+        del _CENTROID_CACHE[stale]
+    return _CENTROID_CACHE.get(key)
+
+
+def _centroid_cache_put(key: tuple | None, row: DataFrame) -> DataFrame:
+    if key is not None:
+        _CENTROID_CACHE[key] = row
+    return row
+
+
 def _trained_centroid_row(
     emb: DataFrame, k: int, iterations: int, id_col: str, vec_col: str, argmin: str
 ) -> DataFrame:
@@ -611,12 +630,9 @@ def _trained_centroid_row(
         )
     except Exception:  # Connect or API drift: train inline, skip the memo
         key = None
-    if key is not None:
-        hit = _CENTROID_CACHE.get(key)
-        if hit is not None:
-            return hit
-        for stale in [s for s in _CENTROID_CACHE if s[0] != key[0]]:
-            del _CENTROID_CACHE[stale]  # dead sessions' py4j refs
+    hit = _centroid_cache_get(key)
+    if hit is not None:
+        return hit
 
     from pyspark.sql import Window
 
@@ -656,9 +672,7 @@ def _trained_centroid_row(
             ).alias("cvec")
         )
     cent_row = as_row(cents).localCheckpoint(eager=False)
-    if key is not None:
-        _CENTROID_CACHE[key] = cent_row
-    return cent_row
+    return _centroid_cache_put(key, cent_row)
 
 
 def kmeans_assign_sql(k: int = 8, iterations: int = 2) -> str:
@@ -782,18 +796,15 @@ def _pq_cb_row(emb: DataFrame, id_col: str, emb_col: str) -> DataFrame:
         )
     except Exception:  # Connect or API drift: build inline, skip the memo
         key = None
-    if key is not None:
-        hit = _CENTROID_CACHE.get(key)
-        if hit is not None:
-            return hit
+    hit = _centroid_cache_get(key)
+    if hit is not None:
+        return hit
     row = _pq_codebook(emb, id_col, emb_col).agg(
         F.array_sort(
             F.collect_list(F.struct(F.col("cb_pos").alias("c"), F.col("cb_emb").alias("v")))
         ).alias("cb")
     ).localCheckpoint(eager=False)
-    if key is not None:
-        _CENTROID_CACHE[key] = row
-    return row
+    return _centroid_cache_put(key, row)
 
 
 _PQ_CENTS_SQL = """
@@ -1456,11 +1467,11 @@ def ivfpq_topk(
         )
     except Exception:
         ck = None
-    cent_row = _CENTROID_CACHE.get(ck) if ck is not None else None
+    cent_row = _centroid_cache_get(ck)
     if cent_row is None:
-        cent_row = _ivf_cent_row(emb, n_lists, id_col, emb_col).localCheckpoint(eager=False)
-        if ck is not None:
-            _CENTROID_CACHE[ck] = cent_row
+        cent_row = _centroid_cache_put(
+            ck, _ivf_cent_row(emb, n_lists, id_col, emb_col).localCheckpoint(eager=False)
+        )
     ranked = _ivf_ranked(emb, n_lists, id_col, emb_col, cent_row=cent_row)
     # coded inverted lists: list routing + PQ codes in ONE projection of
     # the assignment frame (no second pass over the corpus)
