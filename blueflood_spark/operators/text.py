@@ -2201,24 +2201,33 @@ def winnowing_fingerprints(
 
 
 def winnowing_fingerprints_sql(k: int = 4, w: int = 5) -> str:
+    # hlists is MATERIALIZED (r7 verdict task 7 — the BPE-twin fix):
+    # without it DuckDB re-evaluates the whole O(ng) md5 list for EVERY
+    # unnested position row (the list expression sits beside an unnest,
+    # so it is repeated per output row) — O(ng²) md5 calls per doc,
+    # ~17 s per twin at sf0.1. Materialized, each doc hashes its grams
+    # once; the two equal-length unnests below zip row-wise, so each
+    # combined row carries scalars only. Values are bit-identical: the
+    # same hash/packing expressions over the same inputs.
     return f"""
-WITH base AS (
+WITH base AS MATERIALIZED (
   SELECT doc_id, string_split(text, ' ') AS _w,
          least(greatest(len(string_split(text, ' ')) - {k - 1}, 0), 2097151) AS _ng
   FROM documents
 ),
-grams AS (
+hlists AS MATERIALIZED (
   SELECT doc_id, _ng,
-         unnest(range(0, _ng)) AS pos,
          list_transform(range(0, _ng),
            i -> CAST(('0x' || substr(md5(array_to_string(list_slice(_w, i + 1, i + {k}), ' ')), 1, 8)) AS BIGINT)
          ) AS hs
   FROM base WHERE _ng > 0
 ),
 combined AS (
-  SELECT doc_id, _ng, pos,
-         hs[pos + 1] * 2097152 + (2097151 - pos) AS combined
-  FROM grams
+  SELECT doc_id, _ng,
+         unnest(range(0, _ng)) AS pos,
+         unnest(list_transform(range(0, _ng),
+                i -> hs[i + 1] * 2097152 + (2097151 - i))) AS combined
+  FROM hlists
 ),
 sel AS (
   SELECT DISTINCT doc_id,
@@ -2781,9 +2790,11 @@ def winnowing_pairs(
 
 def winnowing_pairs_sql(k: int = 4, w: int = 5, min_shared: int = 2) -> str:
     inner = winnowing_fingerprints_sql(k, w).strip()
+    # fps is MATERIALIZED: the self-join below reads it from BOTH sides,
+    # and an inlined CTE would run the whole fingerprint pipeline twice
     return f"""
 WITH fps_raw AS ({inner}),
-fps AS (SELECT DISTINCT doc_id, fp_hash FROM fps_raw)
+fps AS MATERIALIZED (SELECT DISTINCT doc_id, fp_hash FROM fps_raw)
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_fps
 FROM fps a JOIN fps b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
 GROUP BY 1, 2
