@@ -362,6 +362,44 @@ def reroll(
     return R.basic_from_raw(pruned, gran)
 
 
+def reroll_preagg(
+    spark: SparkSession,
+    tables_dir: str,
+    delayed_path: str,
+    grans=(G.MIN_5, G.MIN_20),
+    families=("counter", "gauge", "timer", "set"),
+) -> dict[str, dict[str, DataFrame]]:
+    """T4 batch re-roll for the PREAGGREGATED families (r7 verdict task
+    9): recompute per-family rollups for exactly the (locator, family,
+    20m slot) groups that start_preagg_ingest's delayed side-channel
+    recorded — `reroll`'s shape, dispatched through the same
+    preagg_cascade the serving path uses, so re-rolled windows are
+    BIT-IDENTICAL to a from-scratch batch cascade over the slot's rows
+    (the merge functions are exact integer/dyadic arithmetic; the
+    differential test in test_streaming.py proves it per family).
+
+    Scale: the delayed set is distinct slots, not samples → broadcast
+    semi-join prunes each family table before any aggregation; re-roll
+    cost tracks straggler volume, not corpus size."""
+    delayed = spark.read.parquet(delayed_path)
+    affected = delayed.select(
+        "tenant_id", "metric_name", "rollup_type", "slot_window_start"
+    ).distinct()
+    parts = None
+    for fam in families:
+        p = spark.read.parquet(f"{tables_dir}/preagg_{fam}").drop("batch_id", "date")
+        parts = p if parts is None else parts.unionByName(p)
+    pruned = parts.join(
+        F.broadcast(affected),
+        (parts.tenant_id == affected.tenant_id)
+        & (parts.metric_name == affected.metric_name)
+        & (parts.rollup_type == affected.rollup_type)
+        & (R.window_start(parts.ts, G.MIN_20) == affected.slot_window_start),
+        "left_semi",
+    )
+    return R.preagg_cascade(pruned, grans=grans, families=families)
+
+
 def start_preagg_ingest(
     spark: SparkSession,
     input_path: str,
@@ -369,6 +407,7 @@ def start_preagg_ingest(
     checkpoint: str,
     available_now: bool = True,
     catalog_path: str | None = None,
+    delayed_path: str | None = None,
 ):
     """S3 aggregated (statsd) streaming ingest: JSON payloads with the
     AGGREGATED_PAYLOAD shape stream in, normalize_aggregated explodes
@@ -386,7 +425,29 @@ def start_preagg_ingest(
     stream = spark.readStream.schema(AGGREGATED_PAYLOAD).json(input_path)
 
     def process(batch: DataFrame, batch_id: int) -> None:
+        import time
+
+        now_ms = int(time.time() * 1000)
         preagg = normalize_aggregated(batch).cache()
+        if delayed_path is not None:
+            # T4 for the preagg families (r7 verdict task 9): a flush
+            # whose timestamp predates the rollup delay lands AFTER its
+            # window was rolled — record the affected (locator, family,
+            # 20m slot) so reroll_preagg can recompute exactly those
+            # groups. Same replay discipline as start_ingest's delayed
+            # sink: unconditional overwrite of this batch_id directory.
+            (
+                preagg.filter(F.col("ts") < F.lit(now_ms - ROLLUP_DELAY_MS))
+                .select(
+                    "tenant_id",
+                    "metric_name",
+                    "rollup_type",
+                    R.window_start(F.col("ts"), G.MIN_20).alias("slot_window_start"),
+                )
+                .distinct()
+                .write.mode("overwrite")
+                .parquet(f"{delayed_path}/batch_id={batch_id}")
+            )
         # batch_id-keyed dynamic overwrite per family sink: replays of the
         # same micro-batch rewrite their own partitions (see start_ingest)
         for family, df in route_by_type(preagg).items():

@@ -1070,3 +1070,132 @@ def test_preagg_cascade_stream_merge_equals_batch(spark, tmp_path):
     t20 = {(r["tenant_id"], r["window_start"]): r["count"]
            for r in merged["timer"]["20m"].collect()}
     assert t20[("t1", base)] == 8 * (1 + 2 + 1 + 3 + 2 + 4)
+
+
+def test_preagg_reroll_matches_batch_for_late_slots(spark, tmp_path):
+    """T4 for the PREAGGREGATED families (r7 verdict task 9): statsd
+    payloads stream in with a subset of flushes arriving PAST the rollup
+    delay; the delayed side-channel must record exactly the straggler
+    (locator, family, 20m slot) groups, and reroll_preagg's recomputed
+    rollups must BIT-EXACTLY equal a from-scratch batch cascade over the
+    same payloads restricted to those groups — extending the re-roll
+    differential from the basic path (test_reroll_recomputes_late_windows)
+    to counter/gauge/timer/set. Dyadic values make equality exact."""
+    import os
+    import time as _time
+
+    from blueflood_spark.operators.rollup import preagg_cascade, window_start
+    from blueflood_spark.sources.ingest import AGGREGATED_PAYLOAD, normalize_aggregated
+
+    inp = str(tmp_path / "agg_in")
+    tables = str(tmp_path / "agg_tables")
+    ckpt = str(tmp_path / "agg_ckpt")
+    delayed_dir = str(tmp_path / "agg_delayed")
+    os.makedirs(inp)
+
+    def payload(tenant, ts, scale):
+        return {
+            "tenantId": tenant,
+            "timestamp": ts,
+            "flushInterval": 30000,
+            "counters": [{"name": "c.hits", "value": 8.0 * scale, "rate": 2.0 * scale}],
+            "gauges": [{"name": "g.depth", "value": 4.5 + scale}],
+            "timers": [
+                {
+                    "name": "t.req",
+                    "count": 8 * scale,
+                    "rate": 0.25,
+                    "min": 1.0,
+                    "max": 9.0 + scale,
+                    "sum": 40.0 * scale,
+                    "avg": 5.0,
+                    "std": 2.0,
+                    "percentiles": {"p50": {"avg": 4.0 + scale}, "p99": {"avg": 8.5 + scale}},
+                }
+            ],
+            "sets": [{"name": "s.users", "values": [f"u{scale}", "u0"]}],
+        }
+
+    now = int(_time.time() * 1000)
+    # on-time = within the 5-min rollup delay of the WALL CLOCK (a
+    # slot-aligned stamp can already be up to 20 min old)
+    on_ts = now - 60_000
+    on_base = (on_ts // (20 * MIN)) * 20 * MIN
+    late_base = ((now - 2 * 86_400_000) // (20 * MIN)) * 20 * MIN
+    on_time = [payload("t1", on_ts, 1), payload("t2", on_ts + 30_000, 2)]
+    # two late flushes into the SAME 2-day-old slot (the re-rolled windows
+    # must MERGE partials, not just copy one through) + one into another
+    late = [
+        payload("t1", late_base + 30_000, 2),
+        payload("t1", late_base + 8 * 30_000, 4),
+        payload("t2", late_base + 5 * MIN, 1),
+    ]
+    write_payload(f"{inp}/b1.json", on_time + late)
+    q = P.start_preagg_ingest(spark, inp, tables, ckpt, delayed_path=delayed_dir)
+    q.awaitTermination(120)
+
+    # the delayed table holds EXACTLY the straggler groups — one row per
+    # (tenant, metric, family, slot), nothing from the on-time flushes
+    dl = spark.read.parquet(delayed_dir)
+    got_groups = {
+        (r.tenant_id, r.metric_name, r.rollup_type, r.slot_window_start)
+        for r in dl.collect()
+    }
+    fams_by_metric = {
+        "c.hits": "counter", "g.depth": "gauge", "t.req": "timer", "s.users": "set",
+    }
+    want_groups = {
+        (p["tenantId"], name, fam, (p["timestamp"] // (20 * MIN)) * 20 * MIN)
+        for p in late
+        for name, fam in fams_by_metric.items()
+    }
+    assert got_groups == want_groups
+
+    rerolled = P.reroll_preagg(spark, tables, delayed_dir, grans=(G.MIN_5, G.MIN_20))
+
+    # batch arm: normalize ALL payloads, restrict to the affected groups
+    # with the same semi-join, cascade identically
+    all_df = spark.createDataFrame(
+        [tuple(p.get(f.name) for f in AGGREGATED_PAYLOAD.fields) for p in on_time + late],
+        AGGREGATED_PAYLOAD,
+    )
+    norm = normalize_aggregated(all_df)
+    aff = dl.select("tenant_id", "metric_name", "rollup_type", "slot_window_start").distinct()
+    pruned = norm.join(
+        F.broadcast(aff),
+        (norm.tenant_id == aff.tenant_id)
+        & (norm.metric_name == aff.metric_name)
+        & (norm.rollup_type == aff.rollup_type)
+        & (window_start(norm.ts, G.MIN_20) == aff.slot_window_start),
+        "left_semi",
+    )
+    expected = preagg_cascade(pruned, grans=(G.MIN_5, G.MIN_20))
+
+    def rows(df):
+        cols = sorted(df.columns)
+        out = []
+        for r in df.select(*cols).collect():
+            d = r.asDict()
+            for k, v in d.items():
+                if isinstance(v, dict):
+                    d[k] = tuple(sorted(v.items()))
+                elif isinstance(v, list):
+                    d[k] = tuple(sorted(v))
+            out.append(tuple(d[c] for c in cols))
+        return sorted(out)
+
+    for fam in ("counter", "gauge", "timer", "set"):
+        for level in ("5m", "20m"):
+            got, want = rows(rerolled[fam][level]), rows(expected[fam][level])
+            assert got == want, f"{fam}/{level}: reroll != batch-over-late-slots"
+            assert len(got) > 0, f"{fam}/{level}: empty"
+        # pruning: nothing from the on-time slot leaks into the re-roll
+        assert all(
+            r.window_start != on_base
+            for r in rerolled[fam]["20m"].select("window_start").collect()
+        ), fam
+    # the same-slot merge really merged: t1's late 20m timer count is the
+    # SUM of both late flushes (scales 2 + 4)
+    t20 = {(r["tenant_id"], r["window_start"]): r["count"]
+           for r in rerolled["timer"]["20m"].collect()}
+    assert t20[("t1", late_base)] == 8 * (2 + 4)
