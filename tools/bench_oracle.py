@@ -36,6 +36,12 @@ def _connect(sf_dir: str, threads: int) -> duckdb.DuckDBPyConnection:
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # same median-of-3 calibration query as bench.py (imported, not
+    # copied), so oracle totals can be ambient-normalized round-over-
+    # round exactly like Spark's (r7 verdict task 8)
+    from bench import ambient_probe
+
+    ambient_sec = ambient_probe(sf_dir)
     con = _connect(sf_dir, 32)
     suite = list(E.oracle_sql().items())
 
@@ -96,6 +102,7 @@ def main() -> None:
                 "serial_total_sec": round(serial_total, 4),
                 "concurrency": headline,
                 "wall_sec_by_concurrency": {str(c): round(v, 4) for c, v in arms.items()},
+                "ambient_probe_sec": ambient_sec,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
