@@ -207,9 +207,15 @@ def changed_ranges(relpath: str, since: str) -> list[tuple[int, int]] | None:
     for m in re.finditer(r"^@@ -\d+(?:,\d+)? \+(\d+)(?:,(\d+))? @@", diff, re.M):
         start = int(m.group(1))
         count = int(m.group(2)) if m.group(2) is not None else 1
-        # a pure deletion (count 0) lands BETWEEN start and start+1 at
-        # HEAD — widen by one line either side so it can't slip through
-        ranges.append((max(1, start - (count == 0)), start + max(count, 1)))
+        if count == 0:
+            # a pure deletion lands BETWEEN start and start+1 at HEAD —
+            # cover both neighbors so it can't slip through
+            ranges.append((max(1, start), start + 1))
+        else:
+            # +start,count covers HEAD lines [start, start+count-1]
+            # INCLUSIVE; overshooting by one falsely flags the symbol
+            # that begins on the next line
+            ranges.append((start, start + count - 1))
     _HUNKS[key] = ranges
     return ranges
 
