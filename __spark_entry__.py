@@ -3893,11 +3893,17 @@ def llm_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     # the pair subtree feeds both directions of the symmetrize union —
-    # materialize once (self-join-subtree rule); marked in the AQE-off
-    # loop-session clone so the mark stays LAZY (under AQE it executed
-    # the whole SimHash pair subtree eagerly at mark time — r7 finding)
-    pairs = rebind(
-        D.simhash_near_pairs(docs, max_hamming=8, bits=60), loop_session(spark)
+    # materialize once (self-join-subtree rule); built from a CHILD-
+    # rebound docs so BOTH checkpoint marks (simhash_near_pairs' internal
+    # bucketed mark at dedup.py and the pair mark here) land in the
+    # AQE-off loop-session clone and stay LAZY — under AQE each mark
+    # executed its whole subtree eagerly at plan-build time (r7 finding;
+    # the internal mark alone was ~0.6 s of the warm build). The shared
+    # simhash_near_pairs function is untouched: it marks on whatever
+    # session its input lives in, so the other consumers keep their
+    # stamped profile.
+    pairs = D.simhash_near_pairs(
+        rebind(docs, loop_session(spark)), max_hamming=8, bits=60
     ).localCheckpoint(eager=False)
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")

@@ -82,7 +82,12 @@ def pagerank(
     edges = rebind(edges, child)
     nodes = rebind(nodes, child)
     base = scale * (DAMP_DEN - DAMP_NUM) // DAMP_DEN
-    ids = nodes.select(F.col(id_col).cast("long").alias("id"))
+    # every iteration left-joins the full id set; mark it once (lazy in
+    # the clone) so five rounds share one node-frame subtree instead of
+    # five copies of the scan+cast plan
+    ids = nodes.select(F.col(id_col).cast("long").alias("id")).localCheckpoint(
+        eager=False
+    )
     deg = edges.groupBy(src_col).agg(F.count(F.lit(1)).alias("deg"))
     ed = (
         edges.join(deg, src_col)
