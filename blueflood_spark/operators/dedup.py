@@ -422,6 +422,13 @@ def connected_components(
     set — one pass over the corpus, no iteration. Above
     `driver_threshold` pairs it falls back to distributed min-label
     propagation (`_cc_distributed`)."""
+    if driver_threshold <= 0:
+        # pinned to the distributed path: the count below exists only to
+        # pick a branch, and under AQE the parent-session mark it needs
+        # executes the whole pair subtree eagerly as separate jobs —
+        # _cc_distributed marks lazily in the loop-session clone instead,
+        # so the pair subtree runs ONCE, inside the first fixpoint job
+        return _cc_distributed(pairs, ids, id_col, max_iterations)
     pairs = pairs.localCheckpoint(eager=False)  # count + collect read it once
     n_pairs = pairs.count()
     if n_pairs > driver_threshold:
@@ -514,7 +521,12 @@ def _cc_distributed(
 
     spark = pairs.sparkSession
     child = loop_session(spark)
-    pairs = rebind(pairs, child)
+    # mark the pair subtree here (lazy, clone session): the symmetrize
+    # union reads it from both branches, and a caller on the pinned
+    # distributed path hands it over un-materialized. For callers that
+    # already counted it (the over-threshold fallback) the mark wraps a
+    # materialized RDD scan — a no-op.
+    pairs = rebind(pairs, child).localCheckpoint(eager=False)
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
