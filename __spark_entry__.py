@@ -3909,7 +3909,7 @@ def llm_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
     nodes = docs.select(F.col("doc_id").alias("id"))
-    return GR.pagerank(edges, nodes, n_iter=5).select(
+    return GR.pagerank(edges, nodes, n_iter=5, symmetric=True).select(
         F.col("id").alias("doc_id"), "rank"
     )
 

@@ -54,6 +54,7 @@ def pagerank(
     dst_col: str = "dst",
     id_col: str = "id",
     checkpoint_every: int = 4,
+    symmetric: bool = False,
 ) -> DataFrame:
     """Fixed-point integer PageRank; returns (id, rank) with rank in
     units of 1/scale. `edges` is DIRECTED — symmetrize before calling
@@ -74,7 +75,23 @@ def pagerank(
     Marked statically in the clone they stay lazy, and the caller's
     first action executes the whole rank chain as one job. The returned
     frame is re-homed to the caller's session, so downstream plans keep
-    the caller's conf."""
+    the caller's conf. HONESTY NOTE (r8, measured): the eager marks
+    were PIPELINED stage executions, not re-executed work — suite-warm
+    wall is ~unchanged by laziness (the win is cold/single-shot, 7.3 s
+    → 4.6 s first pass, and 29 → 1 job launches); segment A/Bs showed
+    AQE-off is also neutral-to-positive here (PLANS.md r8).
+
+    ITERATES OVER EDGE-TOUCHED NODES ONLY (the `_cc_distributed`
+    vertex-set rule): a node with no in-edges receives zero inbound
+    mass every round, so its rank is the constant teleport base after
+    round 1 — carrying the full node universe through n_iter rounds of
+    left-joins shuffles the whole corpus id space for rows that can
+    never change. The loop's node set is ids ∩ (src ∪ dst); everything
+    else gets the closed-form base attached by ONE left join at the
+    end. Exactness: loop sources all start at `scale` (round 1
+    unchanged), isolated nodes contribute no edges, and edge endpoints
+    outside `nodes` stay excluded by the intersection — outputs are
+    bit-identical to the full-universe loop on any directed graph."""
     from blueflood_spark.session import loop_session, rebind
 
     child = loop_session(edges.sparkSession)
@@ -82,9 +99,6 @@ def pagerank(
     edges = rebind(edges, child)
     nodes = rebind(nodes, child)
     base = scale * (DAMP_DEN - DAMP_NUM) // DAMP_DEN
-    # every iteration left-joins the full id set; mark it once (lazy in
-    # the clone) so five rounds share one node-frame subtree instead of
-    # five copies of the scan+cast plan
     ids = nodes.select(F.col(id_col).cast("long").alias("id")).localCheckpoint(
         eager=False
     )
@@ -98,7 +112,21 @@ def pagerank(
         )
         .localCheckpoint(eager=False)
     )
-    ranks = ids.select("id", F.lit(scale).cast("long").alias("rank"))
+    # `symmetric=True` (caller asserts src-set == dst-set, true for any
+    # symmetrized undirected graph) halves the distinct's input: the
+    # src side alone already enumerates every edge-touched node
+    endpoints = (
+        ed.select("src")
+        if symmetric
+        else ed.select("src").unionByName(ed.select(F.col("dst").alias("src")))
+    )
+    touched = (
+        endpoints.distinct()
+        .join(ids, ids["id"] == F.col("src"), "left_semi")
+        .select(F.col("src").alias("id"))
+        .localCheckpoint(eager=False)  # every round's left side; one subtree
+    )
+    ranks = touched.select("id", F.lit(scale).cast("long").alias("rank"))
     for i in range(n_iter):
         inbound = (
             ed.join(ranks, ed["src"] == ranks["id"])
@@ -106,7 +134,7 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("c").alias("s"))
         )
-        ranks = ids.join(inbound, "id", "left").select(
+        ranks = touched.join(inbound, "id", "left").select(
             "id",
             (
                 F.lit(base)
@@ -115,7 +143,11 @@ def pagerank(
         )
         if (i + 1) % checkpoint_every == 0 and (i + 1) < n_iter:
             ranks = ranks.localCheckpoint(eager=False)
-    return rebind(ranks, caller)
+    # isolated nodes: constant closed-form rank, one join, zero rounds
+    out = ids.join(ranks, "id", "left").select(
+        "id", F.coalesce(F.col("rank"), F.lit(base).cast("long")).alias("rank")
+    )
+    return rebind(out, caller)
 
 
 def pagerank_sql(
