@@ -168,3 +168,43 @@ def test_ivfpq_query_side_is_fused(spark):
     assert "SortMergeJoin" not in plan, plan[:2500]
     assert "WindowGroupLimit" in plan, plan[:2500]
     assert plan.count("BroadcastExchange") <= 5, plan[:2500]
+
+
+def test_histogram_quantile_is_one_aggregation(spark):
+    """bf_histogram_quantile (r8 floor pass): ONE slot-level aggregation
+    with array-expression bucket search — no crossJoin bounds fan-out,
+    no window over bucket groups, no second aggregate. One shuffle; the
+    r3 shape paid two aggregations + a window + a nested-loop
+    crossJoin."""
+    plan = _plan(spark, _q(spark, "bf_histogram_quantile"))
+    assert _shuffles(plan) == 1, plan[:2000]
+    assert "Window" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan[:2000]
+
+
+def test_pagerank_runs_as_one_job_with_lazy_marks(spark):
+    """llm_dup_pagerank (r8): every checkpoint mark lands in the AQE-off
+    loop-session clone, so plan CONSTRUCTION launches no jobs (under
+    AQE the marks executed their subtrees eagerly — 29 driver-scheduled
+    jobs per query), and the caller's first action executes the whole
+    chain. Also guards the loop-session contract itself: building the
+    query never flips the caller's AQE."""
+    import __spark_entry__ as E
+
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled")
+    tracker = spark.sparkContext.statusTracker()
+
+    def njobs():
+        return len(tracker.getJobIdsForGroup(None) or [])
+
+    E._t(spark, SF, "documents")  # parquet footer read launches its own job
+    before = njobs()
+    df = E.queries()["llm_dup_pagerank"](spark, SF)
+    # ≤3: each mark's physical compile kicks its broadcast-exchange
+    # futures (BroadcastExchangeExec starts materializing at prepare
+    # time — small async collect jobs, NOT subtree executions; the
+    # eager-mark regression this guards against was 29 jobs)
+    assert njobs() - before <= 3, "plan construction executed mark subtrees eagerly"
+    assert spark.conf.get("spark.sql.adaptive.enabled") == aqe_before
+    df.write.mode("overwrite").format("noop").save()
+    assert njobs() - before <= 6, "rank chain fragmented into many jobs"
