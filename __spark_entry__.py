@@ -5376,7 +5376,13 @@ def bf_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-stage-codegen scalar math. Shuffle volume per slot: 8 longs.
     Same estimator, bit-identical doubles: identical integer counts fed
     through the identical interpolation expression."""
-    raw = _raw_metrics(spark, sf_dir)
+    return _hq_estimate(_raw_metrics(spark, sf_dir))
+
+
+def _hq_estimate(raw: DataFrame) -> DataFrame:
+    """The estimator over any (tenant_id, metric_name, ts, value) frame
+    — split from the query so the hypothesis differential can feed it
+    arbitrary histograms (tests/test_r6_properties.py)."""
     slot = (F.col("ts") - F.pmod(F.col("ts"), F.lit(1_200_000))).alias("slot_ms")
     n_b = len(_HIST_BOUNDS)
     cums = [

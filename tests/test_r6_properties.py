@@ -172,3 +172,49 @@ def test_bpe_train_feeds_encode(spark):
     enc = {r.doc_id: r.n_tokens_bpe for r in bpe_encode(docs, merges=learned).collect()}
     assert all(enc[d] <= base[d] for d in base)
     assert sum(enc.values()) < sum(base.values())
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.floats(min_value=0.01, max_value=500.0, allow_nan=False),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_histogram_quantile_matches_python_reference(spark, values):
+    """r8 single-aggregation rewrite of bf_histogram_quantile: the
+    array-expression bucket search + interpolation must match a direct
+    Python transliteration of the Prometheus estimator on arbitrary
+    value sets — including saturated slots (every value past the last
+    bound) and exact-boundary targets."""
+    import math
+
+    import __spark_entry__ as E
+
+    bounds = E._HIST_BOUNDS
+    q = E._HQ_Q
+    rows = [("t1", "m", 1_700_000_000_000 + i, float(v)) for i, v in enumerate(values)]
+    raw = spark.createDataFrame(
+        rows, "tenant_id string, metric_name string, ts long, value double"
+    )
+    got = E._hq_estimate(raw).collect()
+    assert len(got) == 1
+    r = got[0]
+
+    # reference: cumulative counts, first bucket reaching q*n, linear
+    # interpolation with lo=0 for the first bucket
+    n = len(values)
+    cum = [sum(1 for v in values if v <= b) for b in bounds]
+    target = q * n
+    idx = next((i for i, c in enumerate(cum) if c >= target), None)
+    if idx is None:
+        assert r.saturated is True
+        assert r.p_est == bounds[-1]
+    else:
+        lo = 0.0 if idx == 0 else bounds[idx - 1]
+        cum_lo = 0 if idx == 0 else cum[idx - 1]
+        want = lo + (bounds[idx] - lo) * (target - cum_lo) / (cum[idx] - cum_lo)
+        assert r.saturated is False
+        assert math.isclose(r.p_est, want, rel_tol=0, abs_tol=0) or r.p_est == want
+    assert r.n_total == n
