@@ -1199,3 +1199,54 @@ def test_preagg_reroll_matches_batch_for_late_slots(spark, tmp_path):
     t20 = {(r["tenant_id"], r["window_start"]): r["count"]
            for r in rerolled["timer"]["20m"].collect()}
     assert t20[("t1", late_base)] == 8 * (2 + 4)
+
+
+def test_preagg_delayed_sink_replay_is_idempotent(spark, tmp_path):
+    """T7 for the preagg delayed side-channel: replaying the same
+    micro-batch (same batch_id via a fresh checkpoint into the same sink
+    paths) rewrites the batch_id partition of BOTH the family tables and
+    the delayed table instead of appending duplicates, so reroll_preagg
+    recomputes from exactly one copy of every straggler row."""
+    import os
+    import time as _time
+
+    inp = str(tmp_path / "agg_in")
+    tables = str(tmp_path / "agg_tables")
+    delayed_dir = str(tmp_path / "agg_delayed")
+    os.makedirs(inp)
+    now = int(_time.time() * 1000)
+    late_ts = now - 86_400_000
+    payloads = [
+        {
+            "tenantId": "t1",
+            "timestamp": late_ts,
+            "flushInterval": 30000,
+            "counters": [{"name": "c.r", "value": 4.0, "rate": 1.0}],
+            "gauges": None, "timers": None, "sets": None,
+        },
+        {
+            "tenantId": "t1",
+            "timestamp": now - 30_000,
+            "flushInterval": 30000,
+            "counters": [{"name": "c.r", "value": 2.0, "rate": 0.5}],
+            "gauges": None, "timers": None, "sets": None,
+        },
+    ]
+    write_payload(f"{inp}/b.json", payloads)
+    for attempt in range(2):
+        ckpt = str(tmp_path / f"ckpt{attempt}")  # fresh ckpt → batch_id 0 again
+        P.start_preagg_ingest(
+            spark, inp, tables, ckpt, delayed_path=delayed_dir
+        ).awaitTermination(120)
+    counters = spark.read.parquet(f"{tables}/preagg_counter")
+    assert counters.count() == 2  # NOT 4
+    dl = spark.read.parquet(delayed_dir)
+    assert dl.count() == 1  # only the straggler, once
+    r = dl.collect()[0]
+    assert r.rollup_type == "counter"
+    assert r.slot_window_start == (late_ts // (20 * MIN)) * 20 * MIN
+    # and the re-roll over the replayed tables sees exactly one partial
+    rerolled = P.reroll_preagg(spark, tables, delayed_dir, grans=(G.MIN_5,),
+                               families=("counter",))
+    rows = rerolled["counter"]["5m"].collect()
+    assert len(rows) == 1 and rows[0]["count"] == 4.0
