@@ -1155,7 +1155,10 @@ def minhash_estimate_report(
     pairs = inter.withColumn("exact_jaccard", exact_j).filter(
         F.col("exact_jaccard") >= min_jaccard
     )
-    sig = minhash_signatures(docs, text_col, num_perm).localCheckpoint(eager=False)
+    # minhash_signatures already returns a checkpoint-backed (memoized)
+    # frame — a second mark here wrapped the RDD again, and under AQE
+    # the redundant mark re-executed the RDD scan eagerly at build time
+    sig = minhash_signatures(docs, text_col, num_perm)
     sa = sig.selectExpr(
         "doc_id AS doc_a", *[f"mh_{i} AS a_{i}" for i in range(num_perm)]
     )

@@ -152,3 +152,31 @@ def rebind(df: DataFrame, session: SparkSession) -> DataFrame:
         return session.table(f"`{gdb}`.`{name}`")
     finally:
         src.catalog.dropGlobalTempView(name)
+
+
+def lazy_mark(df: DataFrame) -> DataFrame:
+    """`localCheckpoint(eager=False)` that actually STAYS lazy under
+    AQE: the mark happens in the AQE-off loop-session clone (where
+    toRdd compiles the plan without executing its query stages), and
+    the RDD-backed frame is handed straight back to the caller's
+    session, so every join/aggregate built on top plans under the
+    caller's own conf. Use for shared-subtree marks on hot query paths;
+    a plain mark on an AQE session executes the whole subtree eagerly
+    as separate driver-scheduled jobs at plan-build time (NOTES.md r7).
+    Broadcast-exchange prepare futures may still kick 1-2 small async
+    jobs — those are collect-to-driver broadcasts, not subtree runs.
+
+    HAZARD (measured r8): do NOT lazy_mark a MID-TREE frame that will
+    later be joined against siblings sharing its base relation (e.g.
+    marking the probe side of incremental_dedup, whose exact/near
+    branches also scan the same docs table). The view round trip remaps
+    the marked subtree's exprIds while the siblings keep the originals,
+    and Spark's self-join dedup then fails with INTERNAL_ERROR
+    "conflicting references in Join". Safe uses: loop-internal frames
+    where EVERY participating input was rebound into the clone together
+    (connected components, PageRank), and single-lineage subtrees whose
+    consumers never re-touch the same base relation (KMV sketch)."""
+    caller = df.sparkSession
+    return rebind(
+        rebind(df, loop_session(caller)).localCheckpoint(eager=False), caller
+    )
