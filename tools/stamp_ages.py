@@ -68,6 +68,43 @@ def main() -> None:
         pos = names.index(n)
         print(f"  r{stamps[n]}  pos{pos:>3}{'  IN-WINDOW' if pos < 50 else ''}  {n}")
 
+    if "--plan" in sys.argv:
+        _print_window_plan(names, stamps)
+
+
+def _print_window_plan(names: list, stamps: dict) -> None:
+    """Propose the NEXT round's 50-entry window: every query the
+    changed-vs-stamped closure sweep flags OUT OF WINDOW (those are
+    weak until re-stamped — they take priority), then the stalest
+    stamps, oldest first. Prints the ordered list plus the deferral
+    set when candidates exceed 50."""
+    import subprocess
+
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "changed_since_stamp.py")],
+        capture_output=True, text=True, cwd=REPO,
+    )
+    flagged = [
+        line.split(":", 1)[0]
+        for line in r.stdout.splitlines()
+        if "OUT OF WINDOW" in line
+    ]
+    rest = sorted(
+        (n for n in names if n in stamps and n not in set(flagged)),
+        key=lambda n: (stamps[n], n),
+    )
+    ordered = flagged + rest
+    window, deferred_round = ordered[:50], ordered[50:]
+    # deferral fairness: report which same-staleness rows missed the cut
+    cut_round = stamps.get(window[-1])
+    spill = [n for n in deferred_round if stamps.get(n) == cut_round]
+    print(f"\nproposed next window (50): {len(flagged)} changed-OOW first, then stalest")
+    for i, n in enumerate(window):
+        tag = "CHANGED-OOW" if n in set(flagged) else f"r{stamps[n]}"
+        print(f"  {i:>2}  {tag:>11}  {n}")
+    if spill:
+        print(f"deferred r{cut_round} rows (verify untouched, note in ORDER CONTRACT): {spill}")
+
 
 if __name__ == "__main__":
     main()
