@@ -104,3 +104,33 @@ def test_concurrent_rebinds_do_not_collide(spark):
         for t in spark.catalog.listTables("global_temp")
         if t.name.startswith("bf_rebind_")
     ]
+
+
+def test_rebind_empty_frame_and_exotic_columns(spark):
+    child = loop_session(spark)
+    empty = spark.range(10).filter("id < 0").selectExpr("id AS `dotted.name`", "id AS `space name`")
+    over = rebind(empty, child)
+    assert over.count() == 0
+    assert over.columns == ["dotted.name", "space name"]
+    back = rebind(over.localCheckpoint(eager=False), spark)
+    assert back.count() == 0 and back.columns == ["dotted.name", "space name"]
+
+
+def test_loop_session_is_per_parent(spark):
+    """Two parent sessions of one SparkContext get DISTINCT clones, each
+    inheriting its own parent's runtime conf (the driver's vanilla
+    sessions set shuffle width / timezone differently than get_spark)."""
+    other = spark.newSession()
+    other.conf.set("spark.sql.shuffle.partitions", "3")
+    other.conf.set("spark.sql.session.timeZone", "America/Chicago")
+    c1, c2 = loop_session(spark), loop_session(other)
+    assert c1 is not c2
+    assert c2.conf.get("spark.sql.shuffle.partitions") == "3"
+    assert c2.conf.get("spark.sql.session.timeZone") == "America/Chicago"
+    assert c1.conf.get("spark.sql.shuffle.partitions") == spark.conf.get(
+        "spark.sql.shuffle.partitions"
+    )
+    # cross-parent rebind still round-trips values
+    from pyspark.sql import functions as F
+    df = other.range(7).groupBy((F.col("id") % 2).alias("g")).count()
+    assert {(r.g, r["count"]) for r in rebind(df, c2).collect()} == {(0, 4), (1, 3)}
