@@ -3909,7 +3909,10 @@ def llm_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
     nodes = docs.select(F.col("doc_id").alias("id"))
-    return GR.pagerank(edges, nodes, n_iter=5, symmetric=True).select(
+    # caller=spark: edges live in the loop clone (docs was pre-rebound
+    # above), so without it pagerank would re-home its result to the
+    # clone and this select would plan AQE-off (r9 ADVICE)
+    return GR.pagerank(edges, nodes, n_iter=5, symmetric=True, caller=spark).select(
         F.col("id").alias("doc_id"), "rank"
     )
 

@@ -37,7 +37,7 @@ keyword arg) or move to DECIMAL(38,0).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 SCALE = 1_000_000_000
@@ -55,6 +55,7 @@ def pagerank(
     id_col: str = "id",
     checkpoint_every: int = 4,
     symmetric: bool = False,
+    caller: SparkSession | None = None,
 ) -> DataFrame:
     """Fixed-point integer PageRank; returns (id, rank) with rank in
     units of 1/scale. `edges` is DIRECTED — symmetrize before calling
@@ -91,11 +92,24 @@ def pagerank(
     end. Exactness: loop sources all start at `scale` (round 1
     unchanged), isolated nodes contribute no edges, and edge endpoints
     outside `nodes` stay excluded by the intersection — outputs are
-    bit-identical to the full-universe loop on any directed graph."""
+    bit-identical to the full-universe loop on any directed graph
+    PROVIDED n_iter >= 1 (enforced): at zero iterations the closed-form
+    attach would hand isolated nodes `base` while the old full-universe
+    loop returned the initial `scale` everywhere — the one input where
+    the two shapes disagree, so it is rejected rather than silently
+    redefined (r9 ADVICE).
+
+    `caller`: session the result is re-homed to. Defaults to the edge
+    frame's own session — pass it EXPLICITLY when the inputs were
+    pre-rebound into the loop clone (llm_dup_pagerank marks its pair
+    subtree there), otherwise `edges.sparkSession` IS the clone and the
+    result would stay pinned to AQE-off planning (r9 ADVICE)."""
     from blueflood_spark.session import loop_session, rebind
 
+    if n_iter < 1:
+        raise ValueError(f"pagerank requires n_iter >= 1, got {n_iter}")
+    caller = caller or edges.sparkSession
     child = loop_session(edges.sparkSession)
-    caller = edges.sparkSession
     edges = rebind(edges, child)
     nodes = rebind(nodes, child)
     base = scale * (DAMP_DEN - DAMP_NUM) // DAMP_DEN

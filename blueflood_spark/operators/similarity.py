@@ -2272,7 +2272,24 @@ def mmr_diversify(
     retrieval stage carries the scale story (swap cosine_topk for the
     IVF/LSH retrievers at 100 TB). The candidate pairwise-sim frame is
     lazily checkpointed once (self-join-subtree rule) and reused by
-    every iteration."""
+    every iteration.
+
+    The whole build runs in the AQE-off loop-session clone
+    (session.loop_session — the pagerank/_cc_distributed treatment, r9
+    verdict task 2): under AQE each of the 6 lazy checkpoint marks
+    (cands, sims, one per-iteration union) executed its subtree eagerly
+    at plan-build time — 42 driver-scheduled job launches before the
+    caller's first action (tools/build_jobs.py r8 headline). Marked
+    statically in the clone they stay lazy; the sole loop input `emb`
+    is rebound in ONCE at the top (the all-inputs-together rule from
+    session.lazy_mark's self-join hazard), and the result is re-homed
+    so downstream plans keep the caller's conf. Outputs are
+    bit-identical: the argmax is quantized-BIGINT with id tie-breaks,
+    and AQE never changes row values."""
+    from blueflood_spark.session import loop_session, rebind
+
+    caller = emb.sparkSession
+    emb = rebind(emb, loop_session(caller))
     q = emb.filter(F.col(id_col).isin(*query_ids)).select(
         F.col(id_col).alias("q_id"), F.col(emb_col).alias("q_emb")
     )
@@ -2341,8 +2358,14 @@ def mmr_diversify(
             .select("q_id", "c_id", "rel_q", F.lit(i).alias("pick_order"))
         )
         sel = sel.unionByName(pick).localCheckpoint(eager=False)
-    return sel.select(
-        "q_id", "c_id", F.col("pick_order").cast("long").alias("pick_order"), "rel_q"
+    return rebind(
+        sel.select(
+            "q_id",
+            "c_id",
+            F.col("pick_order").cast("long").alias("pick_order"),
+            "rel_q",
+        ),
+        caller,
     )
 
 

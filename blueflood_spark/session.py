@@ -99,6 +99,14 @@ _LOOP_CONF_COPY = (
     "spark.sql.session.timeZone",
 )
 
+# custom conf keys (no Spark behavior attached): `_TOKEN` stamps a uuid
+# on each parent so the memo key is collision-free (java hashCode() of
+# two live sessions can collide and silently share a clone carrying the
+# other parent's copied confs — r9 ADVICE); `_MARKER` tags a clone so
+# loop_session(clone) is idempotent instead of minting nested clones.
+_LOOP_TOKEN_KEY = "spark.blueflood.loop.token"
+_LOOP_CLONE_MARKER = "spark.blueflood.loop.clone"
+
 
 def loop_session(spark: SparkSession) -> SparkSession:
     """AQE-off clone of `spark` for iterative fixed-point loops
@@ -107,9 +115,33 @@ def loop_session(spark: SparkSession) -> SparkSession:
     and cached RDDs; only SQL conf and temp views are fresh. One clone
     per (application, parent-session) pair, memoized; entries from dead
     applications are evicted on access (same discipline as the
-    trained-artifact caches in operators/similarity.py)."""
-    app = spark.sparkContext.applicationId
-    key = (app, spark._jsparkSession.hashCode())
+    trained-artifact caches in operators/similarity.py).
+
+    Idempotent: asking for the loop session OF a loop session returns
+    it unchanged, so an operator whose caller already pre-rebound its
+    inputs into the clone (llm_dup_pagerank) reuses the same clone
+    instead of minting a nested one per app (r9 ADVICE). The caller's
+    _LOOP_CONF_COPY values are re-copied on EVERY access — a parent
+    conf.set between loops propagates to the next loop's plans (only
+    `spark.blueflood.loop.token`, a plain uuid tag with no planning
+    behavior, is ever written to the parent).
+
+    Under Spark Connect (or any session without classic-JVM internals)
+    there is no clone: the parent itself is returned, rebind becomes an
+    identity, and loops degrade to the plain same-session checkpoint
+    path — eager marks, correct results (the artifact-cache "Connect or
+    API drift: skip the memo" discipline)."""
+    try:
+        if spark.conf.get(_LOOP_CLONE_MARKER, "") == "true":
+            return spark
+        app = spark.sparkContext.applicationId
+        token = spark.conf.get(_LOOP_TOKEN_KEY, "")
+        if not token:
+            token = uuid.uuid4().hex
+            spark.conf.set(_LOOP_TOKEN_KEY, token)
+    except Exception:  # pragma: no cover - Connect mode / API drift
+        return spark
+    key = (app, token)
     with _LOOP_LOCK:
         for stale in [k for k in _LOOP_SESSIONS if k[0] != app]:
             del _LOOP_SESSIONS[stale]
@@ -117,12 +149,13 @@ def loop_session(spark: SparkSession) -> SparkSession:
         if child is None:
             child = spark.newSession()
             child.conf.set("spark.sql.adaptive.enabled", "false")
-            for conf_key in _LOOP_CONF_COPY:
-                try:
-                    child.conf.set(conf_key, spark.conf.get(conf_key))
-                except Exception:
-                    pass
+            child.conf.set(_LOOP_CLONE_MARKER, "true")
             _LOOP_SESSIONS[key] = child
+        for conf_key in _LOOP_CONF_COPY:
+            try:
+                child.conf.set(conf_key, spark.conf.get(conf_key))
+            except Exception:
+                pass
         return child
 
 
@@ -145,6 +178,15 @@ def rebind(df: DataFrame, session: SparkSession) -> DataFrame:
     except Exception:  # pragma: no cover - connect-mode / mock sessions
         if src is session:
             return df
+        # Connect analyzes table() reads LAZILY, so the view would be
+        # dropped before the plan resolves it — the round trip cannot
+        # work there. Internal callers never reach this (loop_session
+        # returns the parent itself under Connect, making every rebind
+        # an identity); fail loudly for external cross-session use.
+        raise RuntimeError(
+            "rebind() across sessions requires classic (JVM) Spark; "
+            "under Spark Connect run the loop in the caller's session"
+        )
     name = "bf_rebind_" + uuid.uuid4().hex
     df.createOrReplaceGlobalTempView(name)
     try:
@@ -166,17 +208,32 @@ def lazy_mark(df: DataFrame) -> DataFrame:
     Broadcast-exchange prepare futures may still kick 1-2 small async
     jobs — those are collect-to-driver broadcasts, not subtree runs.
 
-    HAZARD (measured r8): do NOT lazy_mark a MID-TREE frame that will
-    later be joined against siblings sharing its base relation (e.g.
-    marking the probe side of incremental_dedup, whose exact/near
-    branches also scan the same docs table). The view round trip remaps
-    the marked subtree's exprIds while the siblings keep the originals,
-    and Spark's self-join dedup then fails with INTERNAL_ERROR
-    "conflicting references in Join". Safe uses: loop-internal frames
-    where EVERY participating input was rebound into the clone together
-    (connected components, PageRank), and single-lineage subtrees whose
-    consumers never re-touch the same base relation (KMV sketch)."""
+    SELF-JOIN HAZARD, CLOSED (r8 measured, r9 fixed): a bare
+    mark-and-rebind hands back an RDD-scan whose output attributes keep
+    the ORIGINAL subtree's exprIds. Join two such frames derived from
+    the same base relation and then touch that relation a third time
+    (the probe_dedup_index shape: exact branch, near branch, final
+    attach — minimal repro in tests/test_loop_session.py) and Spark's
+    relation dedup gives up with INTERNAL_ERROR "conflicting references
+    in Join". The fix is a projection that re-aliases every column —
+    Alias mints fresh exprIds, so the marked frame's output can never
+    collide with a sibling's — verified to convert the measured failure
+    into a plain success. Zero-cost: a Project over the RDD scan, no
+    job, no shuffle. Skipped (old behavior) only for frames with
+    duplicate column names, where name-keyed re-aliasing is ambiguous.
+
+    Under Spark Connect loop_session() returns the caller itself and
+    both rebinds are identities: the mark degrades to a plain
+    localCheckpoint(eager=False) — eager under AQE, but correct."""
     caller = df.sparkSession
-    return rebind(
+    out = rebind(
         rebind(df, loop_session(caller)).localCheckpoint(eager=False), caller
+    )
+    cols = out.columns
+    if len(set(cols)) != len(cols):
+        return out
+    from pyspark.sql import functions as F
+
+    return out.select(
+        [F.col("`" + c.replace("`", "``") + "`").alias(c) for c in cols]
     )

@@ -40,6 +40,40 @@ def test_pagerank_matches_python_reference(spark):
         assert got == _py_pagerank(edges_list, range(4), n_iter), n_iter
 
 
+def test_pagerank_rejects_zero_iterations(spark):
+    """n_iter=0 is the one input where the edge-touched loop and the
+    old full-universe loop disagree (closed-form base vs initial scale
+    for isolated nodes) — rejected rather than silently redefined."""
+    import pytest
+
+    from blueflood_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+    nodes = spark.createDataFrame([(0,), (1,)], "id long")
+    with pytest.raises(ValueError, match="n_iter"):
+        pagerank(edges, nodes, n_iter=0)
+
+
+def test_pagerank_rehomes_to_explicit_caller(spark):
+    """Inputs pre-rebound into the loop clone (the llm_dup_pagerank
+    pattern): with caller=spark the result must plan in the CALLER's
+    session, not stay pinned to the AQE-off clone (r9 ADVICE)."""
+    from blueflood_spark.operators.graph import pagerank
+    from blueflood_spark.session import loop_session, rebind
+
+    child = loop_session(spark)
+    pairs = [(0, 1), (1, 2)]
+    edges_list = pairs + [(b, a) for a, b in pairs]
+    edges = rebind(
+        spark.createDataFrame(edges_list, "src long, dst long"), child
+    )
+    nodes = rebind(spark.createDataFrame([(i,) for i in range(4)], "id long"), child)
+    out = pagerank(edges, nodes, n_iter=3, caller=spark)
+    assert out.sparkSession is spark
+    got = {r.id: r.rank for r in out.collect()}
+    assert got == _py_pagerank(edges_list, range(4), 3)
+
+
 def test_pagerank_hub_outranks_leaves(spark):
     from blueflood_spark.operators.graph import pagerank
 

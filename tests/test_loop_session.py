@@ -12,17 +12,41 @@ from blueflood_spark.session import loop_session, rebind
 
 
 def test_clone_is_aqe_off_and_memoized(spark):
+    caller_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     child = loop_session(spark)
     assert child.conf.get("spark.sql.adaptive.enabled") == "false"
     assert loop_session(spark) is child
-    # caller untouched, and the clone keeps the caller's planning conf
-    assert spark.conf.get("spark.sql.adaptive.enabled") != "false" or True
+    # caller's AQE conf untouched (the whole point of the clone —
+    # loop_session must NEVER mutate the parent's planning conf)
+    assert spark.conf.get("spark.sql.adaptive.enabled") == caller_aqe
+    # and the clone keeps the caller's planning conf
     assert child.conf.get("spark.sql.shuffle.partitions") == spark.conf.get(
         "spark.sql.shuffle.partitions"
     )
     assert child.conf.get("spark.sql.session.timeZone") == spark.conf.get(
         "spark.sql.session.timeZone"
     )
+
+
+def test_loop_session_is_idempotent_on_clone(spark):
+    """loop_session(clone) is the clone itself — a caller that
+    pre-rebound its inputs into the clone (llm_dup_pagerank) must not
+    mint a nested second clone per application (r9 ADVICE)."""
+    child = loop_session(spark)
+    assert loop_session(child) is child
+
+
+def test_loop_session_repropagates_parent_conf(spark):
+    """_LOOP_CONF_COPY values are re-copied on EVERY access: a parent
+    conf.set between loops governs the next loop's plans — the memoized
+    clone must not freeze the creation-time snapshot (r9 ADVICE)."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        assert loop_session(spark).conf.get("spark.sql.shuffle.partitions") == "5"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert loop_session(spark).conf.get("spark.sql.shuffle.partitions") == old
 
 
 def test_rebind_same_session_is_identity(spark):
@@ -114,6 +138,58 @@ def test_rebind_empty_frame_and_exotic_columns(spark):
     assert over.columns == ["dotted.name", "space name"]
     back = rebind(over.localCheckpoint(eager=False), spark)
     assert back.count() == 0 and back.columns == ["dotted.name", "space name"]
+
+
+def test_lazy_mark_self_join_hazard_is_closed(spark):
+    """The r8 measured hazard, minimized: two separately-marked frames
+    off the same base relation, joined, then the base touched a THIRD
+    time — with bare mark-and-rebind (exprIds preserved) Spark's
+    relation dedup dies with INTERNAL_ERROR 'conflicting references in
+    Join'; lazy_mark's fresh-exprId re-alias must make the same shape
+    just work, with the same rows as the unmarked plan."""
+    from blueflood_spark.session import lazy_mark, loop_session
+
+    d = spark.range(100).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 5).alias("g")
+    )
+    # the bare round trip (what lazy_mark did before r9) really does
+    # fail on this shape — prove the hazard is live, not hypothetical
+    child = loop_session(spark)
+
+    def bare(df):
+        return rebind(rebind(df, child).localCheckpoint(eager=False), spark)
+
+    b1, b2 = bare(d.filter("g < 3")), bare(d.filter("g >= 1"))
+    with pytest.raises(Exception, match="conflicting references|INTERNAL"):
+        d.join(
+            b1.join(b2.select("doc_id", F.col("g").alias("g2")), "doc_id"),
+            "doc_id",
+            "left",
+        )
+
+    m1, m2 = lazy_mark(d.filter("g < 3")), lazy_mark(d.filter("g >= 1"))
+    out = d.join(
+        m1.join(m2.select("doc_id", F.col("g").alias("g2")), "doc_id"),
+        "doc_id",
+        "left",
+    )
+    plain = d.join(
+        d.filter("g < 3").join(
+            d.filter("g >= 1").select("doc_id", F.col("g").alias("g2")), "doc_id"
+        ),
+        "doc_id",
+        "left",
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_lazy_mark_keeps_exotic_column_names(spark):
+    from blueflood_spark.session import lazy_mark
+
+    df = spark.range(3).selectExpr("id AS `dotted.name`", "id AS `with``tick`")
+    m = lazy_mark(df)
+    assert m.columns == ["dotted.name", "with`tick"]
+    assert m.count() == 3
 
 
 def test_loop_session_is_per_parent(spark):
