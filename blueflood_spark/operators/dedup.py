@@ -1047,7 +1047,20 @@ def probe_dedup_index(
     true shingle Jaccard — the same semantics as `incremental_dedup`,
     but the corpus side never recomputes anything (the probe cost is
     the incoming batch's own signatures plus index equi-joins). Incoming
-    and corpus id spaces are independent — overlapping ids are fine."""
+    and corpus id spaces are independent — overlapping ids are fine.
+
+    The three shared-subtree marks (signature bands, candidates,
+    incoming shingles) are session.lazy_mark marks: under AQE a plain
+    localCheckpoint(eager=False) executed each subtree eagerly at
+    plan-build time — 9 driver-scheduled job launches per
+    llm_incremental_dedup before the first action (tools/build_jobs.py
+    r8). This conversion was BLOCKED in r8: the probe's exact/near/
+    attach branches all touch the incoming docs relation, and the bare
+    mark-and-rebind died with INTERNAL_ERROR conflicting references —
+    the exact hazard lazy_mark's fresh-exprId re-alias closes in r9
+    (session.py; regression test in tests/test_loop_session.py)."""
+    from blueflood_spark.session import lazy_mark
+
     inc_h = incoming.select("doc_id", F.md5(F.col(text_col)).alias("th"))
     exact = (
         inc_h.join(index.hashes, "th")
@@ -1060,20 +1073,21 @@ def probe_dedup_index(
         "doc_id", F.explode(_band_entries(index.num_perm, index.n_bands)).alias("e")
     ).select(
         "doc_id", F.col("e.band").alias("band"), F.col("e.bk").alias("bk")
-    ).localCheckpoint(eager=False)  # signature subtree computed once
+    )
+    b_inc = lazy_mark(b_inc)  # signature subtree computed once
     p = _join_parallelism(incoming)
     cands = (
         b_inc.repartition(p, "band", "bk")
         .join(index.bands.repartition(p, "band", "bk"), ["band", "bk"])
         .select("doc_id", "corpus_id")
         .distinct()
-        .localCheckpoint(eager=False)  # consumed 3×: two prunes + pair join
     )
+    cands = lazy_mark(cands)  # consumed 3×: two prunes + pair join
 
     sh_inc = incoming.select(
         "doc_id", F.explode(shingles_expr(text_col)).alias("shingle")
     ).select("doc_id", F.xxhash64("shingle").alias("sh_key"))
-    sh_inc = sh_inc.localCheckpoint(eager=False)  # verify join + sizes
+    sh_inc = lazy_mark(sh_inc)  # verify join + sizes
     sizes_inc = sh_inc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_a"))
     sh_corp = index.shingles.join(cands.select("corpus_id").distinct(), "corpus_id")
     inter = (

@@ -24,6 +24,69 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
+# Disposition per known payer (r9 verdict task 4): WHY the jobs are
+# there and whether they are deliberate. Classes:
+#   fixpoint  — CC/PageRank-style driver round trips; the loop cannot
+#               know it converged without executing (deliberate).
+#   memo      — one-time trained-artifact build (k-means centroids, PQ
+#               codebooks, minhash signature frames, statsd payload
+#               pack); warm sessions pay zero (deliberate).
+#   lookup    — bounded driver-side value the plan genuinely branches
+#               on (rollup-type dispatch, index meta row) (deliberate).
+#   bcast     — 1-2 async broadcast-exchange prepare kicks; tiny
+#               collect-to-driver broadcasts, not subtree runs
+#               (deliberate, inherent to broadcast hints).
+#   eager     — an AQE-eager subtree mark: the one class worth
+#               converting to session.loop_session/lazy_mark.
+# A payer with NO entry here prints UNDOCUMENTED — that is the contract
+# this tool enforces: every build-time job is either dispositioned or a
+# regression to investigate.
+DISPOSITIONS = {
+    "llm_semdedup": "memo: k-means centroid training (2 assign/update rounds)",
+    "llm_semdedup_pairs": "memo: shares llm_semdedup's centroid build",
+    "llm_incremental_dedup": "memo: incoming+corpus signature builds; its 3 eager probe marks converted to lazy_mark in r9",
+    "llm_dup_triangles": "eager: simhash_near_pairs' internal bucketed mark runs in the caller's session; pagerank-style pre-rebind queued for its r10 window slot",
+    "llm_pipeline_output": "fixpoint: CC convergence round trips inside the pipeline",
+    "llm_dedup_keep_best": "fixpoint: CC convergence round trips (cluster resolution)",
+    "llm_dedup_clusters": "fixpoint: CC convergence round trips",
+    "llm_embedding_dup_clusters": "fixpoint: CC convergence round trips",
+    "llm_ann_nprobe_sweep": "memo: IVF coarse-centroid training, shared across the 4 probe arms",
+    "llm_bpe_train": "fixpoint: greedy merge rounds each need the argmax pair (limit-1 collect per round)",
+    "llm_ann_recall_report": "memo+bcast: exact-arm mark intentionally kept plain (dual-arm floor documented in PLANS.md r9)",
+    "api_get_view": "lookup: rollup-type dispatch reads the catalog row to pick the serializer (reference semantics)",
+    "api_get_views_multi": "lookup: same dispatch, multi-locator",
+    "llm_silhouette": "memo: k-means centroid training",
+    "llm_kmeans_clusters": "memo: k-means centroid training",
+    "llm_minhash_estimate": "memo: signature frame build (shared _SIGNATURE_CACHE)",
+    "llm_embedding_near_dups": "memo: signature/centroid artifacts + bcast",
+    "llm_ann_ivfpq_topk": "memo: PQ codebook + coarse centroids (one-time)",
+    "llm_ann_pq_topk": "memo: PQ codebook (one-time)",
+    "llm_ann_pq_rerank": "memo: PQ codebook (one-time)",
+    "llm_pq_codes": "memo: PQ codebook (one-time)",
+    "bf_kmv_overlap": "bcast: sketch mark is clone-lazy; remaining kicks are broadcast prepares",
+    "llm_word_fuzzy_pairs": "bcast: vocab broadcast prepare",
+    "llm_winnowing_pairs": "bcast: fingerprint self-join broadcast prepare",
+    "llm_source_kl": "bcast: global-distribution broadcast prepare",
+    "llm_simhash_near_pairs": "eager: internal bucketed mark (shared-function contract; see llm_dup_triangles)",
+    "llm_ngram_novelty": "bcast: grain-table broadcast prepare",
+    "llm_mmr_diversify": "bcast: candidate-pool broadcast prepares; its 6 eager loop marks converted to loop_session in r9 (42 jobs -> 2)",
+    "llm_hash_embed": "bcast: projection-matrix broadcast prepare",
+    "llm_dup_pagerank": "bcast: pair-subtree broadcast prepares; loop itself is clone-planned (1 job at first action)",
+    "llm_dsir_weights": "bcast: source-distribution broadcast prepare",
+    "llm_bigram_lm_score": "bcast: bigram-table broadcast prepare",
+    "llm_ngram_jaccard": "bcast: one broadcast prepare",
+    "llm_dup_spans": "bcast: one broadcast prepare",
+    "llm_containment": "bcast: one broadcast prepare",
+    "llm_boilerplate_strip": "bcast: boilerplate-line table broadcast prepare",
+    "llm_ann_lsh_topk": "bcast: plane-matrix broadcast prepare",
+    "ev_type_lift": "bcast: one broadcast prepare",
+    "ev_funnel_conversion": "bcast: one broadcast prepare",
+    "bf_statsd_normalize": "memo: statsd payload pack (one-time)",
+    "bf_seasonal_naive_forecast": "bcast: one broadcast prepare",
+    "bf_repair_on_read": "bcast: one broadcast prepare",
+    "bf_outlier_mad": "bcast: one broadcast prepare",
+}
+
 import __spark_entry__ as E  # noqa: E402
 from blueflood_spark.session import get_spark  # noqa: E402
 
@@ -57,10 +120,16 @@ def main() -> None:
     rows.sort(reverse=True)
     payers = [r for r in rows if r[0] > 0]
     print(f"{len(payers)}/{len(rows)} queries launch jobs at build time:")
+    undocumented = 0
     for n, name, err in payers:
-        print(f"  {n:>3}  {name}  {err}")
+        disp = err or DISPOSITIONS.get(name, "UNDOCUMENTED")
+        if disp == "UNDOCUMENTED":
+            undocumented += 1
+        print(f"  {n:>3}  {name}  [{disp}]")
     if not payers:
         print("  (none)")
+    if undocumented:
+        print(f"{undocumented} payer(s) UNDOCUMENTED — disposition or convert them")
 
 
 if __name__ == "__main__":
