@@ -602,7 +602,13 @@ def minhash_clusters_sql(num_perm: int = NUM_PERM, bands: int = BANDS) -> str:
     """DuckDB twin of connected_components over minhash_lsh_pairs:
     recursive transitive closure, label(n) = min reachable node. All CTEs
     hoisted to one level (DuckDB disallows WITH nested in a recursive
-    CTE body)."""
+    CTE body).
+
+    MATERIALIZED hints (r9, the winnowing-twin lesson generalized):
+    DuckDB inlines plain CTEs at every reference, so `banded` was
+    re-evaluated 16× across the 8 band self-joins and `sym` once PER
+    RECURSION STEP — measured 3.3 s → 0.27 s at sf0.1 with outputs
+    row-identical. Oracle-side only; the Spark plan is untouched."""
     rows = num_perm // bands
     band_cols = ",\n       ".join(
         "md5(" + " || '_' || ".join(f"CAST(mh_{b * rows + r} AS VARCHAR)" for r in range(rows)) + f") AS band_{b}"
@@ -620,7 +626,7 @@ sig AS (
          {_mh_sql_cols(num_perm)}
   FROM sh GROUP BY doc_id
 ),
-banded AS (
+banded AS MATERIALIZED (
   SELECT doc_id,
        {band_cols}
   FROM sig
@@ -628,7 +634,7 @@ banded AS (
 pairs AS (
 {unions}
 ),
-sym AS (
+sym AS MATERIALIZED (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION
   SELECT doc_b, doc_a FROM pairs
@@ -1301,10 +1307,13 @@ def dedup_keep_best(
 def dedup_keep_best_sql(
     quality_col: str = "n_chars", num_perm: int = NUM_PERM, bands: int = BANDS
 ) -> str:
+    # clusters/labeled MATERIALIZED: each was inlined (and re-computed)
+    # at both its references — the whole recursive-closure subtree ran
+    # twice. 6.2 s → 0.34 s at sf0.1, outputs row-identical (r9 task 9).
     clusters = minhash_clusters_sql(num_perm, bands)
     return f"""
-WITH clusters AS ({clusters}),
-labeled AS (
+WITH clusters AS MATERIALIZED ({clusters}),
+labeled AS MATERIALIZED (
   SELECT c.doc_id, c.cluster_id, d.{quality_col}
   FROM clusters c JOIN documents d USING (doc_id)
 ),
