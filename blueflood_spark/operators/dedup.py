@@ -528,9 +528,23 @@ def _cc_distributed(
     # materialized RDD scan — a no-op.
     pairs = rebind(pairs, child).localCheckpoint(eager=False)
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    sym = edges.unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=False)
+    # The edge list is STATIC across rounds but every round joins it on
+    # dst — pre-partition (and pre-sort) it by the join key ONCE before
+    # the checkpoint: LogicalRDD preserves outputPartitioning/ordering,
+    # so each round's sort-merge join reads the sym side exchange-free
+    # and sort-free (textbook Pregel edge placement; one exchange+sort
+    # micro-stage saved per round, ~10 rounds at bench SF, and at 100 TB
+    # this is the difference between shuffling the edge list O(log d)
+    # times and once). Labels bit-identical — partition placement and
+    # intra-partition order don't reach any aggregate.
+    sym = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .repartition("dst")
+        .sortWithinPartitions("dst")
+        .localCheckpoint(eager=False)
+    )
     # Iterate over only the nodes that appear in SOME pair: every other
     # node is a singleton whose label is itself, attached by one left
     # join at the end. At 100 TB the dup graph's vertex set is a small
@@ -557,6 +571,22 @@ def _cc_distributed(
                 "label"
             ),
         )
+        # (r9 negative results, both measured on the semantic dup graph,
+        # outputs md5-identical — the fixpoint is unique so round
+        # structure is free to vary: (a) a SECOND compression join per
+        # round did not cut rounds — convergence is propagation-bound,
+        # not compression-bound (still 5 checks, per-round cost ~3×);
+        # (b) a SECOND propagation hop per round DID halve the checks
+        # (5 → 3) but lost anyway — interleaved A/B 4.49 s vs 5.68 s —
+        # because the deeper per-round plan (extra edge join + agg +
+        # construction) costs more than the saved barriers at any SF
+        # where the round's fixed cost rivals its data cost. One hop,
+        # one doubling stays.)
+        # (r9 negative result, measured: a SECOND label←label(label)
+        # compression join per round did NOT cut rounds — the semantic
+        # dup graph converges propagation-bound, not compression-bound
+        # (still 5 fixpoint checks), while per-round cost tripled.
+        # One doubling stays.)
         lab2 = prop.select(F.col("node").alias("n2"), F.col("label").alias("l2"))
         stepped = (
             prop.join(lab2, prop.label == lab2.n2, "left")
