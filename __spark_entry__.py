@@ -6560,28 +6560,76 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER CONTRACT: the driver's correctness gate stamps the FIRST 50
-    # entries. The union of r1-r7 stamps covers 190/190 (every entry
-    # green at its latest stamp). The r8 window executes the r7
-    # verdict's task 1 exactly: the 4 deferred r3 rows
-    # (llm_length_profile, llm_topk_per_source, llm_stratified_sample,
-    # llm_weighted_sample) lead, followed by ALL 43 r4-stamped entries
-    # (the verdict said 45; tools/stamp_ages.py counts 43 at HEAD —
-    # every one is here), which retires every pre-r5 stamp and puts the
-    # round's perf targets (llm_dup_pagerank, bf_histogram_quantile,
-    # llm_url_dedup) in-window for free. The 3 remaining slots go to
-    # queries CHANGED this round: llm_winnowing / llm_winnowing_pairs
-    # (their DuckDB twins gain MATERIALIZED CTEs per verdict task 7 —
-    # oracle-side only, outputs identical, but a changed twin needs a
-    # fresh stamp) and llm_embedding_dup_clusters (its _cc_distributed
-    # loop moves to the cloned loop-session per verdict task 6).
-    # Task 6 also touches llm_dedup_clusters and bf_kmv_overlap
-    # (r7-stamped, freshest possible, no slot left): sanctioned by the
-    # verdict's own done-bar ("conf toggle applies to the loop's
-    # session only"), outputs md5-verified identical this round, and
-    # both queued to lead the r9 window — see NOTES.md r8.
+    # entries. The union of r1-r8 stamps covers 190/190 (every entry
+    # green at its latest stamp). The r9 window executes the r8
+    # verdict's task 1: the 14 changed-out-of-window rows lead (9 r7 +
+    # 2 r6 + 3 r5 — the loop-session conversion / centroid-cache /
+    # comment-only set NOTES.md r8 adjudicates), llm_mmr_diversify
+    # (r5, its loop converted to session.loop_session this round —
+    # verdict task 2) rides with them, then the 4 rows CHANGED THIS
+    # round (all r8-stamped: llm_dup_pagerank — caller param +
+    # static-edge pre-partitioning; llm_embedding_dup_clusters —
+    # pre-partitioned sym + materialized twin CTEs;
+    # llm_incremental_dedup — probe marks converted to lazy_mark;
+    # llm_dedup_keep_best — twin CTEs materialized, task 9), then the
+    # 31 stalest r5 rows. SEVEN r5 rows defer to r10, each verified
+    # untouched by tools/changed_since_stamp.py at HEAD:
+    # llm_tokenizer_fertility, llm_vocab_growth, llm_word_fuzzy_pairs,
+    # llm_quality_filter, llm_source_stats, llm_temperature_mix,
+    # llm_token_counts.
     # When editing: anything moved past 50 must already have a green
     # driver row in some round's CORRECTNESS file, or coverage regresses.
     return {
+        "bf_statsd_normalize": bf_statsd_normalize,
+        "llm_ann_ivfpq_topk": llm_ann_ivfpq_topk,
+        "bf_kmv_overlap": bf_kmv_overlap,
+        "llm_pipeline_output": llm_pipeline_output,
+        "llm_kmeans_clusters": llm_kmeans_clusters,
+        "llm_pq_codes": llm_pq_codes,
+        "llm_ann_pq_topk": llm_ann_pq_topk,
+        "llm_ann_pq_rerank": llm_ann_pq_rerank,
+        "llm_dedup_clusters": llm_dedup_clusters,
+        "llm_ann_nprobe_sweep": llm_ann_nprobe_sweep,
+        "llm_bpe_train": llm_bpe_train,
+        "llm_silhouette": llm_silhouette,
+        "llm_ann_filtered_topk": llm_ann_filtered_topk,
+        "llm_mmr_diversify": llm_mmr_diversify,
+        "llm_semdedup_pairs": llm_semdedup_pairs,
+        "llm_dup_pagerank": llm_dup_pagerank,
+        "llm_embedding_dup_clusters": llm_embedding_dup_clusters,
+        "llm_incremental_dedup": llm_incremental_dedup,
+        "llm_dedup_keep_best": llm_dedup_keep_best,
+        "bf_alert_hysteresis": bf_alert_hysteresis,
+        "bf_apdex": bf_apdex,
+        "bf_change_cusum": bf_change_cusum,
+        "bf_compaction_plan": bf_compaction_plan,
+        "bf_counter_resets": bf_counter_resets,
+        "bf_heatmap_grid": bf_heatmap_grid,
+        "bf_histogram_buckets": bf_histogram_buckets,
+        "bf_ladder_audit": bf_ladder_audit,
+        "bf_lttb_downsample": bf_lttb_downsample,
+        "bf_native_histogram": bf_native_histogram,
+        "bf_native_histogram_quantile": bf_native_histogram_quantile,
+        "bf_outlier_mad": bf_outlier_mad,
+        "bf_timer_merge_20m": bf_timer_merge_20m,
+        "bf_trend_slope": bf_trend_slope,
+        "bf_unit_changes": bf_unit_changes,
+        "bf_xcorr_lag": bf_xcorr_lag,
+        "ev_cohort_ltv": ev_cohort_ltv,
+        "ev_k_anonymity": ev_k_anonymity,
+        "ev_props_extract": ev_props_extract,
+        "ev_type_lift": ev_type_lift,
+        "llm_ann_sq8_topk": llm_ann_sq8_topk,
+        "llm_bloom_dedup": llm_bloom_dedup,
+        "llm_bpe_encode": llm_bpe_encode,
+        "llm_bpe_pairs": llm_bpe_pairs,
+        "llm_char_entropy": llm_char_entropy,
+        "llm_embedding_drift": llm_embedding_drift,
+        "llm_frame_dedup": llm_frame_dedup,
+        "llm_lang_id": llm_lang_id,
+        "llm_ngram_novelty": llm_ngram_novelty,
+        "llm_pack_report": llm_pack_report,
+        "llm_source_kl": llm_source_kl,
         "llm_length_profile": llm_length_profile,
         "llm_topk_per_source": llm_topk_per_source,
         "llm_stratified_sample": llm_stratified_sample,
@@ -6600,12 +6648,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bf_seasonal_baseline": bf_seasonal_baseline,
         "bf_winsorize": bf_winsorize,
         "llm_dsir_weights": llm_dsir_weights,
-        "llm_incremental_dedup": llm_incremental_dedup,
         "llm_cdc_chunks": llm_cdc_chunks,
         "llm_minhash_estimate": llm_minhash_estimate,
         "api_sql_navigation": api_sql_navigation,
         "bf_seasonal_naive_forecast": bf_seasonal_naive_forecast,
-        "llm_dedup_keep_best": llm_dedup_keep_best,
         "bf_tenant_cardinality": bf_tenant_cardinality,
         "llm_hash_embed": llm_hash_embed,
         "bf_downtime_report": bf_downtime_report,
@@ -6626,25 +6672,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_dup_spans": llm_dup_spans,
         "bf_slot_eligibility": bf_slot_eligibility,
         "bf_unit_history": bf_unit_history,
-        "llm_dup_pagerank": llm_dup_pagerank,
         "llm_ann_recall_report": llm_ann_recall_report,
         "ev_attribution": ev_attribution,
         "llm_winnowing": llm_winnowing,
         "llm_winnowing_pairs": llm_winnowing_pairs,
-        "llm_embedding_dup_clusters": llm_embedding_dup_clusters,
         "q_grouping_sets": q_grouping_sets,
         "q_semi_anti": q_semi_anti,
         "q_distinct_agg": q_distinct_agg,
         "q_set_ops": q_set_ops,
         "q_pivot_status": q_pivot_status,
         "bf_basic_rollup_5m": bf_basic_rollup_5m,
-        "bf_statsd_normalize": bf_statsd_normalize,
-        "llm_ann_ivfpq_topk": llm_ann_ivfpq_topk,
-        "bf_kmv_overlap": bf_kmv_overlap,
         "bf_basic_merge_20m": bf_basic_merge_20m,
         "api_get_view": api_get_view,
-        "llm_pipeline_output": llm_pipeline_output,
-        "llm_kmeans_clusters": llm_kmeans_clusters,
         "ev_retention_cohorts": ev_retention_cohorts,
         "api_get_views_multi": api_get_views_multi,
         "api_events_query": api_events_query,
@@ -6661,9 +6700,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_pii_redact": llm_pii_redact,
         "llm_ann_lsh_topk": llm_ann_lsh_topk,
         "llm_ann_ivf_topk": llm_ann_ivf_topk,
-        "llm_pq_codes": llm_pq_codes,
-        "llm_ann_pq_topk": llm_ann_pq_topk,
-        "llm_ann_pq_rerank": llm_ann_pq_rerank,
         "llm_embedding_near_dups": llm_embedding_near_dups,
         "llm_ngram_stats": llm_ngram_stats,
         "llm_chunk_dedup": llm_chunk_dedup,
@@ -6675,7 +6711,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bf_typed_merge_20m": bf_typed_merge_20m,
         "bf_ttl_retention": bf_ttl_retention,
         "bf_granularity_select": bf_granularity_select,
-        "llm_dedup_clusters": llm_dedup_clusters,
         "llm_simhash": llm_simhash,
         "llm_simhash_near_pairs": llm_simhash_near_pairs,
         "llm_token_budget_mix": llm_token_budget_mix,
@@ -6685,12 +6720,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_train_split": llm_train_split,
         "q01_pricing_summary": q01_pricing_summary,
         "bf_rollup_cascade_60m": bf_rollup_cascade_60m,
-        "llm_ann_nprobe_sweep": llm_ann_nprobe_sweep,
         "bf_timer_pct_map_merge": bf_timer_pct_map_merge,
         "llm_url_blocklist": llm_url_blocklist,
         "llm_bigram_lm_score": llm_bigram_lm_score,
         "llm_dup_triangles": llm_dup_triangles,
-        "llm_bpe_train": llm_bpe_train,
         "q03_top_orders": q03_top_orders,
         "q05_region_revenue": q05_region_revenue,
         "q06_forecast_revenue": q06_forecast_revenue,
@@ -6731,47 +6764,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bf_anomaly_zscore": bf_anomaly_zscore,
         "llm_minhash_signatures": llm_minhash_signatures,
         "llm_word_fuzzy_pairs": llm_word_fuzzy_pairs,
-        "llm_ngram_novelty": llm_ngram_novelty,
-        "llm_silhouette": llm_silhouette,
-        "llm_char_entropy": llm_char_entropy,
-        "bf_compaction_plan": bf_compaction_plan,
-        "llm_ann_filtered_topk": llm_ann_filtered_topk,
-        "ev_type_lift": ev_type_lift,
-        "llm_embedding_drift": llm_embedding_drift,
-        "bf_heatmap_grid": bf_heatmap_grid,
-        "ev_cohort_ltv": ev_cohort_ltv,
-        "bf_trend_slope": bf_trend_slope,
-        "bf_xcorr_lag": bf_xcorr_lag,
-        "bf_alert_hysteresis": bf_alert_hysteresis,
         "llm_temperature_mix": llm_temperature_mix,
-        "llm_mmr_diversify": llm_mmr_diversify,
         "llm_vocab_growth": llm_vocab_growth,
-        "llm_source_kl": llm_source_kl,
-        "llm_bpe_pairs": llm_bpe_pairs,
-        "llm_bpe_encode": llm_bpe_encode,
-        "bf_outlier_mad": bf_outlier_mad,
-        "bf_change_cusum": bf_change_cusum,
-        "bf_apdex": bf_apdex,
-        "ev_k_anonymity": ev_k_anonymity,
-        "bf_ladder_audit": bf_ladder_audit,
-        "llm_ann_sq8_topk": llm_ann_sq8_topk,
         "llm_source_stats": llm_source_stats,
-        "bf_histogram_buckets": bf_histogram_buckets,
-        "ev_props_extract": ev_props_extract,
-        "bf_unit_changes": bf_unit_changes,
-        "llm_lang_id": llm_lang_id,
         "llm_token_counts": llm_token_counts,
-        "bf_timer_merge_20m": bf_timer_merge_20m,
-        "llm_frame_dedup": llm_frame_dedup,
-        "bf_native_histogram_quantile": bf_native_histogram_quantile,
         "llm_quality_filter": llm_quality_filter,
-        "bf_counter_resets": bf_counter_resets,
-        "llm_bloom_dedup": llm_bloom_dedup,
         "llm_tokenizer_fertility": llm_tokenizer_fertility,
-        "llm_pack_report": llm_pack_report,
-        "bf_native_histogram": bf_native_histogram,
-        "bf_lttb_downsample": bf_lttb_downsample,
-        "llm_semdedup_pairs": llm_semdedup_pairs,
     }
 
 
