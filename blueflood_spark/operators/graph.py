@@ -117,12 +117,14 @@ def pagerank(
         eager=False
     )
     deg = edges.groupBy(src_col).agg(F.count(F.lit(1)).alias("deg"))
-    # static across rounds, joined on src every round: pre-partition and
-    # pre-sort by the join key ONCE before the checkpoint — LogicalRDD
-    # preserves outputPartitioning/ordering, so each round's sort-merge
-    # join reads the edge side exchange-free and sort-free (the Pregel
-    # static-edge-placement rule; same treatment as _cc_distributed's
-    # sym). Ranks bit-identical — placement never reaches the sums.
+    # (r9 negative result, measured: pre-partitioning ed/touched by
+    # their round-join keys — the _cc_distributed sym treatment — LOST
+    # here: pagerank's inbound join broadcasts the node-sized ranks
+    # side, so the edge side never re-shuffled in the first place, and
+    # the added one-time exchanges only fragmented execution — 30 → 34
+    # stages, 6 → 8 action jobs, wall flat-to-worse 3.20 vs 3.31 s.
+    # The trick pays only where the static side actually shuffles every
+    # round, i.e. sort-merge loops like CC's label joins.)
     ed = (
         edges.join(deg, src_col)
         .select(
@@ -130,8 +132,6 @@ def pagerank(
             F.col(dst_col).cast("long").alias("dst"),
             "deg",
         )
-        .repartition("src")
-        .sortWithinPartitions("src")
         .localCheckpoint(eager=False)
     )
     # `symmetric=True` (caller asserts src-set == dst-set, true for any
@@ -146,8 +146,6 @@ def pagerank(
         endpoints.distinct()
         .join(ids, ids["id"] == F.col("src"), "left_semi")
         .select(F.col("src").alias("id"))
-        .repartition("id")  # every round's left join keys on id
-        .sortWithinPartitions("id")
         .localCheckpoint(eager=False)  # every round's left side; one subtree
     )
     ranks = touched.select("id", F.lit(scale).cast("long").alias("rank"))

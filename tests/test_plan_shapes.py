@@ -207,4 +207,11 @@ def test_pagerank_runs_as_one_job_with_lazy_marks(spark):
     assert njobs() - before <= 3, "plan construction executed mark subtrees eagerly"
     assert spark.conf.get("spark.sql.adaptive.enabled") == aqe_before
     df.write.mode("overwrite").format("noop").save()
-    assert njobs() - before <= 6, "rank chain fragmented into many jobs"
+    # ≤10: with the result correctly re-homed to the CALLER (r9 ADVICE —
+    # it was pinned to the AQE-off clone before, which executed the
+    # whole chain as literally one job), the caller's AQE runs one job
+    # per materialized query stage: ~8 for 5 rounds at bench SF. That
+    # is normal AQE execution, not fragmentation; the regression this
+    # line guards is the 29-job eager-mark class, with headroom kept
+    # tight enough to catch it.
+    assert njobs() - before <= 10, "rank chain fragmented into many jobs"
