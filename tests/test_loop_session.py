@@ -210,3 +210,43 @@ def test_loop_session_is_per_parent(spark):
     from pyspark.sql import functions as F
     df = other.range(7).groupBy((F.col("id") % 2).alias("g")).count()
     assert {(r.g, r["count"]) for r in rebind(df, c2).collect()} == {(0, 4), (1, 3)}
+
+
+def test_loop_session_degrades_without_jvm_internals(spark):
+    """Spark Connect shape (r9 ADVICE): a session without classic-JVM
+    internals gets NO clone — loop_session returns the session itself,
+    so loops fall back to the plain same-session (eager-mark) path
+    instead of hard-failing on sparkContext/_jsparkSession access."""
+
+    class FakeConnectSession:
+        class _Conf:
+            def get(self, key, default=None):
+                return default
+
+            def set(self, key, value):  # pragma: no cover - not reached
+                raise AssertionError("loop_session must not set conf here")
+
+        conf = _Conf()
+
+        @property
+        def sparkContext(self):
+            raise Exception("sparkContext is not supported in Connect")
+
+    fake = FakeConnectSession()
+    assert loop_session(fake) is fake
+
+
+def test_rebind_cross_session_without_jvm_raises_clearly(spark):
+    """Without JVM internals a cross-session rebind cannot use the
+    global-temp-view round trip (Connect analyzes table() lazily, after
+    the view is dropped) — it must fail with a CLEAR error, not an
+    opaque dropped-view failure downstream (r9 ADVICE)."""
+
+    class FakeFrame:
+        class _S:
+            pass
+
+        sparkSession = _S()
+
+    with pytest.raises(RuntimeError, match="classic .JVM. Spark"):
+        rebind(FakeFrame(), spark)
