@@ -250,3 +250,44 @@ def test_rebind_cross_session_without_jvm_raises_clearly(spark):
 
     with pytest.raises(RuntimeError, match="classic .JVM. Spark"):
         rebind(FakeFrame(), spark)
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    marks=st.lists(st.booleans(), min_size=2, max_size=3),
+    extra_touch=st.booleans(),
+    filters=st.permutations(["g < 3", "g >= 1", "g % 2 = 0"]),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_lazy_mark_random_self_join_shapes(spark, marks, extra_touch, filters):
+    """Property net over the r9 hazard class: ANY mix of lazy-marked and
+    unmarked branches off one base relation, chain-joined, optionally
+    re-touching the base — must analyze, run, and match the all-unmarked
+    plan row-for-row. (The specific r8 failure was two marked branches
+    plus a third touch; this sweeps the neighborhood.)"""
+    from blueflood_spark.session import lazy_mark
+
+    d = spark.range(60).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 5).alias("g")
+    )
+
+    def build(mark):
+        branches = []
+        for i, m in enumerate(marks):
+            b = d.filter(filters[i % len(filters)]).select(
+                "doc_id", F.col("g").alias(f"g{i}")
+            )
+            branches.append(lazy_mark(b) if (m and mark) else b)
+        out = branches[0]
+        for b in branches[1:]:
+            out = out.join(b, "doc_id")
+        if extra_touch:
+            out = d.join(out, "doc_id", "left")
+        return out
+
+    got = sorted(map(tuple, build(True).collect()))
+    want = sorted(map(tuple, build(False).collect()))
+    assert got == want
