@@ -661,7 +661,7 @@ banded AS MATERIALIZED (
        {band_cols}
   FROM sig
 ),
-pairs AS (
+pairs AS MATERIALIZED (
 {unions}
 ),
 sym AS MATERIALIZED (
@@ -912,6 +912,11 @@ def incremental_dedup_sql(
     bands: int = BANDS,
     threshold: float = 0.12,
 ) -> str:
+    # MATERIALIZED hints (r9, twin-CTE rule): inc_ids is referenced 11x
+    # (band-join prunes + NOT INs), banded 8x (one self-join per band),
+    # sh/shk/texts 2-3x each — DuckDB inlines plain CTEs at every
+    # reference, re-running the shingle/signature subtrees per band.
+    # Oracle-side only; rows identical.
     rows = num_perm // bands
     mh_cols = _mh_sql_cols(num_perm)
     band_cols = ",\n       ".join(
@@ -928,8 +933,8 @@ def incremental_dedup_sql(
         for b in range(bands)
     )
     return f"""
-WITH inc_ids AS (SELECT doc_id FROM documents WHERE {incoming_pred_sql}),
-texts AS (SELECT doc_id, md5(text) AS th FROM documents),
+WITH inc_ids AS MATERIALIZED (SELECT doc_id FROM documents WHERE {incoming_pred_sql}),
+texts AS MATERIALIZED (SELECT doc_id, md5(text) AS th FROM documents),
 exact AS (
   SELECT i.doc_id, min(c.doc_id) AS exact_match_id
   FROM texts i JOIN texts c ON i.th = c.th
@@ -937,21 +942,21 @@ exact AS (
     AND c.doc_id NOT IN (SELECT doc_id FROM inc_ids)
   GROUP BY 1
 ),
-sh AS ({_shingle_sql()}),
+sh AS MATERIALIZED ({_shingle_sql()}),
 sig AS (
   SELECT doc_id,
          {mh_cols}
   FROM sh GROUP BY doc_id
 ),
-banded AS (
+banded AS MATERIALIZED (
   SELECT doc_id,
        {band_cols}
   FROM sig
 ),
-cands AS (
+cands AS MATERIALIZED (
 {cand_unions}
 ),
-shk AS (SELECT doc_id, hash(shingle) AS sh_key FROM sh),
+shk AS MATERIALIZED (SELECT doc_id, hash(shingle) AS sh_key FROM sh),
 sizes AS (SELECT doc_id, count(*) AS n_shingles FROM shk GROUP BY 1),
 inter AS (
   SELECT p.doc_id, p.corpus_id, count(*) AS inter

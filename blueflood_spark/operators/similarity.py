@@ -2377,7 +2377,13 @@ def mmr_diversify_sql(
 ) -> str:
     """Unrolled-CTE twin: one sel_i CTE per greedy iteration, each taking
     the quantized argmax over the not-yet-picked pool exactly like the
-    Spark loop."""
+    Spark loop.
+
+    MATERIALIZED on cands/sims/sel_1/sel_all_i (r9): DuckDB inlines
+    plain CTEs at every reference, so the chained sel_all_i (3 refs
+    each: join, NOT EXISTS, union) re-evaluated EXPONENTIALLY in k_out,
+    and cands (7 refs) re-ran the crossJoin cosine each time. Oracle-
+    side only; rows identical."""
     ids = ", ".join(str(i) for i in query_ids)
     cos = (
         "coalesce(list_sum(list_transform(list_zip({a}, {b}),"
@@ -2401,8 +2407,8 @@ ranked AS (
     FROM qs CROSS JOIN embeddings c WHERE qs.q_id != c.{id_col}
   )
 ),
-cands AS (SELECT q_id, c_id, rel_q FROM ranked WHERE r <= {pool}),
-sims AS (
+cands AS MATERIALIZED (SELECT q_id, c_id, rel_q FROM ranked WHERE r <= {pool}),
+sims AS MATERIALIZED (
   SELECT a.q_id, a.c_id AS a_id, b.c_id AS b_id,
          CAST(floor(({cos.format(a="ea.embedding", b="eb.embedding")}) * 1000000000)
               AS BIGINT) AS sim_q
@@ -2411,7 +2417,7 @@ sims AS (
   JOIN embeddings ea ON ea.{id_col} = a.c_id
   JOIN embeddings eb ON eb.{id_col} = b.c_id
 ),
-sel_1 AS (
+sel_1 AS MATERIALIZED (
   SELECT q_id, c_id, rel_q, 1 AS pick_order FROM cands
   QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY rel_q DESC, c_id) = 1
 )"""
@@ -2437,7 +2443,7 @@ sel_{i} AS (
         )
         parts.append(
             f""",
-sel_all_{i} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM sel_{i})"""
+sel_all_{i} AS MATERIALIZED (SELECT * FROM {prev} UNION ALL SELECT * FROM sel_{i})"""
         )
         prev = f"sel_all_{i}"
     parts.append(

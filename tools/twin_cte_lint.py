@@ -1,0 +1,59 @@
+"""Lint the DuckDB oracle twins for the CTE re-evaluation pathology.
+
+DuckDB inlines a plain (non-MATERIALIZED) CTE at EVERY reference, and a
+CTE referenced from a recursive body is re-evaluated once per recursion
+step. Three r8/r9 incidents came from this class (winnowing gram lists,
+the recursive-closure twins at 6-70 s, the mmr sel_all chain inlining
+EXPONENTIALLY): the rule is that any CTE holding an expensive subtree
+(pair generation, signatures, k-means, cross joins) referenced >= 2
+times — or referenced at all from a recursive member — gets
+MATERIALIZED.
+
+This tool is the sweep, not the verdict: a 2-ref CTE over a cheap
+projection is fine to leave plain (materialization has its own cost and
+blocks filter pushdown into the CTE). Read the flags next to
+bench_oracle.py's per-twin costs; a flagged CTE inside a twin costing
+<0.5 s is noise, one inside a multi-second twin is the next fix.
+
+Usage: python tools/twin_cte_lint.py [query ...]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as E  # noqa: E402
+
+
+def lint(sql: str) -> list[str]:
+    finds = []
+    recursive = bool(re.search(r"WITH\s+RECURSIVE", sql, re.I))
+    for m in re.finditer(r"(\w+)(\([\w, ]*\))?\s+AS\s+(MATERIALIZED\s+)?\(", sql, re.I):
+        cte, materialized = m.group(1), bool(m.group(3))
+        if cte.upper() in ("SELECT", "FROM"):
+            continue
+        refs = len(re.findall(rf"(?:FROM|JOIN)\s+{cte}\b", sql, re.I))
+        if not materialized and refs >= 2:
+            tag = " [+recursive-body risk]" if recursive else ""
+            finds.append(f"{cte}: {refs} refs, not MATERIALIZED{tag}")
+    return finds
+
+
+def main() -> None:
+    only = set(sys.argv[1:])
+    flagged = 0
+    for name, sql in E.oracle_sql().items():
+        if only and name not in only:
+            continue
+        finds = lint(sql)
+        if finds:
+            flagged += 1
+            print(f"{name}: " + "; ".join(finds))
+    print(f"{flagged} twins flagged (judgment is cost-based — see docstring)")
+
+
+if __name__ == "__main__":
+    main()
