@@ -4168,17 +4168,30 @@ JOIN ({TX.train_split_sql()}) s ON d.doc_id = s.doc_id
 """
 
 
+#  r10 twin de-pathologization (the r9 verdict's #1 oracle cost, 13% of
+#  oracle serial): the original all-pairs form recomputed BOTH norms and
+#  the zip/transform/sum dot product once in SELECT and once in WHERE —
+#  six 64-element list-lambda evaluations per pair over an O(n²) join
+#  (8.7 s at sf0.1). Now: per-vector pre-cast double list + norm in ONE
+#  MATERIALIZED CTE, and the dot product is list_inner_product over the
+#  double lists — DuckDB accumulates it left-to-right in the element
+#  type, exactly list_sum's order, so the cosine doubles are
+#  BIT-IDENTICAL to the old form (verified struct-packed at sf0.01 AND
+#  sf0.1: 271/4137 rows, byte-equal). 8.74 → 0.19 s. Still the
+#  deliberately-exhaustive all-pairs oracle — the blocking scheme is
+#  what the engine arm is, the twin verifies recall.
 _LLM_EMB_NEAR_DUPS_SQL = """
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       list_sum(list_transform(list_zip(a.embedding, b.embedding),
-                p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-       / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-          * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
-                p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-       / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-          * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) >= 0.35
+WITH v AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+)
+SELECT id_a, id_b, cosine FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_inner_product(a.emb, b.emb) / (a.nrm * b.nrm) AS cosine
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+) WHERE cosine >= 0.35
 """
 
 

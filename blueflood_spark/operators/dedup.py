@@ -394,7 +394,7 @@ def simhash_near_pairs_sql(max_hamming: int = 3, bits: int = SIMHASH_BITS) -> st
     of mirroring its blind spots (round-1 judge finding)."""
     base = simhash_sql(bits)
     return f"""
-WITH fps AS ({base})
+WITH fps AS MATERIALIZED ({base})
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) AS hamming
 FROM fps a JOIN fps b ON a.doc_id < b.doc_id
@@ -582,11 +582,6 @@ def _cc_distributed(
         # construction) costs more than the saved barriers at any SF
         # where the round's fixed cost rivals its data cost. One hop,
         # one doubling stays.)
-        # (r9 negative result, measured: a SECOND label←label(label)
-        # compression join per round did NOT cut rounds — the semantic
-        # dup graph converges propagation-bound, not compression-bound
-        # (still 5 fixpoint checks), while per-round cost tripled.
-        # One doubling stays.)
         lab2 = prop.select(F.col("node").alias("n2"), F.col("label").alias("l2"))
         stepped = (
             prop.join(lab2, prop.label == lab2.n2, "left")

@@ -185,12 +185,17 @@ def pagerank_sql(
     CTEs. `pairs_sql` yields undirected pairs (a_col, b_col) — the CTE
     symmetrizes; `nodes_sql` yields the full node universe (node_id)."""
     base = scale * (DAMP_DEN - DAMP_NUM) // DAMP_DEN
+    # edges is referenced once per unrolled round (+ deg's build) and
+    # pairs twice from the symmetrization — un-hinted, DuckDB re-inlined
+    # the whole pair-generation pipeline into EVERY round (r9 twin
+    # rule: any CTE referenced >= 2× gets MATERIALIZED; 5.0 → 1.1 s at
+    # sf0.1, row-identical).
     ctes = [
-        f"pairs AS ({pairs_sql})",
-        f"edges AS (SELECT {a_col} AS src, {b_col} AS dst FROM pairs"
+        f"pairs AS MATERIALIZED ({pairs_sql})",
+        f"edges AS MATERIALIZED (SELECT {a_col} AS src, {b_col} AS dst FROM pairs"
         f" UNION ALL SELECT {b_col}, {a_col} FROM pairs)",
         f"ids AS (SELECT CAST({node_id} AS BIGINT) AS id FROM ({nodes_sql}))",
-        "deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)",
+        "deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM edges GROUP BY src)",
         f"r0 AS (SELECT id, CAST({scale} AS BIGINT) AS rank FROM ids)",
     ]
     for i in range(1, n_iter + 1):
@@ -321,14 +326,19 @@ def triangle_counts_sql(pairs_sql: str) -> str:
     """DuckDB twin: exhaustive 3-way join on the canonical (a<b) edge
     set — independent of the Spark side's orientation scheme, so the
     check verifies the algorithm, not its own mirror."""
+    # e (5 refs — the whole simhash pair pipeline) and tris (3 refs)
+    # MATERIALIZED per the r9 twin rule: DuckDB inlines plain CTEs at
+    # every reference, so the un-hinted form re-ran pair generation up
+    # to 5× and triangle enumeration 3× (5.3 → 1.8 s at sf0.1,
+    # row-identical).
     return f"""
-WITH e AS (SELECT DISTINCT doc_a AS u, doc_b AS v FROM ({pairs_sql})),
+WITH e AS MATERIALIZED (SELECT DISTINCT doc_a AS u, doc_b AS v FROM ({pairs_sql})),
 deg AS (
   SELECT node, count(*) AS degree FROM (
     SELECT u AS node FROM e UNION ALL SELECT v FROM e
   ) GROUP BY 1
 ),
-tris AS (
+tris AS MATERIALIZED (
   SELECT a.u AS x, a.v AS y, b.v AS z
   FROM e a JOIN e b ON b.u = a.v JOIN e c ON c.u = a.u AND c.v = b.v
 ),

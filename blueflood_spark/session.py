@@ -135,14 +135,21 @@ def loop_session(spark: SparkSession) -> SparkSession:
         if spark.conf.get(_LOOP_CLONE_MARKER, "") == "true":
             return spark
         app = spark.sparkContext.applicationId
-        token = spark.conf.get(_LOOP_TOKEN_KEY, "")
-        if not token:
-            token = uuid.uuid4().hex
-            spark.conf.set(_LOOP_TOKEN_KEY, token)
     except Exception:  # pragma: no cover - Connect mode / API drift
         return spark
-    key = (app, token)
     with _LOOP_LOCK:
+        # token read-then-mint lives INSIDE the lock (r10 ADVICE): two
+        # threads first-calling on the same parent outside it could both
+        # see an empty token, mint different uuids, and leak one clone
+        # in the memo under the losing token until app eviction.
+        try:
+            token = spark.conf.get(_LOOP_TOKEN_KEY, "")
+            if not token:
+                token = uuid.uuid4().hex
+                spark.conf.set(_LOOP_TOKEN_KEY, token)
+        except Exception:  # pragma: no cover - Connect mode / API drift
+            return spark
+        key = (app, token)
         for stale in [k for k in _LOOP_SESSIONS if k[0] != app]:
             del _LOOP_SESSIONS[stale]
         child = _LOOP_SESSIONS.get(key)
@@ -219,8 +226,11 @@ def lazy_mark(df: DataFrame) -> DataFrame:
     Alias mints fresh exprIds, so the marked frame's output can never
     collide with a sibling's — verified to convert the measured failure
     into a plain success. Zero-cost: a Project over the RDD scan, no
-    job, no shuffle. Skipped (old behavior) only for frames with
-    duplicate column names, where name-keyed re-aliasing is ambiguous.
+    job, no shuffle. The re-alias is POSITIONAL (`toDF(*cols)` aliases
+    the plan's output attributes in order, exactly Dataset.toDF's
+    contract), so frames with duplicate column names get fresh exprIds
+    too — the r9 version silently skipped them, leaving the hazard open
+    on that path with no signal (r10 ADVICE).
 
     Under Spark Connect loop_session() returns the caller itself and
     both rebinds are identities: the mark degrades to a plain
@@ -229,11 +239,4 @@ def lazy_mark(df: DataFrame) -> DataFrame:
     out = rebind(
         rebind(df, loop_session(caller)).localCheckpoint(eager=False), caller
     )
-    cols = out.columns
-    if len(set(cols)) != len(cols):
-        return out
-    from pyspark.sql import functions as F
-
-    return out.select(
-        [F.col("`" + c.replace("`", "``") + "`").alias(c) for c in cols]
-    )
+    return out.toDF(*out.columns)

@@ -28,6 +28,20 @@ sys.path.insert(0, "/root/repo")
 import __spark_entry__ as E  # noqa: E402
 
 
+def _body_span(sql: str, open_paren: int) -> tuple[int, int]:
+    """Span (inclusive-start, exclusive-end) of the balanced-paren CTE
+    definition body starting at `open_paren` (which must index '(')."""
+    depth = 0
+    for i in range(open_paren, len(sql)):
+        if sql[i] == "(":
+            depth += 1
+        elif sql[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return open_paren, i + 1
+    return open_paren, len(sql)  # unbalanced — treat rest as body
+
+
 def lint(sql: str) -> list[str]:
     finds = []
     recursive = bool(re.search(r"WITH\s+RECURSIVE", sql, re.I))
@@ -35,7 +49,17 @@ def lint(sql: str) -> list[str]:
         cte, materialized = m.group(1), bool(m.group(3))
         if cte.upper() in ("SELECT", "FROM"):
             continue
-        refs = len(re.findall(rf"(?:FROM|JOIN)\s+{cte}\b", sql, re.I))
+        # count references OUTSIDE the CTE's own definition body: a
+        # recursive CTE's self-reference is recursion, not reuse, and
+        # counting it over-flags (r10 ADVICE). Comma-style cross joins
+        # ("FROM a, cte") are real references and were missed before.
+        start, end = _body_span(sql, m.end() - 1)
+        outside = sql[:start] + sql[end:]
+        refs = len(
+            re.findall(
+                rf"(?:(?:FROM|JOIN)\s+|,\s*){cte}\b(?!\s*(?:\(|AS\s+))", outside, re.I
+            )
+        )
         if not materialized and refs >= 2:
             tag = " [+recursive-body risk]" if recursive else ""
             finds.append(f"{cte}: {refs} refs, not MATERIALIZED{tag}")
