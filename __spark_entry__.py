@@ -3610,7 +3610,17 @@ def llm_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(n²) join, so recall is checked, not mirrored. 60-bit fingerprint
     so each of the 9 segments spans 6-7 bits — 64-128 bucket values per
     segment keeps the candidate self-join selective (a 32-bit print's
-    3-4-bit segments degenerate toward a per-bucket cross join)."""
+    3-4-bit segments degenerate toward a per-bucket cross join).
+
+    Build jobs (r10 disposition): the 2 jobs at plan build are the
+    internal fingerprint mark's SEQUENTIAL materialization under the
+    caller's AQE — persisted before the candidate self-join fans out
+    over it, so the agg runs exactly once. The clone conversion
+    (pre-rebind + lazy mark, r10-measured interleaved A/B) was
+    wall-NEUTRAL (1.83-1.85 vs 1.65-1.99 s) but loses the
+    compute-once guarantee: a lazy RDD referenced by both join sides
+    races its own cache population, up to 2x the fingerprint agg at
+    scale. Kept plain — see PLANS.md r10."""
     docs = _t(spark, sf_dir, "documents")
     return D.simhash_near_pairs(docs, max_hamming=8, bits=60)
 
@@ -3936,7 +3946,18 @@ def llm_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf1; wedge stage 107s) — that is a similarity graph, not a near-dup
     graph, and triangle density is meaningful on the latter. At ≤5 the
     sf1 graph is 232k pairs / 6.1M triangle corners in ~7s (≈3× time
-    for 10× data)."""
+    for 10× data).
+
+    Build jobs (r10 disposition — the r9 verdict's conversion task,
+    measured and REJECTED): the 8 jobs at plan build are SEQUENTIAL
+    shared-subtree materializations (simhash's fingerprint mark, then
+    the oriented edge set) that the caller's AQE pipelines and
+    persists BEFORE each fan-out — they are load-bearing, not waste.
+    Five clone-conversion variants were measured (PLANS.md r10): every
+    one regressed warm wall 2-9x (5.5-22 s vs ~2.4 s) because a lazy
+    checkpoint is not persisted until first compute, so concurrent
+    references race-recompute the subtree — the r8 pagerank
+    "eager marks were pipelined, not re-executed" lesson, generalized."""
     from blueflood_spark.operators import graph as GR
 
     docs = _t(spark, sf_dir, "documents")

@@ -38,6 +38,12 @@ sys.path.insert(0, "/root/repo")
 #               (deliberate, inherent to broadcast hints).
 #   eager     — an AQE-eager subtree mark: the one class worth
 #               converting to session.loop_session/lazy_mark.
+#   seqmat    — an AQE-eager mark that is a SEQUENTIAL materialization
+#               of a subtree consumed by multiple concurrent readers:
+#               conversion to a lazy clone mark makes the readers
+#               race-recompute it (a lazy checkpoint persists only on
+#               first compute) — measured slower every way tried
+#               (PLANS.md r10). Deliberate; do not convert.
 # A payer with NO entry here prints UNDOCUMENTED — that is the contract
 # this tool enforces: every build-time job is either dispositioned or a
 # regression to investigate.
@@ -45,7 +51,7 @@ DISPOSITIONS = {
     "llm_semdedup": "memo: k-means centroid training (2 assign/update rounds)",
     "llm_semdedup_pairs": "memo: shares llm_semdedup's centroid build",
     "llm_incremental_dedup": "memo: incoming+corpus signature builds; its 3 eager probe marks converted to lazy_mark in r9",
-    "llm_dup_triangles": "eager: simhash_near_pairs' internal bucketed mark runs in the caller's session; pagerank-style pre-rebind queued for its r10 window slot",
+    "llm_dup_triangles": "seqmat: 8 sequential shared-subtree materializations (fingerprint mark, oriented edge set) persisted before each fan-out; 5 clone conversions measured r10, ALL regressed wall 2-9x (PLANS.md r10) - load-bearing, not waste",
     "llm_pipeline_output": "fixpoint: CC convergence round trips inside the pipeline",
     "llm_dedup_keep_best": "fixpoint: CC convergence round trips (cluster resolution)",
     "llm_dedup_clusters": "fixpoint: CC convergence round trips",
@@ -67,7 +73,7 @@ DISPOSITIONS = {
     "llm_word_fuzzy_pairs": "bcast: vocab broadcast prepare",
     "llm_winnowing_pairs": "bcast: fingerprint self-join broadcast prepare",
     "llm_source_kl": "bcast: global-distribution broadcast prepare",
-    "llm_simhash_near_pairs": "eager: internal bucketed mark (shared-function contract; see llm_dup_triangles)",
+    "llm_simhash_near_pairs": "seqmat: internal fingerprint mark persisted before the candidate self-join fans out over it; clone conversion wall-neutral but loses compute-once (PLANS.md r10)",
     "llm_ngram_novelty": "bcast: grain-table broadcast prepare",
     "llm_mmr_diversify": "bcast: candidate-pool broadcast prepares; its 6 eager loop marks converted to loop_session in r9 (42 jobs -> 2)",
     "llm_hash_embed": "bcast: projection-matrix broadcast prepare",
