@@ -2257,6 +2257,7 @@ def mmr_diversify(
     k_out: int = 5,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    driver_cells_limit: int = 5_000_000,
 ) -> DataFrame:
     """Maximal Marginal Relevance re-ranking: greedily pick k_out results
     from each query's cosine top-`pool`, where pick i maximizes
@@ -2265,14 +2266,21 @@ def mmr_diversify(
     nano-cosines — pure BIGINT comparisons, bit-identical across engines
     (ties to the lower candidate id).
 
-    The greedy loop runs a FIXED k_out−1 iterations of candidate-set
-    DataFrame ops (anti-join the picked set, max-sim against it, argmax)
-    — no collect, no driver values; each frame is queries × pool rows
-    regardless of corpus size, so the loop's cost is constant while the
-    retrieval stage carries the scale story (swap cosine_topk for the
-    IVF/LSH retrievers at 100 TB). The candidate pairwise-sim frame is
-    lazily checkpointed once (self-join-subtree rule) and reused by
-    every iteration.
+    The greedy selection runs DRIVER-LOCAL below `driver_cells_limit`
+    (queries × pool² sim cells — the bpe_train device, r10): retrieval
+    and the pairwise-sim table are computed by the ENGINE (the exact
+    same _cosine expression and nano-quantization as the distributed
+    loop, so every compared number is engine-produced and bit-identical
+    to it), then the queries×pool relevance rows and queries×pool²
+    sim rows — constants independent of corpus size — are collected and
+    the k_out−1 greedy argmax steps are pure Python BIGINT compares
+    (same (mmr DESC, c_id ASC) order). The r10 build/exec split showed
+    the DataFrame loop's wall was ~85% plan-build + scheduling of
+    3×16-row frames (total 3.0-3.9 s vs 0.3-0.4 s retrieval); the
+    driver path removes it while the retrieval stage keeps carrying the
+    scale story (swap cosine_topk for the IVF/LSH retrievers at
+    100 TB). Past the limit, the distributed fixed-iteration loop below
+    runs unchanged — each frame queries × pool rows, no collect.
 
     The whole build runs in the AQE-off loop-session clone
     (session.loop_session — the pagerank/_cc_distributed treatment, r9
@@ -2289,6 +2297,74 @@ def mmr_diversify(
     from blueflood_spark.session import loop_session, rebind
 
     caller = emb.sparkSession
+    if len(query_ids) * pool * pool <= driver_cells_limit:
+        q0 = emb.filter(F.col(id_col).isin(*query_ids)).select(
+            F.col(id_col).alias("q_id"), F.col(emb_col).alias("q_emb")
+        )
+        c0 = emb.select(F.col(id_col).alias("c_id"), F.col(emb_col).alias("c_emb"))
+        # identical expressions to the distributed loop below: every
+        # number the greedy compares is ENGINE-computed (cosine_topk,
+        # _cosine, nano-floor quantization); the driver only orders ints
+        cands0 = (
+            cosine_topk(q0, c0, k=pool)
+            .select(
+                "q_id",
+                "c_id",
+                F.floor(F.col("cosine") * 1_000_000_000).cast("long").alias("rel_q"),
+            )
+            .join(
+                F.broadcast(
+                    emb.select(F.col(id_col).alias("c_id"), F.col(emb_col).alias("c_emb"))
+                ),
+                "c_id",
+            )
+            .localCheckpoint(eager=False)  # seqmat: persists before the sims/slim fan-out
+        )
+        pa0 = cands0.select("q_id", F.col("c_id").alias("a_id"), F.col("c_emb").alias("a_emb"))
+        pb0 = cands0.select("q_id", F.col("c_id").alias("b_id"), F.col("c_emb").alias("b_emb"))
+        sims0 = (
+            pa0.join(pb0, "q_id")
+            .filter(F.col("a_id") != F.col("b_id"))
+            .select(
+                "q_id",
+                "a_id",
+                "b_id",
+                F.floor(_cosine("a_emb", "b_emb") * 1_000_000_000).cast("long").alias("sim_q"),
+            )
+        )
+        rel: dict = {}
+        pool_ids: dict = {}
+        for r in cands0.select("q_id", "c_id", "rel_q").collect():
+            rel[(r["q_id"], r["c_id"])] = r["rel_q"]
+            pool_ids.setdefault(r["q_id"], []).append(r["c_id"])
+        sim: dict = {}
+        for r in sims0.collect():
+            sim.setdefault(r["q_id"], {})[(r["a_id"], r["b_id"])] = r["sim_q"]
+        picks = []
+        for qid, cids in pool_ids.items():
+            # pick 1: max rel_q, ties to the lower c_id — the
+            # row_number(rel_q DESC, c_id ASC) == 1 rule verbatim
+            first = min(cids, key=lambda cid: (-rel[(qid, cid)], cid))
+            selected = [first]
+            picks.append((qid, first, 1, rel[(qid, first)]))
+            qsim = sim.get(qid, {})
+            for i in range(2, k_out + 1):
+                scored = []
+                for cid in cids:
+                    if cid in selected:
+                        continue
+                    ms = [qsim[(cid, b)] for b in selected if (cid, b) in qsim]
+                    if not ms:  # mirrors the inner join on maxsim
+                        continue
+                    scored.append((rel[(qid, cid)] - max(ms), cid))
+                if not scored:
+                    break
+                _, pick_id = min(scored, key=lambda t: (-t[0], t[1]))
+                selected.append(pick_id)
+                picks.append((qid, pick_id, i, rel[(qid, pick_id)]))
+        return caller.createDataFrame(
+            sorted(picks), schema="q_id long, c_id long, pick_order long, rel_q long"
+        )
     emb = rebind(emb, loop_session(caller))
     q = emb.filter(F.col(id_col).isin(*query_ids)).select(
         F.col(id_col).alias("q_id"), F.col(emb_col).alias("q_emb")
