@@ -192,13 +192,23 @@ def main() -> None:
             }
         )
     )
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
-    with open(detail_path, "w") as fh:
-        json.dump(
-            {"queries": timings, "sf": sf_val, "concurrency": concurrency,
-             "ambient_probe_sec": ambient_sec},
-            fh, indent=1,
-        )
+    # BENCH_DETAIL.json is the canonical latest-run detail the round
+    # docs reference; an append-only timestamped copy also lands under
+    # bench_runs/ so no later run (or a judge's own re-run) can clobber
+    # the artifact a NOTES entry quotes (r9 verdict task 5 — two rounds
+    # running, the committed detail and the quoted run had diverged).
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    payload = {"queries": timings, "sf": sf_val, "concurrency": concurrency,
+               "ambient_probe_sec": ambient_sec}
+    with open(os.path.join(repo_dir, "BENCH_DETAIL.json"), "w") as fh:
+        json.dump(payload, fh, indent=1)
+    runs_dir = os.path.join(repo_dir, "bench_runs")
+    os.makedirs(runs_dir, exist_ok=True)
+    stamp = time.strftime("%Y%m%dT%H%M%S")
+    with open(os.path.join(
+        runs_dir, f"BENCH_DETAIL-{stamp}-probe{ambient_sec:.4f}.json"
+    ), "w") as fh:
+        json.dump(payload, fh, indent=1)
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:8])
     print(
         json.dumps(
