@@ -291,3 +291,44 @@ def test_lazy_mark_random_self_join_shapes(spark, marks, extra_touch, filters):
     got = sorted(map(tuple, build(True).collect()))
     want = sorted(map(tuple, build(False).collect()))
     assert got == want
+
+
+@pytest.mark.parametrize("width", ["3", "8", "32"])
+def test_lazy_mark_shapes_width_independent(spark, width):
+    """r9 verdict task 8 (run r10): the fresh-exprId re-alias fix is
+    shuffle-width independent — the hazard shapes (two+ marked branches
+    off one base relation, chain-joined, base re-touched) must analyze
+    and match the unmarked plan at widths 3/8/32. The parent's width is
+    set per-case; loop_session re-copies _LOOP_CONF_COPY on every
+    access, so the clone plans at the same width."""
+    from blueflood_spark.session import lazy_mark
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", width)
+        d = spark.range(60).select(
+            F.col("id").alias("doc_id"), (F.col("id") % 5).alias("g")
+        )
+        filters = ["g < 3", "g >= 1", "g % 2 = 0"]
+        for marks in [(True, True), (True, True, True), (True, False, True)]:
+            for extra_touch in (False, True):
+
+                def build(mark):
+                    branches = []
+                    for i, m in enumerate(marks):
+                        b = d.filter(filters[i % len(filters)]).select(
+                            "doc_id", F.col("g").alias(f"g{i}")
+                        )
+                        branches.append(lazy_mark(b) if (m and mark) else b)
+                    out = branches[0]
+                    for b in branches[1:]:
+                        out = out.join(b, "doc_id")
+                    if extra_touch:
+                        out = d.join(out, "doc_id", "left")
+                    return out
+
+                got = sorted(map(tuple, build(True).collect()))
+                want = sorted(map(tuple, build(False).collect()))
+                assert got == want, (width, marks, extra_touch)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
