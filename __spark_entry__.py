@@ -6594,45 +6594,90 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER CONTRACT: the driver's correctness gate stamps the FIRST 50
-    # entries. The union of r1-r8 stamps covers 190/190 (every entry
-    # green at its latest stamp). The r9 window executes the r8
-    # verdict's task 1: the 14 changed-out-of-window rows lead (9 r7 +
-    # 2 r6 + 3 r5 — the loop-session conversion / centroid-cache /
-    # comment-only set NOTES.md r8 adjudicates), llm_mmr_diversify
-    # (r5, its loop converted to session.loop_session this round —
-    # verdict task 2) rides with them, then the 4 rows CHANGED THIS
-    # round (all r8-stamped: llm_dup_pagerank — caller param +
-    # static-edge pre-partitioning; llm_embedding_dup_clusters —
-    # pre-partitioned sym + materialized twin CTEs;
-    # llm_incremental_dedup — probe marks converted to lazy_mark;
-    # llm_dedup_keep_best — twin CTEs materialized, task 9), then the
-    # 31 stalest r5 rows. SEVEN r5 rows defer to r10, each verified
-    # untouched by tools/changed_since_stamp.py at HEAD:
-    # llm_tokenizer_fertility, llm_vocab_growth, llm_word_fuzzy_pairs,
-    # llm_quality_filter, llm_source_stats, llm_temperature_mix,
-    # llm_token_counts.
+    # entries. The union of r1-r9 stamps covers 190/190 (every entry
+    # green at its latest stamp). The r10 window = the 10 rows CHANGED
+    # THIS round first (tools/changed_since_stamp.py at HEAD: the 8
+    # session.py loop_session/lazy_mark-closure rows —
+    # bf_kmv_overlap, llm_pipeline_output, llm_dedup_clusters,
+    # llm_mmr_diversify (also its r10 driver-local greedy),
+    # llm_dup_pagerank (also its materialized twin),
+    # llm_embedding_dup_clusters, llm_incremental_dedup,
+    # llm_dedup_keep_best — plus llm_simhash_near_pairs and
+    # llm_dup_triangles, whose twins/docstrings changed in the r10
+    # build-jobs disposition), then the 7 r5 rows deferred from r9
+    # (llm_word_fuzzy_pairs, llm_temperature_mix, llm_vocab_growth,
+    # llm_source_stats, llm_token_counts, llm_quality_filter,
+    # llm_tokenizer_fertility), then the 33 stalest r6 rows. THIRTEEN
+    # r6 rows defer to r11, each verified untouched by
+    # tools/changed_since_stamp.py at HEAD: bf_rollup_cascade_60m,
+    # bf_timer_pct_map_merge, llm_bigram_lm_score, llm_quality_score,
+    # llm_train_split, llm_url_blocklist, q01_pricing_summary,
+    # q03_top_orders, q05_region_revenue, q06_forecast_revenue,
+    # q_above_type_avg, q_cube_revenue, q_window_running.
     # When editing: anything moved past 50 must already have a green
     # driver row in some round's CORRECTNESS file, or coverage regresses.
     return {
-        "bf_statsd_normalize": bf_statsd_normalize,
-        "llm_ann_ivfpq_topk": llm_ann_ivfpq_topk,
         "bf_kmv_overlap": bf_kmv_overlap,
         "llm_pipeline_output": llm_pipeline_output,
-        "llm_kmeans_clusters": llm_kmeans_clusters,
-        "llm_pq_codes": llm_pq_codes,
-        "llm_ann_pq_topk": llm_ann_pq_topk,
-        "llm_ann_pq_rerank": llm_ann_pq_rerank,
         "llm_dedup_clusters": llm_dedup_clusters,
-        "llm_ann_nprobe_sweep": llm_ann_nprobe_sweep,
-        "llm_bpe_train": llm_bpe_train,
-        "llm_silhouette": llm_silhouette,
-        "llm_ann_filtered_topk": llm_ann_filtered_topk,
         "llm_mmr_diversify": llm_mmr_diversify,
-        "llm_semdedup_pairs": llm_semdedup_pairs,
         "llm_dup_pagerank": llm_dup_pagerank,
         "llm_embedding_dup_clusters": llm_embedding_dup_clusters,
         "llm_incremental_dedup": llm_incremental_dedup,
         "llm_dedup_keep_best": llm_dedup_keep_best,
+        "llm_simhash_near_pairs": llm_simhash_near_pairs,
+        "llm_dup_triangles": llm_dup_triangles,
+        "llm_word_fuzzy_pairs": llm_word_fuzzy_pairs,
+        "llm_temperature_mix": llm_temperature_mix,
+        "llm_vocab_growth": llm_vocab_growth,
+        "llm_source_stats": llm_source_stats,
+        "llm_token_counts": llm_token_counts,
+        "llm_quality_filter": llm_quality_filter,
+        "llm_tokenizer_fertility": llm_tokenizer_fertility,
+        "llm_minhash_signatures": llm_minhash_signatures,
+        "bf_anomaly_zscore": bf_anomaly_zscore,
+        "q_cheapest_supplier": q_cheapest_supplier,
+        "bf_sessionize": bf_sessionize,
+        "bf_asof_enrich": bf_asof_enrich,
+        "llm_ann_cosine_topk": llm_ann_cosine_topk,
+        "llm_dedup_exact": llm_dedup_exact,
+        "ev_funnel_3step": ev_funnel_3step,
+        "bf_repair_on_read": bf_repair_on_read,
+        "llm_ngram_jaccard": llm_ngram_jaccard,
+        "llm_doc_fingerprint": llm_doc_fingerprint,
+        "llm_text_stats": llm_text_stats,
+        "ev_top_paths": ev_top_paths,
+        "ev_funnel_conversion": ev_funnel_conversion,
+        "bf_gapfill_series": bf_gapfill_series,
+        "bf_multi_series_fetch": bf_multi_series_fetch,
+        "bf_units_enrichment": bf_units_enrichment,
+        "bf_range_join": bf_range_join,
+        "bf_token_doc_counts": bf_token_doc_counts,
+        "bf_events_tags": bf_events_tags,
+        "bf_events_range": bf_events_range,
+        "bf_metric_names_browse": bf_metric_names_browse,
+        "bf_glob_braces": bf_glob_braces,
+        "bf_glob_search": bf_glob_search,
+        "bf_metric_tokens": bf_metric_tokens,
+        "bf_shard_hash": bf_shard_hash,
+        "bf_set_rollup_20m": bf_set_rollup_20m,
+        "bf_gauge_rollup_5m": bf_gauge_rollup_5m,
+        "bf_counter_merge_20m": bf_counter_merge_20m,
+        "bf_counter_rollup_5m": bf_counter_rollup_5m,
+        "q_sole_late_supplier": q_sole_late_supplier,
+        "q_trailing_week_revenue": q_trailing_week_revenue,
+        "q_supplier_volume": q_supplier_volume,
+        "bf_statsd_normalize": bf_statsd_normalize,
+        "llm_ann_ivfpq_topk": llm_ann_ivfpq_topk,
+        "llm_kmeans_clusters": llm_kmeans_clusters,
+        "llm_pq_codes": llm_pq_codes,
+        "llm_ann_pq_topk": llm_ann_pq_topk,
+        "llm_ann_pq_rerank": llm_ann_pq_rerank,
+        "llm_ann_nprobe_sweep": llm_ann_nprobe_sweep,
+        "llm_bpe_train": llm_bpe_train,
+        "llm_silhouette": llm_silhouette,
+        "llm_ann_filtered_topk": llm_ann_filtered_topk,
+        "llm_semdedup_pairs": llm_semdedup_pairs,
         "bf_alert_hysteresis": bf_alert_hysteresis,
         "bf_apdex": bf_apdex,
         "bf_change_cusum": bf_change_cusum,
@@ -6746,7 +6791,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bf_ttl_retention": bf_ttl_retention,
         "bf_granularity_select": bf_granularity_select,
         "llm_simhash": llm_simhash,
-        "llm_simhash_near_pairs": llm_simhash_near_pairs,
         "llm_token_budget_mix": llm_token_budget_mix,
         "llm_bm25_topk": llm_bm25_topk,
         "llm_label_centroids": llm_label_centroids,
@@ -6757,53 +6801,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bf_timer_pct_map_merge": bf_timer_pct_map_merge,
         "llm_url_blocklist": llm_url_blocklist,
         "llm_bigram_lm_score": llm_bigram_lm_score,
-        "llm_dup_triangles": llm_dup_triangles,
         "q03_top_orders": q03_top_orders,
         "q05_region_revenue": q05_region_revenue,
         "q06_forecast_revenue": q06_forecast_revenue,
         "q_window_running": q_window_running,
         "q_cube_revenue": q_cube_revenue,
         "q_above_type_avg": q_above_type_avg,
-        "q_supplier_volume": q_supplier_volume,
-        "q_trailing_week_revenue": q_trailing_week_revenue,
-        "q_sole_late_supplier": q_sole_late_supplier,
-        "bf_counter_rollup_5m": bf_counter_rollup_5m,
-        "bf_counter_merge_20m": bf_counter_merge_20m,
-        "bf_gauge_rollup_5m": bf_gauge_rollup_5m,
-        "bf_set_rollup_20m": bf_set_rollup_20m,
-        "bf_shard_hash": bf_shard_hash,
-        "bf_metric_tokens": bf_metric_tokens,
-        "bf_glob_search": bf_glob_search,
-        "bf_glob_braces": bf_glob_braces,
-        "bf_metric_names_browse": bf_metric_names_browse,
-        "bf_events_range": bf_events_range,
-        "bf_events_tags": bf_events_tags,
-        "bf_token_doc_counts": bf_token_doc_counts,
-        "bf_range_join": bf_range_join,
-        "bf_units_enrichment": bf_units_enrichment,
-        "bf_multi_series_fetch": bf_multi_series_fetch,
-        "bf_gapfill_series": bf_gapfill_series,
-        "ev_funnel_conversion": ev_funnel_conversion,
-        "ev_top_paths": ev_top_paths,
-        "llm_text_stats": llm_text_stats,
-        "llm_doc_fingerprint": llm_doc_fingerprint,
-        "llm_ngram_jaccard": llm_ngram_jaccard,
-        "bf_repair_on_read": bf_repair_on_read,
-        "ev_funnel_3step": ev_funnel_3step,
-        "llm_dedup_exact": llm_dedup_exact,
-        "llm_ann_cosine_topk": llm_ann_cosine_topk,
-        "bf_asof_enrich": bf_asof_enrich,
-        "bf_sessionize": bf_sessionize,
-        "q_cheapest_supplier": q_cheapest_supplier,
-        "bf_anomaly_zscore": bf_anomaly_zscore,
-        "llm_minhash_signatures": llm_minhash_signatures,
-        "llm_word_fuzzy_pairs": llm_word_fuzzy_pairs,
-        "llm_temperature_mix": llm_temperature_mix,
-        "llm_vocab_growth": llm_vocab_growth,
-        "llm_source_stats": llm_source_stats,
-        "llm_token_counts": llm_token_counts,
-        "llm_quality_filter": llm_quality_filter,
-        "llm_tokenizer_fertility": llm_tokenizer_fertility,
     }
 
 
