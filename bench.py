@@ -204,9 +204,12 @@ def main() -> None:
         json.dump(payload, fh, indent=1)
     runs_dir = os.path.join(repo_dir, "bench_runs")
     os.makedirs(runs_dir, exist_ok=True)
+    # pid suffix: two runs finishing in the same second (a judge re-run
+    # racing the round's own, the exact clobber this file prevents)
+    # must not share a name
     stamp = time.strftime("%Y%m%dT%H%M%S")
     with open(os.path.join(
-        runs_dir, f"BENCH_DETAIL-{stamp}-probe{ambient_sec:.4f}.json"
+        runs_dir, f"BENCH_DETAIL-{stamp}-p{os.getpid()}-probe{ambient_sec:.4f}.json"
     ), "w") as fh:
         json.dump(payload, fh, indent=1)
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:8])

@@ -2362,9 +2362,21 @@ def mmr_diversify(
                 _, pick_id = min(scored, key=lambda t: (-t[0], t[1]))
                 selected.append(pick_id)
                 picks.append((qid, pick_id, i, rel[(qid, pick_id)]))
-        return caller.createDataFrame(
-            sorted(picks), schema="q_id long, c_id long, pick_order long, rel_q long"
+        # schema derived from the engine frame so the driver path keeps
+        # the id column's actual type (id_col need not be bigint — the
+        # distributed path below preserves it, so must this one)
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        slim_fields = {f.name: f for f in cands0.select("q_id", "c_id", "rel_q").schema.fields}
+        out_schema = StructType(
+            [
+                slim_fields["q_id"],
+                slim_fields["c_id"],
+                StructField("pick_order", LongType()),
+                slim_fields["rel_q"],
+            ]
         )
+        return caller.createDataFrame(sorted(picks), schema=out_schema)
     emb = rebind(emb, loop_session(caller))
     q = emb.filter(F.col(id_col).isin(*query_ids)).select(
         F.col(id_col).alias("q_id"), F.col(emb_col).alias("q_emb")

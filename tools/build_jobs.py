@@ -75,7 +75,7 @@ DISPOSITIONS = {
     "llm_source_kl": "bcast: global-distribution broadcast prepare",
     "llm_simhash_near_pairs": "seqmat: internal fingerprint mark persisted before the candidate self-join fans out over it; clone conversion wall-neutral but loses compute-once (PLANS.md r10)",
     "llm_ngram_novelty": "bcast: grain-table broadcast prepare",
-    "llm_mmr_diversify": "bcast: candidate-pool broadcast prepares; its 6 eager loop marks converted to loop_session in r9 (42 jobs -> 2)",
+    "llm_mmr_diversify": "seqmat+collect: below the r10 driver_cells_limit gate the entry COMPUTES at build - engine retrieval + pairwise sims (one eager candidate mark, persist-before-fanout) then two constant-size collects feeding the driver-local greedy (~9 jobs, ALL the work; the action just returns the 15-row local frame). Above the gate: the r9 clone loop (2 jobs)",
     "llm_hash_embed": "bcast: projection-matrix broadcast prepare",
     "llm_dup_pagerank": "bcast: pair-subtree broadcast prepares; loop itself is clone-planned (1 job at first action)",
     "llm_dsir_weights": "bcast: source-distribution broadcast prepare",

@@ -53,13 +53,23 @@ def lint(sql: str) -> list[str]:
         # recursive CTE's self-reference is recursion, not reuse, and
         # counting it over-flags (r10 ADVICE). Comma-style cross joins
         # ("FROM a, cte") are real references and were missed before.
+        # Branch-specific exclusions (r10 review): FROM/JOIN refs count
+        # even when AS-aliased ("FROM cte AS a" IS a reference — only a
+        # following "(" means a table function, not a ref); comma refs
+        # exclude "cte AS (" (another CTE's definition header) and a
+        # trailing " FROM" (a projected column that merely shares the
+        # name, "SELECT x, cte FROM t"). Residual noise (IN-lists,
+        # function args) is accepted — the tool is advisory and
+        # judgment stays cost-based.
         start, end = _body_span(sql, m.end() - 1)
-        outside = sql[:start] + sql[end:]
-        refs = len(
-            re.findall(
-                rf"(?:(?:FROM|JOIN)\s+|,\s*){cte}\b(?!\s*(?:\(|AS\s+))", outside, re.I
-            )
+        # placeholder (not removal) keeps the "<name> AS (" adjacency of
+        # OTHER definition headers intact for the exclusions below
+        outside = sql[:start] + "(0)" + sql[end:]
+        from_refs = re.findall(rf"(?:FROM|JOIN)\s+{cte}\b(?!\s*\()", outside, re.I)
+        comma_refs = re.findall(
+            rf",\s*{cte}\b(?!\s*(?:\(|AS\s*\())(?!\s+FROM\b)", outside, re.I
         )
+        refs = len(from_refs) + len(comma_refs)
         if not materialized and refs >= 2:
             tag = " [+recursive-body risk]" if recursive else ""
             finds.append(f"{cte}: {refs} refs, not MATERIALIZED{tag}")
