@@ -2372,7 +2372,8 @@ def mmr_diversify(
             [
                 slim_fields["q_id"],
                 slim_fields["c_id"],
-                StructField("pick_order", LongType()),
+                # non-nullable to match the distributed path's F.lit
+                StructField("pick_order", LongType(), nullable=False),
                 slim_fields["rel_q"],
             ]
         )

@@ -262,3 +262,25 @@ def test_mmr_first_pick_is_most_relevant_and_diversity_binds(spark):
     assert [r["c_id"] for r in ranked] != [r["c_id"] for r in plain_top] or len(
         {r["rel_q"] for r in div}
     ) == 1
+
+
+def test_mmr_driver_path_equals_distributed_loop(spark):
+    """r10: below driver_cells_limit the greedy runs driver-local on
+    engine-computed BIGINTs; above it the clone-planned DataFrame loop
+    runs. The two paths must be row-identical (values AND types) on the
+    same input — including a non-bigint id column, which the driver
+    path's schema derivation must preserve."""
+    emb = E._t(spark, SF, "embeddings")
+    drv = sorted(map(tuple, mmr_diversify(emb).collect()))
+    dist = sorted(map(tuple, mmr_diversify(emb, driver_cells_limit=0).collect()))
+    assert drv == dist
+    assert drv  # non-degenerate
+
+    se = emb.filter(F.col("vec_id") < 30).select(
+        F.concat(F.lit("v"), F.col("vec_id")).alias("vec_id"), "embedding"
+    )
+    kw = dict(query_ids=("v0", "v7"), pool=4, k_out=3)
+    drv_s = mmr_diversify(se, **kw)
+    dist_s = mmr_diversify(se, driver_cells_limit=0, **kw)
+    assert drv_s.schema == dist_s.schema  # id type preserved as string
+    assert sorted(map(tuple, drv_s.collect())) == sorted(map(tuple, dist_s.collect()))
