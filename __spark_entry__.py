@@ -6595,25 +6595,29 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER CONTRACT: the driver's correctness gate stamps the FIRST 50
     # entries. The union of r1-r9 stamps covers 190/190 (every entry
-    # green at its latest stamp). The r10 window = the 10 rows CHANGED
-    # THIS round first (tools/changed_since_stamp.py at HEAD: the 8
-    # session.py loop_session/lazy_mark-closure rows —
+    # green at its latest stamp). The r10 window = the 11 rows CHANGED
+    # THIS round first (tools/changed_since_stamp.py at HEAD flags 10:
+    # the 8 session.py loop_session/lazy_mark-closure rows —
     # bf_kmv_overlap, llm_pipeline_output, llm_dedup_clusters,
     # llm_mmr_diversify (also its r10 driver-local greedy),
     # llm_dup_pagerank (also its materialized twin),
     # llm_embedding_dup_clusters, llm_incremental_dedup,
     # llm_dedup_keep_best — plus llm_simhash_near_pairs and
     # llm_dup_triangles, whose twins/docstrings changed in the r10
-    # build-jobs disposition), then the 7 r5 rows deferred from r9
+    # build-jobs disposition; the 11th is llm_embedding_near_dups,
+    # whose r10-rewritten twin is a module-level SQL constant the
+    # closure tool does not track — r9 verdict task 4 orders its
+    # re-stamp), then the 7 r5 rows deferred from r9
     # (llm_word_fuzzy_pairs, llm_temperature_mix, llm_vocab_growth,
     # llm_source_stats, llm_token_counts, llm_quality_filter,
-    # llm_tokenizer_fertility), then the 33 stalest r6 rows. THIRTEEN
+    # llm_tokenizer_fertility), then the 32 stalest r6 rows. FOURTEEN
     # r6 rows defer to r11, each verified untouched by
     # tools/changed_since_stamp.py at HEAD: bf_rollup_cascade_60m,
     # bf_timer_pct_map_merge, llm_bigram_lm_score, llm_quality_score,
     # llm_train_split, llm_url_blocklist, q01_pricing_summary,
     # q03_top_orders, q05_region_revenue, q06_forecast_revenue,
-    # q_above_type_avg, q_cube_revenue, q_window_running.
+    # q_above_type_avg, q_cube_revenue, q_window_running,
+    # q_supplier_volume.
     # When editing: anything moved past 50 must already have a green
     # driver row in some round's CORRECTNESS file, or coverage regresses.
     return {
@@ -6627,6 +6631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_dedup_keep_best": llm_dedup_keep_best,
         "llm_simhash_near_pairs": llm_simhash_near_pairs,
         "llm_dup_triangles": llm_dup_triangles,
+        "llm_embedding_near_dups": llm_embedding_near_dups,
         "llm_word_fuzzy_pairs": llm_word_fuzzy_pairs,
         "llm_temperature_mix": llm_temperature_mix,
         "llm_vocab_growth": llm_vocab_growth,
@@ -6779,7 +6784,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_pii_redact": llm_pii_redact,
         "llm_ann_lsh_topk": llm_ann_lsh_topk,
         "llm_ann_ivf_topk": llm_ann_ivf_topk,
-        "llm_embedding_near_dups": llm_embedding_near_dups,
         "llm_ngram_stats": llm_ngram_stats,
         "llm_chunk_dedup": llm_chunk_dedup,
         "llm_containment": llm_containment,

@@ -18,6 +18,12 @@ hunk since the stamp commit. Entry symbols come from
 `queries()[name].__name__`, not the registry key (the r7 ADVICE alias/
 prefix pitfall of funcname regexes — no regexes remain at all).
 
+r10 extension: each query's closure is ALSO seeded with the references
+of its own value expression in the oracle_sql() return dict, so
+twin-builder functions and module-level twin SQL constants are tracked
+per query (acceptance: flags llm_embedding_near_dups for the r10
+_LLM_EMB_NEAR_DUPS_SQL rewrite, which the entry-side closure missed).
+
 Over-approximation is the design: unresolvable names that match a
 module-level symbol in any imported blueflood module are included, and
 a deleted-lines-only hunk is widened by one line. Under-approximation
@@ -168,16 +174,54 @@ def closure(relpath: str, symbol: str, seen: set | None = None) -> set:
     t = table(relpath)
     if symbol not in t.spans:
         return seen
-    for n in t.refs.get(symbol, ()):
+    _close_refs(relpath, t.refs.get(symbol, ()), t.attr_refs.get(symbol, ()), seen)
+    return seen
+
+
+def _close_refs(relpath: str, raw_names, attr_pairs, seen: set) -> None:
+    """Resolve a bag of raw Name ids / (alias, attr) pairs the way a
+    symbol body's references are resolved, extending `seen` in place."""
+    t = table(relpath)
+    for n in raw_names:
         if n in t.spans:
             closure(relpath, n, seen)
         elif n in t.from_imports:
             tgt_rel, orig = t.from_imports[n]
             closure(tgt_rel, orig, seen)
-    for alias, attr in t.attr_refs.get(symbol, ()):
+    for alias, attr in attr_pairs:
         if alias in t.alias_mod:
             closure(t.alias_mod[alias], attr, seen)
-    return seen
+
+
+def oracle_value_refs(relpath: str) -> dict[str, tuple[set, set]]:
+    """query name -> (raw Name ids, (alias, attr) pairs) referenced by
+    its value EXPRESSION in the oracle_sql() return dict. The r10 blind
+    spot: twins are strings built inside one oracle_sql() function, so
+    the per-query entry-function closure never saw them — a rewritten
+    module-level twin constant (_LLM_EMB_NEAR_DUPS_SQL) or twin builder
+    reached an out-of-window query invisibly. Seeding each query's
+    closure with its own dict value's references (not the whole
+    function, which would flag every query on any twin change) closes
+    it."""
+    tree = ast.parse(open(os.path.join(REPO, relpath)).read())
+    out: dict[str, tuple[set, set]] = {}
+    for node in tree.body:
+        if not (isinstance(node, ast.FunctionDef) and node.name == "oracle_sql"):
+            continue
+        for sub in ast.walk(node):
+            if not (isinstance(sub, ast.Return) and isinstance(sub.value, ast.Dict)):
+                continue
+            for k, v in zip(sub.value.keys, sub.value.values):
+                if not isinstance(k, ast.Constant):
+                    continue
+                raw, attrs = set(), set()
+                for w in ast.walk(v):
+                    if isinstance(w, ast.Name):
+                        raw.add(w.id)
+                    elif isinstance(w, ast.Attribute) and isinstance(w.value, ast.Name):
+                        attrs.add((w.value.id, w.attr))
+                out[k.value] = (raw, attrs)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -269,6 +313,7 @@ def main() -> None:
         return
 
     entry_rel = "__spark_entry__.py"
+    oracle_refs = oracle_value_refs(entry_rel)
     flagged = 0
     for name in names:
         if only and name not in only:
@@ -284,9 +329,15 @@ def main() -> None:
         since = rounds[rnd]
         # ADVICE r7: audit the FUNCTION the registry points at, not the key
         fname = qmap[name].__name__
+        seen = closure(entry_rel, fname)
+        # r10: seed the query's ORACLE-side references too (twin
+        # builders / module-level twin SQL constants)
+        oref = oracle_refs.get(name)
+        if oref:
+            _close_refs(entry_rel, oref[0], oref[1], seen)
         hits = [
             (rel, sym)
-            for rel, sym in sorted(closure(entry_rel, fname))
+            for rel, sym in sorted(seen)
             if sym in table(rel).spans and symbol_changed(rel, sym, since)
         ]
         if not hits:
