@@ -1110,7 +1110,17 @@ def probe_dedup_index(
     ).select(
         "doc_id", F.col("e.band").alias("band"), F.col("e.bk").alias("bk")
     )
-    b_inc = lazy_mark(b_inc)  # signature subtree computed once
+    # r10 seqmat caveat on these three lazy marks: a lazy checkpoint
+    # persists only on FIRST compute, so concurrent consumer stages can
+    # race-recompute the subtree (PLANS.md r10 — the dup_triangles
+    # finding). Kept lazy HERE because every raced subtree is
+    # INCOMING-BATCH-sized (the corpus side is the prebuilt, persisted
+    # index; its appearances below are scans, not recomputes), so the
+    # race bound is O(batch) per extra consumer — the right trade for
+    # an incremental probe whose batch << corpus, and wall-neutral by
+    # the r9 A/B (1.97 vs 1.91 s). Do NOT copy this pattern where the
+    # marked subtree is corpus-sized.
+    b_inc = lazy_mark(b_inc)  # single consumer (cands)
     p = _join_parallelism(incoming)
     cands = (
         b_inc.repartition(p, "band", "bk")
@@ -1118,12 +1128,12 @@ def probe_dedup_index(
         .select("doc_id", "corpus_id")
         .distinct()
     )
-    cands = lazy_mark(cands)  # consumed 3×: two prunes + pair join
+    cands = lazy_mark(cands)  # 3 consumers: two prunes + pair join (race bound 3x batch-sized)
 
     sh_inc = incoming.select(
         "doc_id", F.explode(shingles_expr(text_col)).alias("shingle")
     ).select("doc_id", F.xxhash64("shingle").alias("sh_key"))
-    sh_inc = lazy_mark(sh_inc)  # verify join + sizes
+    sh_inc = lazy_mark(sh_inc)  # 2 consumers: verify join + sizes (race bound 2x batch-sized)
     sizes_inc = sh_inc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_a"))
     sh_corp = index.shingles.join(cands.select("corpus_id").distinct(), "corpus_id")
     inter = (
