@@ -2396,6 +2396,14 @@ def mmr_diversify(
         )
         .localCheckpoint(eager=False)
     )
+    # r10 seqmat caveat: this clone-lazy mark persists only on first
+    # compute, and its three consumers (pa/pb/slim) can race-recompute
+    # the retrieval subtree — a corpus-sized scan — up to 3x on the
+    # first action (PLANS.md r10). Tolerated because this branch runs
+    # only ABOVE driver_cells_limit (the driver-local path below the
+    # gate marks cands0 AQE-EAGER, persist-before-fan-out); if this
+    # loop ever becomes the primary path, eager-checkpoint cands in the
+    # clone first (one static job) before fanning out.
     pa = cands.select("q_id", F.col("c_id").alias("a_id"), F.col("c_emb").alias("a_emb"))
     pb = cands.select("q_id", F.col("c_id").alias("b_id"), F.col("c_emb").alias("b_emb"))
     sims = (
