@@ -1328,15 +1328,18 @@ def dsir_weights(
     the feature stream dominates; it is scanned exactly twice (model fit
     + scoring) and never joined against itself.
     """
-    w_sql = f"split(lower({text_col}), ' ')"
-    words = F.split(F.lower(F.col(text_col)), " ")
-    # sequence(1, 0) would DESCEND in Spark (NOTES trap) — guard size<2.
+    # r10: tokenize ONCE into a projected column. The previous form
+    # re-inlined `split(lower(text), ' ')` inside the transform lambda;
+    # interpreted HOF evaluation re-ran lower+split per element, and the
+    # measured feats stage halved (0.68-0.85 → 0.40-0.44 s warm at
+    # sf0.1, ~22 → ~11 s of task time per pass) with the hoisted array.
+    # Values are bit-identical (same split, same concat order).
     bigrams = F.when(
-        F.size(words) >= 2,
+        F.size(F.col("_ws")) >= 2,
         F.expr(
-            f"transform(sequence(1, size({w_sql}) - 1),"
-            f" i -> concat(element_at({w_sql}, i), '_',"
-            f"             element_at({w_sql}, i + 1)))"
+            "transform(sequence(1, size(_ws) - 1),"
+            " i -> concat(element_at(_ws, i), '_',"
+            "             element_at(_ws, i + 1)))"
         ),
     ).otherwise(F.array().cast("array<string>"))
     # the target flag is evaluated on the doc row BEFORE the explode —
@@ -1344,7 +1347,11 @@ def dsir_weights(
     feats = docs.select(
         "doc_id",
         target_pred.alias("is_t"),
-        F.explode(F.concat(words, bigrams)).alias("f"),
+        F.split(F.lower(F.col(text_col)), " ").alias("_ws"),
+    ).select(
+        "doc_id",
+        "is_t",
+        F.explode(F.concat(F.col("_ws"), bigrams)).alias("f"),
     ).select("doc_id", "is_t", md5_bucket(F.col("f"), "dsir", buckets).alias("bucket"))
 
     # both models from ONE conditional-count pass; totals derive from the
@@ -1644,14 +1651,20 @@ def bigram_lm_score(
     sum_logp weights each distinct bigram's logp by its in-doc count
     (one exact-rounded multiply, mirrored in the twin)."""
     from pyspark.sql.window import Window
+    # r10: tokenize ONCE into a projected column instead of re-inlining
+    # `split(text, ' ')` inside the transform lambda (interpreted HOF
+    # evaluation re-ran the split per element — the dsir_weights lesson,
+    # measured ~2x on the gram stage). Values bit-identical.
     grams = docs.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_ws")
+    ).select(
         F.col(id_col),
         F.explode(
             F.expr(
-                f"CASE WHEN size(split({text_col}, ' ')) < 2 THEN array()"
-                f" ELSE transform(sequence(0, size(split({text_col}, ' ')) - 2),"
-                f" i -> struct(split({text_col}, ' ')[i] AS w1,"
-                f" split({text_col}, ' ')[i + 1] AS w2)) END"
+                "CASE WHEN size(_ws) < 2 THEN array()"
+                " ELSE transform(sequence(0, size(_ws) - 2),"
+                " i -> struct(_ws[i] AS w1,"
+                " _ws[i + 1] AS w2)) END"
             )
         ).alias("g"),
     ).select(
