@@ -80,6 +80,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # hashing, vector math); scan→shuffle-agg tables parallelize at the
     # shuffle anyway, and an extra exchange would just slow them down. At
     # production scale inputs arrive in many splits and this is a no-op.
+    # r10 RE-TESTED the fact tables (lineitem/orders/events in this
+    # tuple, 3 interleaved A/B rounds over 15 affected queries): sum of
+    # per-query mins 16.0 s (plain) vs 18.2 s (fanned out) — round-robin
+    # fan-out makes EVERY partition emit partial-agg state for most
+    # groups (32x the partial rows into each exchange) and adds ~0.2 s
+    # of 32-task scheduling to light queries; the heavy percentile rows
+    # were flat (their cost is buffer merge, not the map pass). Negative
+    # result: keep the fan-out to the per-row-heavy tables only.
     if name in ("documents", "embeddings"):
         target = spark.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() < target:

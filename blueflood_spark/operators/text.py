@@ -371,7 +371,14 @@ def tfidf_top_terms(docs: DataFrame, text_col: str = "text", k: int = 3) -> Data
     from pyspark.sql import Window
 
     words = docs.select("doc_id", F.explode(F.split(F.col(text_col), " ")).alias("term"))
-    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # r10: tf feeds BOTH the df aggregation and the ranking join — the
+    # explode+agg corpus pass re-ran per consumer (2 copies in the plan).
+    # AQE-eager localCheckpoint = sequential materialization of the
+    # compact per-(doc,term) counts (smaller than the corpus), read by
+    # both consumers: one tokenize pass instead of two at any scale.
+    tf = words.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).localCheckpoint(eager=False)
     df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.select(F.countDistinct("doc_id").alias("n_docs"))
     w = Window.partitionBy("doc_id").orderBy(
@@ -870,6 +877,13 @@ def rare_token_stats(
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("tok")
     )
+    # r10 note: toks is read twice (df table + join-back). A
+    # localCheckpoint mark here was A/B'd WALL-FLAT at sf0.1 (1.52-1.68
+    # vs 1.51-1.55 s) — materializing the exploded token stream costs
+    # about what the second tokenize pass costs — and at corpus scale
+    # storing a corpus-sized expansion is the wrong trade. Left unmarked
+    # (contrast tfidf_top_terms, whose reused frame is the AGGREGATED
+    # per-(doc,term) counts — compact, and its mark measured a win).
     n_docs = docs.select(F.count("*").alias("n_docs"))
     df_tbl = toks.distinct().groupBy("tok").agg(F.count("*").alias("df"))
     # only the rare subset joins back — broadcastable at any corpus size;
@@ -1084,6 +1098,15 @@ def source_overlap(
         .join(chunks, "doc_id")
         .select("source", "chunk_md5")
         .distinct()
+        # r10: cs feeds BOTH self-join sides and the totals — without a
+        # mark the chunk pipeline (tokenize + md5 + join + distinct over
+        # the corpus) re-ran once per consumer (4 copies in the plan, 4
+        # corpus passes at scale; ~25 s of task time at sf0.1, measured).
+        # An AQE-eager localCheckpoint is a SEQUENTIAL materialization
+        # (persist-before-fan-out, the llm_dup_triangles seqmat class):
+        # cs computes once (~#sources x distinct-chunks compact rows)
+        # and every consumer reads the stored RDD.
+        .localCheckpoint(eager=False)
     )
     totals = cs.groupBy("source").agg(F.count(F.lit(1)).alias("n_chunks"))
     a = cs.select(F.col("source").alias("src_a"), "chunk_md5")
