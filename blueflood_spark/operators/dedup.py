@@ -439,7 +439,7 @@ def connected_components(
     pairs = pairs.localCheckpoint(eager=False)  # count + collect read it once
     n_pairs = pairs.count()
     if n_pairs > driver_threshold:
-        return _cc_distributed(pairs, ids, id_col, max_iterations)
+        return _cc_distributed(pairs, ids, id_col, max_iterations, _n_pairs=n_pairs)
     parent: dict = {}
 
     def find(x):
@@ -472,6 +472,7 @@ def _cc_distributed(
     ids: DataFrame,
     id_col: str = "doc_id",
     max_iterations: int = 20,
+    _n_pairs: int | None = None,
 ) -> DataFrame:
     """Cluster assignment from candidate pairs: every doc gets the MINIMUM
     doc_id of its connected component as cluster_id (singletons label
@@ -524,7 +525,7 @@ def _cc_distributed(
     caller's session, ever; the final singleton-attach join below plans
     back in the caller's session under its own conf.
     """
-    from blueflood_spark.session import loop_session, rebind
+    from blueflood_spark.session import fit_loop_width, loop_session, rebind
 
     spark = pairs.sparkSession
     child = loop_session(spark)
@@ -534,87 +535,107 @@ def _cc_distributed(
     # already counted it (the over-threshold fallback) the mark wraps a
     # materialized RDD scan — a no-op.
     pairs = rebind(pairs, child).localCheckpoint(eager=False)
-    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    # The edge list is STATIC across rounds but every round joins it on
-    # dst — pre-partition (and pre-sort) it by the join key ONCE before
-    # the checkpoint: LogicalRDD preserves outputPartitioning/ordering,
-    # so each round's sort-merge join reads the sym side exchange-free
-    # and sort-free (textbook Pregel edge placement; one exchange+sort
-    # micro-stage saved per round, ~10 rounds at bench SF, and at 100 TB
-    # this is the difference between shuffling the edge list O(log d)
-    # times and once). Labels bit-identical — partition placement and
-    # intra-partition order don't reach any aggregate.
-    sym = (
-        edges.unionByName(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    # LOOP WIDTH (fit_loop_width — derive partitioning from measured
+    # size, guide §2): every round's exchange is planned STATICALLY in
+    # the AQE-off clone, so no runtime coalescing will ever shrink it —
+    # the width must fit the data before any loop plan is built. The
+    # count materializes the pair checkpoint as its own job; the pair
+    # subtree still runs exactly once (it used to run inside the first
+    # fixpoint job instead). Fitted from the symmetrized edge count,
+    # capped at the configured width (no-op at corpus scale); restored
+    # in `finally` — a concurrent loop planner on the same parent may
+    # transiently plan at the fitted value, which can only mis-size its
+    # tasks, never its rows (width-independence is oracle-proven by the
+    # SPARK_GRAFT_SHUFFLE=3 arm).
+    if _n_pairs is None:
+        _n_pairs = pairs.count()
+    _width_key = "spark.sql.shuffle.partitions"
+    _old_width = child.conf.get(_width_key)
+    child.conf.set(_width_key, str(fit_loop_width(2 * _n_pairs, child)))
+    try:
+        edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        # The edge list is STATIC across rounds but every round joins it on
+        # dst — pre-partition (and pre-sort) it by the join key ONCE before
+        # the checkpoint: LogicalRDD preserves outputPartitioning/ordering,
+        # so each round's sort-merge join reads the sym side exchange-free
+        # and sort-free (textbook Pregel edge placement; one exchange+sort
+        # micro-stage saved per round, ~10 rounds at bench SF, and at 100 TB
+        # this is the difference between shuffling the edge list O(log d)
+        # times and once). Labels bit-identical — partition placement and
+        # intra-partition order don't reach any aggregate.
+        sym = (
+            edges.unionByName(
+                edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+            .repartition("dst")
+            .sortWithinPartitions("dst")
+            .localCheckpoint(eager=False)
         )
-        .repartition("dst")
-        .sortWithinPartitions("dst")
-        .localCheckpoint(eager=False)
-    )
-    # Iterate over only the nodes that appear in SOME pair: every other
-    # node is a singleton whose label is itself, attached by one left
-    # join at the end. At 100 TB the dup graph's vertex set is a small
-    # fraction of the corpus — propagating labels for every corpus id
-    # each round shuffles the whole id space O(log d) times for rows
-    # that can never change.
-    labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
-        "label", F.col("node")
-    )
-    converged = False
-    for round_no in range(1, max_iterations + 1):
-        neighbor_min = (
-            sym.join(labels, sym.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
+        # Iterate over only the nodes that appear in SOME pair: every other
+        # node is a singleton whose label is itself, attached by one left
+        # join at the end. At 100 TB the dup graph's vertex set is a small
+        # fraction of the corpus — propagating labels for every corpus id
+        # each round shuffles the whole id space O(log d) times for rows
+        # that can never change.
+        labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
+            "label", F.col("node")
         )
-        # carry the pre-round label through so convergence is a plain
-        # column compare on the checkpointed result — no extra join+
-        # shuffle per round just to detect the fixpoint
-        prop = labels.join(neighbor_min, labels.node == neighbor_min.src, "left").select(
-            "node",
-            F.col("label").alias("old_label"),
-            F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
-                "label"
-            ),
-        )
-        # (r9 negative results, both measured on the semantic dup graph,
-        # outputs md5-identical — the fixpoint is unique so round
-        # structure is free to vary: (a) a SECOND compression join per
-        # round did not cut rounds — convergence is propagation-bound,
-        # not compression-bound (still 5 checks, per-round cost ~3×);
-        # (b) a SECOND propagation hop per round DID halve the checks
-        # (5 → 3) but lost anyway — interleaved A/B 4.49 s vs 5.68 s —
-        # because the deeper per-round plan (extra edge join + agg +
-        # construction) costs more than the saved barriers at any SF
-        # where the round's fixed cost rivals its data cost. One hop,
-        # one doubling stays.)
-        lab2 = prop.select(F.col("node").alias("n2"), F.col("label").alias("l2"))
-        stepped = (
-            prop.join(lab2, prop.label == lab2.n2, "left")
-            .select(
+        converged = False
+        for round_no in range(1, max_iterations + 1):
+            neighbor_min = (
+                sym.join(labels, sym.dst == labels.node)
+                .groupBy("src")
+                .agg(F.min("label").alias("nbr_label"))
+            )
+            # carry the pre-round label through so convergence is a plain
+            # column compare on the checkpointed result — no extra join+
+            # shuffle per round just to detect the fixpoint
+            prop = labels.join(neighbor_min, labels.node == neighbor_min.src, "left").select(
                 "node",
-                "old_label",
-                F.least(F.col("label"), F.coalesce(F.col("l2"), F.col("label"))).alias(
+                F.col("label").alias("old_label"),
+                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
                     "label"
                 ),
             )
-            .localCheckpoint(eager=False)
-        )
-        labels = stepped.select("node", "label")
-        # ONE job per CHECKED round: the full-scan aggregate
-        # materializes the lazy checkpoint(s) AND answers the
-        # fixpoint question (an eager checkpoint + separate count
-        # was two job launches per round). Checked every 2nd round —
-        # odd rounds launch no job at all; their work rides inside
-        # the next even round's aggregate.
-        if round_no % 2 == 0 or round_no == max_iterations:
-            changed = stepped.agg(
-                F.max((F.col("label") != F.col("old_label")).cast("int"))
-            ).first()[0]
-            if not changed:
-                converged = True
-                break
+            # (r9 negative results, both measured on the semantic dup graph,
+            # outputs md5-identical — the fixpoint is unique so round
+            # structure is free to vary: (a) a SECOND compression join per
+            # round did not cut rounds — convergence is propagation-bound,
+            # not compression-bound (still 5 checks, per-round cost ~3×);
+            # (b) a SECOND propagation hop per round DID halve the checks
+            # (5 → 3) but lost anyway — interleaved A/B 4.49 s vs 5.68 s —
+            # because the deeper per-round plan (extra edge join + agg +
+            # construction) costs more than the saved barriers at any SF
+            # where the round's fixed cost rivals its data cost. One hop,
+            # one doubling stays.)
+            lab2 = prop.select(F.col("node").alias("n2"), F.col("label").alias("l2"))
+            stepped = (
+                prop.join(lab2, prop.label == lab2.n2, "left")
+                .select(
+                    "node",
+                    "old_label",
+                    F.least(F.col("label"), F.coalesce(F.col("l2"), F.col("label"))).alias(
+                        "label"
+                    ),
+                )
+                .localCheckpoint(eager=False)
+            )
+            labels = stepped.select("node", "label")
+            # ONE job per CHECKED round: the full-scan aggregate
+            # materializes the lazy checkpoint(s) AND answers the
+            # fixpoint question (an eager checkpoint + separate count
+            # was two job launches per round). Checked every 2nd round —
+            # odd rounds launch no job at all; their work rides inside
+            # the next even round's aggregate.
+            if round_no % 2 == 0 or round_no == max_iterations:
+                changed = stepped.agg(
+                    F.max((F.col("label") != F.col("old_label")).cast("int"))
+                ).first()[0]
+                if not changed:
+                    converged = True
+                    break
+    finally:
+        child.conf.set(_width_key, _old_width)
     if not converged:
         raise RuntimeError(
             f"connected components did not converge within {max_iterations} iterations"

@@ -104,7 +104,7 @@ def pagerank(
     pre-rebound into the loop clone (llm_dup_pagerank marks its pair
     subtree there), otherwise `edges.sparkSession` IS the clone and the
     result would stay pinned to AQE-off planning (r9 ADVICE)."""
-    from blueflood_spark.session import loop_session, rebind
+    from blueflood_spark.session import fit_loop_width, loop_session, rebind
 
     if n_iter < 1:
         raise ValueError(f"pagerank requires n_iter >= 1, got {n_iter}")
@@ -134,37 +134,58 @@ def pagerank(
         )
         .localCheckpoint(eager=False)
     )
-    # `symmetric=True` (caller asserts src-set == dst-set, true for any
-    # symmetrized undirected graph) halves the distinct's input: the
-    # src side alone already enumerates every edge-touched node
-    endpoints = (
-        ed.select("src")
-        if symmetric
-        else ed.select("src").unionByName(ed.select(F.col("dst").alias("src")))
-    )
-    touched = (
-        endpoints.distinct()
-        .join(ids, ids["id"] == F.col("src"), "left_semi")
-        .select(F.col("src").alias("id"))
-        .localCheckpoint(eager=False)  # every round's left side; one subtree
-    )
-    ranks = touched.select("id", F.lit(scale).cast("long").alias("rank"))
-    for i in range(n_iter):
-        inbound = (
-            ed.join(ranks, ed["src"] == ranks["id"])
-            .select(F.col("dst").alias("id"), F.expr("rank DIV deg").alias("c"))
-            .groupBy("id")
-            .agg(F.sum("c").alias("s"))
+    # LOOP WIDTH (fit_loop_width — derive partitioning from measured
+    # size, guide §2; the _cc_distributed treatment): the clone plans
+    # every round's groupBy/left-join exchange statically, so without a
+    # fitted width a node-sized rank frame shuffles at the full conf
+    # width every round. One count materializes the edge checkpoint as
+    # its own job (the edge subtree still runs exactly once) and prices
+    # the loop; capped at the configured width, so corpus-scale inputs
+    # keep the production setting. Restored in `finally` (width is
+    # oracle-proven result-independent — SPARK_GRAFT_SHUFFLE=3 arm).
+    n_edges = ed.count()
+    _width_key = "spark.sql.shuffle.partitions"
+    _old_width = child.conf.get(_width_key)
+    child.conf.set(_width_key, str(fit_loop_width(n_edges, child)))
+    try:
+        # `symmetric=True` (caller asserts src-set == dst-set, true for any
+        # symmetrized undirected graph) halves the distinct's input: the
+        # src side alone already enumerates every edge-touched node
+        endpoints = (
+            ed.select("src")
+            if symmetric
+            else ed.select("src").unionByName(ed.select(F.col("dst").alias("src")))
         )
-        ranks = touched.join(inbound, "id", "left").select(
-            "id",
-            (
-                F.lit(base)
-                + F.expr(f"COALESCE(s, 0L) * {DAMP_NUM} DIV {DAMP_DEN}")
-            ).cast("long").alias("rank"),
+        touched = (
+            endpoints.distinct()
+            .join(ids, ids["id"] == F.col("src"), "left_semi")
+            .select(F.col("src").alias("id"))
+            .localCheckpoint(eager=False)  # every round's left side; one subtree
         )
-        if (i + 1) % checkpoint_every == 0 and (i + 1) < n_iter:
-            ranks = ranks.localCheckpoint(eager=False)
+        ranks = touched.select("id", F.lit(scale).cast("long").alias("rank"))
+        for i in range(n_iter):
+            inbound = (
+                ed.join(ranks, ed["src"] == ranks["id"])
+                .select(F.col("dst").alias("id"), F.expr("rank DIV deg").alias("c"))
+                .groupBy("id")
+                .agg(F.sum("c").alias("s"))
+            )
+            ranks = touched.join(inbound, "id", "left").select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.expr(f"COALESCE(s, 0L) * {DAMP_NUM} DIV {DAMP_DEN}")
+                ).cast("long").alias("rank"),
+            )
+            if (i + 1) % checkpoint_every == 0 and (i + 1) < n_iter:
+                ranks = ranks.localCheckpoint(eager=False)
+        # one extra LAZY mark on the final ranks (no job, blocks cached
+        # on first compute): it pins the post-cadence tail rounds'
+        # physical plans inside the clone at the fitted width — without
+        # it they plan under the caller's conf at full width
+        ranks = ranks.localCheckpoint(eager=False)
+    finally:
+        child.conf.set(_width_key, _old_width)
     # isolated nodes: constant closed-form rank, one join, zero rounds
     out = ids.join(ranks, "id", "left").select(
         "id", F.coalesce(F.col("rank"), F.lit(base).cast("long")).alias("rank")

@@ -166,6 +166,52 @@ def loop_session(spark: SparkSession) -> SparkSession:
         return child
 
 
+# rows per loop-shuffle partition for fit_loop_width: 2e6 rows of
+# 16-24 B label/edge tuples ≈ 32-48 MB — the same ballpark as AQE's
+# advisory partition size, which is the mechanism this replaces.
+_LOOP_ROWS_PER_PARTITION_KEY = "spark.blueflood.loop.rowsPerPartition"
+_LOOP_ROWS_PER_PARTITION_DEFAULT = 2_000_000
+
+
+def fit_loop_width(n_rows: int, session: SparkSession) -> int:
+    """Shuffle width for a fixpoint loop's exchanges, derived from the
+    MEASURED row count of the loop's largest frame (the optimization
+    guide's rule: derive partitioning from input size, never from a
+    constant tuned for one box). The AQE-off loop clone plans every
+    round's exchange statically, so it cannot coalesce post-shuffle
+    partitions at runtime the way the caller's AQE does — without this,
+    a loop over a few thousand label rows pays conf-width near-empty
+    tasks in EVERY round stage (measured: llm_embedding_dup_clusters
+    −50%, llm_dup_pagerank −25% wall min-vs-min when the loop width
+    fits the data; sf0.1, 3-round interleaved A/B, every new-arm run
+    of the CC query beat every old-arm run).
+
+    Width = ceil(n_rows / rowsPerPartition) clamped to [1, conf width]:
+    at corpus scale the clamp returns the CONFIGURED width unchanged —
+    the production setting stays authoritative, exactly like AQE
+    coalescing which only ever merges below-target partitions. The row
+    target is conf-tunable (spark.blueflood.loop.rowsPerPartition).
+    Loop results are width-independent (integer min/sum fixpoints; the
+    SPARK_GRAFT_SHUFFLE=3 oracle arm proves it), so a mis-fit can only
+    cost time, never rows."""
+    try:
+        conf_width = int(session.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:  # pragma: no cover - Connect mode / API drift
+        return 1 if n_rows <= _LOOP_ROWS_PER_PARTITION_DEFAULT else 200
+    try:
+        target = int(
+            session.conf.get(
+                _LOOP_ROWS_PER_PARTITION_KEY,
+                str(_LOOP_ROWS_PER_PARTITION_DEFAULT),
+            )
+        )
+    except Exception:
+        target = _LOOP_ROWS_PER_PARTITION_DEFAULT
+    target = max(1, target)
+    fitted = (max(0, n_rows) + target - 1) // target
+    return max(1, min(fitted, conf_width))
+
+
 def rebind(df: DataFrame, session: SparkSession) -> DataFrame:
     """Re-home a DataFrame's ANALYZED logical plan onto another session
     of the same SparkContext, via public API only: a uniquely-named

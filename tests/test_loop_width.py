@@ -1,0 +1,107 @@
+"""fit_loop_width (session.py): fixpoint-loop shuffle width derived from
+the measured edge/label count — the AQE-coalescing equivalent for the
+AQE-off loop clone, which plans every round's exchange statically.
+
+Contract under test: (1) the fit is ceil(n / rowsPerPartition) clamped
+to [1, conf width] — at corpus scale it returns the CONFIGURED width
+unchanged, so it can never override a production setting downward;
+(2) the loop operators restore the clone's width after the loop (both
+on return and on the nonconvergence raise), so the fitted value never
+leaks into a later loop's planning; (3) labels/ranks are bit-identical
+at any width (the tiny graphs here all fit width 1; the driver-path
+comparison in test_cc_distributed.py and the unrolled-CTE pagerank twin
+already pin the values)."""
+
+import pytest
+
+from blueflood_spark.operators import dedup as D
+from blueflood_spark.operators import graph as GR
+from blueflood_spark.session import (
+    _LOOP_ROWS_PER_PARTITION_KEY,
+    fit_loop_width,
+    loop_session,
+)
+
+
+def test_fit_small_frame_narrows_to_one(spark):
+    assert fit_loop_width(0, spark) == 1
+    assert fit_loop_width(1, spark) == 1
+    assert fit_loop_width(2_000_000, spark) == 1
+
+
+def test_fit_corpus_scale_keeps_conf_width(spark):
+    conf_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # 10^11 symmetrized edges: fitted = 50_000, clamped to conf width —
+    # the production setting stays authoritative
+    assert fit_loop_width(10**11, spark) == conf_width
+
+
+def test_fit_midrange_scales_linearly(spark):
+    conf_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    want = min(3, conf_width)
+    assert fit_loop_width(5_000_000, spark) == want  # ceil(5e6/2e6) = 3
+
+
+def test_fit_rows_per_partition_conf(spark):
+    child = loop_session(spark)
+    child.conf.set(_LOOP_ROWS_PER_PARTITION_KEY, "10")
+    try:
+        conf_width = int(child.conf.get("spark.sql.shuffle.partitions"))
+        assert fit_loop_width(25, child) == min(3, conf_width)
+    finally:
+        child.conf.unset(_LOOP_ROWS_PER_PARTITION_KEY)
+
+
+def _clone_width(spark):
+    return loop_session(spark).conf.get("spark.sql.shuffle.partitions")
+
+
+def test_cc_restores_clone_width(spark):
+    parent_width = spark.conf.get("spark.sql.shuffle.partitions")
+    ids = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(7)], "doc_a long, doc_b long")
+    out = D.connected_components(pairs, ids, driver_threshold=0)
+    assert {r["cluster_id"] for r in out.collect()} == {0}
+    # read the clone's width WITHOUT loop_session() (which re-copies the
+    # parent's value on access and would mask a leak)
+    from blueflood_spark import session as S
+
+    for child in S._LOOP_SESSIONS.values():
+        assert child.conf.get("spark.sql.shuffle.partitions") == parent_width
+
+
+def test_cc_restores_clone_width_on_nonconvergence(spark):
+    parent_width = spark.conf.get("spark.sql.shuffle.partitions")
+    ids = spark.createDataFrame([(i,) for i in range(60)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(59)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="converge"):
+        D.connected_components(
+            pairs, ids, max_iterations=2, driver_threshold=0
+        ).collect()
+    from blueflood_spark import session as S
+
+    for child in S._LOOP_SESSIONS.values():
+        assert child.conf.get("spark.sql.shuffle.partitions") == parent_width
+
+
+def test_pagerank_restores_clone_width_and_values(spark):
+    parent_width = spark.conf.get("spark.sql.shuffle.partitions")
+    # triangle + isolated node; symmetrized edge list
+    und = [(0, 1), (1, 2), (0, 2)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "id long")
+    out = {r["id"]: r["rank"] for r in GR.pagerank(edges, nodes, n_iter=5).collect()}
+    # symmetric triangle: every touched node holds exactly `scale` at
+    # the fixpoint (each gives away rank/2 to two neighbors and gets the
+    # same back); isolated node 3 holds the closed-form teleport base
+    base = GR.SCALE * 3 // 20
+    assert out[0] == out[1] == out[2] == GR.SCALE
+    assert out[3] == base
+    from blueflood_spark import session as S
+
+    for child in S._LOOP_SESSIONS.values():
+        assert child.conf.get("spark.sql.shuffle.partitions") == parent_width
