@@ -1508,16 +1508,19 @@ def duplicate_spans(
     the same partitioning the semi-join output already has."""
     from pyspark.sql import Window
 
-    toks = F.split(F.col(text_col), " ")
+    # r10: tokenize once into _ws (HOF-hoist idiom; the inlined split
+    # re-ran per gram position, O(tokens²)); values bit-identical
+    ws = F.col("_ws")
     gram_structs = F.transform(
-        F.sequence(F.lit(0), (F.size(toks) - k).cast("int")),
+        F.sequence(F.lit(0), (F.size(ws) - k).cast("int")),
         lambda i: F.struct(
             i.alias("pos"),
-            F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, k))).alias("g"),
+            F.xxhash64(F.concat_ws(" ", F.slice(ws, i + 1, k))).alias("g"),
         ),
     )
     pg = (
-        docs.filter(F.size(toks) >= k)
+        docs.select(id_col, F.split(F.col(text_col), " ").alias("_ws"))
+        .filter(F.size(ws) >= k)
         .select(id_col, F.explode(gram_structs).alias("s"))
         .select(id_col, F.col("s.pos").alias("pos"), F.col("s.g").alias("g"))
         .localCheckpoint(eager=False)  # feeds freq agg AND semi-join probe

@@ -290,13 +290,19 @@ def repetition_stats(
             F.max("c").alias("top_word_count"),
         )
     )
-    toks = F.split(F.col(text_col), " ")
+    # r10: tokenize ONCE into a projected column — interpreted HOF
+    # evaluation re-runs non-lambda subtrees per element, so the inlined
+    # split(text) inside the slice lambda was O(tokens²) bytes touched
+    # (the dsir/bigram lesson, d2aa48f). Values bit-identical.
+    ws = F.col("_ws")
     grams = docs.select(
+        "doc_id", F.split(F.col(text_col), " ").alias("_ws")
+    ).select(
         "doc_id",
         F.explode(
             F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+                F.sequence(F.lit(1), F.greatest(F.size(ws) - 1, F.lit(1))),
+                lambda i: F.concat_ws(" ", F.slice(ws, i, 2)),
             )
         ).alias("g"),
     )
@@ -526,13 +532,16 @@ def ngram_stats(docs: DataFrame, text_col: str = "text", n: int = 3, k: int = 10
     explode → one count aggregation → orderBy().limit(k), which Catalyst
     plans as TakeOrderedAndProject (per-partition partial top-k, then a
     k·partitions merge) — no global sort of the n-gram table."""
-    toks = F.split(F.col(text_col), " ")
+    # r10: tokenize once into _ws (the HOF-hoist idiom — the inlined
+    # split re-ran per gram position, O(tokens²)); values bit-identical
+    ws = F.col("_ws")
     grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(ws, i, n)),
     )
     return (
-        docs.filter(F.size(toks) >= n)
+        docs.select("doc_id", F.split(F.col(text_col), " ").alias("_ws"))
+        .filter(F.size(ws) >= n)
         .select("doc_id", F.explode(grams).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("occurrences"), F.countDistinct("doc_id").alias("doc_freq"))
@@ -570,14 +579,17 @@ def chunk_dedup(docs: DataFrame, text_col: str = "text", width: int = 8) -> Data
     partial-count) pairs after map-side combine — the classic shape that
     survives 100 TB because duplicated-chunk cardinality, not corpus
     size, bounds the reduce side."""
-    toks = F.split(F.col(text_col), " ")
-    n_chunks = F.floor(F.size(toks) / width).cast("int")
+    # r10: tokenize once into _ws (HOF-hoist idiom; the inlined split
+    # re-ran per chunk position, O(tokens²)); values bit-identical
+    ws = F.col("_ws")
+    n_chunks = F.floor(F.size(ws) / width).cast("int")
     chunks = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.concat_ws(" ", F.slice(toks, i * width + 1, width)),
+        lambda i: F.concat_ws(" ", F.slice(ws, i * width + 1, width)),
     )
     return (
-        docs.filter(F.size(toks) >= width)
+        docs.select("doc_id", F.split(F.col(text_col), " ").alias("_ws"))
+        .filter(F.size(ws) >= width)
         .select("doc_id", F.explode(chunks).alias("chunk"))
         .groupBy("chunk")
         .agg(
@@ -1790,15 +1802,22 @@ def boilerplate_strip(
     exploding the corpus twice."""
     toks = F.split(F.col(text_col), " ")
     n_chunks = F.ceil(F.size(toks) / F.lit(width)).cast("long")
+    # r10: tokenize once into _ws for the chunk explode (HOF-hoist
+    # idiom; the inlined split re-ran per chunk position, O(tokens²));
+    # the scalar `totals` branch keeps the direct split — one eval per
+    # row either way. Values bit-identical.
+    ws = F.col("_ws")
+    n_chunks_ws = F.ceil(F.size(ws) / F.lit(width)).cast("long")
     chunk_structs = F.transform(
-        F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
+        F.sequence(F.lit(0), (n_chunks_ws - 1).cast("int")),
         lambda i: F.struct(
             i.alias("pos"),
-            F.concat_ws(" ", F.slice(toks, i * width + 1, width)).alias("chunk"),
+            F.concat_ws(" ", F.slice(ws, i * width + 1, width)).alias("chunk"),
         ),
     )
     ch = (
-        docs.select(id_col, F.explode(chunk_structs).alias("c"))
+        docs.select(id_col, F.split(F.col(text_col), " ").alias("_ws"))
+        .select(id_col, F.explode(chunk_structs).alias("c"))
         .select(
             id_col,
             F.col("c.pos").alias("pos"),
@@ -1956,15 +1975,18 @@ def ngram_novelty(
     never leaves the map side. Docs with fewer than n tokens keep a row
     (0 grams, novelty 0.0). novelty_pct is a single IEEE division of two
     exact integers — bit-identical cross-engine."""
-    toks = F.split(F.col(text_col), " ")
+    # r10: tokenize once into _ws (HOF-hoist idiom; the inlined split
+    # re-ran per gram position, O(tokens²)); values bit-identical
+    ws = F.col("_ws")
     # sequence(0, -1) DESCENDS in Spark — short docs must filter out
     # before the sequence, not rely on an empty range
     grams = F.transform(
-        F.sequence(F.lit(0), (F.size(toks) - n).cast("int")),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, n))),
+        F.sequence(F.lit(0), (F.size(ws) - n).cast("int")),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(ws, i + 1, n))),
     )
     pg = (
-        docs.filter(F.size(toks) >= n)
+        docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_ws"))
+        .filter(F.size(ws) >= n)
         .select(F.col(id_col), F.explode(grams).alias("g"))
         .distinct()
         .localCheckpoint(eager=False)  # feeds the min-agg AND the join back
