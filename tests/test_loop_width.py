@@ -52,8 +52,24 @@ def test_fit_rows_per_partition_conf(spark):
         child.conf.unset(_LOOP_ROWS_PER_PARTITION_KEY)
 
 
-def _clone_width(spark):
-    return loop_session(spark).conf.get("spark.sql.shuffle.partitions")
+def _own_clone(spark):
+    """THIS parent's memoized clone, WITHOUT calling loop_session()
+    (which re-copies the parent's width on access and would mask a
+    leak). Looked up by the parent's (app, token) memo key — the full
+    suite leaves clones of OTHER parent sessions (width-variant tests
+    at 3/8/32) in the memo, so iterating all values asserts someone
+    else's width."""
+    from blueflood_spark import session as S
+
+    app = spark.sparkContext.applicationId
+    token = spark.conf.get(S._LOOP_TOKEN_KEY, "")
+    return S._LOOP_SESSIONS.get((app, token))
+
+
+def _assert_clone_width_restored(spark, parent_width):
+    child = _own_clone(spark)
+    assert child is not None, "loop ran, so this parent must have a clone"
+    assert child.conf.get("spark.sql.shuffle.partitions") == parent_width
 
 
 def test_cc_restores_clone_width(spark):
@@ -62,12 +78,7 @@ def test_cc_restores_clone_width(spark):
     pairs = spark.createDataFrame([(i, i + 1) for i in range(7)], "doc_a long, doc_b long")
     out = D.connected_components(pairs, ids, driver_threshold=0)
     assert {r["cluster_id"] for r in out.collect()} == {0}
-    # read the clone's width WITHOUT loop_session() (which re-copies the
-    # parent's value on access and would mask a leak)
-    from blueflood_spark import session as S
-
-    for child in S._LOOP_SESSIONS.values():
-        assert child.conf.get("spark.sql.shuffle.partitions") == parent_width
+    _assert_clone_width_restored(spark, parent_width)
 
 
 def test_cc_restores_clone_width_on_nonconvergence(spark):
@@ -80,10 +91,7 @@ def test_cc_restores_clone_width_on_nonconvergence(spark):
         D.connected_components(
             pairs, ids, max_iterations=2, driver_threshold=0
         ).collect()
-    from blueflood_spark import session as S
-
-    for child in S._LOOP_SESSIONS.values():
-        assert child.conf.get("spark.sql.shuffle.partitions") == parent_width
+    _assert_clone_width_restored(spark, parent_width)
 
 
 def test_pagerank_restores_clone_width_and_values(spark):
@@ -101,7 +109,4 @@ def test_pagerank_restores_clone_width_and_values(spark):
     base = GR.SCALE * 3 // 20
     assert out[0] == out[1] == out[2] == GR.SCALE
     assert out[3] == base
-    from blueflood_spark import session as S
-
-    for child in S._LOOP_SESSIONS.values():
-        assert child.conf.get("spark.sql.shuffle.partitions") == parent_width
+    _assert_clone_width_restored(spark, parent_width)
