@@ -2632,8 +2632,15 @@ def bf_timer_merge_20m(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(v).alias("max"),
             F.avg(v).alias("avg"),
             F.var_pop(v).alias("var_pop"),
-            F.expr("percentile(value, 0.5D)").alias("pct_50"),
-            F.expr("percentile(value, 0.95D)").alias("pct_95"),
+            # ONE percentile buffer for both cut points (r10): two scalar
+            # percentile() aggs each built+merged+sorted their own
+            # value→count buffer over the same column; the array form is
+            # a single shared buffer (Catalyst dedupes the equal agg
+            # functions) read at two points. Values bit-identical — same
+            # interpolation code path; measured −13..30% on the 5m agg
+            # stage (0.74-0.97 → 0.65 s min-of-3, 75,938 groups equal).
+            F.expr("percentile(value, array(0.5D, 0.95D))[0]").alias("pct_50"),
+            F.expr("percentile(value, array(0.5D, 0.95D))[1]").alias("pct_95"),
         )
     )
     return R.timer_merge(t5, G.MIN_20, percentile_labels=("50", "95")).select(
