@@ -79,18 +79,18 @@ def main() -> None:
     warm = spark.range(0, 1024, 1, int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     warm.mapInPandas(lambda it: it, schema="id long").write.mode("overwrite").format("noop").save()
 
-    # Pin the working set in the block cache (the cluster analog of a hot
-    # HDFS/Alluxio/OS page cache — DuckDB's oracle run gets the same effect
-    # from the OS page cache). Spark's CacheManager substitutes these
-    # fragments into every query plan by canonicalized-plan equality, so
-    # each timed query scans in-memory columnar batches instead of re-
-    # reading parquet. At sf0.1 the whole set is a few hundred MB.
-    cached = []
+    # Warm the I/O path WITHOUT pinning anything in Spark's block cache
+    # (r10 verdict task 2 / r11 brief: no .cache() of base tables outside
+    # the timed region — through r10 the whole working set was pinned
+    # here, so timed queries scanned in-memory columnar batches and §6
+    # scan work was invisible). One untimed noop pass per table warms the
+    # OS page cache and the parquet footer/file-listing caches — the same
+    # warmth the DuckDB oracle's repeated reads of the same files get from
+    # the OS — but every timed query below performs its own parquet scan,
+    # decode, column pruning and filter pushdown.
     for tbl in ("region", "nation", "customer", "supplier", "part",
                 "orders", "lineitem", "events", "documents", "embeddings"):
-        df = E._t(spark, sf_dir, tbl).cache()
-        df.write.mode("overwrite").format("noop").save()  # materialize
-        cached.append(df)
+        E._t(spark, sf_dir, tbl).write.mode("overwrite").format("noop").save()
 
     oracle_names = set(E.oracle_sql())
     # headline set = the oracle-checked queries (apples-to-apples with the

@@ -1,5 +1,5 @@
 """Iterate on per-query latency under the same conditions bench.py uses
-(cached working set, 16 shuffle partitions, min of 2 passes, noop sink).
+(warm session, no block-cache pinning, 16 shuffle partitions, min of 2 passes, noop sink).
 
 Usage: python tools/bench_subset.py q1 [q2 ...]
 """
@@ -25,8 +25,7 @@ def main() -> None:
     warm.mapInPandas(lambda it: it, schema="id long").write.mode("overwrite").format("noop").save()
     for tbl in ("region", "nation", "customer", "supplier", "part",
                 "orders", "lineitem", "events", "documents", "embeddings"):
-        df = E._t(spark, sf_dir, tbl).cache()
-        df.write.mode("overwrite").format("noop").save()
+        E._t(spark, sf_dir, tbl).write.mode("overwrite").format("noop").save()
     qs = E.queries()
     for name in names:
         best = None

@@ -38,8 +38,7 @@ def main() -> None:
     warm.mapInPandas(lambda it: it, schema="id long").write.mode("overwrite").format("noop").save()
     for tbl in ("region", "nation", "customer", "supplier", "part",
                 "orders", "lineitem", "events", "documents", "embeddings"):
-        df = E._t(spark, sf_dir, tbl).cache()
-        df.write.mode("overwrite").format("noop").save()
+        E._t(spark, sf_dir, tbl).write.mode("overwrite").format("noop").save()
     qs = E.queries()
     for name in names:
         best_b = best_e = best_t = None

@@ -49,8 +49,7 @@ def main() -> None:
     spark = get_spark("phase-times", shuffle_partitions=8)
     for tbl in ("region", "nation", "customer", "supplier", "part",
                 "orders", "lineitem", "events", "documents", "embeddings"):
-        df = E._t(spark, sf_dir, tbl).cache()
-        df.write.mode("overwrite").format("noop").save()
+        E._t(spark, sf_dir, tbl).write.mode("overwrite").format("noop").save()
     qs = E.queries()
     tot = {"build": 0.0, "analysis": 0.0, "optimization": 0.0,
            "planning": 0.0, "exec": 0.0, "wall": 0.0}

@@ -56,20 +56,13 @@ def main() -> None:
     spark = get_spark("scaling-probe", shuffle_partitions=32)
     qs = E.queries()
     rows = []
-    prev_cached: list = []
     for label, sf_dir in SFS:
-        # warm + pin working set, mirroring bench.py; drop the previous
-        # SF's cached fragments first so the 10× set isn't measured under
-        # eviction pressure the small set didn't face
-        for old in prev_cached:
-            old.unpersist(blocking=True)
-        prev_cached = []
+        # warm the I/O path (OS page cache + parquet footers), mirroring
+        # bench.py — no block-cache pinning
         E.q01_pricing_summary(spark, sf_dir).write.mode("overwrite").format("noop").save()
         for tbl in ("region", "nation", "customer", "supplier", "part",
                     "orders", "lineitem", "events", "documents", "embeddings"):
-            df = E._t(spark, sf_dir, tbl).cache()
-            df.write.mode("overwrite").format("noop").save()
-            prev_cached.append(df)
+            E._t(spark, sf_dir, tbl).write.mode("overwrite").format("noop").save()
         for name in names:
             best = None
             for _ in range(2):
