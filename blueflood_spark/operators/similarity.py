@@ -428,14 +428,23 @@ def embedding_near_dups(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (dedup by semantic identity).
 
-    EXACT and fully distributed: the corpus is hashed into B blocks, a
-    tiny broadcast relation enumerates the B(B+1)/2 unordered block
-    pairs, and each (block_i × block_j) tile runs one BLAS matmul inside
-    a cogrouped applyInPandas kernel — Arrow batches in, qualifying
-    pairs out. Nothing ever transits the driver (the round-1 version
-    collected the whole corpus there), and per-task memory is bounded by
-    two blocks of target_block_rows vectors. Replication factor is B per
-    side — the unavoidable cost of exact all-pairs.
+    EXACT and fully distributed: the corpus is hashed into B blocks and
+    each of the B(B+1)/2 unordered block tiles runs one BLAS matmul
+    inside a grouped applyInPandas kernel — Arrow batches in, qualifying
+    pairs out. ONE pass, ONE exchange (r11, guide §2.3/§2.4): every
+    vector explodes JVM-side into its B tile memberships tagged with a
+    side (left / right / both-for-the-diagonal), so a single groupBy
+    replaces the previous cogroup shape — which scanned the corpus
+    twice, shuffled it through two round-robin fan-outs plus two hash
+    exchanges, and built two broadcasts from a driver-created Python-RDD
+    tile relation (r10 plan dump: 24 nodes; now 10). Nothing ever
+    transits the driver, per-task memory is bounded by two blocks of
+    target_block_rows vectors plus a chunked score tile, and the
+    replication factor is B per vector — the unavoidable cost of exact
+    all-pairs. When the corpus is big enough that the matmul dominates
+    (≥16k rows) the block count is floored so the tile sweep spreads
+    over the cluster instead of running as a handful of straggler tasks
+    (guide §2.2: partitioning derived from size, not a constant).
 
     PRODUCTION ROUTING: this operator is the EXACTNESS ORACLE for the
     near-dup family — its O(n²) tile sweep is the documented >3× grower
@@ -453,59 +462,81 @@ def embedding_near_dups(
     if n_blocks is None:
         # count() is an aggregate-only job (no data to the driver); sizes
         # tiles so a pair of blocks fits comfortably in one task's memory
-        n_blocks = max(1, math.ceil(emb.count() / target_block_rows))
+        n = emb.count()
+        n_blocks = max(1, math.ceil(n / target_block_rows))
+        if n >= 16_384:
+            # enough tiles to keep every core busy: smallest B with
+            # B(B+1)/2 >= defaultParallelism (B=8 → 36 tiles on 32 cores)
+            par = spark.sparkContext.defaultParallelism
+            b_min = math.ceil((math.sqrt(8 * par + 1) - 1) / 2)
+            n_blocks = max(n_blocks, b_min)
+    n_blocks = int(n_blocks)
     base = emb.select(
         F.col(id_col).alias("vid"),
         F.col(emb_col).alias("vemb"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("blk"),
     )
-    tiles = spark.createDataFrame(
-        [(a, b) for a in range(n_blocks) for b in range(n_blocks) if a <= b],
-        "blk_a int, blk_b int",
+    # tile memberships of a vector in block b: left side of tiles (b, j)
+    # for j > b, right side of (i, b) for i < b, and one 'both' row (side
+    # 2) for the diagonal (b, b). All JVM expressions — no driver-side
+    # tile relation, no broadcast. The right-side list is built as
+    # filter(transform(...)) rather than an IF(.., array(), ..) so the
+    # empty case (b = 0) keeps the struct element type.
+    memb = (
+        f"concat("
+        f"transform(sequence(blk, {n_blocks - 1}), j -> "
+        f"struct(blk AS ta, CAST(j AS INT) AS tb, IF(j = blk, 2, 0) AS side)), "
+        f"filter(transform(sequence(0, blk), i -> "
+        f"struct(CAST(i AS INT) AS ta, blk AS tb, 1 AS side)), s -> s.ta < blk))"
     )
-    left = (
-        base.withColumnRenamed("blk", "blk_a")
-        .join(F.broadcast(tiles), "blk_a")
-        .select("blk_a", "blk_b", "vid", "vemb")
-    )
-    # distinct column names on the right side keep Spark's ambiguous-
-    # self-join analysis happy (both sides share the `base` lineage)
-    right = (
-        base.withColumnRenamed("blk", "blk_b")
-        .join(F.broadcast(tiles), "blk_b")
-        .select(
-            "blk_a", "blk_b", F.col("vid").alias("rvid"), F.col("vemb").alias("rvemb")
-        )
+    tagged = base.select(
+        F.explode(F.expr(memb)).alias("m"), "vid", "vemb"
+    ).select(
+        F.col("m.ta").alias("ta"),
+        F.col("m.tb").alias("tb"),
+        F.col("m.side").alias("side"),
+        "vid",
+        "vemb",
     )
 
-    def tile_kernel(key, lpdf: pd.DataFrame, rpdf: pd.DataFrame):
+    def tile_kernel(key, pdf):
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+            {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+        )
+        side = pdf["side"].to_numpy()
+        lpdf = pdf[side != 1]
+        rpdf = pdf[side != 0]
         if lpdf.empty or rpdf.empty:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
-                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
-            )
+            return empty
         l_ids = lpdf["vid"].to_numpy(dtype=np.int64)
-        r_ids = rpdf["rvid"].to_numpy(dtype=np.int64)
+        r_ids = rpdf["vid"].to_numpy(dtype=np.int64)
         l_mat = np.array(list(lpdf["vemb"]), dtype=np.float64)
-        r_mat = np.array(list(rpdf["rvemb"]), dtype=np.float64)
+        r_mat = np.array(list(rpdf["vemb"]), dtype=np.float64)
         l_norm = np.sqrt((l_mat * l_mat).sum(axis=1))
         r_norm = np.sqrt((r_mat * r_mat).sum(axis=1))
-        sims = (l_mat @ r_mat.T) / np.outer(l_norm, r_norm)
-        li, ri = np.nonzero(sims >= threshold)
-        a, b = l_ids[li], r_ids[ri]
-        if key[0] == key[1]:
-            keep = a < b  # diagonal tile sees both orderings; keep one
-            a, b, c = a[keep], b[keep], sims[li, ri][keep]
-        else:
-            c = sims[li, ri]
-            lo = np.minimum(a, b)
-            hi = np.maximum(a, b)
-            a, b = lo, hi
-        return pd.DataFrame({"id_a": a, "id_b": b, "cosine": c})
+        diag = key[0] == key[1]
+        # chunk the left rows so the score tile is bounded (~256 MB of
+        # float64) regardless of block sizing — guide §5: per-task state
+        # stays flat even if target_block_rows is raised
+        step = max(1, 32_000_000 // max(1, len(r_ids)))
+        outs = []
+        for lo in range(0, len(l_ids), step):
+            sl = slice(lo, lo + step)
+            sims = (l_mat[sl] @ r_mat.T) / np.outer(l_norm[sl], r_norm)
+            li, ri = np.nonzero(sims >= threshold)
+            a, b, c = l_ids[sl][li], r_ids[ri], sims[li, ri]
+            if diag:
+                keep = a < b  # diagonal tile sees both orderings; keep one
+                a, b, c = a[keep], b[keep], c[keep]
+            else:
+                lo_id = np.minimum(a, b)
+                hi_id = np.maximum(a, b)
+                a, b = lo_id, hi_id
+            outs.append(pd.DataFrame({"id_a": a, "id_b": b, "cosine": c}))
+        return pd.concat(outs, ignore_index=True) if outs else empty
 
-    return (
-        left.groupby("blk_a", "blk_b")
-        .cogroup(right.groupby("blk_a", "blk_b"))
-        .applyInPandas(tile_kernel, schema="id_a long, id_b long, cosine double")
+    return tagged.groupby("ta", "tb").applyInPandas(
+        tile_kernel, schema="id_a long, id_b long, cosine double"
     )
 
 
