@@ -3935,6 +3935,13 @@ def llm_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.simhash_near_pairs(
         rebind(docs, loop_session(spark)), max_hamming=8, bits=60
     ).localCheckpoint(eager=False)
+    # price the loop width HERE, on the pair checkpoint, and thread it
+    # through (r11, verdict task 4 — the _n_pairs pattern): pagerank then
+    # skips its own `ed.count()` job, so the pricing job is just the pair
+    # subtree (which the first action had to materialize anyway) and the
+    # degree join plans at the fitted width inside the main action job.
+    # The symmetrized edge count is exactly 2× the pair count.
+    n_pairs = pairs.count()
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
@@ -3942,9 +3949,9 @@ def llm_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # caller=spark: edges live in the loop clone (docs was pre-rebound
     # above), so without it pagerank would re-home its result to the
     # clone and this select would plan AQE-off (r9 ADVICE)
-    return GR.pagerank(edges, nodes, n_iter=5, symmetric=True, caller=spark).select(
-        F.col("id").alias("doc_id"), "rank"
-    )
+    return GR.pagerank(
+        edges, nodes, n_iter=5, symmetric=True, caller=spark, n_edges=2 * n_pairs
+    ).select(F.col("id").alias("doc_id"), "rank")
 
 
 def llm_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -525,7 +525,7 @@ def _cc_distributed(
     caller's session, ever; the final singleton-attach join below plans
     back in the caller's session under its own conf.
     """
-    from blueflood_spark.session import fit_loop_width, loop_session, rebind
+    from blueflood_spark.session import fitted_loop_width, loop_session, rebind
 
     spark = pairs.sparkSession
     child = loop_session(spark)
@@ -542,17 +542,16 @@ def _cc_distributed(
     # count materializes the pair checkpoint as its own job; the pair
     # subtree still runs exactly once (it used to run inside the first
     # fixpoint job instead). Fitted from the symmetrized edge count,
-    # capped at the configured width (no-op at corpus scale); restored
-    # in `finally` — a concurrent loop planner on the same parent may
-    # transiently plan at the fitted value, which can only mis-size its
-    # tasks, never its rows (width-independence is oracle-proven by the
-    # SPARK_GRAFT_SHUFFLE=3 arm).
+    # capped at the configured width (no-op at corpus scale); scoped by
+    # fitted_loop_width (r11: restores the parent's stamped width, and
+    # no-ops on the degraded parent==clone path) — a concurrent loop
+    # planner on the same clone may transiently plan at the fitted
+    # value, which can only mis-size its tasks, never its rows
+    # (width-independence is oracle-proven by the SPARK_GRAFT_SHUFFLE=3
+    # arm).
     if _n_pairs is None:
         _n_pairs = pairs.count()
-    _width_key = "spark.sql.shuffle.partitions"
-    _old_width = child.conf.get(_width_key)
-    child.conf.set(_width_key, str(fit_loop_width(2 * _n_pairs, child)))
-    try:
+    with fitted_loop_width(child, 2 * _n_pairs):
         edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         # The edge list is STATIC across rounds but every round joins it on
         # dst — pre-partition (and pre-sort) it by the join key ONCE before
@@ -634,8 +633,6 @@ def _cc_distributed(
                 if not changed:
                     converged = True
                     break
-    finally:
-        child.conf.set(_width_key, _old_width)
     if not converged:
         raise RuntimeError(
             f"connected components did not converge within {max_iterations} iterations"

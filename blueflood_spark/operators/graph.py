@@ -56,6 +56,7 @@ def pagerank(
     checkpoint_every: int = 4,
     symmetric: bool = False,
     caller: SparkSession | None = None,
+    n_edges: int | None = None,
 ) -> DataFrame:
     """Fixed-point integer PageRank; returns (id, rank) with rank in
     units of 1/scale. `edges` is DIRECTED — symmetrize before calling
@@ -103,8 +104,17 @@ def pagerank(
     frame's own session — pass it EXPLICITLY when the inputs were
     pre-rebound into the loop clone (llm_dup_pagerank marks its pair
     subtree there), otherwise `edges.sparkSession` IS the clone and the
-    result would stay pinned to AQE-off planning (r9 ADVICE)."""
-    from blueflood_spark.session import fit_loop_width, loop_session, rebind
+    result would stay pinned to AQE-off planning (r9 ADVICE).
+
+    `n_edges`: the edge count, when the caller already knows it (the
+    _n_pairs pattern of dedup.connected_components — r10 verdict task
+    4). When provided, the loop width is fitted WITHOUT running the
+    per-query `ed.count()` pricing job, and — because the fit then
+    happens before `ed` is even constructed — the degree join's own
+    exchanges plan at the fitted width too and `ed` materializes inside
+    the caller's first action instead of as a separate job. When None,
+    pagerank prices itself with one count as before."""
+    from blueflood_spark.session import fitted_loop_width, loop_session, rebind
 
     if n_iter < 1:
         raise ValueError(f"pagerank requires n_iter >= 1, got {n_iter}")
@@ -125,29 +135,38 @@ def pagerank(
     # stages, 6 → 8 action jobs, wall flat-to-worse 3.20 vs 3.31 s.
     # The trick pays only where the static side actually shuffles every
     # round, i.e. sort-merge loops like CC's label joins.)
-    ed = (
-        edges.join(deg, src_col)
-        .select(
-            F.col(src_col).cast("long").alias("src"),
-            F.col(dst_col).cast("long").alias("dst"),
-            "deg",
+    def _build_ed() -> DataFrame:
+        return (
+            edges.join(deg, src_col)
+            .select(
+                F.col(src_col).cast("long").alias("src"),
+                F.col(dst_col).cast("long").alias("dst"),
+                "deg",
+            )
+            .localCheckpoint(eager=False)
         )
-        .localCheckpoint(eager=False)
-    )
+
     # LOOP WIDTH (fit_loop_width — derive partitioning from measured
     # size, guide §2; the _cc_distributed treatment): the clone plans
     # every round's groupBy/left-join exchange statically, so without a
     # fitted width a node-sized rank frame shuffles at the full conf
-    # width every round. One count materializes the edge checkpoint as
-    # its own job (the edge subtree still runs exactly once) and prices
-    # the loop; capped at the configured width, so corpus-scale inputs
-    # keep the production setting. Restored in `finally` (width is
+    # width every round. Priced from the caller-supplied edge count when
+    # available (r11, verdict task 4: no per-query count job — and the
+    # degree join then plans at the fitted width too, materializing
+    # inside the caller's first action); self-priced with one count
+    # otherwise (which materializes the edge checkpoint as its own job —
+    # the edge subtree still runs exactly once). Capped at the
+    # configured width, so corpus-scale inputs keep the production
+    # setting. Scoped by fitted_loop_width (r11: restores the parent's
+    # stamped width; no-ops on the degraded parent==clone path; width is
     # oracle-proven result-independent — SPARK_GRAFT_SHUFFLE=3 arm).
-    n_edges = ed.count()
-    _width_key = "spark.sql.shuffle.partitions"
-    _old_width = child.conf.get(_width_key)
-    child.conf.set(_width_key, str(fit_loop_width(n_edges, child)))
-    try:
+    ed = None
+    if n_edges is None:
+        ed = _build_ed()
+        n_edges = ed.count()
+    with fitted_loop_width(child, n_edges):
+        if ed is None:
+            ed = _build_ed()
         # `symmetric=True` (caller asserts src-set == dst-set, true for any
         # symmetrized undirected graph) halves the distinct's input: the
         # src side alone already enumerates every edge-touched node
@@ -184,8 +203,6 @@ def pagerank(
         # physical plans inside the clone at the fitted width — without
         # it they plan under the caller's conf at full width
         ranks = ranks.localCheckpoint(eager=False)
-    finally:
-        child.conf.set(_width_key, _old_width)
     # isolated nodes: constant closed-form rank, one join, zero rounds
     out = ids.join(ranks, "id", "left").select(
         "id", F.coalesce(F.col("rank"), F.lit(base).cast("long")).alias("rank")

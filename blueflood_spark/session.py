@@ -8,6 +8,7 @@ maxPartitionBytes would scale with executor count, not be hardcoded.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import threading
 import uuid
@@ -106,6 +107,12 @@ _LOOP_CONF_COPY = (
 # loop_session(clone) is idempotent instead of minting nested clones.
 _LOOP_TOKEN_KEY = "spark.blueflood.loop.token"
 _LOOP_CLONE_MARKER = "spark.blueflood.loop.clone"
+# the PARENT's configured shuffle width, stamped on the clone at every
+# loop_session(parent) access: fitted_loop_width restores from THIS, not
+# from a pre-loop read of the live value — two loops interleaving their
+# set/restore on the shared clone can otherwise capture each other's
+# fitted width and leave it installed after both finish (r10 ADVICE)
+_LOOP_PARENT_WIDTH_KEY = "spark.blueflood.loop.parentWidth"
 
 
 def loop_session(spark: SparkSession) -> SparkSession:
@@ -163,6 +170,13 @@ def loop_session(spark: SparkSession) -> SparkSession:
                 child.conf.set(conf_key, spark.conf.get(conf_key))
             except Exception:
                 pass
+        try:
+            child.conf.set(
+                _LOOP_PARENT_WIDTH_KEY,
+                spark.conf.get("spark.sql.shuffle.partitions"),
+            )
+        except Exception:
+            pass
         return child
 
 
@@ -173,7 +187,7 @@ _LOOP_ROWS_PER_PARTITION_KEY = "spark.blueflood.loop.rowsPerPartition"
 _LOOP_ROWS_PER_PARTITION_DEFAULT = 2_000_000
 
 
-def fit_loop_width(n_rows: int, session: SparkSession) -> int:
+def fit_loop_width(n_rows: int, session: SparkSession) -> int | None:
     """Shuffle width for a fixpoint loop's exchanges, derived from the
     MEASURED row count of the loop's largest frame (the optimization
     guide's rule: derive partitioning from input size, never from a
@@ -193,11 +207,17 @@ def fit_loop_width(n_rows: int, session: SparkSession) -> int:
     target is conf-tunable (spark.blueflood.loop.rowsPerPartition).
     Loop results are width-independent (integer min/sum fixpoints; the
     SPARK_GRAFT_SHUFFLE=3 oracle arm proves it), so a mis-fit can only
-    cost time, never rows."""
+    cost time, never rows.
+
+    Returns None when the session's configured width cannot be read
+    (Connect mode / API drift) — the caller must then skip the
+    set/restore entirely rather than install a guessed width over
+    whatever the session actually had (r10 ADVICE; the old fallback
+    silently wrote a hardcoded 200)."""
     try:
         conf_width = int(session.conf.get("spark.sql.shuffle.partitions"))
     except Exception:  # pragma: no cover - Connect mode / API drift
-        return 1 if n_rows <= _LOOP_ROWS_PER_PARTITION_DEFAULT else 200
+        return None
     try:
         target = int(
             session.conf.get(
@@ -210,6 +230,46 @@ def fit_loop_width(n_rows: int, session: SparkSession) -> int:
     target = max(1, target)
     fitted = (max(0, n_rows) + target - 1) // target
     return max(1, min(fitted, conf_width))
+
+
+@contextlib.contextmanager
+def fitted_loop_width(child: SparkSession, n_rows: int):
+    """Scoped fit of the loop clone's shuffle width to a measured row
+    count (fit_loop_width), with the three r10-ADVICE hazards closed:
+
+    - NO-OP when `child` is not actually a loop clone (no clone marker):
+      under Spark Connect / API drift loop_session() returns the parent
+      itself, and fitting there would transiently shrink the CALLER's
+      live width for every concurrently-planned query.
+    - NO-OP when the width cannot be read (fit_loop_width → None): never
+      installs a guessed width.
+    - Restores the PARENT's stamped width (_LOOP_PARENT_WIDTH_KEY, set
+      at every loop_session(parent) access), not the pre-loop live read:
+      two loops interleaving set/restore on the shared clone would each
+      capture the other's fitted value and leave a stale tiny width
+      installed after both finish. Mid-flight a concurrent loop may
+      still plan at this loop's fitted width — perf-only by design
+      (fixpoint results are width-independent, SPARK_GRAFT_SHUFFLE=3
+      oracle arm)."""
+    width_key = "spark.sql.shuffle.partitions"
+    try:
+        is_clone = child.conf.get(_LOOP_CLONE_MARKER, "") == "true"
+    except Exception:  # pragma: no cover - Connect mode / API drift
+        is_clone = False
+    fitted = fit_loop_width(n_rows, child) if is_clone else None
+    if fitted is None:
+        yield
+        return
+    pre = child.conf.get(width_key)
+    child.conf.set(width_key, str(fitted))
+    try:
+        yield
+    finally:
+        try:
+            restore = child.conf.get(_LOOP_PARENT_WIDTH_KEY, "") or pre
+        except Exception:  # pragma: no cover
+            restore = pre
+        child.conf.set(width_key, restore)
 
 
 def rebind(df: DataFrame, session: SparkSession) -> DataFrame:

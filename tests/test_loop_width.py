@@ -19,6 +19,7 @@ from blueflood_spark.operators import graph as GR
 from blueflood_spark.session import (
     _LOOP_ROWS_PER_PARTITION_KEY,
     fit_loop_width,
+    fitted_loop_width,
     loop_session,
 )
 
@@ -50,6 +51,46 @@ def test_fit_rows_per_partition_conf(spark):
         assert fit_loop_width(25, child) == min(3, conf_width)
     finally:
         child.conf.unset(_LOOP_ROWS_PER_PARTITION_KEY)
+
+
+class _BrokenConf:
+    def get(self, *a, **k):
+        raise RuntimeError("conf unavailable")
+
+
+class _BrokenSession:
+    conf = _BrokenConf()
+
+
+def test_fit_returns_none_when_conf_unreadable():
+    # r10 ADVICE: never install a guessed width — the caller must skip
+    # the set/restore entirely (the old fallback silently wrote 200)
+    assert fit_loop_width(5, _BrokenSession()) is None
+    assert fit_loop_width(10**12, _BrokenSession()) is None
+
+
+def test_fitted_loop_width_noop_on_parent_session(spark):
+    # r10 ADVICE: on the degraded path loop_session() returns the parent
+    # itself — fitting there would shrink the CALLER's live width for
+    # concurrently-planned queries. The guard must not touch it.
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    with fitted_loop_width(spark, 1):
+        assert spark.conf.get(key) == before
+    assert spark.conf.get(key) == before
+
+
+def test_fitted_loop_width_fits_and_restores_parent_stamp(spark):
+    key = "spark.sql.shuffle.partitions"
+    parent_width = spark.conf.get(key)
+    child = loop_session(spark)
+    # simulate another loop's stale leftover: the clone's live width
+    # differs from the parent's at entry — restore must re-install the
+    # PARENT's stamped width, not this stale pre-loop read
+    child.conf.set(key, "7777")
+    with fitted_loop_width(child, 1):
+        assert child.conf.get(key) == "1"
+    assert child.conf.get(key) == parent_width
 
 
 def _own_clone(spark):
