@@ -6616,30 +6616,36 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER CONTRACT: the driver's correctness gate stamps the FIRST 50
-    # entries. The union of r1-r9 stamps covers 190/190 (every entry
-    # green at its latest stamp). The r10 window = the 11 rows CHANGED
-    # THIS round first (tools/changed_since_stamp.py at HEAD flags 10:
-    # the 8 session.py loop_session/lazy_mark-closure rows —
+    # entries. The union of r1-r10 stamps covers 190/190 (every entry
+    # green at its latest stamp). The r11 window, in priority order:
+    # (P1) the 9 rows CHANGED THIS round — tools/changed_since_stamp.py
+    # at r11 HEAD attributes exactly these to non-comment code changes
+    # (session.py fitted_loop_width / dedup.py _cc_distributed /
+    # graph.py pagerank / similarity.py embedding_near_dups closures):
     # bf_kmv_overlap, llm_pipeline_output, llm_dedup_clusters,
-    # llm_mmr_diversify (also its r10 driver-local greedy),
-    # llm_dup_pagerank (also its materialized twin),
-    # llm_embedding_dup_clusters, llm_incremental_dedup,
-    # llm_dedup_keep_best — plus llm_simhash_near_pairs and
-    # llm_dup_triangles, whose twins/docstrings changed in the r10
-    # build-jobs disposition; the 11th is llm_embedding_near_dups,
-    # whose r10-rewritten twin is a module-level SQL constant the
-    # closure tool does not track — r9 verdict task 4 orders its
-    # re-stamp), then the 7 r5 rows deferred from r9
-    # (llm_word_fuzzy_pairs, llm_temperature_mix, llm_vocab_growth,
-    # llm_source_stats, llm_token_counts, llm_quality_filter,
-    # llm_tokenizer_fertility), then the 32 stalest r6 rows. FOURTEEN
-    # r6 rows defer to r11, each verified untouched by
-    # tools/changed_since_stamp.py at HEAD: bf_rollup_cascade_60m,
-    # bf_timer_pct_map_merge, llm_bigram_lm_score, llm_quality_score,
+    # llm_mmr_diversify, llm_dup_pagerank, llm_embedding_dup_clusters,
+    # llm_incremental_dedup, llm_dedup_keep_best,
+    # llm_embedding_near_dups. (The tool's other 136 flags all trace to
+    # the r10 comment-only negative-result note in _t().)
+    # (P2) the 15 rows whose OPERATORS changed in r10 commits that
+    # landed after the r10 window was fixed and so were never
+    # driver-stamped on the new code: llm_tfidf_top_terms,
+    # llm_source_overlap (950d248 shared-subtree marks);
+    # llm_dsir_weights, llm_bigram_lm_score (d2aa48f HOF hoist);
+    # llm_repetition_filter, llm_quality_gate, llm_ngram_stats,
+    # llm_chunk_dedup, llm_boilerplate_strip, llm_ngram_novelty,
+    # llm_dup_spans (36e6b37 HOF sweep); llm_containment,
+    # llm_decontaminate, llm_minhash_estimate (d2aa48f shingles_expr);
+    # bf_timer_merge_20m (be11e1a shared percentile buffer).
+    # (P3) the 13 remaining r6-stamped rows deferred from r10
+    # (bf_rollup_cascade_60m, bf_timer_pct_map_merge, llm_quality_score,
     # llm_train_split, llm_url_blocklist, q01_pricing_summary,
     # q03_top_orders, q05_region_revenue, q06_forecast_revenue,
     # q_above_type_avg, q_cube_revenue, q_window_running,
-    # q_supplier_volume.
+    # q_supplier_volume) — after this window no stamp predates r7.
+    # (P4) 13 of the 38 stalest (r7) rows, alphabetical
+    # (api_events_query .. llm_ann_ivf_topk); the other 25 r7 rows
+    # (minus the 8 already in P2) defer to r12.
     # When editing: anything moved past 50 must already have a green
     # driver row in some round's CORRECTNESS file, or coverage regresses.
     return {
@@ -6651,9 +6657,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_embedding_dup_clusters": llm_embedding_dup_clusters,
         "llm_incremental_dedup": llm_incremental_dedup,
         "llm_dedup_keep_best": llm_dedup_keep_best,
+        "llm_embedding_near_dups": llm_embedding_near_dups,
+        "llm_tfidf_top_terms": llm_tfidf_top_terms,
+        "llm_source_overlap": llm_source_overlap,
+        "llm_dsir_weights": llm_dsir_weights,
+        "llm_bigram_lm_score": llm_bigram_lm_score,
+        "llm_repetition_filter": llm_repetition_filter,
+        "llm_quality_gate": llm_quality_gate,
+        "llm_ngram_stats": llm_ngram_stats,
+        "llm_chunk_dedup": llm_chunk_dedup,
+        "llm_boilerplate_strip": llm_boilerplate_strip,
+        "llm_ngram_novelty": llm_ngram_novelty,
+        "llm_dup_spans": llm_dup_spans,
+        "llm_containment": llm_containment,
+        "llm_decontaminate": llm_decontaminate,
+        "llm_minhash_estimate": llm_minhash_estimate,
+        "bf_timer_merge_20m": bf_timer_merge_20m,
+        "bf_rollup_cascade_60m": bf_rollup_cascade_60m,
+        "bf_timer_pct_map_merge": bf_timer_pct_map_merge,
+        "llm_quality_score": llm_quality_score,
+        "llm_train_split": llm_train_split,
+        "llm_url_blocklist": llm_url_blocklist,
+        "q01_pricing_summary": q01_pricing_summary,
+        "q03_top_orders": q03_top_orders,
+        "q05_region_revenue": q05_region_revenue,
+        "q06_forecast_revenue": q06_forecast_revenue,
+        "q_above_type_avg": q_above_type_avg,
+        "q_cube_revenue": q_cube_revenue,
+        "q_window_running": q_window_running,
+        "q_supplier_volume": q_supplier_volume,
+        "api_events_query": api_events_query,
+        "api_get_view": api_get_view,
+        "api_get_views_multi": api_get_views_multi,
+        "bf_basic_merge_20m": bf_basic_merge_20m,
+        "bf_basic_rollup_5m": bf_basic_rollup_5m,
+        "bf_granularity_select": bf_granularity_select,
+        "bf_ingest_validate": bf_ingest_validate,
+        "bf_preagg_ladder": bf_preagg_ladder,
+        "bf_ttl_retention": bf_ttl_retention,
+        "bf_typed_merge_20m": bf_typed_merge_20m,
+        "bf_typed_rollup_5m": bf_typed_rollup_5m,
+        "ev_retention_cohorts": ev_retention_cohorts,
+        "llm_ann_ivf_topk": llm_ann_ivf_topk,
         "llm_simhash_near_pairs": llm_simhash_near_pairs,
         "llm_dup_triangles": llm_dup_triangles,
-        "llm_embedding_near_dups": llm_embedding_near_dups,
         "llm_word_fuzzy_pairs": llm_word_fuzzy_pairs,
         "llm_temperature_mix": llm_temperature_mix,
         "llm_vocab_growth": llm_vocab_growth,
@@ -6693,7 +6740,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bf_counter_rollup_5m": bf_counter_rollup_5m,
         "q_sole_late_supplier": q_sole_late_supplier,
         "q_trailing_week_revenue": q_trailing_week_revenue,
-        "q_supplier_volume": q_supplier_volume,
         "bf_statsd_normalize": bf_statsd_normalize,
         "llm_ann_ivfpq_topk": llm_ann_ivfpq_topk,
         "llm_kmeans_clusters": llm_kmeans_clusters,
@@ -6717,7 +6763,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bf_native_histogram": bf_native_histogram,
         "bf_native_histogram_quantile": bf_native_histogram_quantile,
         "bf_outlier_mad": bf_outlier_mad,
-        "bf_timer_merge_20m": bf_timer_merge_20m,
         "bf_trend_slope": bf_trend_slope,
         "bf_unit_changes": bf_unit_changes,
         "bf_xcorr_lag": bf_xcorr_lag,
@@ -6733,7 +6778,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_embedding_drift": llm_embedding_drift,
         "llm_frame_dedup": llm_frame_dedup,
         "llm_lang_id": llm_lang_id,
-        "llm_ngram_novelty": llm_ngram_novelty,
         "llm_pack_report": llm_pack_report,
         "llm_source_kl": llm_source_kl,
         "llm_length_profile": llm_length_profile,
@@ -6753,9 +6797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bf_topk_movers": bf_topk_movers,
         "bf_seasonal_baseline": bf_seasonal_baseline,
         "bf_winsorize": bf_winsorize,
-        "llm_dsir_weights": llm_dsir_weights,
         "llm_cdc_chunks": llm_cdc_chunks,
-        "llm_minhash_estimate": llm_minhash_estimate,
         "api_sql_navigation": api_sql_navigation,
         "bf_seasonal_naive_forecast": bf_seasonal_naive_forecast,
         "bf_tenant_cardinality": bf_tenant_cardinality,
@@ -6771,11 +6813,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_multimodal_plan": llm_multimodal_plan,
         "llm_heavy_hitters": llm_heavy_hitters,
         "bf_hll_cardinality": bf_hll_cardinality,
-        "llm_boilerplate_strip": llm_boilerplate_strip,
         "llm_random_projection": llm_random_projection,
         "bf_sampled_quantile": bf_sampled_quantile,
         "bf_zorder_layout": bf_zorder_layout,
-        "llm_dup_spans": llm_dup_spans,
         "bf_slot_eligibility": bf_slot_eligibility,
         "bf_unit_history": bf_unit_history,
         "llm_ann_recall_report": llm_ann_recall_report,
@@ -6787,52 +6827,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_distinct_agg": q_distinct_agg,
         "q_set_ops": q_set_ops,
         "q_pivot_status": q_pivot_status,
-        "bf_basic_rollup_5m": bf_basic_rollup_5m,
-        "bf_basic_merge_20m": bf_basic_merge_20m,
-        "api_get_view": api_get_view,
-        "ev_retention_cohorts": ev_retention_cohorts,
-        "api_get_views_multi": api_get_views_multi,
-        "api_events_query": api_events_query,
-        "bf_ingest_validate": bf_ingest_validate,
-        "bf_preagg_ladder": bf_preagg_ladder,
         "llm_minhash_lsh": llm_minhash_lsh,
-        "llm_decontaminate": llm_decontaminate,
-        "llm_source_overlap": llm_source_overlap,
         "llm_chunk_windows": llm_chunk_windows,
         "llm_unigram_surprisal": llm_unigram_surprisal,
         "llm_rolling_fingerprint": llm_rolling_fingerprint,
-        "llm_repetition_filter": llm_repetition_filter,
-        "llm_tfidf_top_terms": llm_tfidf_top_terms,
         "llm_pii_redact": llm_pii_redact,
         "llm_ann_lsh_topk": llm_ann_lsh_topk,
-        "llm_ann_ivf_topk": llm_ann_ivf_topk,
-        "llm_ngram_stats": llm_ngram_stats,
-        "llm_chunk_dedup": llm_chunk_dedup,
-        "llm_containment": llm_containment,
-        "llm_quality_gate": llm_quality_gate,
         "llm_pack_sequences": llm_pack_sequences,
         "llm_rare_token_filter": llm_rare_token_filter,
-        "bf_typed_rollup_5m": bf_typed_rollup_5m,
-        "bf_typed_merge_20m": bf_typed_merge_20m,
-        "bf_ttl_retention": bf_ttl_retention,
-        "bf_granularity_select": bf_granularity_select,
         "llm_simhash": llm_simhash,
         "llm_token_budget_mix": llm_token_budget_mix,
         "llm_bm25_topk": llm_bm25_topk,
         "llm_label_centroids": llm_label_centroids,
-        "llm_quality_score": llm_quality_score,
-        "llm_train_split": llm_train_split,
-        "q01_pricing_summary": q01_pricing_summary,
-        "bf_rollup_cascade_60m": bf_rollup_cascade_60m,
-        "bf_timer_pct_map_merge": bf_timer_pct_map_merge,
-        "llm_url_blocklist": llm_url_blocklist,
-        "llm_bigram_lm_score": llm_bigram_lm_score,
-        "q03_top_orders": q03_top_orders,
-        "q05_region_revenue": q05_region_revenue,
-        "q06_forecast_revenue": q06_forecast_revenue,
-        "q_window_running": q_window_running,
-        "q_cube_revenue": q_cube_revenue,
-        "q_above_type_avg": q_above_type_avg,
     }
 
 

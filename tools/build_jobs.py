@@ -77,7 +77,7 @@ DISPOSITIONS = {
     "llm_ngram_novelty": "bcast: grain-table broadcast prepare",
     "llm_mmr_diversify": "seqmat+collect: below the r10 driver_cells_limit gate the entry COMPUTES at build - engine retrieval + pairwise sims (one eager candidate mark, persist-before-fanout) then two constant-size collects feeding the driver-local greedy (~9 jobs, ALL the work; the action just returns the 15-row local frame). Above the gate: the r9 clone loop (2 jobs)",
     "llm_hash_embed": "bcast: projection-matrix broadcast prepare",
-    "llm_dup_pagerank": "bcast+fit: pair-subtree broadcast prepares + one edge-count job pricing the loop width (fit_loop_width, r10); loop itself is clone-planned (1 job at first action)",
+    "llm_dup_pagerank": "bcast+fit: pair-subtree broadcast prepares + one PAIR-count job pricing the loop width (r11: counts the pair checkpoint the first action materializes anyway; the degree join moved into the main action job at fitted width); loop itself is clone-planned (1 job at first action)",
     "llm_dsir_weights": "bcast: source-distribution broadcast prepare",
     "llm_bigram_lm_score": "bcast: bigram-table broadcast prepare",
     "llm_ngram_jaccard": "bcast: one broadcast prepare",
